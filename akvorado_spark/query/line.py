@@ -1,0 +1,248 @@
+"""Graph-line query compiler: the engine's flagship query shape.
+
+Re-expresses the reference's ``POST /graph/line`` pipeline
+(reference: console/line.go:107-176 and console/query.go:48-90):
+
+    WITH source AS (...),
+         rows AS (top-N dimension tuples by weight)
+    SELECT time-bucket, fold(dims IN rows ELSE 'Other'), sum(weight)
+    GROUP BY bucket, dims
+    ORDER BY time WITH FILL FROM start TO end STEP interval
+
+Spark-first design decisions:
+
+- The top-N "rows" set is tiny (limit ≤ 50, reference
+  console/config.go:108) → folding joins against it are *broadcast*
+  hash joins; no shuffle of the fact side for the membership probe.
+- Time bucketing is integer arithmetic on ``unix_micros`` aligned to
+  the range start (see functions/time.py) — stays inside
+  whole-stage codegen.
+- Gap filling (``WITH FILL``) is a generated bucket spine
+  (``sequence`` + ``explode`` on a 1-row bounds frame) cross-joined
+  with the dimension set, then a left join of the aggregate — the
+  spine side is a few thousand rows at most, so the join broadcasts.
+- The main aggregation is a single ``groupBy(bucket, dims)`` —
+  partial aggregation map-side, one shuffle on (bucket, dims).
+
+At 100 TB the only full-data pass is the scan + partial agg; rows /
+bounds / spine are all tiny broadcast frames derived from it.  The
+scan should come from a rollup table via the resolution router
+(query/router.py) whenever the requested interval allows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OTHER = "Other"
+
+
+@dataclass(frozen=True)
+class LineRequest:
+    """A graph-line request over an arbitrary fact DataFrame."""
+
+    time_col: str
+    dimensions: tuple[str, ...]
+    weight_sql: str  # per-row weight, SQL expr valid in Spark SQL and DuckDB
+    interval_s: int
+    limit: int
+    fill: bool = True
+    limit_type: str = "avg"  # avg | max | last (reference console/query.go:48-90)
+
+
+def _top_rows(base: DataFrame, req: LineRequest) -> DataFrame:
+    """Top-N dimension tuples.
+
+    limit_type mirrors reference console/query.go:50-77:
+      avg  — rank by total weight over the whole range
+      max  — rank by the peak per-bucket weight
+      last — rank by weight within the final bucket only
+    Ties are broken by the dimension values themselves so results are
+    deterministic across engines.
+    """
+    dims = list(req.dimensions)
+    if req.limit_type == "max":
+        per_bucket = base.groupBy("__bucket", *dims).agg(F.sum("__w").alias("__bw"))
+        ranked = per_bucket.groupBy(*dims).agg(F.max("__bw").alias("__tw"))
+    elif req.limit_type == "last":
+        last_bucket = base.agg(F.max("__bucket").alias("__lb"))
+        ranked = (
+            base.join(F.broadcast(last_bucket), F.col("__bucket") == F.col("__lb"))
+            .groupBy(*dims)
+            .agg(F.sum("__w").alias("__tw"))
+        )
+    else:
+        ranked = base.groupBy(*dims).agg(F.sum("__w").alias("__tw"))
+    order = [F.col("__tw").desc()] + [F.col(d).asc() for d in dims]
+    return ranked.orderBy(*order).limit(req.limit).drop("__tw")
+
+
+def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
+    """Compile a LineRequest into a DataFrame plan.
+
+    Output columns: ``bucket`` (BIGINT epoch-µs), the dimension
+    columns (folded to 'Other' outside the top-N), ``sum_w`` (BIGINT),
+    ``xps`` (DOUBLE = sum_w / interval).
+    """
+    dims = list(req.dimensions)
+    step_us = req.interval_s * 1_000_000
+
+    bounds = df.agg(
+        F.min(F.unix_micros(F.col(req.time_col))).alias("__start_us"),
+        F.max(F.unix_micros(F.col(req.time_col))).alias("__max_us"),
+    )
+
+    base = (
+        df.join(F.broadcast(bounds))  # 1-row scalar frame (reference J9 shape)
+        .withColumn(
+            "__bucket",
+            (
+                F.col("__start_us")
+                + F.floor((F.unix_micros(F.col(req.time_col)) - F.col("__start_us")) / step_us)
+                * step_us
+            ).cast("long"),
+        )
+        .withColumn("__w", F.expr(req.weight_sql).cast("long"))
+        .select("__bucket", "__w", *dims)
+    )
+
+    rows = _top_rows(base, req)
+
+    # Fold non-top tuples into 'Other' via a broadcast left join (J7).
+    marker = rows.withColumn("__top", F.lit(1))
+    folded = base.join(F.broadcast(marker), on=dims, how="left")
+    fold_cols = [
+        F.when(F.col("__top").isNotNull(), F.col(d)).otherwise(F.lit(OTHER)).alias(d)
+        for d in dims
+    ]
+    agg = (
+        folded.select("__bucket", "__w", *fold_cols)
+        .groupBy("__bucket", *dims)
+        .agg(F.sum("__w").alias("sum_w"))
+    )
+
+    if not req.fill:
+        out = agg.withColumnRenamed("__bucket", "bucket")
+        return out.withColumn("xps", F.col("sum_w") / F.lit(req.interval_s)).orderBy(
+            "bucket", *dims
+        )
+
+    # Bucket spine: sequence on the 1-row bounds frame (O1 / WITH FILL).
+    buckets = bounds.select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("__max_us") - F.col("__start_us")) / step_us).cast("long"),
+            )
+        ).alias("__i"),
+        "__start_us",
+    ).select((F.col("__start_us") + F.col("__i") * step_us).cast("long").alias("__bucket"))
+
+    # Dimension spine: the top tuples, plus one 'Other' tuple iff any
+    # non-top tuple exists in the data.
+    other_exists = (
+        base.select(*dims).distinct().join(F.broadcast(marker.select(*dims, "__top")), on=dims, how="left")
+        .filter(F.col("__top").isNull())
+        .limit(1)
+        .select(*[F.lit(OTHER).alias(d) for d in dims])
+    )
+    dim_spine = rows.select(*dims).unionAll(other_exists)
+
+    spine = buckets.crossJoin(F.broadcast(dim_spine))
+    out = (
+        spine.join(agg, on=["__bucket", *dims], how="left")
+        .withColumn("sum_w", F.coalesce(F.col("sum_w"), F.lit(0)).cast("long"))
+        .withColumnRenamed("__bucket", "bucket")
+        .withColumn("xps", F.col("sum_w") / F.lit(req.interval_s))
+    )
+    return out.orderBy("bucket", *dims)
+
+
+# ---------------------------------------------------------------------------
+# Oracle (DuckDB) SQL emitter — the same semantics as ANSI SQL, used by the
+# driver's correctness gate and by tests.
+# ---------------------------------------------------------------------------
+
+
+def oracle_line_sql(table_sql: str, req: LineRequest) -> str:
+    """Emit DuckDB SQL equivalent to ``compile_line`` over ``table_sql``.
+
+    ``table_sql`` is a table name or a parenthesized subquery.
+    """
+    dims = list(req.dimensions)
+    step_us = req.interval_s * 1_000_000
+    dcols = ", ".join(dims)
+    ts = req.time_col
+
+    if req.limit_type == "max":
+        ranked = (
+            f"SELECT {dcols}, MAX(bw) AS tw FROM ("
+            f"SELECT bucket, {dcols}, SUM(w) AS bw FROM base GROUP BY bucket, {dcols}"
+            f") GROUP BY {dcols}"
+        )
+    elif req.limit_type == "last":
+        ranked = (
+            f"SELECT {dcols}, SUM(w) AS tw FROM base "
+            f"WHERE bucket = (SELECT MAX(bucket) FROM base) GROUP BY {dcols}"
+        )
+    else:
+        ranked = f"SELECT {dcols}, SUM(w) AS tw FROM base GROUP BY {dcols}"
+
+    tie = ", ".join(dims)
+    on_fold = " AND ".join(f"b.{d} = r.{d}" for d in dims)
+    fold_sel = ", ".join(
+        f"CASE WHEN r.{dims[0]} IS NOT NULL THEN b.{d} ELSE '{OTHER}' END AS {d}" for d in dims
+    )
+    other_tuple = ", ".join(f"'{OTHER}' AS {d}" for d in dims)
+    on_spine = " AND ".join(f"s.{d} = a.{d}" for d in dims)
+    s_dims = ", ".join(f"s.{d}" for d in dims)
+
+    sql = f"""
+WITH source AS (SELECT * FROM {table_sql}),
+bounds AS (
+  SELECT MIN(epoch_us({ts})) AS start_us, MAX(epoch_us({ts})) AS max_us FROM source
+),
+base AS (
+  SELECT CAST(b.start_us + FLOOR((epoch_us(s.{ts}) - b.start_us) / {step_us}) * {step_us} AS BIGINT) AS bucket,
+         CAST({req.weight_sql} AS BIGINT) AS w, {dcols}
+  FROM source s CROSS JOIN bounds b
+),
+rows_top AS (
+  SELECT * FROM ({ranked}) ORDER BY tw DESC, {tie} LIMIT {req.limit}
+),
+folded AS (
+  SELECT b.bucket, {fold_sel}, b.w
+  FROM base b LEFT JOIN rows_top r ON {on_fold}
+),
+agg AS (
+  SELECT bucket, {dcols}, SUM(w) AS sum_w FROM folded GROUP BY bucket, {dcols}
+)"""
+    if not req.fill:
+        sql += f"""
+SELECT bucket, {dcols}, CAST(sum_w AS BIGINT) AS sum_w,
+       CAST(sum_w AS BIGINT) / {req.interval_s} AS xps
+FROM agg ORDER BY bucket, {dcols}"""
+        return sql
+
+    sql += f""",
+buckets AS (
+  -- generate_series needs constant bounds in DuckDB: over-generate, filter
+  SELECT CAST(b.start_us + t.i * {step_us} AS BIGINT) AS bucket
+  FROM bounds b CROSS JOIN generate_series(0, 2000000) t(i)
+  WHERE t.i <= FLOOR((b.max_us - b.start_us) / {step_us})
+),
+dim_spine AS (
+  SELECT {dcols} FROM rows_top
+  UNION ALL
+  SELECT {other_tuple}
+  WHERE (SELECT COUNT(*) FROM (SELECT DISTINCT {dcols} FROM base)) > {req.limit}
+),
+spine AS (SELECT * FROM buckets CROSS JOIN dim_spine)
+SELECT s.bucket, {s_dims}, CAST(COALESCE(a.sum_w, 0) AS BIGINT) AS sum_w,
+       CAST(COALESCE(a.sum_w, 0) AS BIGINT) / {req.interval_s} AS xps
+FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket AND {on_spine}
+ORDER BY s.bucket, {s_dims}"""
+    return sql

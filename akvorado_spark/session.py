@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults follow the guidance in the repo docs: shuffle
+partitions sized to cores (not the 200 default), AQE on for runtime
+coalescing/skew handling, Arrow on for the pandas-UDF slow path, UTC
+session timezone so results compare bit-for-bit with the DuckDB oracle.
+
+On a real cluster the same builder applies — only master/memory change;
+``spark.sql.shuffle.partitions`` should then be sized to ~2-3× total
+executor cores and AQE left on to coalesce post-shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "akvorado_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,63 @@
+"""Graph-line compiler tests (SURVEY §2: A2, A4-A6, J7, O1, J9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from akvorado_spark.query.line import LineRequest, compile_line
+from akvorado_spark.sources.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    return load_table(spark, "events", SF_DIR).select("ts", "event_type", "value")
+
+
+def test_line_buckets_aligned_to_range_start(spark):
+    df = _events(spark)
+    req = LineRequest(
+        time_col="ts", dimensions=("event_type",),
+        weight_sql="CAST(ROUND(value * 1000000) AS BIGINT)",
+        interval_s=600, limit=3,
+    )
+    out = compile_line(df, req)
+    rows = out.collect()
+    assert rows
+    start_us = df.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    buckets = sorted({r["bucket"] for r in rows})
+    # aligned to range start, contiguous (gap-filled) spine
+    assert buckets[0] == start_us
+    step = 600 * 1_000_000
+    assert all((b - start_us) % step == 0 for b in buckets)
+    assert buckets == list(range(buckets[0], buckets[-1] + step, step))
+
+
+def test_line_other_folding_and_topn(spark):
+    df = _events(spark)
+    req = LineRequest(
+        time_col="ts", dimensions=("event_type",),
+        weight_sql="CAST(ROUND(value * 1000000) AS BIGINT)",
+        interval_s=3600, limit=2,
+    )
+    out = compile_line(df, req).collect()
+    kinds = {r["event_type"] for r in out}
+    n_types = df.select("event_type").distinct().count()
+    assert "Other" in kinds  # events has >2 types
+    assert len(kinds) == 3  # top-2 + Other
+    assert n_types > 2
+    # total weight is conserved by folding
+    total = df.select(F.sum(F.expr("CAST(ROUND(value * 1000000) AS BIGINT)"))).collect()[0][0]
+    assert sum(r["sum_w"] for r in out) == total
+
+
+def test_line_limit_last_restricts_ranking_window(spark):
+    df = _events(spark)
+    base = dict(
+        time_col="ts", dimensions=("event_type",),
+        weight_sql="CAST(ROUND(value * 1000000) AS BIGINT)",
+        interval_s=1800, limit=1,
+    )
+    avg = compile_line(df, LineRequest(**base, limit_type="avg"))
+    last = compile_line(df, LineRequest(**base, limit_type="last"))
+    assert avg.columns == last.columns == ["bucket", "event_type", "sum_w", "xps"]
