@@ -14,7 +14,7 @@ from __future__ import annotations
 # Valid in both Spark SQL and DuckDB.
 FLOWS_VIEW_SQL = """
 SELECT
-  l_shipdate AS TimeReceived,
+  CAST(l_shipdate AS TIMESTAMP) AS TimeReceived,
   unhex(concat('00000000000000000000ffff',
                '0a',
                lpad(hex(l_suppkey % 200), 2, '0'),
@@ -26,6 +26,14 @@ SELECT
                lpad(hex(l_partkey % 200), 2, '0'),
                lpad(hex(l_linenumber % 200), 2, '0'))) AS DstAddr,
   concat('router', CAST(l_suppkey % 8 + 1 AS STRING)) AS ExporterName,
+  unhex(concat('00000000000000000000ffff', 'c00002',
+               lpad(hex(l_suppkey % 8 + 1), 2, '0'))) AS ExporterAddress,
+  CAST(CASE WHEN l_linenumber % 3 = 0 THEN 1000
+            WHEN l_linenumber % 3 = 1 THEN 10000
+            ELSE 100000 END AS INT) AS InIfSpeed,
+  CAST(CASE WHEN l_partkey % 3 = 0 THEN 1000
+            WHEN l_partkey % 3 = 1 THEN 10000
+            ELSE 100000 END AS INT) AS OutIfSpeed,
   concat('Gi0/0/', CAST(l_linenumber % 8 AS STRING)) AS InIfName,
   concat('Gi0/0/', CAST(l_partkey % 8 AS STRING)) AS OutIfName,
   CASE WHEN l_orderkey % 2 = 0 THEN 'external' ELSE 'internal' END AS InIfBoundary,

@@ -1,0 +1,66 @@
+"""Oracle-checked units-aggregate queries (SURVEY §2.4 A1/A8).
+
+``units_line_*`` run the full graph-line machinery with the unit's
+aggregate expression; ``units_by_if`` checks all units side by side in
+one grouped query (pct units rounded to 6 decimals — their float
+summation order may differ by an ulp between engines).
+"""
+
+from __future__ import annotations
+
+from akvorado_spark.oracle.flows_view import oracle_view_sql, register_spark_view
+from akvorado_spark.oracle.registry import register
+from akvorado_spark.query.line import LineRequest, compile_line, oracle_line_sql
+from akvorado_spark.query.units import UNITS
+
+_LINE_UNITS = {
+    "units_line_l3bps": ("l3bps", 90 * 86400, "avg"),
+    "units_line_fps": ("fps", 180 * 86400, "max"),
+    "units_line_l2bps": ("l2bps", 120 * 86400, "last"),
+}
+
+
+def _mk_line(name: str, unit_name: str, interval_s: int, limit_type: str) -> None:
+    u = UNITS[unit_name]
+    req = LineRequest(
+        time_col="TimeReceived",
+        dimensions=("InIfName",),
+        weight_sql=None,
+        interval_s=interval_s,
+        limit=3,
+        limit_type=limit_type,
+        agg_sql=u.agg_sql,
+        base_cols=u.base_cols,
+        value_type=u.value_type,
+    )
+
+    def run(spark, sf_dir, _req=req):
+        register_spark_view(spark, sf_dir)
+        return compile_line(spark.table("flows_v"), _req)
+
+    register(name, run, oracle_line_sql(oracle_view_sql(), req))
+
+
+for _n, (_u, _i, _lt) in _LINE_UNITS.items():
+    _mk_line(_n, _u, _i, _lt)
+
+
+# All units side by side per interface + the distinct-interface count (A8).
+_UNITS_BY_IF = (
+    "SELECT InIfName, "
+    "COUNT(*) AS fps, "
+    "SUM(Packets * SamplingRate) AS pps, "
+    "SUM(Bytes * SamplingRate * 8) AS l3bps, "
+    "SUM((Bytes + 38 * Packets) * SamplingRate * 8) AS l2bps, "
+    "CAST(ROUND(" + UNITS["inl2%"].agg_sql + ", 6) AS DOUBLE) AS inl2pct, "
+    "COUNT(DISTINCT hex(ExporterAddress) || '|' || InIfName) AS n_ifaces "
+    "FROM {src} GROUP BY InIfName ORDER BY InIfName"
+)
+
+
+def _units_by_if(spark, sf_dir):
+    register_spark_view(spark, sf_dir)
+    return spark.sql(_UNITS_BY_IF.format(src="flows_v"))
+
+
+register("units_by_if", _units_by_if, _UNITS_BY_IF.format(src=oracle_view_sql()))

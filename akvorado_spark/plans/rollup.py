@@ -1,0 +1,217 @@
+"""Rollup storage layer: partitioned Parquet tables + resolution router.
+
+The Spark re-expression of the reference's ClickHouse table hierarchy
+(reference: orchestrator/clickhouse/migrations_helpers.go:408-467 for
+the main table, :450-456 + :730-772 for the SummingMergeTree rollups,
+console/clickhouse.go:270-335 for query routing):
+
+- **main table** — full-resolution rows, written partitioned by
+  ``part_date`` (UTC date of TimeReceived) and sorted within
+  partitions on the schema sorting keys, so parquet row-group min/max
+  stats give the same data-skipping the reference gets from its
+  ORDER BY sorting key.
+- **rollups** — one table per resolution (1m/5m/1h by default):
+  ``GROUP BY bucket(TimeReceived, R), <all non-MainOnly dims>`` with
+  ``SUM(Bytes), SUM(Packets)`` — exactly SummingMergeTree semantics.
+  Rebuilding a recent partition window reproduces the "late rows
+  always merge" behavior without watermarks (SURVEY §2.9 T5).
+- **TTL** — per-resolution retention enforced by dropping whole
+  ``part_date`` partitions (reference ``ttl_only_drop_parts``).
+- **router** — ``best_table`` picks the coarsest rollup whose
+  resolution divides into the target interval and whose retained data
+  covers the range start; any MainOnly column forces the main table.
+
+Scale notes: partition count stays bounded (1/day/table like the
+reference's MaxPartitions); the rollup build is one shuffle on the
+grouping keys with map-side partial aggregation; queries on rollups
+scan orders of magnitude fewer rows, and date-partition pruning plus
+parquet predicate pushdown bound the scan to the requested range.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from akvorado_spark.schema.definition import FlowSchema, flows_schema
+
+
+@dataclass(frozen=True)
+class Resolution:
+    interval_s: int  # 0 = main table (full resolution)
+    ttl_s: int
+
+    @property
+    def table_name(self) -> str:
+        return "flows" if self.interval_s == 0 else f"flows_{self.interval_s}s"
+
+
+# raw 15d, 1min/7d, 5min/90d, 1h/1y (reference orchestrator/clickhouse/config.go:64-74)
+DEFAULT_RESOLUTIONS = (
+    Resolution(0, 15 * 86400),
+    Resolution(60, 7 * 86400),
+    Resolution(300, 90 * 86400),
+    Resolution(3600, 365 * 86400),
+)
+
+
+class FlowStore:
+    """A directory of flow tables at multiple resolutions."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: FlowSchema | None = None,
+        resolutions: tuple[Resolution, ...] = DEFAULT_RESOLUTIONS,
+    ):
+        self.spark = spark
+        self.root = root
+        self.schema = schema or flows_schema()
+        self.resolutions = resolutions
+
+    def path(self, res: Resolution) -> str:
+        return os.path.join(self.root, res.table_name)
+
+    # --- write paths ------------------------------------------------------
+
+    def write_main(self, df: DataFrame, mode: str = "append") -> None:
+        """Append enriched flows to the main table.
+
+        Partition by UTC date; sort within partitions on the sorting
+        keys (time bucket first) so parquet min/max stats skip
+        row groups for selective filters — the analog of the
+        reference main table's ORDER BY (migrations_helpers.go:443-449).
+        """
+        sort_keys = ["TimeReceived", "ExporterAddress", "InIfName", "OutIfName"]
+        out = (
+            df.withColumn("part_date", F.to_date("TimeReceived"))
+            .repartition("part_date")
+            .sortWithinPartitions(*sort_keys)
+        )
+        out.write.mode(mode).partitionBy("part_date").parquet(self.path(self.resolutions[0]))
+
+    def rollup_frame(self, df: DataFrame, interval_s: int) -> DataFrame:
+        """The rollup aggregation: SummingMergeTree semantics."""
+        keys = self.schema.rollup_keys()
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp("TimeReceived") / interval_s).cast("long") * interval_s
+        ).alias("TimeReceived")
+        other = [k for k in keys if k != "TimeReceived"]
+        # non-key, non-summed rollup columns (e.g. InIfSpeed) keep max()
+        extras = [
+            c.name
+            for c in self.schema.rollup_columns()
+            if c.not_sorting_key and c.name not in ("Bytes", "Packets")
+        ]
+        # `Flows` preserves the original row count through the merge, so
+        # fps on a rollup is SUM(Flows) — exact, where the reference's
+        # COUNT(*) on a SummingMergeTree undercounts merged rows.
+        aggs = [
+            F.sum("Bytes").alias("Bytes"),
+            F.sum("Packets").alias("Packets"),
+            F.count(F.lit(1)).alias("Flows"),
+        ] + [F.max(e).alias(e) for e in extras]
+        return df.groupBy(bucket, *other).agg(*aggs)
+
+    def build_rollups(self, since: datetime | None = None) -> None:
+        """(Re)build rollup partitions from the main table.
+
+        ``since`` limits the rebuild to recent partitions — the
+        incremental late-data path: re-aggregating a partition after
+        late rows land reproduces SummingMergeTree's late-merge
+        exactly (SURVEY §2.9 T5 recommendation).
+        """
+        main = self.read(self.resolutions[0])
+        if since is not None:
+            main = main.filter(F.col("part_date") >= F.lit(since.date()))
+        for res in self.resolutions[1:]:
+            rolled = self.rollup_frame(main.drop("part_date"), res.interval_s)
+            out = rolled.withColumn("part_date", F.to_date("TimeReceived"))
+            mode = "overwrite" if since is None else "overwrite"
+            writer = out.repartition("part_date").write.mode(mode)
+            if since is not None:
+                # dynamic partition overwrite: only touched dates rewritten
+                writer = writer.option("partitionOverwriteMode", "dynamic")
+            writer.partitionBy("part_date").parquet(self.path(res))
+
+    # --- read / route -----------------------------------------------------
+
+    def read(self, res: Resolution) -> DataFrame:
+        return self.spark.read.parquet(self.path(res))
+
+    def oldest(self, res: Resolution) -> datetime | None:
+        """Oldest retained data, from partition directory names (cheap —
+        no data scan; reference probes MIN(TimeReceived) per table,
+        console/clickhouse.go:63-71)."""
+        p = self.path(res)
+        if not os.path.isdir(p):
+            return None
+        dates = sorted(
+            d.split("=", 1)[1] for d in os.listdir(p) if d.startswith("part_date=")
+        )
+        if not dates:
+            return None
+        return datetime.strptime(dates[0], "%Y-%m-%d").replace(tzinfo=timezone.utc)
+
+    def best_table(
+        self,
+        start: datetime,
+        end: datetime,
+        target_interval_s: int,
+        require_main: bool = False,
+    ) -> tuple[Resolution, int]:
+        """Pick the coarsest table serving the query, and the snapped
+        interval (a multiple of the table resolution ≥ target) —
+        reference getBestTable + snapping (console/clickhouse.go:283-335,
+        234-249)."""
+        main = self.resolutions[0]
+        if require_main:
+            return main, max(target_interval_s, 1)
+        best = main
+        for res in sorted(self.resolutions[1:], key=lambda r: r.interval_s):
+            if res.interval_s > target_interval_s:
+                continue
+            oldest = self.oldest(res)
+            if oldest is not None and oldest > start:
+                continue  # doesn't cover the range start
+            if not os.path.isdir(self.path(res)):
+                continue
+            if res.interval_s >= best.interval_s:
+                best = res
+        snapped = target_interval_s
+        if best.interval_s > 0:
+            snapped = max(
+                best.interval_s,
+                (target_interval_s // best.interval_s) * best.interval_s,
+            )
+        return best, max(snapped, 1)
+
+    # --- retention --------------------------------------------------------
+
+    def expire(self, now: datetime | None = None) -> list[str]:
+        """Drop partitions past each table's TTL (reference TTL +
+        ttl_only_drop_parts, migrations_helpers.go:420-422)."""
+        now = now or datetime.now(timezone.utc)
+        dropped = []
+        for res in self.resolutions:
+            cutoff = (now - timedelta(seconds=res.ttl_s)).date()
+            p = self.path(res)
+            if not os.path.isdir(p):
+                continue
+            for d in os.listdir(p):
+                if not d.startswith("part_date="):
+                    continue
+                try:
+                    dt = datetime.strptime(d.split("=", 1)[1], "%Y-%m-%d").date()
+                except ValueError:
+                    continue
+                if dt < cutoff:
+                    shutil.rmtree(os.path.join(p, d))
+                    dropped.append(os.path.join(res.table_name, d))
+        return dropped

@@ -1,0 +1,173 @@
+"""Flows-native graph-line handler: the /graph/line equivalent
+(SURVEY §3.1), over a FlowStore.
+
+Pipeline (reference console/line.go:218-258):
+1. parse+compile the filter twice (direct + reversed);
+2. route to the best rollup table (or main if any MainOnly column is
+   referenced by the filter or the dimensions);
+3. per axis, build a LineRequest on the routed frame with the range
+   filter applied *before* bucketing (partition pruning + parquet
+   pushdown handle the scan);
+4. union the axes with an ``axis`` literal column.
+
+Previous-period axes shift the scan range back, then shift bucket
+timestamps forward to overlay the main time axis
+(reference console/line.go:59-117).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from akvorado_spark.filtering import compile_filter, flow_filter_schema
+from akvorado_spark.functions.ip import ip_display, ip_truncate_family
+from akvorado_spark.plans.rollup import FlowStore
+from akvorado_spark.query.line import LineRequest, compile_line
+from akvorado_spark.query.units import UNITS
+
+PREVIOUS_PERIODS = {
+    "hour": timedelta(hours=1),
+    "day": timedelta(days=1),
+    "week": timedelta(weeks=1),
+    "month": timedelta(weeks=4),  # reference uses 4 weeks (console/line.go:81-96)
+    "year": None,  # handled specially: same date previous year
+}
+
+
+@dataclass(frozen=True)
+class GraphRequest:
+    start: datetime
+    end: datetime
+    dimensions: tuple[str, ...]
+    units: str = "l3bps"
+    filter: str = ""
+    points: int = 86
+    limit: int = 10
+    limit_type: str = "avg"
+    truncate_v4: int = 32
+    truncate_v6: int = 128
+    bidirectional: bool = False
+    previous_period: str | None = None  # hour|day|week|month|year
+
+
+def _shift_back(req: GraphRequest) -> timedelta:
+    if req.previous_period == "year":
+        # calendar-aware: same instant previous year (leap-safe)
+        try:
+            prev = req.start.replace(year=req.start.year - 1)
+        except ValueError:  # Feb 29 → Feb 28
+            prev = req.start.replace(year=req.start.year - 1, day=28)
+        return req.start - prev
+    return PREVIOUS_PERIODS[req.previous_period]
+
+
+def _us(dt: datetime) -> int:
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
+    sch = flow_filter_schema()
+    direct = compile_filter(req.filter, sch)
+    reverse = direct.reverse()
+
+    # --- main-table analysis over filter + dimensions (P10) ---------------
+    main_only = store.schema.main_only_names()
+    require_main = direct.requires_main_table or any(d in main_only for d in req.dimensions)
+    truncating = req.truncate_v4 < 32 or req.truncate_v6 < 128
+
+    target = max(int((req.end - req.start).total_seconds() // req.points), 1)
+    res, interval_s = store.best_table(req.start, req.end, target, require_main)
+    frame = store.read(res)
+
+    axes: list[DataFrame] = []
+
+    def one_axis(
+        axis_no: int,
+        filt,
+        dims: tuple[str, ...],
+        shift: timedelta | None = None,
+    ) -> DataFrame:
+        start, end = req.start, req.end
+        if shift is not None:
+            start, end = start - shift, end - shift
+        # part_date predicate first: prunes whole partitions before the
+        # row-level TimeReceived filter (pushed to parquet) applies.
+        df = frame.filter(
+            (F.col("part_date") >= F.lit(start.date()))
+            & (F.col("part_date") <= F.lit(end.date()))
+        ).drop("part_date")
+        df = df.filter(
+            (F.col("TimeReceived") >= F.lit(start)) & (F.col("TimeReceived") < F.lit(end))
+        ).filter(filt.column())
+        df = store.schema.view(df)
+        # IP dimension truncation (P12, reference console/graph.go:44-88)
+        if truncating:
+            for d in dims:
+                spec = store.schema.by_name.get(d)
+                if spec is not None and spec.truncatable_ip:
+                    df = df.withColumn(
+                        d, ip_truncate_family(F.col(d), req.truncate_v4, req.truncate_v6)
+                    )
+        unit = UNITS[req.units]
+        agg_sql = unit.agg_sql
+        if req.units == "fps" and res.interval_s > 0:
+            agg_sql = "SUM(Flows)"  # exact flow count through the rollup merge
+        line = compile_line(
+            df,
+            LineRequest(
+                time_col="TimeReceived",
+                dimensions=dims,
+                weight_sql=None,
+                interval_s=interval_s,
+                limit=req.limit,
+                limit_type=req.limit_type,
+                agg_sql=agg_sql,
+                base_cols=unit.base_cols if agg_sql == unit.agg_sql else ("Flows",),
+                value_type=unit.value_type,
+                start_us=_us(start),
+                end_us=_us(end),
+            ),
+        )
+        if shift is not None:
+            shift_us = int(shift.total_seconds() * 1_000_000)
+            line = line.withColumn("bucket", F.col("bucket") + F.lit(shift_us))
+        # Render binary IP dimensions to display strings *after* the
+        # aggregation (P11): grouping stayed on cheap binary keys; only
+        # the few surviving rows pay the render.  The 'Other' fold
+        # literal arrives as the 5-byte b'Other' (no 16-byte collision).
+        for d in dims:
+            spec = store.schema.by_name.get(d)
+            if spec is not None and spec.truncatable_ip:
+                line = line.withColumn(
+                    d,
+                    F.when(F.col(d) == F.lit(b"Other"), F.lit("Other")).otherwise(
+                        ip_display(F.col(d))
+                    ),
+                )
+        # normalize dimension column names across axes (reverse swaps them)
+        for orig, actual in zip(req.dimensions, dims):
+            if orig != actual:
+                line = line.withColumnRenamed(actual, orig)
+        return line.select(F.lit(axis_no).alias("axis"), "*")
+
+    axes.append(one_axis(1, direct, req.dimensions))
+    if req.bidirectional:
+        rdims = tuple(sch.reverse_name(d) for d in req.dimensions)
+        axes.append(one_axis(2, reverse, rdims))
+    if req.previous_period:
+        shift = _shift_back(req)
+        axes.append(one_axis(3, direct, req.dimensions, shift))
+        if req.bidirectional:
+            rdims = tuple(sch.reverse_name(d) for d in req.dimensions)
+            axes.append(one_axis(4, reverse, rdims, shift))
+
+    out = axes[0]
+    for a in axes[1:]:
+        out = out.unionAll(a)
+    return out

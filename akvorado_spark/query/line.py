@@ -42,15 +42,34 @@ OTHER = "Other"
 
 @dataclass(frozen=True)
 class LineRequest:
-    """A graph-line request over an arbitrary fact DataFrame."""
+    """A graph-line request over an arbitrary fact DataFrame.
+
+    ``weight_sql`` is a per-row weight (summed); alternatively
+    ``agg_sql`` gives a full aggregate expression (e.g. ``COUNT(*)``
+    or the if-speed percentage form) over ``base_cols`` — both must be
+    valid in Spark SQL and DuckDB so the oracle emitter can mirror
+    them.  The aggregate value column is named ``sum_w`` either way.
+    """
 
     time_col: str
     dimensions: tuple[str, ...]
-    weight_sql: str  # per-row weight, SQL expr valid in Spark SQL and DuckDB
+    weight_sql: str | None  # per-row weight, SQL expr valid in Spark SQL and DuckDB
     interval_s: int
     limit: int
     fill: bool = True
     limit_type: str = "avg"  # avg | max | last (reference console/query.go:48-90)
+    agg_sql: str | None = None  # aggregate expr overriding SUM(weight)
+    base_cols: tuple[str, ...] = ()  # raw columns agg_sql reads
+    value_type: str = "long"  # Spark cast of the aggregate value
+    # Explicit range in epoch-µs; when set, buckets align to start_us and
+    # the fill spine spans [start_us, end_us) instead of the data extent.
+    start_us: int | None = None
+    end_us: int | None = None
+
+
+def _agg_col(req: LineRequest) -> Column:
+    expr = F.expr(req.agg_sql) if req.agg_sql else F.sum("__w")
+    return expr.cast(req.value_type)
 
 
 def _top_rows(base: DataFrame, req: LineRequest) -> DataFrame:
@@ -65,17 +84,17 @@ def _top_rows(base: DataFrame, req: LineRequest) -> DataFrame:
     """
     dims = list(req.dimensions)
     if req.limit_type == "max":
-        per_bucket = base.groupBy("__bucket", *dims).agg(F.sum("__w").alias("__bw"))
+        per_bucket = base.groupBy("__bucket", *dims).agg(_agg_col(req).alias("__bw"))
         ranked = per_bucket.groupBy(*dims).agg(F.max("__bw").alias("__tw"))
     elif req.limit_type == "last":
         last_bucket = base.agg(F.max("__bucket").alias("__lb"))
         ranked = (
             base.join(F.broadcast(last_bucket), F.col("__bucket") == F.col("__lb"))
             .groupBy(*dims)
-            .agg(F.sum("__w").alias("__tw"))
+            .agg(_agg_col(req).alias("__tw"))
         )
     else:
-        ranked = base.groupBy(*dims).agg(F.sum("__w").alias("__tw"))
+        ranked = base.groupBy(*dims).agg(_agg_col(req).alias("__tw"))
     order = [F.col("__tw").desc()] + [F.col(d).asc() for d in dims]
     return ranked.orderBy(*order).limit(req.limit).drop("__tw")
 
@@ -84,30 +103,42 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
     """Compile a LineRequest into a DataFrame plan.
 
     Output columns: ``bucket`` (BIGINT epoch-µs), the dimension
-    columns (folded to 'Other' outside the top-N), ``sum_w`` (BIGINT),
-    ``xps`` (DOUBLE = sum_w / interval).
+    columns (folded to 'Other' outside the top-N), ``sum_w`` (the
+    unit aggregate), ``xps`` (DOUBLE = sum_w / interval).
     """
     dims = list(req.dimensions)
     step_us = req.interval_s * 1_000_000
 
-    bounds = df.agg(
-        F.min(F.unix_micros(F.col(req.time_col))).alias("__start_us"),
-        F.max(F.unix_micros(F.col(req.time_col))).alias("__max_us"),
-    )
-
-    base = (
-        df.join(F.broadcast(bounds))  # 1-row scalar frame (reference J9 shape)
-        .withColumn(
-            "__bucket",
-            (
-                F.col("__start_us")
-                + F.floor((F.unix_micros(F.col(req.time_col)) - F.col("__start_us")) / step_us)
-                * step_us
-            ).cast("long"),
+    if req.start_us is not None:
+        # explicit range: a literal 1-row bounds frame (no data pass)
+        bounds = df.sparkSession.range(1).select(
+            F.lit(req.start_us).cast("long").alias("__start_us"),
+            F.lit(req.end_us - 1).cast("long").alias("__max_us"),
         )
-        .withColumn("__w", F.expr(req.weight_sql).cast("long"))
-        .select("__bucket", "__w", *dims)
+    else:
+        ts_ltz = F.col(req.time_col).cast("timestamp")  # tolerate TIMESTAMP_NTZ inputs
+        bounds = df.agg(
+            F.min(F.unix_micros(ts_ltz)).alias("__start_us"),
+            F.max(F.unix_micros(ts_ltz)).alias("__max_us"),
+        )
+
+    base = df.join(F.broadcast(bounds)).withColumn(  # 1-row scalar frame (J9 shape)
+        "__bucket",
+        (
+            F.col("__start_us")
+            + F.floor(
+                (F.unix_micros(F.col(req.time_col).cast("timestamp")) - F.col("__start_us"))
+                / step_us
+            )
+            * step_us
+        ).cast("long"),
     )
+    if req.agg_sql:
+        base = base.select("__bucket", *req.base_cols, *dims)
+    else:
+        base = base.withColumn("__w", F.expr(req.weight_sql).cast("long")).select(
+            "__bucket", "__w", *dims
+        )
 
     rows = _top_rows(base, req)
 
@@ -118,10 +149,11 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
         F.when(F.col("__top").isNotNull(), F.col(d)).otherwise(F.lit(OTHER)).alias(d)
         for d in dims
     ]
+    value_cols = list(req.base_cols) if req.agg_sql else ["__w"]
     agg = (
-        folded.select("__bucket", "__w", *fold_cols)
+        folded.select("__bucket", *value_cols, *fold_cols)
         .groupBy("__bucket", *dims)
-        .agg(F.sum("__w").alias("sum_w"))
+        .agg(_agg_col(req).alias("sum_w"))
     )
 
     if not req.fill:
@@ -154,7 +186,7 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
     spine = buckets.crossJoin(F.broadcast(dim_spine))
     out = (
         spine.join(agg, on=["__bucket", *dims], how="left")
-        .withColumn("sum_w", F.coalesce(F.col("sum_w"), F.lit(0)).cast("long"))
+        .withColumn("sum_w", F.coalesce(F.col("sum_w"), F.lit(0)).cast(req.value_type))
         .withColumnRenamed("__bucket", "bucket")
         .withColumn("xps", F.col("sum_w") / F.lit(req.interval_s))
     )
@@ -176,20 +208,30 @@ def oracle_line_sql(table_sql: str, req: LineRequest) -> str:
     step_us = req.interval_s * 1_000_000
     dcols = ", ".join(dims)
     ts = req.time_col
+    agg = req.agg_sql if req.agg_sql else "SUM(w)"
+    val_names = list(req.base_cols) if req.agg_sql else ["w"]
+    base_vals = (
+        ", ".join(req.base_cols)
+        if req.agg_sql
+        else f"CAST({req.weight_sql} AS BIGINT) AS w"
+    )
+    base_sel = (base_vals + ", " if base_vals else "") + dcols
+    fold_vals = "".join(f", b.{v}" for v in val_names)
+    otype = {"long": "BIGINT", "double": "DOUBLE", "int": "INTEGER"}[req.value_type]
 
     if req.limit_type == "max":
         ranked = (
             f"SELECT {dcols}, MAX(bw) AS tw FROM ("
-            f"SELECT bucket, {dcols}, SUM(w) AS bw FROM base GROUP BY bucket, {dcols}"
+            f"SELECT bucket, {dcols}, {agg} AS bw FROM base GROUP BY bucket, {dcols}"
             f") GROUP BY {dcols}"
         )
     elif req.limit_type == "last":
         ranked = (
-            f"SELECT {dcols}, SUM(w) AS tw FROM base "
+            f"SELECT {dcols}, {agg} AS tw FROM base "
             f"WHERE bucket = (SELECT MAX(bucket) FROM base) GROUP BY {dcols}"
         )
     else:
-        ranked = f"SELECT {dcols}, SUM(w) AS tw FROM base GROUP BY {dcols}"
+        ranked = f"SELECT {dcols}, {agg} AS tw FROM base GROUP BY {dcols}"
 
     tie = ", ".join(dims)
     on_fold = " AND ".join(f"b.{d} = r.{d}" for d in dims)
@@ -207,23 +249,23 @@ bounds AS (
 ),
 base AS (
   SELECT CAST(b.start_us + FLOOR((epoch_us(s.{ts}) - b.start_us) / {step_us}) * {step_us} AS BIGINT) AS bucket,
-         CAST({req.weight_sql} AS BIGINT) AS w, {dcols}
+         {base_sel}
   FROM source s CROSS JOIN bounds b
 ),
 rows_top AS (
   SELECT * FROM ({ranked}) ORDER BY tw DESC, {tie} LIMIT {req.limit}
 ),
 folded AS (
-  SELECT b.bucket, {fold_sel}, b.w
+  SELECT b.bucket, {fold_sel}{fold_vals}
   FROM base b LEFT JOIN rows_top r ON {on_fold}
 ),
 agg AS (
-  SELECT bucket, {dcols}, SUM(w) AS sum_w FROM folded GROUP BY bucket, {dcols}
+  SELECT bucket, {dcols}, CAST({agg} AS {otype}) AS sum_w FROM folded GROUP BY bucket, {dcols}
 )"""
     if not req.fill:
         sql += f"""
-SELECT bucket, {dcols}, CAST(sum_w AS BIGINT) AS sum_w,
-       CAST(sum_w AS BIGINT) / {req.interval_s} AS xps
+SELECT bucket, {dcols}, CAST(sum_w AS {otype}) AS sum_w,
+       CAST(sum_w AS {otype}) / {req.interval_s} AS xps
 FROM agg ORDER BY bucket, {dcols}"""
         return sql
 
@@ -241,8 +283,8 @@ dim_spine AS (
   WHERE (SELECT COUNT(*) FROM (SELECT DISTINCT {dcols} FROM base)) > {req.limit}
 ),
 spine AS (SELECT * FROM buckets CROSS JOIN dim_spine)
-SELECT s.bucket, {s_dims}, CAST(COALESCE(a.sum_w, 0) AS BIGINT) AS sum_w,
-       CAST(COALESCE(a.sum_w, 0) AS BIGINT) / {req.interval_s} AS xps
+SELECT s.bucket, {s_dims}, CAST(COALESCE(a.sum_w, 0) AS {otype}) AS sum_w,
+       CAST(COALESCE(a.sum_w, 0) AS {otype}) / {req.interval_s} AS xps
 FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket AND {on_spine}
 ORDER BY s.bucket, {s_dims}"""
     return sql

@@ -1,0 +1,66 @@
+"""Units aggregates (SURVEY §2.4 A1; reference console/clickhouse.go:181-213).
+
+Each unit is an aggregate SQL expression valid in BOTH Spark SQL and
+DuckDB, plus the raw columns it reads — pluggable into LineRequest
+(agg_sql/base_cols) and the sankey/widget compilers.  Values are
+totals per group; the compilers divide by the interval for
+x-per-second.
+
+fps    = COUNT(*)
+pps    = SUM(Packets * SamplingRate)
+l3bps  = SUM(Bytes * SamplingRate * 8)
+l2bps  = SUM((Bytes + 38*Packets) * SamplingRate * 8)   (L2 overhead: 18B ethernet + 20B framing)
+inl2%  = SUM(Bytes*SamplingRate*8 * 100 / (InIfSpeed*1e6)) / COUNT(DISTINCT ExporterAddress, InIfName)
+outl2% = same on Out columns
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class UnitSpec:
+    name: str
+    agg_sql: str
+    base_cols: tuple[str, ...]
+    value_type: str = "long"
+    # percentage units are already rates; don't divide by interval
+    is_rate: bool = False
+
+
+def _pct(side_speed: str, side_if: str) -> str:
+    # ifNotFinite(..., 0) equivalent: NULLIF guards /0, COALESCE folds to 0
+    # CAST(... AS DOUBLE): Spark parses `100.0` as DECIMAL, DuckDB as
+    # DOUBLE — explicit casts keep the arithmetic double in both.
+    return (
+        f"COALESCE(SUM((Bytes + 38 * Packets) * SamplingRate * 8 * CAST(100 AS DOUBLE) "
+        f"/ (NULLIF({side_speed}, 0) * CAST(1000000 AS DOUBLE))) "
+        f"/ NULLIF(COUNT(DISTINCT hex(ExporterAddress) || '|' || {side_if}), 0), CAST(0 AS DOUBLE))"
+    )
+
+
+UNITS: dict[str, UnitSpec] = {
+    "fps": UnitSpec("fps", "COUNT(*)", ()),
+    "pps": UnitSpec("pps", "SUM(Packets * SamplingRate)", ("Packets", "SamplingRate")),
+    "l3bps": UnitSpec("l3bps", "SUM(Bytes * SamplingRate * 8)", ("Bytes", "SamplingRate")),
+    "l2bps": UnitSpec(
+        "l2bps",
+        "SUM((Bytes + 38 * Packets) * SamplingRate * 8)",
+        ("Bytes", "Packets", "SamplingRate"),
+    ),
+    "inl2%": UnitSpec(
+        "inl2%",
+        _pct("InIfSpeed", "InIfName"),
+        ("Bytes", "Packets", "SamplingRate", "InIfSpeed", "ExporterAddress", "InIfName"),
+        value_type="double",
+        is_rate=True,
+    ),
+    "outl2%": UnitSpec(
+        "outl2%",
+        _pct("OutIfSpeed", "OutIfName"),
+        ("Bytes", "Packets", "SamplingRate", "OutIfSpeed", "ExporterAddress", "OutIfName"),
+        value_type="double",
+        is_rate=True,
+    ),
+}

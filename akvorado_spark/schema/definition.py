@@ -86,7 +86,9 @@ def _base_columns() -> list[FlowColumn]:
     i32, i64, i16 = T.IntegerType(), T.LongType(), T.ShortType()
     return [
         FlowColumn("TimeReceived", T.TimestampType(), primary=True, not_dimension=True),
-        FlowColumn("SamplingRate", i64, not_dimension=True, not_sorting_key=True),
+        # SamplingRate is a rollup PRIMARY KEY (reference definition.go:246-257):
+        # rows with different rates never merge, so SUM(counter)*rate stays exact
+        FlowColumn("SamplingRate", i64, primary=True, not_dimension=True),
         FlowColumn("ExporterAddress", B, primary=True, truncatable_ip=True),
         _lc("ExporterName"),
         _lc("ExporterGroup"),
@@ -135,7 +137,7 @@ def _base_columns() -> list[FlowColumn]:
         FlowColumn("Packets", i64, not_sorting_key=True, not_dimension=True),
         FlowColumn("PacketSize", i64, alias="Bytes DIV Packets", not_dimension=True),
         FlowColumn("PacketSizeBucket", T.StringType(), alias=_packet_size_bucket_sql()),
-        FlowColumn("ForwardingStatus", i32),
+        FlowColumn("ForwardingStatus", i32, primary=True),
         _lc("FlowDirection"),
         FlowColumn("NextHop", T.BinaryType(), main_only=True, truncatable_ip=True),
     ]
@@ -222,18 +224,38 @@ class FlowSchema:
     def view(self, df: DataFrame) -> DataFrame:
         """Apply Alias (computed-on-read) columns that the frame doesn't
         already carry — the reference's ALIAS column semantics
-        (definition.go:288-299, types.go ClickHouseAlias)."""
+        (definition.go:288-299, types.go ClickHouseAlias).  Aliases whose
+        dependencies are absent (e.g. MainOnly inputs on a rollup frame)
+        are skipped — the rollup router guarantees queries touching them
+        run on the main table."""
+        import re
+
         present = set(df.columns)
+        deps = {
+            "__src_net_prefix__": {"SrcAddr", "SrcNetMask", "EType"},
+            "__dst_net_prefix__": {"DstAddr", "DstNetMask", "EType"},
+        }
         for c in self.enabled():
             if c.alias is None or c.name in present:
                 continue
-            if c.alias == "__src_net_prefix__":
-                expr = ip_net_prefix(F.col("SrcAddr"), F.col("SrcNetMask"), F.col("EType"))
-            elif c.alias == "__dst_net_prefix__":
-                expr = ip_net_prefix(F.col("DstAddr"), F.col("DstNetMask"), F.col("EType"))
+            if c.alias in deps:
+                if not deps[c.alias] <= present:
+                    continue
+                if c.alias == "__src_net_prefix__":
+                    expr = ip_net_prefix(F.col("SrcAddr"), F.col("SrcNetMask"), F.col("EType"))
+                else:
+                    expr = ip_net_prefix(F.col("DstAddr"), F.col("DstNetMask"), F.col("EType"))
             else:
+                refs = {
+                    w
+                    for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", c.alias)
+                    if w in self.by_name
+                }
+                if not refs <= (present | {c.name}):
+                    continue
                 expr = F.expr(c.alias).cast(c.dtype)
             df = df.withColumn(c.name, expr)
+            present.add(c.name)
         return df
 
     def main_only_names(self) -> set[str]:

@@ -35,6 +35,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # The events table stores TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects by default; read nanos as long and convert.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→LTZ casts (e.g. l_shipdate) must be instant-preserving to
+    # match the DuckDB oracle's naive-UTC epoch math, whatever session
+    # the caller hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):

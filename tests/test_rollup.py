@@ -1,0 +1,131 @@
+"""Rollup storage + router + flows-native graph handler tests
+(SURVEY §2.4 A3, §2.9 T5/T7, §4 routing, §3.1)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from akvorado_spark.plans.rollup import FlowStore
+from akvorado_spark.query.graph import GraphRequest, graph_line
+from akvorado_spark.schema.definition import flows_schema
+from akvorado_spark.sources.fixtures import flows_df
+
+START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+END = datetime(2024, 1, 1, 6, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("flowstore"))
+    s = FlowStore(spark, root)
+    df = flows_schema().ingest(flows_df(spark, n=20_000))
+    s.write_main(df)
+    s.build_rollups()
+    return s
+
+
+def test_rollup_preserves_sums(store):
+    main = store.read(store.resolutions[0])
+    roll = store.read(store.resolutions[3])  # 1h
+    for col in ("Bytes", "Packets"):
+        assert (
+            main.agg(F.sum(col)).collect()[0][0] == roll.agg(F.sum(col)).collect()[0][0]
+        )
+    assert roll.agg(F.sum("Flows")).collect()[0][0] == main.count()
+    assert roll.count() < main.count()
+
+
+def test_rollup_matches_direct_aggregation(store):
+    """l3bps per (1h bucket, SrcAS) from the rollup == from the main table."""
+    main = store.read(store.resolutions[0])
+    roll = store.read(store.resolutions[3])
+
+    def agg(df):
+        return {
+            (r["b"], r["SrcAS"]): r["v"]
+            for r in df.groupBy(
+                F.date_trunc("hour", "TimeReceived").alias("b"), "SrcAS"
+            )
+            .agg(F.sum(F.col("Bytes") * F.col("SamplingRate") * 8).alias("v"))
+            .collect()
+        }
+
+    assert agg(main) == agg(roll)
+
+
+def test_router_picks_coarsest_covering(store):
+    res, snapped = store.best_table(START, END, target_interval_s=7200)
+    assert res.interval_s == 3600 and snapped == 7200
+    res, snapped = store.best_table(START, END, target_interval_s=90)
+    assert res.interval_s == 60 and snapped == 60
+    res, snapped = store.best_table(START, END, target_interval_s=30)
+    assert res.interval_s == 0  # finer than any rollup → main
+    res, _ = store.best_table(START, END, target_interval_s=7200, require_main=True)
+    assert res.interval_s == 0
+
+
+def test_graph_line_fps_conserved(store):
+    out = graph_line(
+        store,
+        GraphRequest(start=START, end=END, dimensions=("ExporterName",), units="fps",
+                     points=72, limit=3),
+    ).collect()
+    main = store.read(store.resolutions[0])
+    n = main.filter(
+        (F.col("TimeReceived") >= F.lit(START)) & (F.col("TimeReceived") < F.lit(END))
+    ).count()
+    assert sum(r["sum_w"] for r in out) == n
+    assert {r["axis"] for r in out} == {1}
+
+
+def test_graph_line_bidirectional_and_truncate(store):
+    out = graph_line(
+        store,
+        GraphRequest(
+            start=START, end=END, dimensions=("SrcAddr",), units="l3bps",
+            points=24, limit=5, truncate_v4=24, truncate_v6=48, bidirectional=True,
+        ),
+    )
+    rows = out.collect()
+    assert {r["axis"] for r in rows} == {1, 2}
+    import ipaddress
+
+    for r in rows:
+        addr = r["SrcAddr"]
+        assert isinstance(addr, str)
+        if addr == "Other":
+            continue
+        a = ipaddress.ip_address(addr)
+        if a.version == 4:
+            assert int(a) % 256 == 0  # /24 truncation zeroed the last octet
+        else:
+            assert int(a) % (1 << 80) == 0  # /48 truncation
+
+
+def test_graph_line_previous_period_overlays(store):
+    mid = datetime(2024, 1, 1, 3, tzinfo=timezone.utc)
+    out = graph_line(
+        store,
+        GraphRequest(start=mid, end=END, dimensions=("ExporterName",), units="pps",
+                     points=36, limit=2, previous_period="hour"),
+    ).collect()
+    axes = {r["axis"] for r in out}
+    assert axes == {1, 3}
+    lo = int(mid.timestamp() * 1e6)
+    hi = int(END.timestamp() * 1e6)
+    for r in out:
+        assert lo <= r["bucket"] < hi  # previous period shifted onto main axis
+
+
+def test_ttl_expiry(spark, tmp_path):
+    s = FlowStore(spark, str(tmp_path))
+    df = flows_schema().ingest(flows_df(spark, n=2000))
+    s.write_main(df)
+    s.build_rollups()
+    now = START + timedelta(days=16)  # raw TTL is 15 d
+    dropped = s.expire(now=now)
+    assert any(d.startswith("flows/") for d in dropped)
+    assert not any(d.startswith("flows_3600s/") for d in dropped)  # 1 y TTL
