@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import akvorado_spark.oracle.line_queries  # noqa: F401
 import akvorado_spark.oracle.filter_queries  # noqa: F401
 import akvorado_spark.oracle.units_queries  # noqa: F401
+import akvorado_spark.oracle.lpm_queries  # noqa: F401
 from akvorado_spark.oracle.registry import QUERIES
 
 

@@ -1,0 +1,108 @@
+"""LPM join tests — oracle is Python ipaddress over the same prefix set
+(SURVEY §2.3 J3-J5)."""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pytest
+from pyspark.sql import functions as F
+
+from akvorado_spark.operators.lpm import lpm_join
+from akvorado_spark.sources.fixtures import NETWORKS, flows_df, networks_df
+
+
+def _py_lpm(addr_bytes: bytes):
+    """Longest-prefix match + attribute inheritance in pure Python."""
+    a = ipaddress.IPv6Address(bytes(addr_bytes))
+    target = a.ipv4_mapped if a.ipv4_mapped is not None else a
+    matches = []
+    for row in NETWORKS:
+        net = ipaddress.ip_network(row[0])
+        if target.version == net.version and target in net:
+            matches.append(row)
+    if not matches:
+        return None
+    matches.sort(key=lambda r: ipaddress.ip_network(r[0]).prefixlen, reverse=True)
+
+    def inherit(col):
+        for m in matches:
+            if m[col]:
+                return m[col]
+        return None
+
+    return {
+        "name": inherit(1),
+        "site": inherit(3),
+        "asn": next(m[9] for m in matches),  # asn always set in fixture
+    }
+
+
+def test_lpm_matches_python_oracle(spark):
+    flows = flows_df(spark, n=3000).select("SrcAddr").distinct()
+    nets = networks_df(spark)
+    out = lpm_join(flows, nets, "SrcAddr", attrs=["name", "site", "asn"]).collect()
+    assert out
+    n_matched = 0
+    for r in out:
+        want = _py_lpm(r["SrcAddr"])
+        if want is None:
+            assert r["name"] is None
+            continue
+        n_matched += 1
+        assert r["name"] == want["name"], (r["SrcAddr"].hex(), r["name"], want)
+        assert r["asn"] == want["asn"]
+        got_site = r["site"] if r["site"] else None
+        want_site = want["site"] if want["site"] else None
+        assert got_site == want_site
+    assert n_matched > len(out) * 0.9  # fixture draws addresses from the prefixes
+
+
+def test_lpm_nested_inheritance(spark):
+    """10.1.2.x must take lab-level attrs but inherit region from /16|/8."""
+    from akvorado_spark.functions.ip import ip_bytes
+
+    flows = spark.createDataFrame([(ip_bytes("10.1.2.77"),)], "SrcAddr binary")
+    nets = networks_df(spark)
+    r = lpm_join(flows, nets, "SrcAddr", attrs=["name", "region", "asn"]).collect()[0]
+    assert r["name"] == "corp-west-lab"  # /24 wins
+    assert r["asn"] == 65510
+    assert r["region"] == "us-west"  # /24 has region set in fixture? verify vs oracle
+    want = _py_lpm(ip_bytes("10.1.2.77"))
+    assert r["name"] == want["name"]
+
+
+def test_lpm_exporter_keyed_fallback(spark):
+    from akvorado_spark.functions.ip import ip_bytes, prefix_range, prefix_mapped_len
+
+    lo1, _ = prefix_range("10.0.0.0/8")
+    lo2, _ = prefix_range("10.1.0.0/16")
+    exp_a = ip_bytes("192.0.2.1")
+    exp_b = ip_bytes("192.0.2.2")
+    routes = spark.createDataFrame(
+        [
+            (exp_a, lo2, prefix_mapped_len("10.1.0.0/16"), 111),
+            (None, lo1, prefix_mapped_len("10.0.0.0/8"), 999),
+        ],
+        "exporter binary, lo binary, plen int, asn long",
+    )
+    flows = spark.createDataFrame(
+        [
+            (exp_a, ip_bytes("10.1.5.5")),  # exporter-specific /16 wins
+            (exp_b, ip_bytes("10.1.5.5")),  # no route for exporter B → fallback /8
+        ],
+        "ExporterAddress binary, DstAddr binary",
+    )
+    rows = lpm_join(
+        flows, routes, "DstAddr", attrs=["asn"], exporter_col="ExporterAddress"
+    ).orderBy("ExporterAddress").collect()
+    assert rows[0]["asn"] == 111
+    assert rows[1]["asn"] == 999
+
+
+def test_lpm_no_match_is_null(spark):
+    from akvorado_spark.functions.ip import ip_bytes
+
+    flows = spark.createDataFrame([(ip_bytes("8.8.8.8"),)], "SrcAddr binary")
+    r = lpm_join(flows, networks_df(spark), "SrcAddr", attrs=["name"]).collect()[0]
+    assert r["name"] is None
