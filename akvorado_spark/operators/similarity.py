@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute-force cosine top-k** — the correctness baseline: a broadcast
+  of the (small) query set against the full table, dot products via
+  ``F.aggregate``/``F.zip_with`` (JVM-side, no Python).
+- **LSH (random hyperplane) ANN** — the scale path: sign-bit sketches
+  against seeded deterministic hyperplanes bucket the table; queries
+  probe only their bucket (and optionally neighboring bands), turning
+  top-k from O(n·d) per query into O(bucket·d).
+
+Hyperplanes are generated from a seeded counter-based scheme at plan
+time (driver-side numpy) and broadcast as literals — deterministic
+across runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<float/double> columns (JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    The query side is broadcast (queries are few); ranking uses a
+    window per query id.  Ties broken by neighbor id.
+    """
+    from pyspark.sql import Window
+
+    scored = vectors.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(q_id_col, "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_sketch(vec_col, planes: np.ndarray):
+    """Sign-bit sketch (one long) of a vector column against fixed
+    hyperplanes — pure SQL fold per plane."""
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    out = None
+    for i, b in enumerate(bits):
+        term = F.shiftleft(b, i)
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the full sign sketch bucket;
+    exact cosine re-ranks within the bucket.
+
+    Recall/cost trades via ``n_planes`` (more planes → smaller buckets,
+    lower recall).  At cluster scale the sketch column is computed once
+    at ingest and bucketed on write, so probes touch single buckets.
+    """
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = vectors.withColumn("__sketch", lsh_sketch(F.col(vec_col), planes))
+    q = queries.withColumn("__qsketch", lsh_sketch(F.col(q_vec_col), planes))
+    cand = v.join(F.broadcast(q), F.col("__sketch") == F.col("__qsketch"))
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(q_id_col, "rank")
+    )
+
+
+def neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``:
+    LSH-bucketed self-join, exact cosine verification inside buckets."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), lsh_sketch(F.col(vec_col), planes).alias("__sketch")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__sketch") == F.col("b.__sketch"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("sim"),
+    )
+    return pairs.filter(F.col("sim") >= threshold)

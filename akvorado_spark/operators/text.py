@@ -1,0 +1,119 @@
+"""Text-analysis operators: token counting, quality scoring, language
+identification, document fingerprinting.
+
+All pure Spark SQL expressions over built-ins — these run per-document
+in the 100 TB hot path, so no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists (public, common knowledge) for the
+# n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "que", "une", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "von"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "una", "por", "con"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish upper bound: runs of letters, runs of digits, and each
+    punctuation/symbol char count as one token (the classic
+    pre-tokenizer regex shape)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(F.regexp_replace(text, f"[^{PUNCT_CLASS[1:-1]}]", ""))
+    return n / F.greatest(F.length(text), F.lit(1))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    return n / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    w = words(text)
+    return F.size(
+        F.filter(w, lambda x: x.isin(*STOPWORDS[lang]))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: long-enough docs with a
+    healthy word length, some stopwords, and restrained punctuation /
+    digits score high (the usual pretraining-filter shape)."""
+    w = words(text)
+    n_words = F.size(w)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_words > 0, stopword_hits(text, "en") / n_words
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.3).otherwise(0.0)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+        + F.when(punct_ratio(text) < 0.1, 0.1).otherwise(0.0)
+        + F.when(digit_ratio(text) < 0.2, 0.1).otherwise(0.0)
+    )
+    return score.cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language guess over the embedded lists; 'und' when
+    no list scores a hit."""
+    scores = [(lang, stopword_hits(text, lang)) for lang in STOPWORDS]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties
+        out = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+FP_MOD = 100_000_000_000_000_003  # prime < 2^57: 31*acc + h stays < 2^63 (ANSI-safe)
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling fingerprint: fold word hashes with
+    acc = (31*acc + h) mod P.  Modular (not wrapping) arithmetic —
+    Spark's ANSI mode rejects long overflow."""
+    return F.aggregate(
+        F.transform(words(text), lambda w: F.pmod(F.xxhash64(w), F.lit(FP_MOD))),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(31).cast("long") + h, F.lit(FP_MOD)),
+    )
+
+
+def analyze(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach the full analysis column set."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(t))
+        .withColumn("punct_ratio", punct_ratio(t))
+        .withColumn("digit_ratio", digit_ratio(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_guess", lang_id(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

@@ -1,0 +1,305 @@
+"""Oracle-checked LLM-data-pipeline queries over the ``documents`` and
+``embeddings`` tables: dedup, text analysis, similarity search.
+
+SQL-expressible semantics get a full DuckDB oracle; minhash/simhash
+(seeded xxhash64 — not reproducible in DuckDB) are registered without
+oracle SQL (driver rows-only check) and verified in pytest against
+pure-Python reimplementations instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from akvorado_spark.oracle.registry import register
+from akvorado_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark, sf_dir):
+    from akvorado_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    groups = exact_dedup(docs, "text", "doc_id")
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("group_size") - 1).alias("n_duplicates"),
+        F.sum("doc_id").alias("survivor_id_sum"),
+        F.max("group_size").alias("max_group"),
+    )
+
+
+register(
+    "dedup_exact_docs",
+    _dedup_exact,
+    """
+SELECT COUNT(*) AS n_groups,
+       SUM(sz - 1) AS n_duplicates,
+       SUM(mn) AS survivor_id_sum,
+       MAX(sz) AS max_group
+FROM (SELECT MIN(doc_id) AS mn, COUNT(*) AS sz FROM documents GROUP BY text)
+""",
+)
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (the LSH verification primitive)
+# ---------------------------------------------------------------------------
+
+_J_SAMPLE = "doc_id % 10 = 0"
+_J_THRESHOLD = 0.30
+
+
+def _jaccard_pairs(spark, sf_dir):
+    from akvorado_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir).filter(_J_SAMPLE)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ngram=3)
+    return (
+        pairs.filter(F.round("jaccard", 6) >= _J_THRESHOLD)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("pair_id_sum"),
+        )
+    )
+
+
+# DuckDB mirrors the relational identity on the same distinct word-3-grams.
+_JACCARD_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE {_J_SAMPLE}),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM docs
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN array_to_string(ws[i:i+2], ' ')
+                ELSE array_to_string(ws, ' ') END AS g
+    FROM toks, generate_series(1, 100000) t(i)
+    WHERE i <= GREATEST(len(ws) - 2, 1)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_pairs, SUM(id_a + id_b) AS pair_id_sum
+FROM (
+  SELECT id_a, id_b,
+         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+WHERE j >= {_J_THRESHOLD}
+"""
+
+register("dedup_ngram_jaccard", _jaccard_pairs, _JACCARD_ORACLE)
+
+# ---------------------------------------------------------------------------
+# text analysis: token counts + quality components per lang/source
+# ---------------------------------------------------------------------------
+
+
+def _text_stats(spark, sf_dir):
+    from akvorado_spark.operators.text import (
+        bpe_ish_token_count,
+        punct_ratio,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(t)).alias("n_tokens"),
+            F.sum(bpe_ish_token_count(t)).alias("n_bpe_tokens"),
+            F.sum(F.length(t)).alias("n_chars_sum"),
+            F.sum((F.round(punct_ratio(t), 6) * 1000000).cast("long")).alias("punct_micro"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_TEXT_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS n_tokens,
+       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS n_bpe_tokens,
+       SUM(length(text)) AS n_chars_sum,
+       SUM(CAST(ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1), 6) * 1000000 AS BIGINT)) AS punct_micro
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+register("text_stats", _text_stats, _TEXT_ORACLE)
+
+
+# lang-id: stopword votes, checked end-to-end against declared labels
+def _lang_id(spark, sf_dir):
+    from akvorado_spark.operators.text import lang_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guess")
+    )
+
+
+def _lang_oracle() -> str:
+    from akvorado_spark.operators.text import STOPWORDS
+
+    score_cols = []
+    for lang, stops in STOPWORDS.items():
+        terms = " + ".join(
+            f"len(list_filter(ws, x -> x = '{s}'))" for s in stops
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # earlier langs win ties (same as the Spark cascade)
+    guess = "CASE WHEN " + " WHEN ".join(
+        f"{best} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs
+    ).replace("WHEN", "WHEN", 1)
+    guess = (
+        "CASE "
+        + " ".join(f"WHEN {best} > 0 AND s_{l} = {best} THEN '{l}'" for l in langs)
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+),
+scored AS (SELECT lang, {", ".join(score_cols)} FROM toks)
+SELECT lang, {guess} AS guess, COUNT(*) AS n
+FROM scored GROUP BY 1, 2 ORDER BY lang, guess
+"""
+
+
+register("text_lang_id", _lang_id, _lang_oracle())
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _ann_bruteforce(spark, sf_dir):
+    from akvorado_spark.operators.similarity import brute_force_topk
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    queries = (
+        vecs.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = brute_force_topk(vecs.filter(F.col("vec_id") >= 3), queries, k=5)
+    return out.select("q_id", "rank", "vec_id", "sim")
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         ROUND(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))
+               / NULLIF(sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))), 0), 6) AS sim
+  FROM v CROSS JOIN q
+)
+SELECT q_id, rank, vec_id, sim FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+register("ann_bruteforce_topk", _ann_bruteforce, _ANN_ORACLE)
+
+
+# embedding near-dup pairs: LSH-bucketed in Spark; DuckDB verifies the
+# *result* (pairs above threshold found by exact all-pairs in the same
+# sampled subset — recall must be exact because buckets only prune).
+def _embed_neardup(spark, sf_dir):
+    from akvorado_spark.operators.similarity import cosine
+
+    vecs = load_table(spark, "embeddings", sf_dir).filter("vec_id % 5 = 0")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.8)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum")
+    )
+
+
+_NEARDUP_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0)
+SELECT COUNT(*) AS n_pairs, SUM(id_a + id_b) AS id_sum FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.e, b.e)
+               / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 6) AS sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE sim >= 0.8
+"""
+
+register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
+
+# ---------------------------------------------------------------------------
+# minhash-LSH near-dup + simhash: seeded xxhash64 isn't reproducible in
+# DuckDB → rows-only driver check; full verification lives in pytest
+# against pure-Python reimplementations.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_lsh(spark, sf_dir):
+    from akvorado_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter("doc_id % 5 = 0")
+    # The corpus has no natural near-dups: seed deterministic ones
+    # (id + 10^7, text with a short suffix → Jaccard just under 1).
+    perturbed = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing marker suffix")).alias("text"),
+    ).filter("doc_id % 3 = 0")
+    corpus = docs.select("doc_id", "text").unionAll(perturbed)
+    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8)
+    verified = ngram_jaccard_pairs(corpus, "text", "doc_id", pairs=cands)
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+register("dedup_minhash_lsh", _minhash_lsh, None)
+
+
+def _simhash_fps(spark, sf_dir):
+    from akvorado_spark.operators.dedup import simhash
+
+    docs = load_table(spark, "documents", sf_dir).filter("doc_id % 7 = 0")
+    fps = simhash(docs, "text", "doc_id")
+    return fps.orderBy("doc_id")
+
+
+register("dedup_simhash", _simhash_fps, None)
