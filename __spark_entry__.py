@@ -26,6 +26,7 @@ import akvorado_spark.oracle.filter_queries  # noqa: F401
 import akvorado_spark.oracle.units_queries  # noqa: F401
 import akvorado_spark.oracle.lpm_queries  # noqa: F401
 import akvorado_spark.oracle.pipeline_queries  # noqa: F401
+import akvorado_spark.oracle.sankey_queries  # noqa: F401
 from akvorado_spark.oracle.registry import QUERIES
 
 

@@ -27,7 +27,17 @@ from akvorado_spark.filtering import compile_filter, flow_filter_schema
 from akvorado_spark.functions.ip import ip_display, ip_truncate_family
 from akvorado_spark.plans.rollup import FlowStore
 from akvorado_spark.query.line import LineRequest, compile_line
+from akvorado_spark.query.sankey import (
+    SankeyRequest,
+    compile_sankey,
+    data_range,
+    top_rows,
+)
 from akvorado_spark.query.units import UNITS
+
+# only the percentage-of-interface units are directional
+# (reference console/graph.go:30-40)
+REVERSE_UNITS = {"inl2%": "outl2%", "outl2%": "inl2%"}
 
 PREVIOUS_PERIODS = {
     "hour": timedelta(hours=1),
@@ -171,3 +181,95 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
     for a in axes[1:]:
         out = out.unionAll(a)
     return out
+
+
+def graph_sankey(store: FlowStore, req: GraphRequest) -> DataFrame:
+    """Flows-native /graph/sankey equivalent (SURVEY §3.2).
+
+    Differences from :func:`graph_line` mirroring the reference:
+    no time axis (xps averages over the data span); table routing uses
+    a fixed 20-point context (console/sankey.go:124-134); the reverse
+    axis probes the *forward* top-N rows positionally
+    (console/sankey.go:136-147).
+    """
+    sch = flow_filter_schema()
+    direct = compile_filter(req.filter, sch)
+    reverse = direct.reverse()
+
+    main_only = store.schema.main_only_names()
+    require_main = direct.requires_main_table or any(d in main_only for d in req.dimensions)
+    truncating = req.truncate_v4 < 32 or req.truncate_v6 < 128
+
+    target = max(int((req.end - req.start).total_seconds() // 20), 1)
+    res, _ = store.best_table(req.start, req.end, target, require_main)
+    frame = store.read(res)
+
+    def prep(filt, dims: tuple[str, ...]) -> DataFrame:
+        df = frame.filter(
+            (F.col("part_date") >= F.lit(req.start.date()))
+            & (F.col("part_date") <= F.lit(req.end.date()))
+        ).drop("part_date")
+        df = df.filter(
+            (F.col("TimeReceived") >= F.lit(req.start))
+            & (F.col("TimeReceived") < F.lit(req.end))
+        ).filter(filt.column())
+        df = store.schema.view(df)
+        if truncating:
+            for d in dims:
+                spec = store.schema.by_name.get(d)
+                if spec is not None and spec.truncatable_ip:
+                    df = df.withColumn(
+                        d, ip_truncate_family(F.col(d), req.truncate_v4, req.truncate_v6)
+                    )
+        return df
+
+    def unit_req(units: str, dims: tuple[str, ...]) -> SankeyRequest:
+        unit = UNITS[units]
+        agg_sql = unit.agg_sql
+        base_cols = unit.base_cols
+        if units == "fps" and res.interval_s > 0:
+            agg_sql, base_cols = "SUM(Flows)", ("Flows",)
+        return SankeyRequest(
+            time_col="TimeReceived",
+            dimensions=dims,
+            weight_sql=None,
+            limit=req.limit,
+            agg_sql=agg_sql,
+            base_cols=base_cols,
+            value_type=unit.value_type,
+        )
+
+    def render(line: DataFrame, dims: tuple[str, ...]) -> DataFrame:
+        for d in dims:
+            spec = store.schema.by_name.get(d)
+            if spec is not None and spec.truncatable_ip:
+                line = line.withColumn(
+                    d,
+                    F.when(F.col(d) == F.lit(b"Other"), F.lit("Other")).otherwise(
+                        ip_display(F.col(d))
+                    ),
+                )
+        return line
+
+    fdf = prep(direct, req.dimensions)
+    freq = unit_req(req.units, req.dimensions)
+    fwd_rows = top_rows(fdf, freq)
+    rng = data_range(fdf, "TimeReceived")
+    ax1 = render(
+        compile_sankey(fdf, freq, rows=fwd_rows, rows_cols=req.dimensions, rng=rng),
+        req.dimensions,
+    ).select(F.lit(1).alias("axis"), "*")
+    if not req.bidirectional:
+        return ax1
+
+    rdims = tuple(sch.reverse_name(d) for d in req.dimensions)
+    rdf = prep(reverse, rdims)
+    rreq = unit_req(REVERSE_UNITS.get(req.units, req.units), rdims)
+    ax2 = render(
+        compile_sankey(rdf, rreq, rows=fwd_rows, rows_cols=req.dimensions, rng=rng),
+        rdims,
+    )
+    for rev, fwd in zip(rdims, req.dimensions):
+        if rev != fwd:
+            ax2 = ax2.withColumnRenamed(rev, fwd)
+    return ax1.unionAll(ax2.select(F.lit(2).alias("axis"), "*"))
