@@ -1,0 +1,88 @@
+"""Oracle-checked widget queries (SURVEY A10/A11/O5/J9;
+reference console/widgets.go).
+
+The flows view's timestamps come from date-grained shipdates, so the
+"last 5 minutes" windows scale up to spans the corpus actually covers
+(the query shape — trailing window off a scalar max — is identical).
+"""
+
+from __future__ import annotations
+
+from akvorado_spark.oracle.flows_view import oracle_view_sql, register_spark_view
+from akvorado_spark.oracle.registry import register
+from akvorado_spark.query.widgets import flow_rate, last_flow, top_percent
+
+_WINDOW_S = 90 * 86400  # trailing 90 days of shipdates ≈ "last 5 minutes"
+
+
+def _spark_flow_rate(spark, sf_dir):
+    register_spark_view(spark, sf_dir)
+    return flow_rate(spark.table("flows_v"), "TimeReceived", _WINDOW_S)
+
+
+def _oracle_flow_rate() -> str:
+    return f"""
+WITH source AS (SELECT * FROM {oracle_view_sql()}),
+b AS (SELECT MAX(epoch_us(TimeReceived)) AS max_us FROM source)
+SELECT CAST(COUNT(*) AS DOUBLE) / {_WINDOW_S} AS rate, 'second' AS period
+FROM source s CROSS JOIN b
+WHERE epoch_us(s.TimeReceived) > b.max_us - {_WINDOW_S}::BIGINT * 1000000"""
+
+
+register("widget_flow_rate", _spark_flow_rate, _oracle_flow_rate())
+
+
+def _spark_top_percent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    register_spark_view(spark, sf_dir)
+    df = spark.table("flows_v").filter(F.col("InIfBoundary") == "external")
+    return top_percent(df, "ExporterName", "Bytes * SamplingRate", limit=5)
+
+
+def _oracle_top_percent() -> str:
+    return f"""
+WITH source AS (
+  SELECT * FROM {oracle_view_sql()} WHERE InIfBoundary = 'external'
+),
+base AS (
+  SELECT CASE WHEN CAST(ExporterName AS STRING) = '' THEN 'Unknown'
+              ELSE CAST(ExporterName AS STRING) END AS Name,
+         CAST(Bytes * SamplingRate AS BIGINT) AS w
+  FROM source
+),
+t AS (SELECT SUM(w) AS total FROM base)
+SELECT b.Name, CAST(SUM(b.w) AS DOUBLE) * 100 / CAST(t.total AS DOUBLE) AS Percent
+FROM base b CROSS JOIN t
+GROUP BY b.Name, t.total
+ORDER BY Percent DESC, Name LIMIT 5"""
+
+
+register("widget_top_percent", _spark_top_percent, _oracle_top_percent())
+
+
+_LAST_COLS = (
+    "TimeReceived ExporterName InIfName OutIfName SrcPort DstPort Proto "
+    "Bytes Packets SamplingRate"
+).split()
+_TIEBREAK = ("ExporterName", "InIfName", "SrcPort", "DstPort", "Bytes")
+
+
+def _spark_last_flow(spark, sf_dir):
+    register_spark_view(spark, sf_dir)
+    return last_flow(
+        spark.table("flows_v").select(*_LAST_COLS), "TimeReceived", _TIEBREAK
+    )
+
+
+def _oracle_last_flow() -> str:
+    cols = ", ".join(_LAST_COLS)
+    tie = ", ".join(_TIEBREAK)
+    return f"""
+WITH source AS (SELECT {cols} FROM {oracle_view_sql()})
+SELECT * FROM source
+WHERE epoch_us(TimeReceived) = (SELECT MAX(epoch_us(TimeReceived)) FROM source)
+ORDER BY {tie} LIMIT 1"""
+
+
+register("widget_last_flow", _spark_last_flow, _oracle_last_flow())

@@ -1,0 +1,89 @@
+"""Dimension rendering + dictionary + widget unit tests
+(SURVEY §2.2 P11, §2.3 J1/J2, §2.4 A10/A11, §2.6 O5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from akvorado_spark.query.render import (
+    compact_path,
+    icmp_render,
+    render_asn,
+    render_communities,
+    render_mac,
+    render_as_path,
+    render_port,
+    render_proto,
+    render_tcp_flags,
+)
+from akvorado_spark.query.widgets import flow_rate, last_flow, top_percent
+from akvorado_spark.sources.dictionaries import asns_df, dict_join
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_render_proto_and_port(spark):
+    assert _one(spark, render_proto(F.lit(6))) == "TCP"
+    assert _one(spark, render_proto(F.lit(255))) == "???"
+    assert _one(spark, render_port(F.lit(443), F.lit(6))) == "443/https"
+    assert _one(spark, render_port(F.lit(4444), F.lit(6))) == "4444"  # slash stripped
+    assert _one(spark, render_port(F.lit(53), F.lit(17))) == "53/domain"
+    assert _one(spark, render_port(F.lit(53), F.lit(1))) == "53"  # not TCP/UDP
+
+
+def test_render_tcp_flags_bit_positions(spark):
+    # SYN+ACK = bits 1 and 4 → "S."
+    assert _one(spark, render_tcp_flags(F.lit(0b10010))) == "S."
+    assert _one(spark, render_tcp_flags(F.lit(0))) == ""
+    assert _one(spark, render_tcp_flags(F.lit(0b111111111))) == "FSRP.UECN"
+
+
+def test_render_mac(spark):
+    assert _one(spark, render_mac(F.lit(0x0000DEADBEEF00))) == "00:de:ad:be:ef:00"
+
+
+def test_compact_path_drops_consecutive_dups_only(spark):
+    path = F.array(*[F.lit(x) for x in [64512, 64512, 64513, 64512]])
+    out = _one(spark, render_as_path(compact_path(path)))
+    assert out == "64512 64513 64512"  # non-consecutive dup survives
+
+
+def test_render_communities_and_icmp(spark):
+    comm = F.array(F.lit(65000 * 65536 + 100).cast("long"))
+    assert _one(spark, render_communities(comm)) == "65000:100"
+    assert _one(spark, icmp_render(F.lit(1), F.lit(8), F.lit(0))) == "echo"
+    assert _one(spark, icmp_render(F.lit(1), F.lit(99), F.lit(0))) == ""
+
+
+def test_render_asn_fallback(spark):
+    assert _one(spark, render_asn(F.lit(15169))) == "15169: Google"
+    assert _one(spark, render_asn(F.lit(4))) == "4: ???"
+
+
+def test_dict_join_broadcast(spark):
+    df = spark.createDataFrame([(15169,), (4,)], "asn long")
+    out = dict_join(
+        df, asns_df(spark), [("asn", "asn")], "name", "as_name", "???"
+    ).collect()
+    names = {r["asn"]: r["as_name"] for r in out}
+    assert names == {15169: "Google", 4: "???"}
+
+
+def test_widgets_shapes(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "a", 100, 10),
+            ("2024-01-01 00:04:00", "b", 300, 10),
+            ("2024-01-01 00:05:00", "", 600, 10),
+        ],
+        "TimeReceived string, ExporterName string, Bytes long, SamplingRate long",
+    ).withColumn("TimeReceived", F.col("TimeReceived").cast("timestamp"))
+    rate = flow_rate(df, "TimeReceived", 300).collect()[0]
+    assert rate["rate"] == 2 / 300  # strictly-after window start excludes the first
+    top = top_percent(df, "ExporterName", "Bytes * SamplingRate", 5).collect()
+    by_name = {r["Name"]: r["Percent"] for r in top}
+    assert by_name["Unknown"] == 60.0 and by_name["b"] == 30.0
+    last = last_flow(df, "TimeReceived", ("ExporterName",)).collect()
+    assert len(last) == 1 and last[0]["ExporterName"] == ""
