@@ -1,0 +1,145 @@
+"""Filter autocompletion (SURVEY §2.6 O4, §2.7 U2/U3;
+reference console/filter.go:240-470).
+
+Completion candidates come from two sources merged flows-first:
+
+1. values seen in recent flows, most-used first (rank 1);
+2. the dictionary (asns / tcp+udp service names), prefix-matched on
+   the *name*, ordered by match position then key (rank 2).
+
+The reference merges with ``UNION DISTINCT`` then orders by
+``MIN(rank), MIN(rowNumberInBlock())``; block numbers are an
+engine-internal stable tiebreaker, so this build carries an explicit
+per-branch ordering key (count-rank for flows, match position + key
+for dictionaries) and orders by ``(min rank, min ord, label)`` —
+same ranking, engine-deterministic.
+
+Scale: the flows branch is one groupBy over the recent window
+(partition-pruned scan); the dictionary branch is a tiny local frame;
+the merge is a union of two ≤limit-row frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from akvorado_spark.sources.dictionaries import ASNS, TCP_PORTS, UDP_PORTS
+
+
+def _match_pos(col, prefix: str):
+    """positionCaseInsensitive: 1-based position of the prefix, 0 = no
+    match (reference console/filter.go:34-41)."""
+    return F.locate(prefix.lower(), F.lower(col))
+
+
+def _ranked_union(flows: DataFrame, dico: DataFrame, limit: int) -> DataFrame:
+    """UNION DISTINCT + GROUP BY (label, detail) ORDER BY MIN(rank),
+    MIN(ord) LIMIT — the reference's merge shape."""
+    u = flows.unionAll(dico)
+    return (
+        u.groupBy("label", "detail")
+        .agg(F.min("rank").alias("__r"), F.min("ord").alias("__o"))
+        .orderBy("__r", "__o", "label")
+        .limit(limit)
+        .select("label", "detail")
+    )
+
+
+def complete_asn(
+    flows: DataFrame,
+    prefix: str = "",
+    asns: list[tuple[int, str]] | None = None,
+    limit: int = 20,
+    column: str = "SrcAS",
+) -> DataFrame:
+    """AS-number completion (reference console/filter.go:285-340):
+    label 'AS<n>', detail = AS name; flows seen recently first."""
+    names = asns or ASNS
+    spark = flows.sparkSession
+    dico = spark.createDataFrame(names, "asn long, name string")
+
+    seen = (
+        flows.join(F.broadcast(dico), flows[column] == dico["asn"], "left")
+        .filter(F.col("name").isNotNull() & (_match_pos(F.col("name"), prefix) > 0))
+        .groupBy(column, "name")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("ord", F.row_number().over(Window.orderBy(F.col("__c").desc(), column)))
+        .filter(F.col("ord") <= limit)
+        .select(
+            F.concat(F.lit("AS"), F.col(column).cast("string")).alias("label"),
+            F.col("name").alias("detail"),
+            F.lit(1).alias("rank"),
+            F.col("ord").cast("long").alias("ord"),
+        )
+    )
+    from_dict = (
+        dico.filter(_match_pos(F.col("name"), prefix) > 0)
+        .withColumn(
+            "ord",
+            F.row_number().over(Window.orderBy(_match_pos(F.col("name"), prefix), "asn")),
+        )
+        .filter(F.col("ord") <= limit)
+        .select(
+            F.concat(F.lit("AS"), F.col("asn").cast("string")).alias("label"),
+            F.col("name").alias("detail"),
+            F.lit(2).alias("rank"),
+            F.col("ord").cast("long").alias("ord"),
+        )
+    )
+    return _ranked_union(seen, from_dict, limit)
+
+
+def complete_port(
+    flows: DataFrame,
+    prefix: str = "",
+    limit: int = 20,
+    column: str = "DstPort",
+) -> DataFrame:
+    """Port completion (reference console/filter.go:341-420): ports of
+    recent TCP/UDP flows named by their service, then the rest of the
+    dictionaries."""
+    spark = flows.sparkSession
+    tcp = spark.createDataFrame(TCP_PORTS, "port long, name string")
+    udp = spark.createDataFrame(UDP_PORTS, "port long, name string")
+
+    fl = flows.filter(F.col("Proto").isin(6, 17))
+    both = tcp.select("port", "name", F.lit(6).alias("dproto")).unionAll(
+        udp.select("port", "name", F.lit(17).alias("dproto"))
+    )
+    named = (
+        fl.join(
+            F.broadcast(both),
+            (fl[column] == both["port"]) & (fl["Proto"] == both["dproto"]),
+            "left",
+        )
+        .filter(F.col("name").isNotNull() & (_match_pos(F.col("name"), prefix) > 0))
+        .groupBy(column, "Proto", "name")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "ord", F.row_number().over(Window.orderBy(F.col("__c").desc(), column, "Proto"))
+        )
+        .filter(F.col("ord") <= limit)
+        .select(
+            F.col(column).cast("string").alias("label"),
+            F.col("name").alias("detail"),
+            F.lit(1).alias("rank"),
+            F.col("ord").cast("long").alias("ord"),
+        )
+    )
+    known = tcp.unionAll(udp).distinct()
+    from_dict = (
+        known.filter(_match_pos(F.col("name"), prefix) > 0)
+        .withColumn(
+            "ord",
+            F.row_number().over(Window.orderBy(_match_pos(F.col("name"), prefix), "port")),
+        )
+        .filter(F.col("ord") <= limit)
+        .select(
+            F.col("port").cast("string").alias("label"),
+            F.col("name").alias("detail"),
+            F.lit(2).alias("rank"),
+            F.col("ord").cast("long").alias("ord"),
+        )
+    )
+    return _ranked_union(named, from_dict, limit)
