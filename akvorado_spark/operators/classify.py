@@ -1,0 +1,125 @@
+"""Exporter/interface classifiers and per-exporter rate limiting
+(SURVEY §2.9 T1/T3; reference outlet/core/classifier.go,
+outlet/core/enricher.go:279-387, outlet/core/rate.go:28-70).
+
+Classifiers
+-----------
+The reference runs user-supplied expr-lang snippets per flow in rule
+order; each attribute keeps the **first** value any rule assigns
+(first-match-wins per attribute), and a rule may Reject the flow.
+Spark-first re-expression: each rule's condition is a restricted SQL
+boolean over the exporter/interface columns, and every attribute
+compiles to one ``coalesce(when(c1, v1), when(c2, v2), …, default)``
+column — the whole cascade stays inside whole-stage codegen, no UDF,
+no shuffle.  Rejection compiles to a ``filter``.
+
+Batch semantics note: the reference stops evaluating once every
+attribute is set, so a *later* reject rule may be skipped for a flow
+whose attributes were all classified earlier.  Here rejection is the
+OR of all reject-rule conditions — evaluation-order-free, which is
+the natural batch reading and matches any config whose reject rules
+precede classification rules (the common layout).
+
+Rate limiting
+-------------
+The reference's per-exporter token bucket drops flows above
+``limit``/s at 200 ms resolution and inflates the SamplingRate of
+survivors by the observed drop rate so aggregates stay unbiased.
+Batch re-expression over a closed window of rows: within each
+(exporter, 200 ms tick), keep the first ``limit/5`` rows in time
+order and scale survivors' SamplingRate by total/kept — exactly
+unbiased within the tick (the reference applies the *previous*
+second's drop rate, an online approximation of the same quantity).
+One window shuffle on (exporter, tick); at 100 TB the tick keys are
+fine-grained enough that skew is bounded by per-exporter ingest rate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ClassifierRule:
+    """One rule: when ``when`` holds, assign ``sets`` (attr → SQL
+    string expression) and/or reject the flow."""
+
+    when: str
+    sets: dict[str, str] = field(default_factory=dict)
+    reject: bool = False
+
+
+def classify(
+    df: DataFrame,
+    rules: list[ClassifierRule],
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Apply a classifier cascade.
+
+    ``defaults`` maps attributes to a fallback SQL expression used when
+    no rule matches (the reference falls back to the metadata-provided
+    value, e.g. ``Name = ii.Name``).
+    """
+    attrs: list[str] = []
+    for r in rules:
+        for a in r.sets:
+            if a not in attrs:
+                attrs.append(a)
+    for a in defaults or {}:
+        if a not in attrs:
+            attrs.append(a)
+
+    reject_conds = [F.expr(r.when) for r in rules if r.reject]
+    if reject_conds:
+        keep = ~reject_conds[0]
+        for c in reject_conds[1:]:
+            keep = keep & ~c
+        df = df.filter(keep)
+
+    for a in attrs:
+        branches = [
+            F.when(F.expr(r.when), F.expr(r.sets[a])) for r in rules if a in r.sets
+        ]
+        fallback = (defaults or {}).get(a)
+        if fallback is not None:
+            branches.append(F.expr(fallback))
+        df = df.withColumn(a, F.coalesce(*branches) if branches else F.lit(None))
+    return df
+
+
+def rate_limit(
+    df: DataFrame,
+    limit_per_s: int,
+    key: str = "ExporterAddress",
+    time_col: str = "TimeReceived",
+    tiebreak: tuple[str, ...] = (),
+    sampling_col: str = "SamplingRate",
+) -> DataFrame:
+    """Per-exporter rate limit with sampling-rate compensation (T1).
+
+    Keeps at most ``limit_per_s / 5`` flows per (exporter, 200 ms
+    tick), in (time, tiebreak) order, and rescales survivors'
+    sampling rate by total/kept (floor) so SUM(x*SamplingRate)
+    aggregates stay unbiased within the tick.
+    """
+    per_tick = max(limit_per_s // 5, 1)
+    tick = (F.unix_millis(F.col(time_col).cast("timestamp")) / 200).cast("long")
+    d = df.withColumn("__tick", tick)
+    w = Window.partitionBy(key, "__tick").orderBy(
+        F.col(time_col).asc(), *[F.col(t).asc() for t in tiebreak]
+    )
+    wall = Window.partitionBy(key, "__tick")
+    d = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__total", F.count(F.lit(1)).over(wall))
+        .filter(F.col("__rn") <= per_tick)
+    )
+    kept = F.least(F.col("__total"), F.lit(per_tick))
+    d = d.withColumn(
+        sampling_col,
+        F.floor((F.col(sampling_col) * F.col("__total")) / kept).cast("long"),
+    )
+    return d.drop("__tick", "__rn", "__total")

@@ -1,0 +1,93 @@
+"""Flow decoders (SURVEY §2.1 S5-S8).
+
+The reference's wire pipeline carries ``RawFlow`` protobufs
+(common/pb/rawflow.proto:6-34): ``{time_received, payload bytes,
+source_address, decoder, ...}``; the outlet decodes NetFlow v5/v9 /
+IPFIX / sFlow payloads into flow rows (outlet/flow/decoder/).
+
+Decoding strategy here:
+
+- **JSON decoder** (S7, the reference's gob test decoder analog):
+  fully implemented — ``from_json`` against the flows schema, pure
+  JVM, usable as the test/replay ingress.
+- **NetFlow/sFlow binary decoders** (S5/S6) and **tunnel
+  decapsulation** (S8): the Spark plumbing (schema, mapInPandas
+  signature, batch shape) is real; the byte-level parse is stubbed —
+  it needs the template-state machinery (447 LoC of pure parsing in
+  the reference) and no analytics value flows through it in this
+  build.  The stub raises on first use unless handed a
+  ``parse_batch`` callable.
+
+Scale: decode is mapInPandas over the raw stream — embarrassingly
+parallel per Kafka partition; template state for NetFlow v9/IPFIX
+would live in a per-exporter keyed state store
+(applyInPandasWithState) keyed by source_address.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# RawFlow transport record (reference common/pb/rawflow.proto:6-34)
+RAW_FLOW_SCHEMA = T.StructType(
+    [
+        T.StructField("time_received", T.TimestampType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("source_address", T.BinaryType()),
+        T.StructField("decoder", T.StringType()),  # netflow | sflow | json
+        T.StructField("timestamp_source", T.StringType()),
+        T.StructField("decapsulation", T.StringType()),
+    ]
+)
+
+
+def decode_json(raw: DataFrame, flow_schema: T.StructType, payload_col: str = "payload") -> DataFrame:
+    """S7: JSON payload → flow rows, one-to-many via an array payload.
+
+    Accepts either a single JSON object or a JSON array of objects per
+    payload (a datagram can carry several flow records)."""
+    js = F.col(payload_col).cast("string")
+    arr = F.when(
+        F.startswith(F.trim(js), F.lit("[")),
+        F.from_json(js, T.ArrayType(flow_schema)),
+    ).otherwise(F.array(F.from_json(js, flow_schema)))
+    return raw.select(F.explode(arr).alias("f")).select("f.*")
+
+
+def _stub_parser(kind: str) -> Callable:
+    def parse_batch(payloads, source_addresses):  # pragma: no cover
+        raise NotImplementedError(
+            f"{kind} byte-level parsing is stubbed in this build "
+            f"(reference outlet/flow/decoder/{kind}/decode.go); pass "
+            f"parse_batch= to decode_binary to supply one."
+        )
+
+    return parse_batch
+
+
+def decode_binary(
+    raw: DataFrame,
+    flow_schema: T.StructType,
+    kind: str = "netflow",
+    parse_batch: Callable | None = None,
+) -> DataFrame:
+    """S5/S6/S8 plumbing: mapInPandas over RawFlow batches.
+
+    ``parse_batch(payloads: pd.Series[bytes], source_addresses:
+    pd.Series[bytes]) -> pd.DataFrame`` must return rows matching
+    ``flow_schema``.  Template state (NetFlow v9/IPFIX) belongs in the
+    parser closure keyed by source_address.
+    """
+    parser = parse_batch or _stub_parser(kind)
+    names = [f.name for f in flow_schema.fields]
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = parser(pdf["payload"], pdf["source_address"])
+            yield out[names]
+
+    return raw.filter(F.col("decoder") == kind).mapInPandas(run, flow_schema)

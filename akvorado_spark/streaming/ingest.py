@@ -1,0 +1,183 @@
+"""Streaming ingest pipeline (SURVEY §3.3, §2.9 T2/T4/T5/T6;
+reference outlet/core/worker.go:61-143, outlet/core/enricher.go:25-189,
+outlet/clickhouse/worker.go:89-130).
+
+Structured-Streaming re-expression of the outlet:
+
+    readStream (file replay S2 / Kafka S1-S4)
+      → enrich: metadata join (J6) → classifiers (T3) → networks LPM (J5)
+      → foreachBatch:
+          append to the main flows table        (S9: batched columnar sink)
+          re-aggregate touched rollup partitions (T5: late rows always merge)
+          refresh the exporters table            (T6: replacing-merge)
+
+Design notes for scale:
+
+- ``foreachBatch`` ≈ the reference's 50k-row/5s flush (T4): the
+  trigger interval bounds batch latency, Spark bounds batch size via
+  ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``.
+- Rollups are **incrementally rebuilt for the partitions the batch
+  touched** rather than maintained by a watermarking streaming agg —
+  that's the exact SummingMergeTree semantics: a late row merges into
+  its bucket whenever it arrives, and no row is ever dropped
+  (SURVEY §2.9 T5 recommendation).  Dynamic partition overwrite keeps
+  the rewrite bounded to touched dates.
+- Every enrichment join broadcasts a small dimension snapshot; the
+  fact stream never shuffles before the sink's partition-by-date
+  repartition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from akvorado_spark.operators.classify import ClassifierRule, classify
+from akvorado_spark.operators.lpm import lpm_join
+from akvorado_spark.plans.exporters import exporters_frame, latest_exporters
+from akvorado_spark.plans.rollup import FlowStore
+
+
+def file_source(spark: SparkSession, path: str, schema, fmt: str = "parquet") -> DataFrame:
+    """File-replay source (S2, reference inlet/flow/input/file/):
+    a directory watched for new flow files."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)  # T4: bound batch size
+        .format(fmt)
+        .load(path)
+    )
+
+
+def kafka_source(
+    spark: SparkSession, servers: str, topic: str, starting: str = "earliest"
+) -> DataFrame:
+    """Kafka ingress (S1/S3/S4).  Requires the spark-sql-kafka package
+    on the classpath; the decode of the value payload is the caller's
+    decoder (S5-S7)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting)
+        .load()
+    )
+
+
+@dataclass
+class EnrichmentConfig:
+    """Snapshot dimension tables + rules for the enrichment chain (T2).
+
+    ``metadata``: (ExporterAddress, attrs...) broadcast-joined (J6).
+    ``networks``: (lo, hi, plen, attrs...) LPM-joined per direction (J5).
+    ``classifier_rules`` / ``classifier_defaults``: T3 cascade.
+    """
+
+    metadata: DataFrame | None = None
+    metadata_key: str = "ExporterAddress"
+    networks: DataFrame | None = None
+    networks_attrs: tuple[str, ...] = ()
+    classifier_rules: list[ClassifierRule] = field(default_factory=list)
+    classifier_defaults: dict[str, str] | None = None
+
+
+def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
+    """The per-batch enrichment chain (reference enricher.go:25-189):
+    metadata → classifiers → networks LPM, each a broadcast join or a
+    codegen when-cascade."""
+    if cfg.metadata is not None:
+        meta_cols = [c for c in cfg.metadata.columns if c != cfg.metadata_key]
+        meta = cfg.metadata
+        renamed = meta.select(
+            cfg.metadata_key, *[F.col(c).alias(f"__m_{c}") for c in meta_cols]
+        )
+        df = df.join(F.broadcast(renamed), on=cfg.metadata_key, how="left")
+        for c in meta_cols:
+            # metadata fills attributes the flow doesn't carry or left empty
+            if c in df.columns:
+                filled = F.coalesce(F.nullif(F.col(c), F.lit("")), F.col(f"__m_{c}"))
+            else:
+                filled = F.col(f"__m_{c}")
+            df = df.withColumn(c, filled).drop(f"__m_{c}")
+    if cfg.classifier_rules:
+        df = classify(df, cfg.classifier_rules, cfg.classifier_defaults)
+    if cfg.networks is not None and cfg.networks_attrs:
+        for side in ("Src", "Dst"):
+            addr = f"{side}Addr"
+            if addr not in df.columns:
+                continue
+            df = lpm_join(df, cfg.networks, addr, attrs=list(cfg.networks_attrs))
+            for a in cfg.networks_attrs:
+                target = f"{side}Net{a.capitalize()}"
+                df = df.withColumn(
+                    target,
+                    F.coalesce(F.col(a), F.col(target) if target in df.columns else F.lit("")),
+                ).drop(a)
+    return df
+
+
+class FlowIngest:
+    """The outlet: a stream of decoded flows into a FlowStore."""
+
+    def __init__(
+        self,
+        store: FlowStore,
+        cfg: EnrichmentConfig | None = None,
+        exporters_path: str | None = None,
+    ):
+        self.store = store
+        self.cfg = cfg or EnrichmentConfig()
+        self.exporters_path = exporters_path
+
+    # -- batch body (also usable standalone for batch replays) -------------
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        if batch.isEmpty():
+            return
+        enriched = enrich(batch, self.cfg)
+        enriched = self.store.schema.ingest(enriched)
+        self.store.write_main(enriched)
+
+        # T5: re-aggregate only the dates this batch touched — late rows
+        # merge into their original buckets exactly like SummingMergeTree.
+        oldest = enriched.agg(F.min("TimeReceived")).collect()[0][0]
+        if oldest is not None:
+            since = oldest if isinstance(oldest, datetime) else None
+            self.store.build_rollups(since=since)
+
+        if self.exporters_path:
+            self._refresh_exporters(enriched)
+
+    def _refresh_exporters(self, batch: DataFrame) -> None:
+        """T6: replacing-merge the batch's interfaces into the table."""
+        spark = batch.sparkSession
+        fresh = exporters_frame(batch)
+        try:
+            existing = spark.read.parquet(self.exporters_path)
+            fresh = existing.unionByName(fresh, allowMissingColumns=True)
+        except Exception:
+            pass  # first batch: table doesn't exist yet
+        latest = latest_exporters(fresh, ttl=None)
+        latest.coalesce(1).write.mode("overwrite").parquet(self.exporters_path + "_tmp")
+        spark.read.parquet(self.exporters_path + "_tmp").write.mode("overwrite").parquet(
+            self.exporters_path
+        )
+
+    # -- stream wiring ------------------------------------------------------
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        trigger: dict | None = None,
+    ):
+        """Wire the stream into foreachBatch.  ``trigger`` defaults to
+        availableNow (drain + stop — the test/replay mode); pass e.g.
+        ``{"processingTime": "5 seconds"}`` for the reference's
+        MaximumWaitTime behavior (T4)."""
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        writer = writer.trigger(**(trigger or {"availableNow": True}))
+        return writer.start()
