@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from akvorado_spark.functions.ip import ip_truncate
+from akvorado_spark.functions.ip import hex_prefix_key, ip_hex
 
 
 def lpm_join(
@@ -45,6 +45,7 @@ def lpm_join(
     exporter_col: str | None = None,
     prefix_exporter: str = "exporter",
     out_prefix: str = "",
+    plens: list[int] | None = None,
 ) -> DataFrame:
     """Join ``flows`` to the longest matching prefix in ``prefixes``.
 
@@ -62,9 +63,14 @@ def lpm_join(
             for c in prefixes.columns
             if c not in (prefix_lo, prefix_len, prefix_exporter, "hi", "prefix")
         ]
-    plens = sorted(
-        {r[0] for r in prefixes.select(prefix_len).distinct().collect()}, reverse=True
-    )
+    # dimension-sized: single partition keeps every broadcast-build job
+    # at one task instead of spark.default.parallelism
+    prefixes = prefixes.coalesce(1)
+    if plens is None:
+        # one tiny job over the dimension frame; pass plens= when the
+        # lengths are known at plan time to stay fully lazy
+        plens = [r[0] for r in prefixes.select(prefix_len).distinct().collect()]
+    plens = sorted(set(plens), reverse=True)
 
     passes: list[tuple[object, bool]] = []  # (prefix frame, exporter-keyed?)
     if exporter_col is not None:
@@ -74,19 +80,27 @@ def lpm_join(
     else:
         passes = [(prefixes, False)]
 
-    out = flows
+    # Hoist the hex conversion out of the cascade: the per-join fact key
+    # is then a single substring over this column (keeps each join's
+    # generated code tiny — the naive per-join hex/mask/unhex version
+    # spent more time in JIT compilation than in execution).
+    out = flows.withColumn("__iphex", ip_hex(F.col(ip_col)))
     matched: dict[str, list] = {a: [] for a in attrs}
     tag = 0
     for pfx, keyed in passes:
         for L in plens:
+            nibbles = (int(L) + 3) // 4
             one = pfx.filter(F.col(prefix_len) == L)
-            sel = [F.col(prefix_lo).alias(f"__k{tag}")] + [
+            # network addresses are pre-masked, so their key is a plain
+            # hex substring
+            key = F.substring(F.lower(F.hex(F.col(prefix_lo))), 1, nibbles)
+            sel = [key.alias(f"__k{tag}")] + [
                 F.col(a).alias(f"__{a}_{tag}") for a in attrs
             ]
             if keyed:
                 sel.append(F.col(prefix_exporter).alias(f"__e{tag}"))
             one = one.select(*sel)
-            cond = ip_truncate(F.col(ip_col), L) == F.col(f"__k{tag}")
+            cond = hex_prefix_key(F.col("__iphex"), L) == F.col(f"__k{tag}")
             if keyed:
                 cond = cond & (F.col(exporter_col) == F.col(f"__e{tag}"))
             out = out.join(F.broadcast(one), cond, "left")
@@ -98,5 +112,5 @@ def lpm_join(
 
     for a in attrs:
         out = out.withColumn(out_prefix + a, F.coalesce(*matched[a]))
-    out = out.drop(*[f"__{a}_{t}" for a in attrs for t in range(tag)])
+    out = out.drop("__iphex", *[f"__{a}_{t}" for a in attrs for t in range(tag)])
     return out

@@ -20,20 +20,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cosine(a, b):
-    """Cosine similarity of two array<float/double> columns (JVM-side)."""
-    dot = F.aggregate(
+def dot(a, b):
+    """Dot product of two array<float/double> columns (JVM-side fold)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
+
+
+def norm(a):
+    """L2 norm of an array column (JVM-side fold)."""
+    return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<float/double> columns (JVM-side).
+
+    For O(n²) pair scans, precompute ``norm`` per vector instead — the
+    fold is identical so the doubles are bit-identical."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def brute_force_topk(

@@ -39,11 +39,14 @@ def _spark_lpm(spark, sf_dir):
     from akvorado_spark.operators.lpm import lpm_join
 
     register_spark_view(spark, sf_dir)
-    nets = spark.createDataFrame(
-        _rows(), "name string, asn long, lo binary, hi binary, plen int"
-    )
+    rows = _rows()
+    from akvorado_spark.sources.tables import local_df
+
+    nets = local_df(spark, rows, "name string, asn long, lo binary, hi binary, plen int")
     flows = spark.table("flows_v").select("SrcAddr", "Bytes")
-    out = lpm_join(flows, nets, "SrcAddr", attrs=["name", "asn"])
+    out = lpm_join(
+        flows, nets, "SrcAddr", attrs=["name", "asn"], plens=[r[4] for r in rows]
+    )
     return (
         out.groupBy(
             F.coalesce(F.col("name"), F.lit("unknown")).alias("net_name"),

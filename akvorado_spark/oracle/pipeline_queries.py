@@ -231,16 +231,24 @@ register("ann_bruteforce_topk", _ann_bruteforce, _ANN_ORACLE)
 # *result* (pairs above threshold found by exact all-pairs in the same
 # sampled subset — recall must be exact because buckets only prune).
 def _embed_neardup(spark, sf_dir):
-    from akvorado_spark.operators.similarity import cosine
+    from akvorado_spark.operators.similarity import dot, norm
 
     vecs = load_table(spark, "embeddings", sf_dir).filter("vec_id % 5 = 0")
-    a, b = vecs.alias("a"), vecs.alias("b")
+    # norms are per-vector: compute once before the self-join instead of
+    # per pair (same fold expression → bit-identical doubles, 1/3 the
+    # float work across O(n²) pairs)
+    v = vecs.select("vec_id", "embedding", norm(F.col("embedding")).alias("__n"))
+    a, b = v.alias("a"), v.alias("b")
     pairs = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("sim"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / F.nullif(F.col("a.__n") * F.col("b.__n"), F.lit(0.0)),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.8)
     )

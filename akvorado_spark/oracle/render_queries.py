@@ -124,9 +124,12 @@ def _spark_flags_mac_path(spark, sf_dir):
     register_spark_view(spark, sf_dir)
     df = (
         spark.table("flows_v")
+        # sample: full render coverage at ~1/11 of the output cardinality
+        .filter(F.col("SrcPort") % 11 == 0)
         .withColumn("TCPFlags", ((F.col("SrcPort") * 7 + F.col("DstPort")) % 256).cast("int"))
         .withColumn(
-            "SrcMAC", ((F.col("SrcPort") * 99991 + 17) % F.lit(281474976710656)).cast("long")
+            "SrcMAC",
+            (((F.col("SrcPort") % 500) * 99991 + 17) % F.lit(281474976710656)).cast("long"),
         )
         .withColumn("DstASPath", F.array("SrcAS", "SrcAS", "DstAS").cast("array<long>"))
         .withColumn(
@@ -179,10 +182,10 @@ def _oracle_flags_mac_path() -> str:
         for shift in (40, 32, 24, 16, 8, 0)
     )
     return f"""
-WITH source AS (SELECT * FROM {oracle_view_sql()}),
+WITH source AS (SELECT * FROM {oracle_view_sql()} WHERE SrcPort % 11 = 0),
 derived AS (
   SELECT (SrcPort * 7 + DstPort) % 256 AS TCPFlags,
-         (SrcPort * 99991 + 17) % 281474976710656 AS SrcMAC,
+         ((SrcPort % 500) * 99991 + 17) % 281474976710656 AS SrcMAC,
          SrcAS, DstAS, Proto,
          CASE WHEN SrcPort % 2 = 0 THEN 0 ELSE 8 END AS IcmpType
   FROM source

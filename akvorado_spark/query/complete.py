@@ -57,7 +57,9 @@ def complete_asn(
     label 'AS<n>', detail = AS name; flows seen recently first."""
     names = asns or ASNS
     spark = flows.sparkSession
-    dico = spark.createDataFrame(names, "asn long, name string")
+    from akvorado_spark.sources.tables import local_df
+
+    dico = local_df(spark, names, "asn long, name string")
 
     seen = (
         flows.join(F.broadcast(dico), flows[column] == dico["asn"], "left")
@@ -100,8 +102,10 @@ def complete_port(
     recent TCP/UDP flows named by their service, then the rest of the
     dictionaries."""
     spark = flows.sparkSession
-    tcp = spark.createDataFrame(TCP_PORTS, "port long, name string")
-    udp = spark.createDataFrame(UDP_PORTS, "port long, name string")
+    from akvorado_spark.sources.tables import local_df
+
+    tcp = local_df(spark, TCP_PORTS, "port long, name string")
+    udp = local_df(spark, UDP_PORTS, "port long, name string")
 
     fl = flows.filter(F.col("Proto").isin(6, 17))
     both = tcp.select("port", "name", F.lit(6).alias("dproto")).unionAll(

@@ -98,7 +98,9 @@ def icmp_lookup(proto: Column, typ: Column, code: Column, fallback: str = "") ->
 
 
 def dict_df(spark: SparkSession, pairs: list[tuple], schema: str) -> DataFrame:
-    return spark.createDataFrame(pairs, schema)
+    from akvorado_spark.sources.tables import local_df
+
+    return local_df(spark, pairs, schema)
 
 
 def asns_df(spark: SparkSession, extra: list[tuple[int, str]] | None = None) -> DataFrame:

@@ -52,7 +52,9 @@ def networks_from_config(
     spark: SparkSession, entries: list[tuple[str, dict]]
 ) -> DataFrame:
     """User-config networks: [(cidr, {name|role|site|...}), ...]."""
-    return spark.createDataFrame(_rows(entries), _schema())
+    from akvorado_spark.sources.tables import local_df
+
+    return local_df(spark, _rows(entries), _schema())
 
 
 def networks_from_json(spark: SparkSession, path: str) -> DataFrame:
