@@ -1,0 +1,70 @@
+"""Schema reconciliation (T8) + result cache (§4) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from akvorado_spark.plans.migrate import diff_schema, read_reconciled, reconcile
+from akvorado_spark.query.cache import ResultCache
+
+V1 = T.StructType(
+    [
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("old", T.IntegerType()),
+    ]
+)
+V2 = T.StructType(
+    [
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.IntegerType()),  # added
+        # "old" dropped
+    ]
+)
+
+
+def test_diff_schema_add_modify_drop():
+    v2b = T.StructType(
+        [T.StructField("a", T.StringType())] + [f for f in V2.fields[1:]]
+    )
+    steps = {(s.kind, s.column) for s in diff_schema(V1, v2b)}
+    assert steps == {("modify", "a"), ("add", "c"), ("drop", "old")}
+
+
+def test_reconcile_roundtrip_and_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "x", 7), (2, "y", 8)], V1).write.parquet(path)
+
+    # zero-rewrite read path: added column comes back NULL, dropped pruned
+    through = read_reconciled(spark, path, V2)
+    assert through.columns == ["a", "b", "c"]
+    assert through.filter(F.col("c").isNull()).count() == 2
+
+    steps = reconcile(spark, path, V2, apply=True)
+    assert {(s.kind, s.column) for s in steps} == {("add", "c"), ("drop", "old")}
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"a", "b", "c"}
+    # idempotent: second run reports nothing
+    assert reconcile(spark, path, V2, apply=True) == []
+
+
+def test_result_cache_ttl_and_hits():
+    cache = ResultCache(ttl_s=1000)
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return [1, 2, 3]
+
+    req = {"dimensions": ["SrcAS"], "limit": 10}
+    assert cache.get_or_compute(req, compute) == [1, 2, 3]
+    assert cache.get_or_compute(dict(reversed(req.items())), compute) == [1, 2, 3]
+    assert len(calls) == 1  # key is order-insensitive → second call hits
+    assert cache.hits == 1 and cache.misses == 1
+
+    expired = ResultCache(ttl_s=0)
+    expired.get_or_compute(req, compute)
+    expired.get_or_compute(req, compute)
+    assert len(calls) == 3  # ttl 0 → recompute
