@@ -1,0 +1,77 @@
+"""Oracle-checked filter-DSL queries for the productions the base
+flows view can't express (SURVEY §2.2 P3 prefix, P6 array/community
+membership, P8 MAC).
+
+The array/struct columns can't live in the shared view SQL (array
+literal syntax differs between engines), so each engine derives them
+from the same base columns with its own syntax — identical values,
+then the *same compiled filter AST* is lowered to each dialect.
+"""
+
+from __future__ import annotations
+
+from akvorado_spark.filtering.compile import CompiledFilter
+from akvorado_spark.filtering.model import ColumnSpec, FilterSchema
+from akvorado_spark.filtering.parser import parse_filter
+from akvorado_spark.oracle.flows_view import oracle_view_sql, register_spark_view
+from akvorado_spark.oracle.registry import register
+
+_SCHEMA = FilterSchema(
+    {
+        "proto": ColumnSpec("Proto", "proto"),
+        "srcas": ColumnSpec("SrcAS", "uint"),
+        "dstaspath": ColumnSpec("DstASPath", "array_uint"),
+        "dstcommunities": ColumnSpec("DstCommunities", "community"),
+        "dstlargecommunities": ColumnSpec("DstLargeCommunities", "large_community"),
+        "srcmac": ColumnSpec("SrcMAC", "mac"),
+        "srcnetprefix": ColumnSpec("SrcNetPrefix", "prefix"),
+    }
+)
+
+_MAC_INT = 24 * 99991 + 17  # present wherever SrcPort % 500 == 24
+_MAC_STR = ":".join(f"{(_MAC_INT >> s) & 0xFF:02x}" for s in (40, 32, 24, 16, 8, 0))
+
+# identical derivations, dialect-specific array/struct syntax
+_SPARK_EXT = """SELECT Proto, SrcAS, Bytes, SamplingRate,
+  array(CAST(SrcAS AS BIGINT), CAST(SrcAS AS BIGINT), CAST(DstAS AS BIGINT)) AS DstASPath,
+  array(CAST(SrcAS AS BIGINT) * 65536 + 100, CAST(SrcAS AS BIGINT) * 65536 + 200) AS DstCommunities,
+  array(named_struct('asn', CAST(SrcAS AS BIGINT), 'local1', CAST(1 AS BIGINT), 'local2', CAST(2 AS BIGINT))) AS DstLargeCommunities,
+  CAST((SrcPort % 500) * 99991 + 17 AS BIGINT) AS SrcMAC,
+  '10.' || CAST(SrcAS - 64512 AS STRING) || '.0.0/16' AS SrcNetPrefix
+FROM flows_v"""
+
+_DUCK_EXT = """SELECT Proto, SrcAS, Bytes, SamplingRate,
+  [CAST(SrcAS AS BIGINT), CAST(SrcAS AS BIGINT), CAST(DstAS AS BIGINT)] AS DstASPath,
+  [CAST(SrcAS AS BIGINT) * 65536 + 100, CAST(SrcAS AS BIGINT) * 65536 + 200] AS DstCommunities,
+  [{'asn': CAST(SrcAS AS BIGINT), 'local1': CAST(1 AS BIGINT), 'local2': CAST(2 AS BIGINT)}] AS DstLargeCommunities,
+  CAST((SrcPort % 500) * 99991 + 17 AS BIGINT) AS SrcMAC,
+  '10.' || CAST(SrcAS - 64512 AS STRING) || '.0.0/16' AS SrcNetPrefix
+FROM flows_v"""
+
+FILTER_CASES = {
+    "flt_prefix_eq": "SrcNetPrefix = '10.5.0.0/16' OR SrcNetPrefix IN ('10.7.0.0/16')",
+    "flt_aspath_has": "DstASPath = 64515 OR DstASPath IN (64516, 64517)",
+    "flt_community_has": "DstCommunities = 64513:100 AND NOT (DstCommunities = 64513:999)",
+    "flt_large_community": "DstLargeCommunities = 64514:1:2",
+    "flt_mac_eq": f"SrcMAC = {_MAC_STR} AND Proto != 'icmp'",
+}
+
+AGG = (
+    "SELECT Proto, COUNT(*) AS flows, SUM(Bytes * SamplingRate) AS bytes "
+    "FROM ({src}) WHERE {where} GROUP BY Proto ORDER BY Proto"
+)
+
+
+def _mk(name: str, dsl: str) -> None:
+    f = CompiledFilter(parse_filter(dsl, _SCHEMA), _SCHEMA)
+
+    def run(spark, sf_dir, _f=f):
+        register_spark_view(spark, sf_dir)
+        return spark.sql(AGG.format(src=_SPARK_EXT, where=_f.spark_sql))
+
+    duck_src = _DUCK_EXT.replace("flows_v", f"({oracle_view_sql()})")
+    register(name, run, AGG.format(src=duck_src, where=f.duckdb_sql))
+
+
+for _name, _dsl in FILTER_CASES.items():
+    _mk(_name, _dsl)

@@ -1,0 +1,82 @@
+"""Oracle-checked multi-axis graph query (SURVEY §2.7 U1, §2.2 P9):
+the direct axis plus the direction-reversed axis (filter and
+dimensions swapped Src↔Dst / InIf↔OutIf), unioned with an ``axis``
+literal — the reference's UNION ALL shape (console/line.go:189-216,
+console/clickhouse.go:126-132)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from akvorado_spark.filtering.compile import CompiledFilter
+from akvorado_spark.filtering.model import ColumnSpec, FilterSchema
+from akvorado_spark.filtering.parser import parse_filter
+from akvorado_spark.oracle.flows_view import oracle_view_sql, register_spark_view
+from akvorado_spark.oracle.registry import register
+from akvorado_spark.query.line import LineRequest, compile_line, oracle_line_sql
+
+_SCHEMA = FilterSchema(
+    {
+        "srcport": ColumnSpec("SrcPort", "uint"),
+        "dstport": ColumnSpec("DstPort", "uint"),
+        "inifname": ColumnSpec("InIfName", "string"),
+        "outifname": ColumnSpec("OutIfName", "string"),
+        "proto": ColumnSpec("Proto", "proto"),
+    },
+    {
+        "SrcPort": "DstPort",
+        "DstPort": "SrcPort",
+        "InIfName": "OutIfName",
+        "OutIfName": "InIfName",
+    },
+)
+
+_FILTER = "InIfName IN ('Gi0/0/1', 'Gi0/0/2') AND Proto = 'tcp'"
+_L3 = "SUM(Bytes * SamplingRate * 8)"
+_BASE = ("Bytes", "SamplingRate")
+
+
+def _req(dim: str) -> LineRequest:
+    return LineRequest(
+        time_col="TimeReceived",
+        dimensions=(dim,),
+        weight_sql=None,
+        interval_s=30 * 86400,
+        limit=3,
+        agg_sql=_L3,
+        base_cols=_BASE,
+    )
+
+
+def _spark_bidir_line(spark, sf_dir):
+    register_spark_view(spark, sf_dir)
+    direct = CompiledFilter(parse_filter(_FILTER, _SCHEMA), _SCHEMA)
+    reverse = direct.reverse()
+    df = spark.table("flows_v")
+    ax1 = compile_line(df.filter(direct.column()), _req("InIfName"))
+    ax2 = compile_line(df.filter(reverse.column()), _req("OutIfName")).withColumnRenamed(
+        "OutIfName", "InIfName"
+    )
+    return ax1.select(F.lit(1).alias("axis"), "*").unionAll(
+        ax2.select(F.lit(2).alias("axis"), "*")
+    )
+
+
+def _oracle_bidir_line() -> str:
+    direct = CompiledFilter(parse_filter(_FILTER, _SCHEMA), _SCHEMA)
+    reverse = direct.reverse()
+    ax1 = oracle_line_sql(
+        f"(SELECT * FROM ({oracle_view_sql()}) WHERE {direct.duckdb_sql})",
+        _req("InIfName"),
+    )
+    ax2 = oracle_line_sql(
+        f"(SELECT * FROM ({oracle_view_sql()}) WHERE {reverse.duckdb_sql})",
+        _req("OutIfName"),
+    )
+    return f"""
+SELECT 1 AS axis, bucket, InIfName, sum_w, xps FROM ({ax1})
+UNION ALL
+SELECT 2 AS axis, bucket, OutIfName AS InIfName, sum_w, xps FROM ({ax2})"""
+
+
+register("graph_line_bidir", _spark_bidir_line, _oracle_bidir_line())
