@@ -143,10 +143,19 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
     rows = _top_rows(base, req)
 
     # Fold non-top tuples into 'Other' via a broadcast left join (J7).
+    # Numeric dims fold through their display string (the reference
+    # renders dimensions inside the fold); string/binary pass through —
+    # binary IPs use b'Other' and render after aggregation.
     marker = rows.withColumn("__top", F.lit(1))
     folded = base.join(F.broadcast(marker), on=dims, how="left")
+    dtypes = dict(base.dtypes)
     fold_cols = [
-        F.when(F.col("__top").isNotNull(), F.col(d)).otherwise(F.lit(OTHER)).alias(d)
+        F.when(
+            F.col("__top").isNotNull(),
+            F.col(d) if dtypes[d] in ("string", "binary") else F.col(d).cast("string"),
+        )
+        .otherwise(F.lit(OTHER))
+        .alias(d)
         for d in dims
     ]
     value_cols = list(req.base_cols) if req.agg_sql else ["__w"]
@@ -173,15 +182,19 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
         "__start_us",
     ).select((F.col("__start_us") + F.col("__i") * step_us).cast("long").alias("__bucket"))
 
-    # Dimension spine: the top tuples, plus one 'Other' tuple iff any
-    # non-top tuple exists in the data.
+    # Dimension spine: the top tuples (in their folded/display form),
+    # plus one 'Other' tuple iff any non-top tuple exists in the data.
     other_exists = (
         base.select(*dims).distinct().join(F.broadcast(marker.select(*dims, "__top")), on=dims, how="left")
         .filter(F.col("__top").isNull())
         .limit(1)
         .select(*[F.lit(OTHER).alias(d) for d in dims])
     )
-    dim_spine = rows.select(*dims).unionAll(other_exists)
+    spine_dims = [
+        (F.col(d) if dtypes[d] in ("string", "binary") else F.col(d).cast("string")).alias(d)
+        for d in dims
+    ]
+    dim_spine = rows.select(*spine_dims).unionAll(other_exists)
 
     spine = buckets.crossJoin(F.broadcast(dim_spine))
     out = (

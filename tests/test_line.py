@@ -33,6 +33,20 @@ def test_line_buckets_aligned_to_range_start(spark):
     assert buckets == list(range(buckets[0], buckets[-1] + step, step))
 
 
+def test_line_integer_dimension_folds_to_string(spark):
+    """Numeric dims fold through their display string — 'Other' must not
+    hit an ANSI string→bigint cast (regression)."""
+    df = _events(spark).select("ts", (F.col("event_type") != "click").cast("int").alias("k"), "value")
+    req = LineRequest(
+        time_col="ts", dimensions=("k",),
+        weight_sql="CAST(ROUND(value * 1000000) AS BIGINT)",
+        interval_s=86400, limit=1,
+    )
+    out = compile_line(df, req).collect()
+    kinds = {r["k"] for r in out}
+    assert kinds <= {"0", "1", "Other"} and "Other" in kinds
+
+
 def test_line_other_folding_and_topn(spark):
     df = _events(spark)
     req = LineRequest(
