@@ -91,15 +91,17 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 8
+    signatures: DataFrame, id_col: str, bands: int = 8, n_hashes: int | None = None
 ) -> DataFrame:
     """Candidate near-dup pairs: ids sharing any LSH band bucket.
 
     Bucket key = hash of one signature slice; join happens only within
     buckets, so cost follows bucket occupancy, not n².  Output columns
-    ``id_a < id_b`` (distinct pairs).
+    ``id_a < id_b`` (distinct pairs).  Pass ``n_hashes`` (the signature
+    width) to stay lazy — the fallback probes one row, which costs a
+    full pass over the signature pipeline.
     """
-    n = len(signatures.select("signature").first()["signature"])
+    n = n_hashes or len(signatures.select("signature").first()["signature"])
     rows_per_band = max(n // bands, 1)
     banded = signatures.select(
         F.col(id_col),

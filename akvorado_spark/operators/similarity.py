@@ -135,6 +135,101 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    c_id_col: str = "c_id",
+    c_vec_col: str = "c_vec",
+    out_col: str = "__cell",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-dot) centroid cell.
+
+    Centroids are dimension-sized → broadcast; argmax via one
+    ``max_by`` groupBy-free pass: cross join against the centroid set,
+    window-free reduction with ``max(struct(dot, -c_id))`` per row id
+    would shuffle, so instead the centroid loop folds into a single
+    ``greatest``-style comparison chain when centroids are few, or a
+    groupBy(max_by) when many.  Here: broadcast + groupBy(max_by) —
+    one shuffle of (row, cell) pairs, standard IVF build cost.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dot", dot(F.col(vec_col), F.col(c_vec_col))
+    )
+    keys = [c for c in vectors.columns]
+    return (
+        scored.groupBy(*keys)
+        .agg(F.expr(f"max_by({c_id_col}, struct(__dot, -{c_id_col}))").alias(out_col))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are pre-assigned to centroid
+    cells; each query probes its ``nprobe`` nearest cells and ranks
+    exactly inside them.
+
+    At cluster scale the cell assignment happens at ingest and the
+    table is written bucketed by cell, so a probe is a partition-pruned
+    scan of nprobe buckets — the classic IVF cost model.
+    """
+    from pyspark.sql import Window
+
+    v = ivf_assign(vectors, centroids, vec_col)
+    # query → its nprobe nearest cells
+    qs = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dot", dot(F.col(q_vec_col), F.col("c_vec"))
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(F.desc("__dot"), F.asc("c_id"))
+    probes = (
+        qs.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(q_id_col, q_vec_col, F.col("c_id").alias("__cell"))
+    )
+    cand = v.join(F.broadcast(probes), on="__cell")
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(q_id_col, "rank")
+    )
+
+
+def seed_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` lowest-id
+    vectors as centroids (a real deployment would k-means; the IVF
+    machinery is identical and this keeps tests seedless)."""
+    from pyspark.sql import Window
+
+    return (
+        vectors.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -94,8 +94,14 @@ _TIE = ("SrcPort", "DstPort", "Bytes")
 
 def _spark_rate_limit(spark, sf_dir):
     register_spark_view(spark, sf_dir)
+    # project before the window: the shuffle then moves 7 columns, not
+    # the whole row with its derived 16-byte addresses
+    flows = spark.table("flows_v").select(
+        "ExporterAddress", "ExporterName", "TimeReceived",
+        "SrcPort", "DstPort", "Bytes", "SamplingRate",
+    )
     out = rate_limit(
-        spark.table("flows_v"),
+        flows,
         _LIMIT_S,
         key="ExporterAddress",
         time_col="TimeReceived",

@@ -227,6 +227,26 @@ SELECT q_id, rank, vec_id, sim FROM (
 register("ann_bruteforce_topk", _ann_bruteforce, _ANN_ORACLE)
 
 
+# IVF ANN: with nprobe = every cell the probe degenerates to exact
+# brute force, so the full IVF machinery (assignment, probe selection,
+# in-cell ranking) is certified against the same SQL oracle; smaller
+# nprobe (the production path) is covered by recall tests in pytest.
+def _ann_ivf(spark, sf_dir):
+    from akvorado_spark.operators.similarity import ivf_topk, seed_centroids
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    queries = (
+        vecs.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    cents = seed_centroids(vecs, 4)
+    out = ivf_topk(vecs.filter(F.col("vec_id") >= 3), queries, cents, k=5, nprobe=4)
+    return out.select("q_id", "rank", "vec_id", "sim")
+
+
+register("ann_ivf_topk", _ann_ivf, _ANN_ORACLE)
+
+
 # embedding near-dup pairs: LSH-bucketed in Spark; DuckDB verifies the
 # *result* (pairs above threshold found by exact all-pairs in the same
 # sampled subset — recall must be exact because buckets only prune).
@@ -292,7 +312,7 @@ def _minhash_lsh(spark, sf_dir):
     ).filter("doc_id % 3 = 0")
     corpus = docs.select("doc_id", "text").unionAll(perturbed)
     sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32)
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, n_hashes=32)
     verified = ngram_jaccard_pairs(corpus, "text", "doc_id", pairs=cands)
     return verified.filter(F.col("jaccard") >= 0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

@@ -67,6 +67,38 @@ def kafka_source(
     )
 
 
+def serialize_flows(df: DataFrame, key_col: str | None = "ExporterAddress") -> DataFrame:
+    """Wire form for the enriched-flows Kafka sink (S10): the reference
+    emits protobuf (common/schema/protobuf.go); JSON keeps the payload
+    self-describing without a schema registry.  Key = exporter so a
+    consumer partition sees each exporter in order (the reference's
+    Kafka key choice)."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col and key_col in df.columns:
+        cols.insert(0, F.col(key_col).cast("binary").alias("key"))
+    return df.select(*cols)
+
+
+def kafka_sink(
+    stream: DataFrame,
+    servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = "ExporterAddress",
+):
+    """S10: second writeStream of enriched flows to Kafka (reference
+    outlet/kafkaoutput/, emit at outlet/core/worker.go:119-123).
+    Requires the spark-sql-kafka package on the classpath."""
+    return (
+        serialize_flows(stream, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 @dataclass
 class EnrichmentConfig:
     """Snapshot dimension tables + rules for the enrichment chain (T2).

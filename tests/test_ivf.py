@@ -1,0 +1,63 @@
+"""IVF approximate-nearest-neighbor tests (SURVEY training-pipeline
+ops: similarity search scale path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from akvorado_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    seed_centroids,
+)
+from akvorado_spark.sources.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+def _vecs(spark):
+    return load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+
+
+def test_ivf_assign_puts_centroid_in_own_cell(spark):
+    vecs = _vecs(spark).filter("vec_id < 50")
+    cents = seed_centroids(vecs, 4)
+    assigned = ivf_assign(vecs, cents)
+    # centroid vectors are their own nearest centroid
+    cmap = {r["c_id"]: r["c_vec"] for r in cents.collect()}
+    rows = {r["vec_id"]: r["__cell"] for r in assigned.collect()}
+    ids = sorted(rows)[:4]  # the 4 lowest ids seeded the centroids
+    for i, vid in enumerate(ids, start=1):
+        assert rows[vid] == i
+    assert len(cmap) == 4
+
+
+def test_ivf_probe_recalls_bucket_neighbors(spark):
+    vecs = _vecs(spark).filter("vec_id < 200")
+    # planted copy: vec 10's embedding under a new id → must be rank-1
+    planted = vecs.filter("vec_id = 10").select(
+        F.lit(990_000).alias("vec_id"), "embedding"
+    )
+    table = vecs.unionAll(planted)
+    queries = vecs.filter("vec_id = 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = seed_centroids(vecs, 8)
+    out = ivf_topk(table.filter("vec_id != 10"), queries, cents, k=3, nprobe=3).collect()
+    assert out and out[0]["vec_id"] == 990_000 and out[0]["sim"] == 1.0
+
+
+def test_ivf_matches_bruteforce_within_probed_cells(spark):
+    vecs = _vecs(spark).filter("vec_id < 300")
+    queries = vecs.filter("vec_id < 2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = seed_centroids(vecs, 4)
+    table = vecs.filter("vec_id >= 2")
+    # with nprobe = all cells, IVF degenerates to exact brute force
+    approx = ivf_topk(table, queries, cents, k=5, nprobe=4).collect()
+    exact = brute_force_topk(table, queries, k=5).collect()
+    assert [(r["q_id"], r["vec_id"]) for r in approx] == [
+        (r["q_id"], r["vec_id"]) for r in exact
+    ]

@@ -54,7 +54,7 @@ def test_exact_dedup_finds_exact_copies(spark, corpus_with_dups):
 
 def test_minhash_lsh_finds_seeded_neardups(spark, corpus_with_dups):
     sigs = minhash_signatures(corpus_with_dups, "text", "doc_id", n_hashes=32)
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=16)  # 2-row bands → high recall
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=16, n_hashes=32)  # 2-row bands → high recall
     got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     exact_pairs = {
         (r["doc_id"], r["doc_id"] + 1000)

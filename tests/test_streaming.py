@@ -87,6 +87,19 @@ def test_stream_exporters_table_refreshed(ingested):
     ).collect()[0][0]
 
 
+def test_serialize_flows_kafka_shape(spark):
+    from akvorado_spark.streaming.ingest import serialize_flows
+
+    flows = flows_df(spark, n=50)
+    wire = serialize_flows(flows)
+    assert wire.columns == ["key", "value"]
+    row = wire.first()
+    import json
+
+    decoded = json.loads(row["value"])
+    assert "Bytes" in decoded and "SrcAS" in decoded
+
+
 def test_enrich_chain(spark):
     flows = flows_df(spark, n=500)
     meta = spark.createDataFrame(
