@@ -80,3 +80,69 @@ SELECT 2 AS axis, bucket, OutIfName AS InIfName, sum_w, xps FROM ({ax2})"""
 
 
 register("graph_line_bidir", _spark_bidir_line, _oracle_bidir_line())
+
+
+# --- previous-period axis (reference console/line.go:59-117): the
+# comparison axis scans the range shifted back one period, then its
+# buckets shift forward to overlay the main time axis.
+
+_US = 1_000_000
+_START = 820454400 * _US  # 1996-01-01
+_END = 836179200 * _US  # 1996-07-01
+_SHIFT = 4 * 7 * 86400 * _US  # "month" = 4 weeks (console/line.go:81-96)
+_INTERVAL = 14 * 86400  # 14-day buckets
+
+
+def _prev_req(start: int, end: int) -> LineRequest:
+    return LineRequest(
+        time_col="TimeReceived",
+        dimensions=("InIfName",),
+        weight_sql=None,
+        interval_s=_INTERVAL,
+        limit=3,
+        agg_sql=_L3,
+        base_cols=_BASE,
+        start_us=start,
+        end_us=end,
+    )
+
+
+def _range_filter_sql(start: int, end: int) -> str:
+    return (
+        f"epoch_us(TimeReceived) >= {start} AND epoch_us(TimeReceived) < {end}"
+    )
+
+
+def _spark_prev_period(spark, sf_dir):
+    register_spark_view(spark, sf_dir)
+    df = spark.table("flows_v")
+    ts = F.unix_micros(F.col("TimeReceived").cast("timestamp"))
+    ax1 = compile_line(
+        df.filter((ts >= _START) & (ts < _END)), _prev_req(_START, _END)
+    )
+    ax3 = compile_line(
+        df.filter((ts >= _START - _SHIFT) & (ts < _END - _SHIFT)),
+        _prev_req(_START - _SHIFT, _END - _SHIFT),
+    ).withColumn("bucket", F.col("bucket") + F.lit(_SHIFT))
+    return ax1.select(F.lit(1).alias("axis"), "*").unionAll(
+        ax3.select(F.lit(3).alias("axis"), "*")
+    )
+
+
+def _oracle_prev_period() -> str:
+    src1 = (
+        f"(SELECT * FROM ({oracle_view_sql()}) WHERE {_range_filter_sql(_START, _END)})"
+    )
+    src3 = (
+        f"(SELECT * FROM ({oracle_view_sql()}) "
+        f"WHERE {_range_filter_sql(_START - _SHIFT, _END - _SHIFT)})"
+    )
+    ax1 = oracle_line_sql(src1, _prev_req(_START, _END))
+    ax3 = oracle_line_sql(src3, _prev_req(_START - _SHIFT, _END - _SHIFT))
+    return f"""
+SELECT 1 AS axis, bucket, InIfName, sum_w, xps FROM ({ax1})
+UNION ALL
+SELECT 3 AS axis, bucket + {_SHIFT} AS bucket, InIfName, sum_w, xps FROM ({ax3})"""
+
+
+register("graph_line_prev_period", _spark_prev_period, _oracle_prev_period())

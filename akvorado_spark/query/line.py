@@ -255,10 +255,19 @@ def oracle_line_sql(table_sql: str, req: LineRequest) -> str:
     on_spine = " AND ".join(f"s.{d} = a.{d}" for d in dims)
     s_dims = ", ".join(f"s.{d}" for d in dims)
 
+    if req.start_us is not None:
+        bounds_sql = (
+            f"SELECT CAST({req.start_us} AS BIGINT) AS start_us, "
+            f"CAST({req.end_us - 1} AS BIGINT) AS max_us"
+        )
+    else:
+        bounds_sql = (
+            f"SELECT MIN(epoch_us({ts})) AS start_us, MAX(epoch_us({ts})) AS max_us FROM source"
+        )
     sql = f"""
 WITH source AS (SELECT * FROM {table_sql}),
 bounds AS (
-  SELECT MIN(epoch_us({ts})) AS start_us, MAX(epoch_us({ts})) AS max_us FROM source
+  {bounds_sql}
 ),
 base AS (
   SELECT CAST(b.start_us + FLOOR((epoch_us(s.{ts}) - b.start_us) / {step_us}) * {step_us} AS BIGINT) AS bucket,
