@@ -3,28 +3,39 @@
 Spark has no native LPM (the reference uses ip_trie dictionaries and a
 bart trie: common/schema/root.go:107-185, outlet/networks/root.go:55-66,
 outlet/routing/provider/bmp rib).  This operator re-expresses LPM as a
-**per-prefix-length cascade of broadcast hash equi-joins**:
+**per-byte-length cascade of broadcast hash equi-joins on binary
+slices**:
 
-    for L in distinct prefix lengths, longest→shortest:
-        flows LEFT JOIN prefixes[plen=L]
-              ON truncate(ip, L) = network_address [AND exporter = e]
-    each output attribute = COALESCE(attr@L1, attr@L2, …)
+    dimension side (tiny): each prefix is expanded to byte-aligned
+        blocks — a /111 becomes two /112 keys — and, per block key,
+        nested prefixes are pre-resolved longest-first per attribute
+        (attribute inheritance collapses at build time);
+    fact side: for each distinct key width B (bytes, longest→shortest):
+        flows LEFT JOIN blocks[B] ON substring(ip, 1, B) = key
+    each output attribute = COALESCE(attr@B1, attr@B2, …)
 
-Why this shape and not a range join:
+Why this shape:
 
 - ``ip BETWEEN lo AND hi`` against a broadcast table is a
-  nested-loop join — O(rows × prefixes).  The cascade is ~20-30
+  nested-loop join — O(rows × prefixes).  The cascade is a handful of
   *hash* joins, each O(rows), all broadcast: the fact side never
   shuffles and the plan scales linearly at 100 TB.
-- The per-attribute COALESCE across lengths (longest first, NULLs
-  fall through) reproduces the reference's nested-prefix **attribute
-  inheritance** exactly (outlet/networks/root.go flattening): a /24
-  with a NULL site inherits the site of its covering /16.
-- Prefix tables are dimension-sized (networks: thousands; RIB
-  snapshot: up to ~1M rows ≈ tens of MB) — comfortably broadcast.
+- The fact-side key is a **binary slice** (``substring`` on the
+  16-byte address) — no hex conversion, no masking arithmetic, a few
+  ns per row inside whole-stage codegen.  All string work happens on
+  the dimension side, which is dimension-sized.
+- Grouping lengths by their byte ceiling cuts the join count (mapped
+  v4 lengths 104..111 collapse into two joins); expansion fan-out is
+  bounded by 2^7 per prefix and is ~2 in practice (only non-aligned
+  lengths expand).
+- The per-attribute COALESCE across widths (longest first) plus the
+  build-time within-width resolution reproduces the reference's
+  nested-prefix **attribute inheritance** exactly (a /24 with a NULL
+  site inherits the site of its covering /16).
 
-The fact-side join key ``truncate(ip, L)`` is pure SQL (plan-time
-mask, functions/ip.py) and stays in whole-stage codegen.
+Prefix tables are dimension-sized (networks: thousands; RIB snapshot:
+up to ~1M rows) — comfortably broadcast; ceil preserves length order,
+so cross-width precedence is exact.
 """
 
 from __future__ import annotations
@@ -32,7 +43,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from akvorado_spark.functions.ip import hex_prefix_key, ip_hex
+
+def _expand_to_bytes(
+    pfx: DataFrame, B: int, prefix_lo: str, prefix_len: str, keep: list[str]
+) -> DataFrame:
+    """Expand prefixes with ceil(plen/8) == B into byte-aligned block
+    keys of width B (dimension-side; hex string ops are fine here).
+    ``keep`` are column *names* carried through unchanged."""
+    p = pfx.filter(F.ceil(F.col(prefix_len) / 8) == B).filter(F.col(prefix_len) > 0)
+    nexp = F.pow(F.lit(2), B * 8 - F.col(prefix_len)).cast("long")
+    base_hex = F.substring(F.lower(F.hex(F.col(prefix_lo))), 1, (B - 1) * 2)
+    last_byte = F.conv(F.substring(F.hex(F.col(prefix_lo)), (B - 1) * 2 + 1, 2), 16, 10).cast("int")
+    exp = p.select(
+        *keep,
+        F.col(prefix_len).alias("__plen"),
+        base_hex.alias("__bh"),
+        last_byte.alias("__lb"),
+        F.explode(F.sequence(F.lit(0), nexp - 1)).alias("__i"),
+    )
+    return exp.select(
+        *keep,
+        "__plen",
+        F.unhex(
+            F.concat(F.col("__bh"), F.lpad(F.hex(F.col("__lb") + F.col("__i")), 2, "0"))
+        ).alias("__key"),
+    )
+
+
+def _resolve_blocks(exp: DataFrame, attrs: list[str], group_keys: list[str]) -> DataFrame:
+    """Per block key, pre-resolve nested prefixes: each attribute takes
+    the value of the longest prefix that sets it (inheritance)."""
+    aggs = [
+        F.max(
+            F.when(F.col(a).isNotNull(), F.struct(F.col("__plen").alias("p"), F.col(a).alias("v")))
+        )["v"].alias(a)
+        for a in attrs
+    ]
+    return exp.groupBy(*group_keys).agg(*aggs)
 
 
 def lpm_join(
@@ -63,16 +110,14 @@ def lpm_join(
             for c in prefixes.columns
             if c not in (prefix_lo, prefix_len, prefix_exporter, "hi", "prefix")
         ]
-    # dimension-sized: single partition keeps every broadcast-build job
-    # at one task instead of spark.default.parallelism
     prefixes = prefixes.coalesce(1)
     if plens is None:
         # one tiny job over the dimension frame; pass plens= when the
         # lengths are known at plan time to stay fully lazy
         plens = [r[0] for r in prefixes.select(prefix_len).distinct().collect()]
-    plens = sorted(set(plens), reverse=True)
+    byte_widths = sorted({(int(L) + 7) // 8 for L in plens if int(L) > 0}, reverse=True)
 
-    passes: list[tuple[object, bool]] = []  # (prefix frame, exporter-keyed?)
+    passes: list[tuple[DataFrame, bool]] = []
     if exporter_col is not None:
         with_exp = prefixes.filter(F.col(prefix_exporter).isNotNull())
         fallback = prefixes.filter(F.col(prefix_exporter).isNull())
@@ -80,37 +125,53 @@ def lpm_join(
     else:
         passes = [(prefixes, False)]
 
-    # Hoist the hex conversion out of the cascade: the per-join fact key
-    # is then a single substring over this column (keeps each join's
-    # generated code tiny — the naive per-join hex/mask/unhex version
-    # spent more time in JIT compilation than in execution).
-    out = flows.withColumn("__iphex", ip_hex(F.col(ip_col)))
+    out = flows
     matched: dict[str, list] = {a: [] for a in attrs}
     tag = 0
     for pfx, keyed in passes:
-        for L in plens:
-            nibbles = (int(L) + 3) // 4
-            one = pfx.filter(F.col(prefix_len) == L)
-            # network addresses are pre-masked, so their key is a plain
-            # hex substring
-            key = F.substring(F.lower(F.hex(F.col(prefix_lo))), 1, nibbles)
-            sel = [key.alias(f"__k{tag}")] + [
-                F.col(a).alias(f"__{a}_{tag}") for a in attrs
-            ]
-            if keyed:
-                sel.append(F.col(prefix_exporter).alias(f"__e{tag}"))
-            one = one.select(*sel)
-            cond = hex_prefix_key(F.col("__iphex"), L) == F.col(f"__k{tag}")
+        if keyed and prefix_exporter != "__e":
+            pfx = pfx.withColumnRenamed(prefix_exporter, "__e")
+        for B in byte_widths:
+            keep = (["__e"] if keyed else []) + list(attrs)
+            exp = _expand_to_bytes(pfx, B, prefix_lo, prefix_len, keep)
+            group_keys = ["__key"] + (["__e"] if keyed else [])
+            blocks = _resolve_blocks(exp, attrs, group_keys)
+            blocks = blocks.select(
+                F.col("__key").alias(f"__k{tag}"),
+                *([F.col("__e").alias(f"__e{tag}")] if keyed else []),
+                *[F.col(a).alias(f"__{a}_{tag}") for a in attrs],
+            )
+            cond = F.expr(f"substring({ip_col}, 1, {B})") == F.col(f"__k{tag}")
             if keyed:
                 cond = cond & (F.col(exporter_col) == F.col(f"__e{tag}"))
-            out = out.join(F.broadcast(one), cond, "left")
-            drop = [f"__k{tag}"] + ([f"__e{tag}"] if keyed else [])
+            out = out.join(F.broadcast(blocks), cond, "left")
+            out = out.drop(f"__k{tag}", *([f"__e{tag}"] if keyed else []))
             for a in attrs:
                 matched[a].append(F.col(f"__{a}_{tag}"))
-            out = out.drop(*drop)
+            tag += 1
+        if 0 in {int(L) for L in plens}:
+            # default route (/0): matches everything, lowest precedence
+            # within its pass — a 1-row broadcast of resolved attrs
+            zero = pfx.filter(F.col(prefix_len) == 0)
+            if keyed:
+                zblocks = zero.groupBy(F.col("__e").alias(f"__e{tag}")).agg(
+                    *[F.max(a).alias(f"__{a}_{tag}") for a in attrs]
+                )
+                out = out.join(
+                    F.broadcast(zblocks),
+                    F.col(exporter_col) == F.col(f"__e{tag}"),
+                    "left",
+                ).drop(f"__e{tag}")
+            else:
+                zblocks = zero.agg(
+                    *[F.max(a).alias(f"__{a}_{tag}") for a in attrs]
+                )
+                out = out.join(F.broadcast(zblocks))
+            for a in attrs:
+                matched[a].append(F.col(f"__{a}_{tag}"))
             tag += 1
 
     for a in attrs:
         out = out.withColumn(out_prefix + a, F.coalesce(*matched[a]))
-    out = out.drop("__iphex", *[f"__{a}_{t}" for a in attrs for t in range(tag)])
+    out = out.drop(*[f"__{a}_{t}" for a in attrs for t in range(tag)])
     return out
