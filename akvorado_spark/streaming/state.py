@@ -1,0 +1,97 @@
+"""Custom stateful streaming operators (SURVEY §2.9 T1 streaming form).
+
+The batch ``operators/classify.rate_limit`` reproduces the reference's
+token bucket over a closed window; this module is the *streaming*
+form: ``applyInPandasWithState`` keyed by exporter, carrying the
+bucket fill and the previous second's drop rate across micro-batches —
+the exact state layout of the reference's ``perExporterRateLimiter``
+(outlet/core/rate.go:14-25).
+
+State per exporter: (current tick, tokens used this tick, total seen
+this tick, drop rate of the previous tick).  Survivors' SamplingRate
+is inflated by 1/(1-dropRate) like the reference (worker.go:78-99).
+
+Scale: state is one tiny tuple per exporter (thousands), partitioned
+by the grouping key; each micro-batch touches only the exporters it
+contains.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tick", T.LongType()),
+        T.StructField("used", T.LongType()),
+        T.StructField("total", T.LongType()),
+        T.StructField("drop_rate", T.DoubleType()),
+    ]
+)
+
+
+def _output_schema(extra: T.StructType) -> T.StructType:
+    return extra
+
+
+def streaming_rate_limit(
+    flows: DataFrame,
+    limit_per_s: int,
+    key: str = "ExporterAddress",
+    time_col: str = "TimeReceived",
+    sampling_col: str = "SamplingRate",
+) -> DataFrame:
+    """Per-exporter streaming rate limit with sampling compensation.
+
+    Works on a streaming *or* batch grouped frame: rows beyond
+    ``limit_per_s/5`` per 200 ms tick are dropped; survivors'
+    SamplingRate is scaled by the previous tick's observed drop rate.
+    """
+    per_tick = max(limit_per_s // 5, 1)
+    out_schema = flows.schema
+
+    def fn(
+        key_val, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tick, used, total, drop_rate = state.get
+        else:
+            tick, used, total, drop_rate = -1, 0, 0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="stable")
+            ns = pdf[time_col].astype("datetime64[ns]").astype("int64")
+            ticks = (ns // 200_000_000).to_numpy()
+            keep, factors = [], []
+            for i, t in enumerate(ticks):
+                if t != tick:
+                    # tick rollover: publish the finished tick's drop rate
+                    drop_rate = ((total - used) / total) if total > used else 0.0
+                    tick, used, total = t, 0, 0
+                total += 1
+                if used < per_tick:
+                    used += 1
+                    keep.append(i)
+                    factors.append(drop_rate)  # rate in effect *at this row*
+            kept = pdf.iloc[keep].copy()
+            if factors:
+                import numpy as np
+
+                f = np.asarray(factors)
+                kept[sampling_col] = (
+                    kept[sampling_col].to_numpy() / (1.0 - f)
+                ).astype("int64")
+            yield kept
+        state.update((int(tick), int(used), int(total), float(drop_rate)))
+
+    return flows.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,72 @@
+"""Stateful streaming rate limiter tests (SURVEY §2.9 T1,
+applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _flows(spark, n_per_tick, ticks, rate=10):
+    rows = []
+    for t in range(ticks):
+        for i in range(n_per_tick):
+            # 200ms ticks: 0.0, 0.2, 0.4 …
+            rows.append(("e1", f"2024-01-01 00:00:{t // 5:02d}.{(t % 5) * 2}00000", rate))
+    df = spark.createDataFrame(rows, "ExporterAddress string, TimeReceived string, SamplingRate long")
+    return df.withColumn("TimeReceived", F.col("TimeReceived").cast("timestamp"))
+
+
+def test_streaming_rate_limit_state_across_batches(spark, tmp_path):
+    from akvorado_spark.streaming.state import streaming_rate_limit
+
+    # 3 ticks × 25 flows, limit 50/s → 10 kept per tick
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    batch = _flows(spark, 25, 3)
+    batch.coalesce(1).write.mode("overwrite").parquet(src + "/c1")
+
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(src + "/c1")
+    )
+    limited = streaming_rate_limit(stream, 50)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        limited.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 30  # 10 per tick × 3 ticks
+    # ticks 2 and 3 carry tick-1's observed drop rate (15/25 = 60%):
+    # SamplingRate 10 → 10 / (1-0.6) = 25
+    rates = [r["SamplingRate"] for r in got.collect()]
+    assert rates.count(10) == 10  # first tick: no prior drop rate
+    assert rates.count(25) == 20  # subsequent ticks compensated
+
+
+def test_streaming_rate_limit_under_limit_passthrough(spark, tmp_path):
+    from akvorado_spark.streaming.state import streaming_rate_limit
+
+    src = str(tmp_path / "in2")
+    os.makedirs(src)
+    batch = _flows(spark, 5, 2)
+    batch.coalesce(1).write.mode("overwrite").parquet(src + "/c1")
+    stream = spark.readStream.schema(batch.schema).parquet(src + "/c1")
+    limited = streaming_rate_limit(stream, 50)
+    out_dir, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q = (
+        limited.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 10
+    assert all(r["SamplingRate"] == 10 for r in got)
