@@ -86,3 +86,41 @@ ORDER BY {tie} LIMIT 1"""
 
 
 register("widget_last_flow", _spark_last_flow, _oracle_last_flow())
+
+
+# --- approx weighted top-K, oracle-gated exact degeneration ----------------
+#
+# SURVEY A7 (reference console/query.go:78-120): the SpaceSaving-style
+# partial-rank merge is exact whenever every partition's survivor set
+# covers all tuples present in that partition, i.e. per-partition
+# distinct dimension tuples <= k * load_factor.  (ExporterName, Proto)
+# has 8 x 3 = 24 tuples << 10 * 20 = 200, so the full machinery
+# (partition-local partial agg + rank cut + global merge) runs and the
+# result must equal the exact SQL ranking — same certification pattern
+# as ann_ivf_topk.  The approximate regime (cut actually pruning) is
+# covered by pytest bounds in test_topk.
+
+
+def _spark_topk_weighted(spark, sf_dir):
+    from akvorado_spark.operators.topk import approx_topk_weighted
+
+    register_spark_view(spark, sf_dir)
+    return approx_topk_weighted(
+        spark.table("flows_v"),
+        ["ExporterName", "Proto"],
+        "Bytes * SamplingRate",
+        k=10,
+        load_factor=20,
+    )
+
+
+def _oracle_topk_weighted() -> str:
+    return f"""
+SELECT ExporterName, Proto, SUM(Bytes * SamplingRate) AS weight
+FROM {oracle_view_sql()}
+GROUP BY ExporterName, Proto
+ORDER BY weight DESC, ExporterName, Proto
+LIMIT 10"""
+
+
+register("topk_weighted_exact", _spark_topk_weighted, _oracle_topk_weighted())
