@@ -111,7 +111,10 @@ def rate_limit(
     w = Window.partitionBy(key, "__tick").orderBy(
         F.col(time_col).asc(), *[F.col(t).asc() for t in tiebreak]
     )
-    wall = Window.partitionBy(key, "__tick")
+    # same partitioning AND ordering for both analytics (the count just
+    # widens the frame to the whole partition) → Catalyst evaluates
+    # them in one Window operator over one shuffle+sort
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     d = (
         d.withColumn("__rn", F.row_number().over(w))
         .withColumn("__total", F.count(F.lit(1)).over(wall))
