@@ -72,7 +72,7 @@ def _agg_col(req: LineRequest) -> Column:
     return expr.cast(req.value_type)
 
 
-def _top_rows(base: DataFrame, req: LineRequest) -> DataFrame:
+def _top_rows(base: DataFrame, req: LineRequest, bounds: DataFrame) -> DataFrame:
     """Top-N dimension tuples.
 
     limit_type mirrors reference console/query.go:50-77:
@@ -83,11 +83,21 @@ def _top_rows(base: DataFrame, req: LineRequest) -> DataFrame:
     deterministic across engines.
     """
     dims = list(req.dimensions)
+    step_us = req.interval_s * 1_000_000
     if req.limit_type == "max":
         per_bucket = base.groupBy("__bucket", *dims).agg(_agg_col(req).alias("__bw"))
         ranked = per_bucket.groupBy(*dims).agg(F.max("__bw").alias("__tw"))
     elif req.limit_type == "last":
-        last_bucket = base.agg(F.max("__bucket").alias("__lb"))
+        # the final bucket is arithmetic over the 1-row bounds frame —
+        # NOT a max() over base, which would cost a full data pass
+        last_bucket = bounds.select(
+            (
+                F.col("__start_us")
+                + F.floor((F.col("__max_us") - F.col("__start_us")) / step_us) * step_us
+            )
+            .cast("long")
+            .alias("__lb")
+        )
         ranked = (
             base.join(F.broadcast(last_bucket), F.col("__bucket") == F.col("__lb"))
             .groupBy(*dims)
@@ -140,7 +150,7 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
             "__bucket", "__w", *dims
         )
 
-    rows = _top_rows(base, req)
+    rows = _top_rows(base, req, bounds)
 
     # Fold non-top tuples into 'Other' via a broadcast left join (J7).
     # Numeric dims fold through their display string (the reference
@@ -182,19 +192,13 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
         "__start_us",
     ).select((F.col("__start_us") + F.col("__i") * step_us).cast("long").alias("__bucket"))
 
-    # Dimension spine: the top tuples (in their folded/display form),
-    # plus one 'Other' tuple iff any non-top tuple exists in the data.
-    other_exists = (
-        base.select(*dims).distinct().join(F.broadcast(marker.select(*dims, "__top")), on=dims, how="left")
-        .filter(F.col("__top").isNull())
-        .limit(1)
-        .select(*[F.lit(OTHER).alias(d) for d in dims])
-    )
-    spine_dims = [
-        (F.col(d) if dtypes[d] in ("string", "binary") else F.col(d).cast("string")).alias(d)
-        for d in dims
-    ]
-    dim_spine = rows.select(*spine_dims).unionAll(other_exists)
+    # Dimension spine: the distinct folded tuples of the aggregate
+    # itself.  Every top tuple appears in agg (it was ranked from the
+    # data), and an 'Other' row exists in agg exactly when some
+    # non-top tuple existed — so this equals "top tuples + Other iff
+    # any", WITHOUT the extra full-data distinct pass; it's a tiny
+    # reuse of agg's shuffle output (≤ limit+1 tuples).
+    dim_spine = agg.select(*dims).distinct()
 
     spine = buckets.crossJoin(F.broadcast(dim_spine))
     out = (
