@@ -33,6 +33,20 @@ def _match_pos(col, prefix: str):
     return F.locate(prefix.lower(), F.lower(col))
 
 
+def _top_with_ord(df: DataFrame, order_exprs, limit: int) -> DataFrame:
+    """Top-``limit`` rows of ``df`` under ``order_exprs`` with their
+    1-based rank as ``ord``.
+
+    ``orderBy().limit()`` runs as TakeOrderedAndProject — each partition
+    keeps its local top-k and the driver merges k-sized heaps — so the
+    candidate set is never globally sorted into one partition. The
+    row_number window then runs over the ≤limit-row survivor frame,
+    where a single-partition sort is a constant-size no-op.
+    """
+    top = df.orderBy(*order_exprs).limit(limit)
+    return top.withColumn("ord", F.row_number().over(Window.orderBy(*order_exprs)))
+
+
 def _ranked_union(flows: DataFrame, dico: DataFrame, limit: int) -> DataFrame:
     """UNION DISTINCT + GROUP BY (label, detail) ORDER BY MIN(rank),
     MIN(ord) LIMIT — the reference's merge shape."""
@@ -66,8 +80,7 @@ def complete_asn(
         .filter(F.col("name").isNotNull() & (_match_pos(F.col("name"), prefix) > 0))
         .groupBy(column, "name")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn("ord", F.row_number().over(Window.orderBy(F.col("__c").desc(), column)))
-        .filter(F.col("ord") <= limit)
+        .transform(lambda d: _top_with_ord(d, [F.col("__c").desc(), column], limit))
         .select(
             F.concat(F.lit("AS"), F.col(column).cast("string")).alias("label"),
             F.col("name").alias("detail"),
@@ -77,11 +90,9 @@ def complete_asn(
     )
     from_dict = (
         dico.filter(_match_pos(F.col("name"), prefix) > 0)
-        .withColumn(
-            "ord",
-            F.row_number().over(Window.orderBy(_match_pos(F.col("name"), prefix), "asn")),
+        .transform(
+            lambda d: _top_with_ord(d, [_match_pos(F.col("name"), prefix), F.col("asn")], limit)
         )
-        .filter(F.col("ord") <= limit)
         .select(
             F.concat(F.lit("AS"), F.col("asn").cast("string")).alias("label"),
             F.col("name").alias("detail"),
@@ -120,10 +131,9 @@ def complete_port(
         .filter(F.col("name").isNotNull() & (_match_pos(F.col("name"), prefix) > 0))
         .groupBy(column, "Proto", "name")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn(
-            "ord", F.row_number().over(Window.orderBy(F.col("__c").desc(), column, "Proto"))
+        .transform(
+            lambda d: _top_with_ord(d, [F.col("__c").desc(), F.col(column), F.col("Proto")], limit)
         )
-        .filter(F.col("ord") <= limit)
         .select(
             F.col(column).cast("string").alias("label"),
             F.col("name").alias("detail"),
@@ -134,11 +144,9 @@ def complete_port(
     known = tcp.unionAll(udp).distinct()
     from_dict = (
         known.filter(_match_pos(F.col("name"), prefix) > 0)
-        .withColumn(
-            "ord",
-            F.row_number().over(Window.orderBy(_match_pos(F.col("name"), prefix), "port")),
+        .transform(
+            lambda d: _top_with_ord(d, [_match_pos(F.col("name"), prefix), F.col("port")], limit)
         )
-        .filter(F.col("ord") <= limit)
         .select(
             F.col("port").cast("string").alias("label"),
             F.col("name").alias("detail"),
