@@ -64,3 +64,28 @@ def _units_by_if(spark, sf_dir):
 
 
 register("units_by_if", _units_by_if, _UNITS_BY_IF.format(src=oracle_view_sql()))
+
+
+# A13 grouping sets — absent in the reference's surface (SURVEY §2.4 A13)
+# but native in Spark and DuckDB alike, so the rollup matrix the console
+# would need for a drill-down widget ships as a bonus operator: per
+# (exporter, proto) cells, per-exporter subtotals, and the grand total in
+# one pass (Catalyst expands the sets and aggregates map-side before one
+# shuffle — no per-level rescan).  One shared SQL string = dialect parity.
+_GROUPING_SETS = (
+    "SELECT ExporterName, Proto, "
+    "CAST(GROUPING(ExporterName) AS INT) AS g_exporter, "
+    "CAST(GROUPING(Proto) AS INT) AS g_proto, "
+    "COUNT(*) AS fps, "
+    "SUM(Bytes * SamplingRate * 8) AS l3bytes_x8 "
+    "FROM {src} "
+    "GROUP BY GROUPING SETS ((ExporterName, Proto), (ExporterName), ())"
+)
+
+
+def _grouping_sets(spark, sf_dir):
+    register_spark_view(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS.format(src="flows_v"))
+
+
+register("units_grouping_sets", _grouping_sets, _GROUPING_SETS.format(src=oracle_view_sql()))
