@@ -94,12 +94,20 @@ def lang_id(text: Column) -> Column:
 FP_MOD = 100_000_000_000_000_003  # prime < 2^57: 31*acc + h stays < 2^63 (ANSI-safe)
 
 
-def fingerprint(text: Column) -> Column:
+def portable_word_hash(w: Column) -> Column:
+    """56-bit word hash both Spark and DuckDB can compute bit-identically:
+    first 14 hex digits of md5.  Used to oracle-certify the rolling fold;
+    the production path keeps xxhash64 (JVM intrinsic, no hex round-trip)."""
+    return F.conv(F.substring(F.md5(w.cast("binary")), 1, 14), 16, 10).cast("long")
+
+
+def fingerprint(text: Column, word_hash=None) -> Column:
     """Order-sensitive rolling fingerprint: fold word hashes with
     acc = (31*acc + h) mod P.  Modular (not wrapping) arithmetic —
     Spark's ANSI mode rejects long overflow."""
+    wh = word_hash or F.xxhash64
     return F.aggregate(
-        F.transform(words(text), lambda w: F.pmod(F.xxhash64(w), F.lit(FP_MOD))),
+        F.transform(words(text), lambda w: F.pmod(wh(w), F.lit(FP_MOD))),
         F.lit(0).cast("long"),
         lambda acc, h: F.pmod(acc * F.lit(31).cast("long") + h, F.lit(FP_MOD)),
     )

@@ -190,6 +190,42 @@ FROM scored GROUP BY 1, 2 ORDER BY lang, guess
 
 register("text_lang_id", _lang_id, _lang_oracle())
 
+
+# document fingerprint: the order-sensitive rolling fold, certified
+# per-document on a doc_id sample.  The oracle run swaps xxhash64 for the
+# engine-portable md5-prefix word hash so DuckDB folds the very same
+# integers through the very same (31*acc + h) mod P recurrence — this
+# gates the fold machinery (tokenize → hash → mod → left fold), which is
+# hash-function-independent; production keeps xxhash64.
+_FP_SAMPLE = "doc_id % 17 = 0"
+
+
+def _text_fingerprint(spark, sf_dir):
+    from akvorado_spark.operators.text import fingerprint, portable_word_hash
+
+    docs = load_table(spark, "documents", sf_dir).filter(_FP_SAMPLE)
+    return docs.select(
+        "doc_id", fingerprint(F.col("text"), portable_word_hash).alias("fp")
+    )
+
+
+def _fingerprint_oracle() -> str:
+    from akvorado_spark.operators.text import FP_MOD
+
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''),
+        w -> ('0x' || substr(md5(w), 1, 14))::BIGINT % {FP_MOD})),
+    (acc, h) -> (31 * acc + h) % {FP_MOD}) AS fp
+FROM documents WHERE {_FP_SAMPLE}
+"""
+
+
+register("text_fingerprint", _text_fingerprint, _fingerprint_oracle())
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
