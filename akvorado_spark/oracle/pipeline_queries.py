@@ -332,11 +332,12 @@ register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
 # ---------------------------------------------------------------------------
 
 
-def _minhash_lsh(spark, sf_dir):
+def _minhash_pipeline(spark, sf_dir, hash_fn=None):
     from akvorado_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
+        seeded_xxhash64,
     )
 
     docs = load_table(spark, "documents", sf_dir).filter("doc_id % 5 = 0")
@@ -347,15 +348,90 @@ def _minhash_lsh(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" trailing marker suffix")).alias("text"),
     ).filter("doc_id % 3 = 0")
     corpus = docs.select("doc_id", "text").unionAll(perturbed)
-    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32)
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, n_hashes=32)
+    fn = hash_fn or seeded_xxhash64
+    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32, hash_fn=fn)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, n_hashes=32, hash_fn=fn)
     verified = ngram_jaccard_pairs(corpus, "text", "doc_id", pairs=cands)
-    return verified.filter(F.col("jaccard") >= 0.5).select(
+    return verified.filter(F.round("jaccard", 6) >= 0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
 
 
-register("dedup_minhash_lsh", _minhash_lsh, None)
+register("dedup_minhash_lsh", _minhash_pipeline, None)
+
+
+def _minhash_certified(spark, sf_dir):
+    from akvorado_spark.operators.dedup import portable_seeded_hash
+
+    return _minhash_pipeline(spark, sf_dir, hash_fn=portable_seeded_hash)
+
+
+def _minhash_oracle(n: int = 32, bands: int = 8, thr: float = 0.5) -> str:
+    """DuckDB mirror of the ENTIRE sketch pipeline — grams → n seeded
+    minima → band buckets → in-bucket candidate pairs → exact Jaccard —
+    using the portable md5-prefix seeded hash, so candidate generation
+    itself (not just the verification) is value-checked."""
+    rpb = n // bands
+    mins = ",\n       ".join(
+        f"MIN(('0x' || substr(md5('{i}|' || g), 1, 14))::BIGINT) AS m{i}" for i in range(n)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, ('0x' || substr(md5('{b}|' || concat_ws(','"
+        + "".join(f", m{b * rpb + r}" for r in range(rpb))
+        + ")), 1, 14))::BIGINT AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+pert AS (SELECT doc_id + 10000000 AS doc_id, text || ' trailing marker suffix' AS text
+         FROM docs0 WHERE (doc_id + 10000000) % 3 = 0),
+corpus AS (SELECT * FROM docs0 UNION ALL SELECT * FROM pert),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN array_to_string(ws[i:i+2], ' ')
+                ELSE array_to_string(ws, ' ') END AS g
+    FROM toks, generate_series(1, 100000) t(i)
+    WHERE i <= GREATEST(len(ws) - 2, 1)
+  )
+),
+sig AS (SELECT doc_id, {mins}
+        FROM grams GROUP BY doc_id),
+banded AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, COUNT(*) AS i
+  FROM cand
+  JOIN grams x ON x.doc_id = id_a
+  JOIN grams y ON y.doc_id = id_b AND y.g = x.g
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, j AS jaccard
+FROM (
+  SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+WHERE j >= {thr}
+ORDER BY id_a, id_b
+"""
+
+
+register("dedup_minhash_certified", _minhash_certified, _minhash_oracle())
 
 
 def _simhash_fps(spark, sf_dir):
@@ -367,3 +443,42 @@ def _simhash_fps(spark, sf_dir):
 
 
 register("dedup_simhash", _simhash_fps, None)
+
+
+_SH_SAMPLE = "doc_id % 7 = 0"
+_SH_BITS = 56  # portable hash is 56-bit, so the certified fingerprint is too
+
+
+def _simhash_certified(spark, sf_dir):
+    from akvorado_spark.operators.dedup import simhash
+    from akvorado_spark.operators.text import portable_word_hash
+
+    docs = load_table(spark, "documents", sf_dir).filter(_SH_SAMPLE)
+    return simhash(docs, "text", "doc_id", bits=_SH_BITS, hash_fn=portable_word_hash).orderBy(
+        "doc_id"
+    )
+
+
+def _simhash_oracle(bits: int = _SH_BITS) -> str:
+    """DuckDB mirror of the full SimHash fold: per-word portable hash →
+    per-bit ±1 votes → positive-vote bit reassembly, per document."""
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE {_SH_SAMPLE}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS w
+  FROM docs
+),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 14))::BIGINT AS h FROM toks),
+votes AS (SELECT doc_id, {votes}
+          FROM hashed GROUP BY doc_id)
+SELECT doc_id, {fp} AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+register("dedup_simhash_certified", _simhash_certified, _simhash_oracle())
