@@ -53,10 +53,12 @@ _J_THRESHOLD = 0.30
 
 
 def _jaccard_pairs(spark, sf_dir):
-    from akvorado_spark.operators.dedup import ngram_jaccard_pairs
+    from akvorado_spark.operators.dedup import corpus_grams, ngram_jaccard_pairs
 
     docs = load_table(spark, "documents", sf_dir).filter(_J_SAMPLE)
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ngram=3)
+    # grams feed both self-join sides and the size aggregate: one scan
+    grams = corpus_grams(docs, "text", "doc_id").persist()
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ngram=3, grams=grams)
     return (
         pairs.filter(F.round("jaccard", 6) >= _J_THRESHOLD)
         .agg(
@@ -334,6 +336,7 @@ register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
 
 def _minhash_pipeline(spark, sf_dir, hash_fn=None):
     from akvorado_spark.operators.dedup import (
+        corpus_grams,
         lsh_candidate_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
@@ -349,9 +352,12 @@ def _minhash_pipeline(spark, sf_dir, hash_fn=None):
     ).filter("doc_id % 3 = 0")
     corpus = docs.select("doc_id", "text").unionAll(perturbed)
     fn = hash_fn or seeded_xxhash64
-    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32, hash_fn=fn)
+    # The shingle frame feeds the sketch AND both sides of the verify
+    # join — materialize it once (spills to disk if it outgrows memory).
+    grams = corpus_grams(corpus, "text", "doc_id").persist()
+    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32, hash_fn=fn, grams=grams)
     cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, n_hashes=32, hash_fn=fn)
-    verified = ngram_jaccard_pairs(corpus, "text", "doc_id", pairs=cands)
+    verified = ngram_jaccard_pairs(corpus, "text", "doc_id", pairs=cands, grams=grams)
     return verified.filter(F.round("jaccard", 6) >= 0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
