@@ -1,0 +1,107 @@
+"""Physical-plan health checks — the scale contract, asserted.
+
+Correctness tests prove the operators compute the right rows at small
+SF; these prove the *plans* are the ones that survive a 100× scale-up:
+filters pushed into the parquet scan, projection pruned to the read
+schema, time filters pruned to partitions, dimension lookups broadcast
+(never sort-merge), and no accidental cartesian products in the query
+compilers.  A regression here is invisible to value checks but fatal
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from akvorado_spark.plans.rollup import FlowStore
+from akvorado_spark.schema.definition import flows_schema
+from akvorado_spark.sources.fixtures import flows_df
+from akvorado_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("planstore"))
+    s = FlowStore(spark, root)
+    s.write_main(flows_schema().ingest(flows_df(spark, n=5_000)))
+    s.build_rollups()
+    return s
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    df = (
+        load_table(spark, "lineitem", SF_DIR)
+        .filter(F.col("l_quantity") < 5)
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan(df)
+    assert "PushedFilters:" in p and "LessThan(l_quantity" in p
+    # read schema pruned to the two referenced columns
+    schema_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "l_orderkey" in schema_line and "l_comment" not in schema_line
+
+
+def test_time_filter_prunes_rollup_partitions(spark, store):
+    """The query layer brackets every range with part_date bounds
+    (query/graph.py) — assert those land as PartitionFilters on the
+    scan, i.e. whole partitions are skipped before any IO."""
+    start = datetime(2024, 1, 1, 3, tzinfo=timezone.utc)
+    res = store.resolutions[0]
+    df = store.read(res).filter(
+        (F.col("part_date") >= F.lit(start.date()))
+        & (F.col("TimeReceived") >= F.lit(start))
+    )
+    p = plan(df)
+    pf_line = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "part_date" in pf_line and ">= 2024-01-01" in pf_line
+    # the row-level time bound is pushed to the reader as well
+    assert "PushedFilters:" in p and "GreaterThanOrEqual(TimeReceived" in p
+
+
+def test_dictionary_lookup_is_broadcast(spark):
+    from akvorado_spark.sources.dictionaries import PROTOCOLS, dict_df, dict_join
+
+    flows = load_table(spark, "lineitem", SF_DIR).select(
+        (F.col("l_orderkey") % 3 * 11 + 6).cast("int").alias("Proto")
+    )
+    dim = dict_df(spark, PROTOCOLS, "proto int, name string")
+    out = dict_join(flows, dim, [("Proto", "proto")], "name", "ProtoName", "unknown")
+    p = plan(out)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_lpm_cascade_is_broadcast_only(spark):
+    from akvorado_spark.operators.lpm import lpm_join
+    from akvorado_spark.sources.fixtures import flows_df, networks_df
+
+    flows = flows_df(spark, n=1000).select("SrcAddr")
+    out = lpm_join(flows, networks_df(spark), "SrcAddr", attrs=["name"])
+    p = plan(out)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_line_compiler_plan_shape(spark):
+    """The graph-line plan: marker/spine joins broadcast, scalar
+    bounds as 1-row nested-loop broadcasts, no cartesian product."""
+    from akvorado_spark.oracle.registry import QUERIES
+    import akvorado_spark.oracle.line_queries  # noqa: F401
+
+    df = QUERIES["graph_line_avg"].spark(spark, SF_DIR)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    # marker/spine joins broadcast; scalar bounds ride 1-row
+    # BroadcastNestedLoopJoins — never a shuffled sort-merge join
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
