@@ -147,3 +147,47 @@ GROUP BY label, detail ORDER BY MIN(rank), MIN(ord), label LIMIT {_LIMIT}"""
 
 
 register("complete_port", _spark_complete_port, _oracle_complete_port())
+
+
+# --- exporter-table completion (single-branch O4; reference
+# console/filter.go:489-532 queries the exporters table directly) -----------
+
+_IF_PREFIX = "0/"
+
+
+def _spark_complete_ifname(spark, sf_dir):
+    from akvorado_spark.query.complete import complete_exporter
+
+    register_spark_view(spark, sf_dir)
+    df = spark.table("flows_v").select(
+        "TimeReceived",
+        "ExporterAddress",
+        "ExporterName",
+        "InIfName",
+        "OutIfName",
+        "InIfSpeed",
+        "OutIfSpeed",
+    )
+    latest = latest_exporters(exporters_frame(df), ttl=None)
+    return complete_exporter(
+        latest, _IF_PREFIX, _LIMIT, column="IfName", detail="interface name"
+    )
+
+
+def _oracle_complete_ifname() -> str:
+    return f"""
+WITH src AS (SELECT * FROM {oracle_view_sql()}),
+unp AS (
+  SELECT ExporterAddress, InIfName AS IfName FROM src
+  UNION ALL
+  SELECT ExporterAddress, OutIfName FROM src
+),
+names AS (
+  SELECT DISTINCT IfName AS label FROM unp
+  WHERE position(lower('{_IF_PREFIX}') IN lower(IfName)) > 0
+)
+SELECT label, 'interface name' AS detail FROM names
+ORDER BY position(lower('{_IF_PREFIX}') IN lower(label)), label LIMIT {_LIMIT}"""
+
+
+register("complete_ifname", _spark_complete_ifname, _oracle_complete_ifname())

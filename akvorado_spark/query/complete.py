@@ -103,6 +103,31 @@ def complete_asn(
     return _ranked_union(seen, from_dict, limit)
 
 
+def complete_exporter(
+    exporters: DataFrame,
+    prefix: str = "",
+    limit: int = 20,
+    column: str = "ExporterName",
+    detail: str = "exporter name",
+) -> DataFrame:
+    """Exporter-attribute / interface-name completion (reference
+    console/filter.go:489-532): distinct values of ``column`` from the
+    recently-seen exporters table, prefix-matched, ordered by match
+    position then value — the single-branch flavor of O4 (no
+    dictionary union)."""
+    base = (
+        exporters.select(F.col(column).alias("label"))
+        .filter(_match_pos(F.col("label"), prefix) > 0)
+        .groupBy("label")
+        .agg(F.min(_match_pos(F.col("label"), prefix)).alias("__pos"))
+    )
+    return (
+        base.orderBy("__pos", "label")
+        .limit(limit)
+        .select("label", F.lit(detail).alias("detail"))
+    )
+
+
 def complete_port(
     flows: DataFrame,
     prefix: str = "",
