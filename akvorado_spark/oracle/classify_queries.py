@@ -142,3 +142,106 @@ FROM kept GROUP BY ExporterName ORDER BY ExporterName"""
 
 
 register("rate_limit_compensated", _spark_rate_limit, _oracle_rate_limit())
+
+
+# --- T2 provider precedence (reference getASNumber, enricher.go:202-233) ---
+#
+# The flows' own SrcAS values are all private (64512+k), so
+# "flow-except-private" always passes; the routing RIB answers for the
+# prefixes it covers; a half-corpus networks entry answers for most of
+# the rest; flows matching neither bottom out at 0.  The DuckDB side is
+# an independent implementation: BETWEEN-join LPM + CASE cascade.
+
+_AS_PROVIDERS = ("flow-except-private", "routing", "networks")
+
+_ROUTING_PREFIXES = [  # (cidr, asn)
+    ("10.0.0.0/10", 64702),
+    ("10.64.0.0/12", 64703),
+    ("10.3.0.0/16", 64710),
+]
+_NETWORKS_PREFIXES = [("10.0.0.0/9", 65000)]
+
+
+def _prefix_rows(prefixes):
+    from akvorado_spark.functions.ip import prefix_mapped_len, prefix_range
+
+    out = []
+    for cidr, asn in prefixes:
+        lo, hi = prefix_range(cidr)
+        out.append((asn, lo, hi, prefix_mapped_len(cidr)))
+    return out
+
+
+def _spark_as_precedence(spark, sf_dir):
+    from akvorado_spark.operators.lpm import lpm_join
+    from akvorado_spark.sources.tables import local_df
+    from akvorado_spark.streaming.ingest import as_number
+
+    register_spark_view(spark, sf_dir)
+    schema = "asn long, lo binary, hi binary, plen int"
+    routing_rows = _prefix_rows(_ROUTING_PREFIXES)
+    networks_rows = _prefix_rows(_NETWORKS_PREFIXES)
+    routing = local_df(spark, routing_rows, schema)
+    networks = local_df(spark, networks_rows, schema)
+
+    flows = spark.table("flows_v").select("SrcAddr", "SrcAS", "Bytes")
+    flows = lpm_join(
+        flows, routing, "SrcAddr", attrs=["asn"], plens=[r[3] for r in routing_rows]
+    ).withColumnRenamed("asn", "routing_as")
+    flows = lpm_join(
+        flows, networks, "SrcAddr", attrs=["asn"], plens=[r[3] for r in networks_rows]
+    ).withColumnRenamed("asn", "net_as")
+
+    chosen = as_number(
+        _AS_PROVIDERS,
+        F.col("SrcAS").cast("long"),
+        routing_as=F.col("routing_as"),
+        net_as=F.col("net_as"),
+    )
+    return (
+        flows.select(chosen.alias("asn"), "Bytes")
+        .groupBy("asn")
+        .agg(F.count(F.lit(1)).alias("flows"), F.sum("Bytes").alias("bytes"))
+        .orderBy("asn")
+    )
+
+
+def _oracle_as_precedence() -> str:
+    def vals(prefixes):
+        return ", ".join(
+            f"({asn}, unhex('{lo.hex()}'), unhex('{hi.hex()}'), {plen})"
+            for (asn, lo, hi, plen) in _prefix_rows(prefixes)
+        )
+
+    return f"""
+WITH fl AS (
+  SELECT row_number() OVER () AS rid, SrcAddr, SrcAS, Bytes
+  FROM {oracle_view_sql()}
+),
+routing(asn, lo, hi, plen) AS (SELECT * FROM (VALUES {vals(_ROUTING_PREFIXES)})),
+networks(asn, lo, hi, plen) AS (SELECT * FROM (VALUES {vals(_NETWORKS_PREFIXES)})),
+rj AS (
+  SELECT f.rid, arg_max(r.asn, r.plen) AS routing_as
+  FROM fl f JOIN routing r ON f.SrcAddr BETWEEN r.lo AND r.hi GROUP BY f.rid
+),
+nj AS (
+  SELECT f.rid, arg_max(n.asn, n.plen) AS net_as
+  FROM fl f JOIN networks n ON f.SrcAddr BETWEEN n.lo AND n.hi GROUP BY f.rid
+),
+resolved AS (
+  SELECT f.rid, f.Bytes,
+         COALESCE(
+           CASE WHEN NOT (f.SrcAS = 0 OR f.SrcAS = 23456
+                          OR f.SrcAS BETWEEN 64496 AND 65551
+                          OR f.SrcAS >= 4200000000)
+                 AND f.SrcAS != 0 THEN f.SrcAS END,
+           CASE WHEN rj.routing_as != 0 THEN rj.routing_as END,
+           CASE WHEN nj.net_as != 0 THEN nj.net_as END,
+           0) AS asn
+  FROM fl f LEFT JOIN rj ON f.rid = rj.rid LEFT JOIN nj ON f.rid = nj.rid
+)
+SELECT asn, COUNT(*) AS flows, SUM(Bytes) AS bytes
+FROM resolved GROUP BY asn ORDER BY asn"""
+
+
+register("enrich_as_precedence", _spark_as_precedence, _oracle_as_precedence())

@@ -99,6 +99,67 @@ def kafka_sink(
     )
 
 
+# --- provider precedence (T2; reference enricher.go:202-249) ---------------
+
+
+def is_private_as(asn):
+    """IANA special-registry / private ASNs (reference
+    enricher.go:389-398): 0, 23456 (AS_TRANS), 64496-65551,
+    4200000000 and above."""
+    return (
+        (asn == 0)
+        | (asn == 23456)
+        | ((asn >= 64496) & (asn <= 65551))
+        | (asn >= 4_200_000_000)
+    )
+
+
+def as_number(providers, flow_as, routing_as=None, net_as=None, flow_netmask=None):
+    """First non-zero AS along the configured provider order (reference
+    getASNumber, enricher.go:202-233) as one codegen coalesce cascade.
+
+    Providers: ``flow``, ``flow-except-private``,
+    ``flow-except-default-route``, ``routing``,
+    ``routing-except-private``, ``networks``.  A provider yielding
+    0/NULL passes to the next; the cascade bottoms out at 0.
+    """
+
+    def nz(c):
+        return F.when(c != 0, c)
+
+    branches = []
+    for p in providers:
+        if p == "flow":
+            c = nz(flow_as)
+        elif p == "flow-except-private":
+            c = nz(F.when(~is_private_as(flow_as), flow_as))
+        elif p == "flow-except-default-route":
+            c = nz(F.when(flow_netmask != 0, flow_as))
+        elif p == "routing":
+            c = nz(routing_as)
+        elif p == "routing-except-private":
+            c = nz(F.when(~is_private_as(routing_as), routing_as))
+        elif p == "networks":
+            c = nz(net_as)
+        else:
+            raise ValueError(f"unknown ASN provider {p!r}")
+        branches.append(c)
+    return F.coalesce(*branches, F.lit(0).cast("long"))
+
+
+def net_mask(providers, flow_mask, routing_mask=None):
+    """First non-zero prefix length along the provider order (reference
+    getNetMask, enricher.go:235-249); providers ``flow``/``routing``."""
+
+    def nz(c):
+        return F.when(c != 0, c)
+
+    branches = [
+        nz(flow_mask if p == "flow" else routing_mask) for p in providers
+    ]
+    return F.coalesce(*branches, F.lit(0).cast("int"))
+
+
 @dataclass
 class EnrichmentConfig:
     """Snapshot dimension tables + rules for the enrichment chain (T2).

@@ -49,3 +49,74 @@ def test_rate_limit_under_limit_untouched(spark):
     out = rate_limit(df, 50, key="ExporterAddress", tiebreak=("SrcPort",)).collect()
     assert len(out) == 5
     assert all(r["SamplingRate"] == 10 for r in out)
+
+
+# --- T2 provider precedence (reference enricher.go:202-249, 389-398) -------
+
+def test_as_number_provider_precedence(spark):
+    from akvorado_spark.streaming.ingest import as_number, net_mask
+
+    # (flow_as, routing_as, net_as, flow_mask) → expected per provider list
+    rows = [
+        # public flow AS wins immediately
+        (3356, 64601, 65000, 24, 3356),
+        # private flow AS (64512) skipped → routing
+        (64512, 64601, 65000, 24, 64601),
+        # AS_TRANS (23456) is private → routing
+        (23456, 64601, 65000, 24, 64601),
+        # 4-byte private range skipped → routing
+        (4200000001, 64601, 65000, 24, 64601),
+        # boundary: 64495 is public
+        (64495, 64601, 65000, 24, 64495),
+        # boundary: 65552 is public
+        (65552, 64601, 65000, 24, 65552),
+        # routing unset (NULL) → networks
+        (64512, None, 65000, 24, 65000),
+        # everything unset → 0
+        (64512, None, None, 24, 0),
+    ]
+    df = spark.createDataFrame(
+        [(f, r, n, m) for f, r, n, m, _ in rows],
+        "flow_as long, routing_as long, net_as long, flow_mask int",
+    )
+    out = df.select(
+        as_number(
+            ("flow-except-private", "routing", "networks"),
+            F.col("flow_as"),
+            routing_as=F.col("routing_as"),
+            net_as=F.col("net_as"),
+        ).alias("asn")
+    ).collect()
+    assert [r["asn"] for r in out] == [exp for *_, exp in rows]
+
+    # flow-except-default-route: mask 0 disqualifies the flow AS
+    df2 = spark.createDataFrame(
+        [(3356, 64601, 0), (3356, 64601, 24)],
+        "flow_as long, routing_as long, flow_mask int",
+    )
+    out2 = df2.select(
+        as_number(
+            ("flow-except-default-route", "routing"),
+            F.col("flow_as"),
+            routing_as=F.col("routing_as"),
+            flow_netmask=F.col("flow_mask"),
+        ).alias("asn")
+    ).collect()
+    assert [r["asn"] for r in out2] == [64601, 3356]
+
+    # routing-except-private skips a private RIB answer
+    out3 = df2.select(
+        as_number(
+            ("routing-except-private",),
+            F.col("flow_as"),
+            routing_as=F.lit(64512).cast("long"),
+        ).alias("asn")
+    ).collect()
+    assert [r["asn"] for r in out3] == [0, 0]
+
+    # net_mask: first non-zero of the provider order
+    df3 = spark.createDataFrame([(0, 22), (24, 22)], "fm int, rm int")
+    out4 = df3.select(
+        net_mask(("flow", "routing"), F.col("fm"), routing_mask=F.col("rm")).alias("m")
+    ).collect()
+    assert [r["m"] for r in out4] == [22, 24]
