@@ -160,6 +160,21 @@ def net_mask(providers, flow_mask, routing_mask=None):
     return F.coalesce(*branches, F.lit(0).cast("int"))
 
 
+_UNSPECIFIED_IP = bytes(16)
+
+
+def next_hop(providers, flow_nh, routing_nh=None):
+    """First non-unspecified next-hop along the provider order
+    (reference getNextHop, enricher.go:251-266); 16-byte binary
+    addresses, all-zero = unset."""
+
+    def nz(c):
+        return F.when(c != F.lit(_UNSPECIFIED_IP), c)
+
+    branches = [nz(flow_nh if p == "flow" else routing_nh) for p in providers]
+    return F.coalesce(*branches, F.lit(_UNSPECIFIED_IP))
+
+
 @dataclass
 class EnrichmentConfig:
     """Snapshot dimension tables + rules for the enrichment chain (T2).

@@ -120,3 +120,18 @@ def test_as_number_provider_precedence(spark):
         net_mask(("flow", "routing"), F.col("fm"), routing_mask=F.col("rm")).alias("m")
     ).collect()
     assert [r["m"] for r in out4] == [22, 24]
+
+
+def test_next_hop_provider_precedence(spark):
+    from akvorado_spark.streaming.ingest import next_hop
+
+    zero = bytes(16)
+    a = bytes(15) + b"\x01"
+    b = bytes(15) + b"\x02"
+    df = spark.createDataFrame(
+        [(zero, b), (a, b), (zero, None)], "fnh binary, rnh binary"
+    )
+    out = df.select(
+        next_hop(("flow", "routing"), F.col("fnh"), routing_nh=F.col("rnh")).alias("nh")
+    ).collect()
+    assert [bytes(r["nh"]) for r in out] == [b, a, zero]
