@@ -126,3 +126,79 @@ def test_empty_filter_is_true(fixture_frames):
     f = compile_filter("   -- nothing\n", flow_filter_schema())
     assert f.spark_sql == "true"
     assert sdf.filter(f.column()).count() == sdf.count()
+
+
+# --- property-based sweep (beyond the reference's test strategy) -----------
+#
+# Random boolean trees over a pool of typed atoms, rendered two ways:
+# fully parenthesized and minimally parenthesized (relying on
+# NOT > AND > OR precedence).  Both renderings must parse to the same
+# semantics, and the Spark and DuckDB compilations of each must agree
+# on the fixture rows — catching precedence bugs (paren vs bare) and
+# dialect-emission bugs (Spark vs DuckDB) independently.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_ATOMS = [
+    "SrcAddr << '10.0.0.0/8'",
+    "DstAddr !<< '192.0.2.0/24'",
+    "ExporterName LIKE 'router%'",
+    "InIfName = OutIfName",
+    "SrcPort >= 60000",
+    "DstPort IN (443, 53)",
+    "Bytes > 100000",
+    "Packets <= 10",
+    "Proto = 'tcp'",
+    "EType = IPv4",
+    "InIfBoundary = external",
+    "DstASPath = 65510",
+    "SrcAS IN (65501, 65520)",
+    "SrcCountry IN ('US', 'FR')",
+]
+
+
+def _trees(depth: int = 3):
+    atom = hst.sampled_from(_ATOMS).map(lambda s: ("atom", s))
+    return hst.recursive(
+        atom,
+        lambda t: hst.one_of(
+            hst.tuples(hst.just("and"), t, t),
+            hst.tuples(hst.just("or"), t, t),
+            hst.tuples(hst.just("not"), t),
+        ),
+        max_leaves=6,
+    )
+
+
+def _render(node, minimal: bool) -> str:
+    kind = node[0]
+    if kind == "atom":
+        return node[1]
+    if kind == "not":
+        return f"NOT ({_render(node[1], minimal)})"
+    a, b = (_render(node[1], minimal), _render(node[2], minimal))
+    if not minimal:
+        return f"({a} {kind.upper()} {b})"
+    if kind == "and":
+        # parenthesize OR children (AND binds tighter)
+        wrap = lambda child, s: f"({s})" if child[0] == "or" else s
+        return f"{wrap(node[1], a)} AND {wrap(node[2], b)}"
+    return f"{a} OR {b}"
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_trees())
+def test_filter_property_precedence_and_dialects(fixture_frames, tree):
+    sdf, con = fixture_frames
+    sch = flow_filter_schema()
+    f_paren = compile_filter(_render(tree, minimal=False), sch)
+    f_min = compile_filter(_render(tree, minimal=True), sch)
+    duck_n = con.execute(
+        f"SELECT COUNT(*) FROM flows WHERE {f_paren.duckdb_sql}"
+    ).fetchone()[0]
+    duck_min = con.execute(
+        f"SELECT COUNT(*) FROM flows WHERE {f_min.duckdb_sql}"
+    ).fetchone()[0]
+    assert duck_n == duck_min  # precedence: bare parse ≡ explicit parens
+    assert sdf.filter(f_paren.column()).count() == duck_n  # dialect parity
