@@ -89,10 +89,17 @@ class FlowStore:
         reference main table's ORDER BY (migrations_helpers.go:443-449).
         """
         sort_keys = ["TimeReceived", "ExporterAddress", "InIfName", "OutIfName"]
+        # Range-partition on (date, sort keys): a hash repartition on
+        # part_date alone would funnel a whole day — at scale, the whole
+        # batch — into one task.  Ranges split a single date across many
+        # tasks by the secondary keys, each task's rows stay contiguous
+        # in (date, time) so the partitionBy writer keeps one open file,
+        # and the in-partition sort keeps parquet min/max stats tight
+        # (analog of the main table ORDER BY, migrations_helpers.go:443-449).
         out = (
             df.withColumn("part_date", F.to_date("TimeReceived"))
-            .repartition("part_date")
-            .sortWithinPartitions(*sort_keys)
+            .repartitionByRange("part_date", *sort_keys)
+            .sortWithinPartitions("part_date", *sort_keys)
         )
         out.write.mode(mode).partitionBy("part_date").parquet(self.path(self.resolutions[0]))
 
@@ -133,8 +140,11 @@ class FlowStore:
         for res in self.resolutions[1:]:
             rolled = self.rollup_frame(main.drop("part_date"), res.interval_s)
             out = rolled.withColumn("part_date", F.to_date("TimeReceived"))
-            mode = "overwrite" if since is None else "overwrite"
-            writer = out.repartition("part_date").write.mode(mode)
+            keys = [k for k in self.schema.rollup_keys() if k != "TimeReceived"]
+            out = out.repartitionByRange(
+                "part_date", "TimeReceived", *keys
+            ).sortWithinPartitions("part_date", "TimeReceived", *keys)
+            writer = out.write.mode("overwrite")
             if since is not None:
                 # dynamic partition overwrite: only touched dates rewritten
                 writer = writer.option("partitionOverwriteMode", "dynamic")
