@@ -191,3 +191,31 @@ ORDER BY position(lower('{_IF_PREFIX}') IN lower(label)), label LIMIT {_LIMIT}""
 
 
 register("complete_ifname", _spark_complete_ifname, _oracle_complete_ifname())
+
+
+# --- exporters-list widget (reference console/widgets.go:111-132) ----------
+
+
+def _spark_widget_exporters(spark, sf_dir):
+    from akvorado_spark.plans.exporters import exporter_names
+
+    register_spark_view(spark, sf_dir)
+    df = spark.table("flows_v").select(
+        "TimeReceived",
+        "ExporterAddress",
+        "ExporterName",
+        "InIfName",
+        "OutIfName",
+        "InIfSpeed",
+        "OutIfSpeed",
+    )
+    return exporter_names(latest_exporters(exporters_frame(df), ttl=None))
+
+
+def _oracle_widget_exporters() -> str:
+    return f"""
+SELECT DISTINCT ExporterName FROM {oracle_view_sql()}
+ORDER BY ExporterName"""
+
+
+register("widget_exporters", _spark_widget_exporters, _oracle_widget_exporters())
