@@ -1,10 +1,13 @@
 """Oracle-checked LLM-data-pipeline queries over the ``documents`` and
 ``embeddings`` tables: dedup, text analysis, similarity search.
 
-SQL-expressible semantics get a full DuckDB oracle; minhash/simhash
-(seeded xxhash64 — not reproducible in DuckDB) are registered without
-oracle SQL (driver rows-only check) and verified in pytest against
-pure-Python reimplementations instead.
+SQL-expressible semantics get a full DuckDB oracle.  The xxhash64
+sketch pipelines (minhash/simhash production path) are registered
+without oracle SQL (driver rows-only check) and verified in pytest
+against pure-Python reimplementations — AND each has a *certified*
+twin (`*_certified`, `ann_lsh_topk`) that swaps in an engine-portable
+hash or shared literal hyperplanes so DuckDB replays the entire
+pipeline value-for-value.
 """
 
 from __future__ import annotations
@@ -488,3 +491,77 @@ FROM votes ORDER BY doc_id
 
 
 register("dedup_simhash_certified", _simhash_certified, _simhash_oracle())
+
+
+# LSH ANN: the sign-sketch bucketing itself is certified by sharing the
+# SAME literal hyperplanes with DuckDB — both engines compute the
+# 6-bit sketch from identical double literals, join on full-bucket
+# equality, and exact-cosine re-rank inside the bucket.  (Sketch signs
+# depend on dot products ~O(1); fold-order float noise ~1e-13 cannot
+# flip them.)  Production tunes n_planes higher; recall under pruning
+# is covered in pytest.
+_LSH_PLANES = 6
+_LSH_K = 5
+
+
+def _lsh_planes():
+    from akvorado_spark.operators.similarity import _hyperplanes
+
+    return _hyperplanes(64, _LSH_PLANES, seed=42)
+
+
+def _ann_lsh(spark, sf_dir):
+    from akvorado_spark.operators.similarity import lsh_topk
+
+    vecs = load_table(spark, "embeddings", sf_dir)
+    queries = (
+        vecs.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return lsh_topk(
+        vecs.filter(F.col("vec_id") >= 3),
+        queries,
+        k=_LSH_K,
+        dim=64,
+        n_planes=_LSH_PLANES,
+    ).select("q_id", "rank", "vec_id", "sim")
+
+
+def _ann_lsh_oracle() -> str:
+    planes = _lsh_planes()
+
+    def sketch(col: str) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in plane)
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), [{lits}]) > 0 "
+                f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, {sketch('embedding')} AS sk
+  FROM embeddings WHERE vec_id < 3
+),
+v AS (
+  SELECT vec_id, embedding, {sketch('embedding')} AS sk
+  FROM embeddings WHERE vec_id >= 3
+),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         ROUND(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))
+               / NULLIF(sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))), 0), 6) AS sim
+  FROM v JOIN q ON v.sk = q.sk
+)
+SELECT q_id, rank, vec_id, sim FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_LSH_K} ORDER BY q_id, rank
+"""
+
+
+register("ann_lsh_topk", _ann_lsh, _ann_lsh_oracle())
