@@ -337,7 +337,7 @@ register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
 # ---------------------------------------------------------------------------
 
 
-def _minhash_pipeline(spark, sf_dir, hash_fn=None):
+def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0"):
     from akvorado_spark.operators.dedup import (
         corpus_grams,
         lsh_candidate_pairs,
@@ -346,7 +346,7 @@ def _minhash_pipeline(spark, sf_dir, hash_fn=None):
         seeded_xxhash64,
     )
 
-    docs = load_table(spark, "documents", sf_dir).filter("doc_id % 5 = 0")
+    docs = load_table(spark, "documents", sf_dir).filter(sample)
     # The corpus has no natural near-dups: seed deterministic ones
     # (id + 10^7, text with a short suffix → Jaccard just under 1).
     perturbed = docs.select(
@@ -369,13 +369,18 @@ def _minhash_pipeline(spark, sf_dir, hash_fn=None):
 register("dedup_minhash_lsh", _minhash_pipeline, None)
 
 
+_MH_CERT_SAMPLE = "doc_id % 10 = 0"  # half the demo corpus: oracle rigor, half the cost
+
+
 def _minhash_certified(spark, sf_dir):
     from akvorado_spark.operators.dedup import portable_seeded_hash
 
-    return _minhash_pipeline(spark, sf_dir, hash_fn=portable_seeded_hash)
+    return _minhash_pipeline(
+        spark, sf_dir, hash_fn=portable_seeded_hash, sample=_MH_CERT_SAMPLE
+    )
 
 
-def _minhash_oracle(n: int = 32, bands: int = 8, thr: float = 0.5) -> str:
+def _minhash_oracle(n: int = 32, bands: int = 8, thr: float = 0.5, sample: str = "doc_id % 5 = 0") -> str:
     """DuckDB mirror of the ENTIRE sketch pipeline — grams → n seeded
     minima → band buckets → in-bucket candidate pairs → exact Jaccard —
     using the portable md5-prefix seeded hash, so candidate generation
@@ -391,7 +396,7 @@ def _minhash_oracle(n: int = 32, bands: int = 8, thr: float = 0.5) -> str:
         for b in range(bands)
     )
     return f"""
-WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+WITH docs0 AS (SELECT doc_id, text FROM documents WHERE {sample}),
 pert AS (SELECT doc_id + 10000000 AS doc_id, text || ' trailing marker suffix' AS text
          FROM docs0 WHERE (doc_id + 10000000) % 3 = 0),
 corpus AS (SELECT * FROM docs0 UNION ALL SELECT * FROM pert),
@@ -440,7 +445,7 @@ ORDER BY id_a, id_b
 """
 
 
-register("dedup_minhash_certified", _minhash_certified, _minhash_oracle())
+register("dedup_minhash_certified", _minhash_certified, _minhash_oracle(sample=_MH_CERT_SAMPLE))
 
 
 def _simhash_fps(spark, sf_dir):
