@@ -54,3 +54,99 @@ def _mk(name: str, req: LineRequest) -> None:
 
 for _name, _req in LINE_REQS.items():
     _mk(_name, _req)
+
+
+# --- bonus operators the reference lacks but Spark gives natively ----------
+#
+# T9 sessionization (SURVEY §2.9 marks it absent): session_window over
+# the events stream — per user, events within a 30-minute gap belong to
+# one session.  The DuckDB oracle derives the same sessions with the
+# classic gaps-and-islands (lag + cumulative new-session flags),
+# a structurally independent implementation.
+
+_GAP_S = 1800
+
+
+def _spark_sessionize(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, "events", sf_dir).select("ts", "user_id", "value")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", f"{_GAP_S} seconds").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("first_ts").alias("start_us"),
+            F.floor(
+                (F.unix_micros("last_ts") - F.unix_micros("first_ts")) / 1_000_000
+            ).cast("long").alias("span_s"),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("user_id", "start_us")
+    )
+    return out
+
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id ORDER BY ts)
+                   > {_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, cents,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS start_us,
+       CAST(FLOOR((epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+             - epoch_us(CAST(MIN(ts) AS TIMESTAMP))) / 1000000) AS BIGINT) AS span_s,
+       COUNT(*) AS n_events,
+       SUM(cents) AS value_cents
+FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"""
+
+register("events_sessionize", _spark_sessionize, _SESSION_ORACLE)
+
+
+# JSON property extraction (SURVEY §2.8 notes the reference keeps JSON
+# at the HTTP layer only; an analytics engine needs it in queries):
+# get_json_object ↔ json_extract over the events props column.
+def _spark_json_props(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+register("events_json_props", _spark_json_props, _JSON_ORACLE)
