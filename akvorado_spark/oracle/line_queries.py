@@ -150,3 +150,58 @@ SELECT event_type, COUNT(*) AS n,
 FROM events GROUP BY event_type ORDER BY event_type"""
 
 register("events_json_props", _spark_json_props, _JSON_ORACLE)
+
+
+# As-of join (no Spark native; DuckDB's built-in ASOF JOIN is the
+# independent oracle): each 'error' event attaches the same user's
+# most recent 'click' at or before it.  Right side deduped to one row
+# per (user, ts) so both engines resolve equal-timestamp ties
+# identically.
+def _spark_asof(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter("__rn = 1")
+        .select("user_id", "ts", "value")
+    )
+    errors = ev.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    out = asof_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="ts", values=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_asof").alias("click_us"),
+        F.round(F.col("value_asof") * 100).cast("long").alias("click_cents"),
+    ).orderBy("event_id")
+
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+),
+errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id,
+       epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+       epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+       CAST(ROUND(c.value * 100) AS BIGINT) AS click_cents
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND c.ts <= e.ts
+ORDER BY e.event_id"""
+
+register("events_asof_join", _spark_asof, _ASOF_ORACLE)

@@ -203,3 +203,26 @@ def test_multimodal_real_decode_raises_without_pillow(spark):
         pass
     with pytest.raises(Exception):  # NotImplementedError surfaced through Py4J
         decode_image(base, fake=False).collect()
+
+
+def test_asof_join_semantics(spark):
+    from akvorado_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 200, 2.0), (1, 300, 3.0), (2, 60, 4.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        r["tag"]: (r["t_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t", values=["v"]
+        ).collect()
+    }
+    assert out["a"] == (100, 1.0)  # equal timestamp matches (<=)
+    assert out["b"] == (200, 2.0)  # latest at-or-before, not the later 300
+    assert out["c"] == (None, None)  # right row is strictly later
+    assert out["d"] == (None, None)  # key has no right rows at all
