@@ -205,3 +205,82 @@ FROM errors e ASOF LEFT JOIN clicks c
 ORDER BY e.event_id"""
 
 register("events_asof_join", _spark_asof, _ASOF_ORACLE)
+
+
+# Bucketed range join (interval join without the nested loop): clicks
+# within an hour of an error by the same user.  DuckDB's oracle is the
+# plain inequality join — structurally independent of the bucketing.
+_RANGE_GAP_S = 3600
+
+
+def _spark_range_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    out = range_join(
+        errors, clicks, on=["user_id"], left_ts="err_ts", right_ts="click_ts",
+        max_gap_s=_RANGE_GAP_S,
+    )
+    return out.select(
+        "err_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("err_ts")).alias("delta_us"),
+    ).orderBy("err_id", "click_id")
+
+
+_RANGE_ORACLE = f"""
+WITH errors AS (
+  SELECT event_id AS err_id, user_id, ts AS err_ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT e.err_id, c.click_id, e.user_id,
+       epoch_us(CAST(c.click_ts AS TIMESTAMP)) - epoch_us(CAST(e.err_ts AS TIMESTAMP)) AS delta_us
+FROM errors e JOIN clicks c
+  ON e.user_id = c.user_id
+ AND abs(epoch_us(CAST(c.click_ts AS TIMESTAMP))
+         - epoch_us(CAST(e.err_ts AS TIMESTAMP))) <= CAST({_RANGE_GAP_S} AS BIGINT) * 1000000
+ORDER BY err_id, click_id"""
+
+register("events_range_join", _spark_range_join, _RANGE_ORACLE)
+
+
+# Deterministic hash sampling: portable md5-prefix hash of the id
+# gives an engine-reproducible pseudo-random 10% sample — the
+# training-pipeline sampling primitive (no RNG state, stable across
+# reruns and engines, stratifiable by any key expression).
+def _spark_hash_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.text import portable_word_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.pmod(portable_word_hash(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        docs.filter(bucket < 10)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SAMPLE_ORACLE = """
+SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 10
+GROUP BY lang ORDER BY lang"""
+
+register("docs_hash_sample", _spark_hash_sample, _SAMPLE_ORACLE)

@@ -105,3 +105,24 @@ def test_line_compiler_plan_shape(spark):
     # BroadcastNestedLoopJoins — never a shuffled sort-merge join
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash equi-join on
+    (key, bucket) — an inequality-only join would fall back to
+    BroadcastNestedLoopJoin and touch quadratic row pairs."""
+    from akvorado_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, "events", SF_DIR)
+    errors = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    out = range_join(
+        errors, clicks, on=["user_id"], left_ts="err_ts", right_ts="click_ts", max_gap_s=3600
+    )
+    p = plan(out)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p  # an actual (hash) join on the bucketed key
