@@ -113,6 +113,40 @@ def fingerprint(text: Column, word_hash=None) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pretraining prep step (context-length packing upstream of
+    tokenization).  Chunk i covers tokens [i*stride, i*stride+window);
+    the final partial window is kept so no tail tokens are lost.
+
+    Pure built-ins: the chunk index spine comes from ``sequence`` over
+    the token count, ``slice`` + ``concat_ws`` rebuild each window —
+    one narrow projection + explode, no shuffle at all; at 100 TB this
+    pipelines straight from scan to sink.
+    """
+    w = words(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.greatest(F.ceil((n - window) / F.lit(stride)) + 1, F.lit(1)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_ix"),
+            F.concat_ws(" ", F.slice(w, i * stride + 1, window)).alias("chunk"),
+            F.least(n - i * stride, F.lit(window)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
+        id_col, "__c.chunk_ix", "__c.chunk", "__c.n_tokens"
+    )
+
+
 def analyze(df: DataFrame, text_col: str) -> DataFrame:
     """Attach the full analysis column set."""
     t = F.col(text_col)

@@ -570,3 +570,47 @@ SELECT q_id, rank, vec_id, sim FROM (
 
 
 register("ann_lsh_topk", _ann_lsh, _ann_lsh_oracle())
+
+
+# Document chunking: overlapping token windows (pretraining prep).
+# Value-checked per chunk via the portable hash of the rebuilt window
+# text — window arithmetic, slicing, and tail handling must all agree.
+_CHUNK_SAMPLE = "doc_id % 13 = 0"
+_CHUNK_W, _CHUNK_S = 50, 40
+
+
+def _doc_chunks(spark, sf_dir):
+    from akvorado_spark.operators.text import chunk_documents, portable_word_hash
+
+    docs = load_table(spark, "documents", sf_dir).filter(_CHUNK_SAMPLE)
+    out = chunk_documents(docs, "text", "doc_id", window=_CHUNK_W, stride=_CHUNK_S)
+    return out.select(
+        "doc_id",
+        "chunk_ix",
+        portable_word_hash(F.col("chunk")).alias("chunk_hash"),
+        "n_tokens",
+    ).orderBy("doc_id", "chunk_ix")
+
+
+def _chunks_oracle() -> str:
+    w, s = _CHUNK_W, _CHUNK_S
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM documents WHERE {_CHUNK_SAMPLE}
+),
+meta AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         GREATEST(CAST(CEIL(CAST(len(ws) - {w} AS DOUBLE) / {s}) AS INT) + 1, 1) AS k
+  FROM toks
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+       ('0x' || substr(md5(array_to_string(ws[i*{s}+1 : i*{s}+{w}], ' ')), 1, 14))::BIGINT AS chunk_hash,
+       CAST(LEAST(n - i*{s}, {w}) AS INT) AS n_tokens
+FROM meta, generate_series(0, 100000) t(i)
+WHERE i < k
+ORDER BY doc_id, chunk_ix"""
+
+
+register("docs_chunking", _doc_chunks, _chunks_oracle())

@@ -226,3 +226,20 @@ def test_asof_join_semantics(spark):
     assert out["b"] == (200, 2.0)  # latest at-or-before, not the later 300
     assert out["c"] == (None, None)  # right row is strictly later
     assert out["d"] == (None, None)  # key has no right rows at all
+
+
+def test_chunk_documents_tail_and_overlap(spark):
+    from akvorado_spark.operators.text import chunk_documents
+
+    txt = " ".join(f"w{i}" for i in range(91))  # 91 tokens → 3 chunks
+    df = spark.createDataFrame([(1, txt), (2, "a b"), (3, "")], "doc_id long, text string")
+    rows = {
+        (r["doc_id"], r["chunk_ix"]): (r["n_tokens"], r["chunk"])
+        for r in chunk_documents(df, "text", "doc_id", window=50, stride=40).collect()
+    }
+    assert rows[(1, 0)][0] == 50 and rows[(1, 0)][1].startswith("w0 ")
+    assert rows[(1, 1)][0] == 50 and rows[(1, 1)][1].startswith("w40 ")
+    assert rows[(1, 2)][0] == 11 and rows[(1, 2)][1].endswith("w90")  # tail kept
+    assert (1, 3) not in rows
+    assert rows[(2, 0)] == (2, "a b")  # short doc → one whole chunk
+    assert rows[(3, 0)][0] == 0  # empty doc → one empty chunk, not dropped
