@@ -614,3 +614,32 @@ ORDER BY doc_id, chunk_ix"""
 
 
 register("docs_chunking", _doc_chunks, _chunks_oracle())
+
+
+# Multimodal metadata extraction through mapInPandas — the registry's
+# one Arrow-batched Pandas-UDF query, so the driver's gate exercises
+# that execution path too.  Media bytes derive from md5(text), letting
+# DuckDB predict the stub decoder's byte-derived dimensions exactly.
+_MM_SAMPLE = "doc_id % 11 = 0"
+
+
+def _multimodal_meta(spark, sf_dir):
+    from akvorado_spark.operators.multimodal import decode_image
+
+    docs = load_table(spark, "documents", sf_dir).filter(_MM_SAMPLE)
+    with_media = docs.select(
+        "doc_id", F.unhex(F.md5(F.col("text").cast("binary"))).alias("media")
+    )
+    out = decode_image(with_media, media_col="media", id_col="doc_id", fake=True)
+    return out.orderBy("doc_id")
+
+
+_MM_ORACLE = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(text), 1, 2))::INT % 16 + 1 AS INT) AS width,
+       CAST(('0x' || substr(md5(text), 3, 2))::INT % 8 + 1 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'fake/rgb8' AS format
+FROM documents WHERE {_MM_SAMPLE} ORDER BY doc_id"""
+
+register("multimodal_decode_meta", _multimodal_meta, _MM_ORACLE)
