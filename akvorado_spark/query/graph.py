@@ -273,3 +273,32 @@ def graph_sankey(store: FlowStore, req: GraphRequest) -> DataFrame:
         if rev != fwd:
             ax2 = ax2.withColumnRenamed(rev, fwd)
     return ax1.unionAll(ax2.select(F.lit(2).alias("axis"), "*"))
+
+
+def _req_payload(req: GraphRequest) -> dict:
+    from dataclasses import asdict
+
+    return asdict(req)
+
+
+def graph_line_cached(store: FlowStore, req: GraphRequest, cache) -> list:
+    """graph_line with the reference's API-layer result cache
+    (console/root.go:113-117): collected rows cached 3 h keyed by the
+    request body; the engine below stays stateless."""
+    payload = _req_payload(req)
+    hit = cache.get(payload)
+    if hit is not None:
+        return hit
+    rows = graph_line(store, req).collect()
+    cache.put(payload, rows)
+    return rows
+
+
+def graph_sankey_cached(store: FlowStore, req: GraphRequest, cache) -> list:
+    payload = {"sankey": True, **_req_payload(req)}
+    hit = cache.get(payload)
+    if hit is not None:
+        return hit
+    rows = graph_sankey(store, req).collect()
+    cache.put(payload, rows)
+    return rows

@@ -68,3 +68,36 @@ def test_result_cache_ttl_and_hits():
     expired.get_or_compute(req, compute)
     expired.get_or_compute(req, compute)
     assert len(calls) == 3  # ttl 0 → recompute
+
+
+def test_graph_line_cached_roundtrip(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from akvorado_spark.plans.rollup import FlowStore
+    from akvorado_spark.query.cache import ResultCache
+    from akvorado_spark.query.graph import GraphRequest, graph_line_cached
+    from akvorado_spark.schema.definition import flows_schema
+    from akvorado_spark.sources.fixtures import flows_df
+
+    store = FlowStore(spark, str(tmp_path / "cachestore"))
+    store.write_main(flows_schema().ingest(flows_df(spark, n=2000)))
+    store.build_rollups()
+    req = GraphRequest(
+        start=datetime(2024, 1, 1, tzinfo=timezone.utc),
+        end=datetime(2024, 1, 1, 6, tzinfo=timezone.utc),
+        dimensions=("ExporterName",),
+        units="fps",
+        points=12,
+        limit=3,
+    )
+    cache = ResultCache(ttl_s=60)
+    first = graph_line_cached(store, req, cache)
+    second = graph_line_cached(store, req, cache)
+    assert first == second and cache.hits == 1 and cache.misses == 1
+    # a different request misses
+    req2 = GraphRequest(
+        start=req.start, end=req.end, dimensions=("InIfName",), units="fps",
+        points=12, limit=3,
+    )
+    graph_line_cached(store, req2, cache)
+    assert cache.misses == 2
