@@ -10,13 +10,12 @@ Decoding strategy here:
 - **JSON decoder** (S7, the reference's gob test decoder analog):
   fully implemented — ``from_json`` against the flows schema, pure
   JVM, usable as the test/replay ingress.
-- **NetFlow/sFlow binary decoders** (S5/S6) and **tunnel
-  decapsulation** (S8): the Spark plumbing (schema, mapInPandas
-  signature, batch shape) is real; the byte-level parse is stubbed —
-  it needs the template-state machinery (447 LoC of pure parsing in
-  the reference) and no analytics value flows through it in this
-  build.  The stub raises on first use unless handed a
-  ``parse_batch`` callable.
+- **NetFlow/sFlow binary decoders** (S5/S6): real parsers live in
+  ``sources/wire.py`` (NetFlow v5 / v9 / IPFIX with template state,
+  sFlow v5 with raw-header + extended records); plug them in via
+  ``decode_binary(raw, WIRE_SCHEMA, "netflow",
+  netflow_batch_parser())``.  Without a ``parse_batch`` callable the
+  stub below raises, keeping the plumbing testable in isolation.
 
 Scale: decode is mapInPandas over the raw stream — embarrassingly
 parallel per Kafka partition; template state for NetFlow v9/IPFIX

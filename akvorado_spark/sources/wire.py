@@ -1,0 +1,512 @@
+"""Binary wire-format parsers for flow datagrams (SURVEY §2.1 S5/S6/S8).
+
+Pure-Python decoders for the three datagram families the reference
+understands (reference: outlet/flow/decoder/netflow/decode.go,
+outlet/flow/decoder/sflow/decode.go), written from the public wire
+specs — NetFlow v5 (Cisco), NetFlow v9 (RFC 3954), IPFIX (RFC 7011),
+sFlow v5 (sflow.org/sflow_version_5.txt):
+
+- ``parse_netflow(payload, exporter, ts, cache)`` — dispatches on the
+  2-byte version field (5 / 9 / 10) and returns a list of wire rows.
+  v9/IPFIX template state lives in a :class:`TemplateCache` keyed by
+  (exporter, observation domain, template id), matching the
+  reference's per-exporter template store
+  (outlet/flow/decoder/netflow/templates.go).
+- ``parse_sflow(payload, exporter, ts)`` — flow samples + expanded
+  flow samples; raw-packet-header records are parsed down to
+  Ethernet → (VLAN) → IPv4/IPv6 → TCP/UDP ports, and the extended
+  switch / router / gateway records contribute VLANs, masks,
+  next-hop, AS path and communities (reference sflow decode at
+  outlet/flow/decoder/sflow/decode.go:146-227).
+
+Spark integration: :func:`netflow_batch_parser` /
+:func:`sflow_batch_parser` produce ``parse_batch`` callables for
+``decode.decode_binary`` (mapInPandas over RawFlow batches).  The
+template cache is held in the parser closure — per-task state, so
+partition the raw stream by exporter (Kafka keys datagrams by
+exporter in the reference) and templates decoded earlier in a batch
+serve data records later in it.  For cross-batch template survival in
+Structured Streaming, hand the same cache object to a
+``foreachBatch`` driver-side decode, or key an
+``applyInPandasWithState`` run by ``source_address``.
+
+Scale: decoding is embarrassingly parallel per datagram; everything
+here is bytes→rows with no shuffle.  At 100 TB this is the one hot
+Python path of the ingest job; the batch parsers amortize through
+Arrow and the per-record loops touch only the few dozen bytes of
+each record.  (The reference's Go decoder has the same slow-path
+shape: a per-record imperative parse, outlet/flow/decoder/netflow/
+decode.go:123-200.)
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+_V4MAP = b"\x00" * 10 + b"\xff\xff"
+ETYPE_IPV4 = 0x0800
+ETYPE_IPV6 = 0x86DD
+
+# Decoder output: the reference's FlowMessage fixed fields
+# (common/schema/message.go:14-44).  InIf/OutIf are ifindexes; the
+# metadata join (J6) turns them into names downstream.
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("TimeReceived", T.LongType()),       # epoch seconds
+        T.StructField("ExporterAddress", T.BinaryType()),  # 16 bytes
+        T.StructField("SamplingRate", T.LongType()),
+        T.StructField("InIf", T.LongType()),
+        T.StructField("OutIf", T.LongType()),
+        T.StructField("SrcAddr", T.BinaryType()),
+        T.StructField("DstAddr", T.BinaryType()),
+        T.StructField("NextHop", T.BinaryType()),
+        T.StructField("EType", T.IntegerType()),
+        T.StructField("Proto", T.IntegerType()),
+        T.StructField("SrcPort", T.IntegerType()),
+        T.StructField("DstPort", T.IntegerType()),
+        T.StructField("SrcAS", T.LongType()),
+        T.StructField("DstAS", T.LongType()),
+        T.StructField("SrcNetMask", T.IntegerType()),
+        T.StructField("DstNetMask", T.IntegerType()),
+        T.StructField("SrcVlan", T.IntegerType()),
+        T.StructField("DstVlan", T.IntegerType()),
+        T.StructField("TCPFlags", T.IntegerType()),
+        T.StructField("ForwardingStatus", T.IntegerType()),
+        T.StructField("FlowDirection", T.IntegerType()),
+        T.StructField("Bytes", T.LongType()),
+        T.StructField("Packets", T.LongType()),
+        T.StructField("DstASPath", T.ArrayType(T.LongType())),
+        T.StructField("DstCommunities", T.ArrayType(T.LongType())),
+    ]
+)
+
+_WIRE_NAMES = [f.name for f in WIRE_SCHEMA.fields]
+
+
+def ip16(raw: bytes) -> bytes:
+    """Canonical 16-byte address; IPv4 stored as ::ffff:v4 (reference
+    stores every address as IPv6, common/schema/definition.go IPv6
+    columns)."""
+    return _V4MAP + raw if len(raw) == 4 else raw
+
+
+def _row(ts: int, exporter: bytes, rate: int) -> dict:
+    r = dict.fromkeys(_WIRE_NAMES)
+    r["TimeReceived"] = ts
+    r["ExporterAddress"] = ip16(exporter)
+    r["SamplingRate"] = rate
+    r["Bytes"] = 0
+    r["Packets"] = 0
+    return r
+
+
+# --------------------------------------------------------------------------
+# NetFlow v5 — fixed 48-byte records (Cisco public format)
+# --------------------------------------------------------------------------
+
+_V5_HEADER = struct.Struct(">HHIIIIBBH")
+_V5_RECORD = struct.Struct(">4s4s4sHHIIIIHHBBBBHHBBH")
+
+
+def parse_netflow_v5(payload: bytes, exporter: bytes, ts: int) -> list[dict]:
+    ver, count, _up, unix_secs, _ns, _seq, _et, _eid, sampling = _V5_HEADER.unpack_from(payload, 0)
+    if ver != 5:
+        raise ValueError(f"not a NetFlow v5 packet (version={ver})")
+    # low 14 bits = interval, top 2 bits = mode (0: none)
+    rate = sampling & 0x3FFF or 1
+    rows = []
+    off = _V5_HEADER.size
+    for _ in range(count):
+        (src, dst, nh, inif, outif, pkts, octets, _first, _last, sp, dp,
+         _pad, flags, proto, _tos, sas, das, smask, dmask, _pad2) = _V5_RECORD.unpack_from(payload, off)
+        off += _V5_RECORD.size
+        r = _row(ts or unix_secs, exporter, rate)
+        r.update(
+            SrcAddr=ip16(src), DstAddr=ip16(dst), NextHop=ip16(nh),
+            InIf=inif, OutIf=outif, Packets=pkts, Bytes=octets,
+            SrcPort=sp, DstPort=dp, TCPFlags=flags, Proto=proto,
+            SrcAS=sas, DstAS=das, SrcNetMask=smask, DstNetMask=dmask,
+            EType=ETYPE_IPV4,
+        )
+        rows.append(r)
+    return rows
+
+
+# --------------------------------------------------------------------------
+# NetFlow v9 (RFC 3954) / IPFIX (RFC 7011) — templated records
+# --------------------------------------------------------------------------
+
+# IANA IPFIX information elements → (wire column, decode kind).
+# kinds: u = unsigned int (1/2/4/8 bytes), ip = address bytes.
+_IE_MAP = {
+    1: ("Bytes", "u"),            # octetDeltaCount
+    2: ("Packets", "u"),          # packetDeltaCount
+    4: ("Proto", "u"),            # protocolIdentifier
+    6: ("TCPFlags", "u"),         # tcpControlBits
+    7: ("SrcPort", "u"),          # sourceTransportPort
+    8: ("SrcAddr", "ip"),         # sourceIPv4Address
+    9: ("SrcNetMask", "u"),       # sourceIPv4PrefixLength
+    10: ("InIf", "u"),            # ingressInterface
+    11: ("DstPort", "u"),         # destinationTransportPort
+    12: ("DstAddr", "ip"),        # destinationIPv4Address
+    13: ("DstNetMask", "u"),      # destinationIPv4PrefixLength
+    14: ("OutIf", "u"),           # egressInterface
+    15: ("NextHop", "ip"),        # ipNextHopIPv4Address
+    16: ("SrcAS", "u"),           # bgpSourceAsNumber
+    17: ("DstAS", "u"),           # bgpDestinationAsNumber
+    18: ("NextHop", "ip"),        # bgpNextHopIPv4Address
+    27: ("SrcAddr", "ip"),        # sourceIPv6Address
+    28: ("DstAddr", "ip"),        # destinationIPv6Address
+    29: ("SrcNetMask", "u"),      # sourceIPv6PrefixLength
+    30: ("DstNetMask", "u"),      # destinationIPv6PrefixLength
+    58: ("SrcVlan", "u"),         # vlanId
+    59: ("DstVlan", "u"),         # postVlanId
+    61: ("FlowDirection", "u"),   # flowDirection
+    62: ("NextHop", "ip"),        # ipNextHopIPv6Address
+    63: ("NextHop", "ip"),        # bgpNextHopIPv6Address
+    89: ("ForwardingStatus", "u"),
+    34: ("SamplingRate", "u"),    # samplingInterval (v9)
+    50: ("SamplingRate", "u"),    # samplerRandomInterval
+    305: ("SamplingRate", "u"),   # samplingPacketInterval
+}
+
+_SAMPLING_IES = (34, 50, 305)
+
+
+@dataclass
+class TemplateCache:
+    """Per-(exporter, observation domain) template + sampling state.
+
+    The reference persists this across restarts
+    (outlet/flow/decoder/netflow/persist.go); here it is a plain dict
+    so callers may pickle it between micro-batches."""
+
+    templates: dict = field(default_factory=dict)  # (exp, dom, tid) -> [(ie, len)]
+    sampling: dict = field(default_factory=dict)   # (exp, dom) -> rate
+    missing: int = 0  # data flowsets dropped for want of a template
+
+
+def _u(data: bytes) -> int:
+    return int.from_bytes(data, "big")
+
+
+def _parse_v9_templates(payload: bytes, off: int, end: int, key, cache: TemplateCache) -> None:
+    while off + 4 <= end:
+        tid, nfields = struct.unpack_from(">HH", payload, off)
+        off += 4
+        fields = []
+        for _ in range(nfields):
+            ie, ln = struct.unpack_from(">HH", payload, off)
+            off += 4
+            fields.append((ie & 0x7FFF, ln))
+        cache.templates[(*key, tid)] = fields
+
+
+def _parse_v9_options_template(payload: bytes, off: int, end: int, key, cache: TemplateCache) -> None:
+    # RFC 3954 §6.1: scope and option lengths are in BYTES.
+    tid, scope_bytes, option_bytes = struct.unpack_from(">HHH", payload, off)
+    off += 6
+    fields = []
+    for _ in range(scope_bytes // 4):
+        _ie, ln = struct.unpack_from(">HH", payload, off)
+        off += 4
+        fields.append((-1, ln))  # scope field: decoded but unmapped
+    for _ in range(option_bytes // 4):
+        ie, ln = struct.unpack_from(">HH", payload, off)
+        off += 4
+        fields.append((ie & 0x7FFF, ln))
+    cache.templates[(*key, tid)] = fields
+
+
+def _parse_ipfix_templates(payload: bytes, off: int, end: int, key, cache: TemplateCache,
+                           options: bool) -> None:
+    while off + 4 <= end:
+        if options:
+            tid, nfields, nscope = struct.unpack_from(">HHH", payload, off)
+            off += 6
+        else:
+            tid, nfields = struct.unpack_from(">HH", payload, off)
+            off += 4
+            nscope = 0
+        if tid == 0:  # padding
+            break
+        fields = []
+        for i in range(nfields):
+            ie, ln = struct.unpack_from(">HH", payload, off)
+            off += 4
+            if ie & 0x8000:  # enterprise bit → 4-byte PEN follows (RFC 7011 §3.2)
+                off += 4
+                ie = -2  # enterprise IE: skip its bytes
+            else:
+                ie &= 0x7FFF
+            fields.append((-1 if i < nscope else ie, ln))
+        cache.templates[(*key, tid)] = fields
+
+
+def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
+                         exporter: bytes, rate: int, key, cache: TemplateCache) -> list[dict]:
+    rec_len = sum(ln for _, ln in fields if ln != 0xFFFF)
+    rows = []
+    while off < end:
+        if all(ln != 0xFFFF for _, ln in fields) and off + rec_len > end:
+            break  # padding
+        r = _row(ts, exporter, rate)
+        v6 = False
+        v4 = False
+        sampling_seen = None
+        for ie, ln in fields:
+            if ln == 0xFFFF:  # variable length (RFC 7011 §7)
+                ln = payload[off]
+                off += 1
+                if ln == 255:
+                    ln = _u(payload[off:off + 2])
+                    off += 2
+            data = payload[off:off + ln]
+            off += ln
+            m = _IE_MAP.get(ie)
+            if m is None:
+                continue
+            col, kind = m
+            if kind == "ip":
+                if len(data) == 16:
+                    v6 = v6 or col in ("SrcAddr", "DstAddr")
+                else:
+                    v4 = v4 or col in ("SrcAddr", "DstAddr")
+                r[col] = ip16(data)
+            else:
+                val = _u(data)
+                if ie in _SAMPLING_IES:
+                    sampling_seen = val
+                    if val:
+                        r[col] = val
+                else:
+                    r[col] = val
+        r["EType"] = ETYPE_IPV6 if v6 and not v4 else ETYPE_IPV4
+        if sampling_seen and r["SrcAddr"] is None and r["DstAddr"] is None:
+            # options data record carrying the exporter's sampling rate
+            cache.sampling[key] = sampling_seen
+        else:
+            rows.append(r)
+    return rows
+
+
+def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
+                            cache: TemplateCache) -> list[dict]:
+    """NetFlow v9 / IPFIX datagram → wire rows (template-stateful)."""
+    version = _u(payload[0:2])
+    if version == 9:
+        _v, count, _up, unix_secs, _seq, domain = struct.unpack_from(">HHIIII", payload, 0)
+        off, total = 20, len(payload)
+        tset, oset = 0, 1
+    elif version == 10:
+        _v, total, export_time, _seq, domain = struct.unpack_from(">HHIII", payload, 0)
+        unix_secs = export_time
+        off = 16
+        tset, oset = 2, 3
+    else:
+        raise ValueError(f"unsupported NetFlow version {version}")
+    ts = ts or unix_secs
+    key = (bytes(exporter), domain)
+    rows: list[dict] = []
+    while off + 4 <= total:
+        set_id, set_len = struct.unpack_from(">HH", payload, off)
+        if set_len < 4:
+            break
+        body, end = off + 4, off + set_len
+        if set_id == tset:
+            if version == 9:
+                _parse_v9_templates(payload, body, end, key, cache)
+            else:
+                _parse_ipfix_templates(payload, body, end, key, cache, options=False)
+        elif set_id == oset:
+            if version == 9:
+                _parse_v9_options_template(payload, body, end, key, cache)
+            else:
+                _parse_ipfix_templates(payload, body, end, key, cache, options=True)
+        elif set_id >= 256:
+            fields = cache.templates.get((*key, set_id))
+            if fields is None:
+                cache.missing += 1
+            else:
+                rate = cache.sampling.get(key, 1)
+                rows.extend(
+                    _decode_data_records(payload, body, end, fields, ts, exporter, rate, key, cache)
+                )
+        off = end
+    # data records decoded before the sampling option arrived keep rate 1;
+    # the reference has the same ordering dependence (templates.go).
+    return rows
+
+
+def parse_netflow(payload: bytes, exporter: bytes, ts: int = 0,
+                  cache: TemplateCache | None = None) -> list[dict]:
+    version = _u(payload[0:2])
+    if version == 5:
+        return parse_netflow_v5(payload, exporter, ts)
+    return parse_netflow_templated(payload, exporter, ts, cache or TemplateCache())
+
+
+# --------------------------------------------------------------------------
+# sFlow v5 (sflow.org/sflow_version_5.txt)
+# --------------------------------------------------------------------------
+
+
+def _parse_sampled_header(data: bytes, r: dict) -> None:
+    """Raw packet header record (format 1): Ethernet → VLAN → IP → L4."""
+    protocol, frame_len, _stripped, hdr_len = struct.unpack_from(">IIII", data, 0)
+    r["Bytes"] = frame_len
+    r["Packets"] = 1
+    if protocol != 1:  # 1 = ETHERNET-ISO8023
+        return
+    h = data[16:16 + hdr_len]
+    if len(h) < 14:
+        return
+    etype = _u(h[12:14])
+    off = 14
+    while etype == 0x8100 and len(h) >= off + 4:  # 802.1Q tag(s)
+        if r.get("SrcVlan") is None:
+            r["SrcVlan"] = _u(h[off:off + 2]) & 0x0FFF
+        etype = _u(h[off + 2:off + 4])
+        off += 4
+    r["EType"] = etype
+    if etype == ETYPE_IPV4 and len(h) >= off + 20:
+        ihl = (h[off] & 0x0F) * 4
+        r["Proto"] = h[off + 9]
+        r["SrcAddr"] = ip16(h[off + 12:off + 16])
+        r["DstAddr"] = ip16(h[off + 16:off + 20])
+        l4 = off + ihl
+    elif etype == ETYPE_IPV6 and len(h) >= off + 40:
+        r["Proto"] = h[off + 6]
+        r["SrcAddr"] = h[off + 8:off + 24]
+        r["DstAddr"] = h[off + 24:off + 40]
+        l4 = off + 40
+    else:
+        return
+    if r["Proto"] in (6, 17) and len(h) >= l4 + 4:
+        r["SrcPort"] = _u(h[l4:l4 + 2])
+        r["DstPort"] = _u(h[l4 + 2:l4 + 4])
+        if r["Proto"] == 6 and len(h) >= l4 + 14:
+            r["TCPFlags"] = h[l4 + 13]
+
+
+def _read_addr(data: bytes, off: int) -> tuple[bytes | None, int]:
+    atype = _u(data[off:off + 4])
+    off += 4
+    if atype == 1:
+        return ip16(data[off:off + 4]), off + 4
+    if atype == 2:
+        return data[off:off + 16], off + 16
+    return None, off
+
+
+def parse_sflow(payload: bytes, exporter: bytes, ts: int = 0) -> list[dict]:
+    version = _u(payload[0:4])
+    if version != 5:
+        raise ValueError(f"unsupported sFlow version {version}")
+    agent, off = _read_addr(payload, 4)
+    _sub, _seq, _uptime, nsamples = struct.unpack_from(">IIII", payload, off)
+    off += 16
+    exporter = agent or exporter  # agent address identifies the exporter
+    rows: list[dict] = []
+    for _ in range(nsamples):
+        stype, slen = struct.unpack_from(">II", payload, off)
+        body, send = off + 8, off + 8 + slen
+        fmt = stype & 0xFFF
+        if (stype >> 12) == 0 and fmt in (1, 3):  # flow sample / expanded
+            p = body
+            _sseq = _u(payload[p:p + 4]); p += 4
+            p += 8 if fmt == 3 else 4  # source id (type+index when expanded)
+            rate = _u(payload[p:p + 4]); p += 4
+            p += 8  # sample_pool, drops
+            if fmt == 3:
+                inif = _u(payload[p + 4:p + 8]); outif = _u(payload[p + 12:p + 16]); p += 16
+            else:
+                inif = _u(payload[p:p + 4]); outif = _u(payload[p + 4:p + 8]); p += 8
+            nrec = _u(payload[p:p + 4]); p += 4
+            r = _row(ts, exporter, rate or 1)
+            r.update(InIf=inif, OutIf=outif)
+            for _ in range(nrec):
+                rfmt, rlen = struct.unpack_from(">II", payload, p)
+                rdata = payload[p + 8:p + 8 + rlen]
+                p += 8 + rlen
+                code = rfmt & 0xFFF
+                if (rfmt >> 12) != 0:
+                    continue
+                if code == 1:
+                    _parse_sampled_header(rdata, r)
+                elif code == 1001:  # extended switch
+                    r["SrcVlan"] = _u(rdata[0:4])
+                    r["DstVlan"] = _u(rdata[8:12])
+                elif code == 1002:  # extended router
+                    nh, q = _read_addr(rdata, 0)
+                    r["NextHop"] = nh
+                    r["SrcNetMask"] = _u(rdata[q:q + 4])
+                    r["DstNetMask"] = _u(rdata[q + 4:q + 8])
+                elif code == 1003:  # extended gateway
+                    nh, q = _read_addr(rdata, 0)
+                    if r.get("NextHop") is None:
+                        r["NextHop"] = nh
+                    _ras = _u(rdata[q:q + 4])
+                    r["SrcAS"] = _u(rdata[q + 4:q + 8])
+                    q += 12  # as, src_as, src_peer_as
+                    nseg = _u(rdata[q:q + 4]); q += 4
+                    path: list[int] = []
+                    for _ in range(nseg):
+                        _segtype = _u(rdata[q:q + 4])
+                        seglen = _u(rdata[q + 4:q + 8]); q += 8
+                        for k in range(seglen):
+                            path.append(_u(rdata[q:q + 4])); q += 4
+                    ncom = _u(rdata[q:q + 4]); q += 4
+                    coms = []
+                    for _ in range(ncom):
+                        coms.append(_u(rdata[q:q + 4])); q += 4
+                    if path:
+                        r["DstASPath"] = path
+                        r["DstAS"] = path[-1]
+                    if coms:
+                        r["DstCommunities"] = coms
+            if r["Bytes"]:
+                rows.append(r)
+        off = send
+    return rows
+
+
+# --------------------------------------------------------------------------
+# decode_binary adapters
+# --------------------------------------------------------------------------
+
+
+def _batch_frame(rows: list[dict]):
+    import pandas as pd
+
+    return pd.DataFrame(rows if rows else [], columns=_WIRE_NAMES)
+
+
+def netflow_batch_parser(cache: TemplateCache | None = None):
+    """``parse_batch`` for ``decode_binary(..., kind="netflow")``.
+
+    One TemplateCache per task closure; pass a shared cache for
+    driver-side (foreachBatch) decoding to persist templates across
+    batches."""
+    state = cache or TemplateCache()
+
+    def parse_batch(payloads, source_addresses):
+        rows: list[dict] = []
+        for p, a in zip(payloads, source_addresses):
+            rows.extend(parse_netflow(bytes(p), bytes(a), cache=state))
+        return _batch_frame(rows)
+
+    return parse_batch
+
+
+def sflow_batch_parser():
+    def parse_batch(payloads, source_addresses):
+        rows: list[dict] = []
+        for p, a in zip(payloads, source_addresses):
+            rows.extend(parse_sflow(bytes(p), bytes(a)))
+        return _batch_frame(rows)
+
+    return parse_batch

@@ -1,0 +1,282 @@
+"""Wire-format decoder tests (S5/S6/S8) — golden datagrams built
+from the public specs, mirroring the reference's pcap-fixture
+strategy (outlet/flow/decoder/netflow/decode_test.go)."""
+
+from __future__ import annotations
+
+import struct
+
+from akvorado_spark.sources.wire import (
+    ETYPE_IPV4,
+    ETYPE_IPV6,
+    TemplateCache,
+    ip16,
+    netflow_batch_parser,
+    parse_netflow,
+    parse_sflow,
+    sflow_batch_parser,
+)
+
+EXP = bytes([192, 0, 2, 1])
+
+
+# ---- builders ------------------------------------------------------------
+
+
+def build_v5(records, sampling=0x0000):
+    hdr = struct.pack(">HHIIIIBBH", 5, len(records), 0, 1700000000, 0, 1, 0, 0, sampling)
+    out = [hdr]
+    for r in records:
+        out.append(
+            struct.pack(
+                ">4s4s4sHHIIIIHHBBBBHHBBH",
+                r["src"], r["dst"], r.get("nh", b"\0\0\0\0"),
+                r.get("inif", 1), r.get("outif", 2),
+                r.get("pkts", 1), r.get("bytes", 100), 0, 0,
+                r.get("sp", 0), r.get("dp", 0), 0,
+                r.get("flags", 0), r.get("proto", 6), 0,
+                r.get("sas", 0), r.get("das", 0),
+                r.get("smask", 0), r.get("dmask", 0), 0,
+            )
+        )
+    return b"".join(out)
+
+
+def v9_flowset(set_id, body):
+    pad = (-len(body)) % 4
+    return struct.pack(">HH", set_id, 4 + len(body) + pad) + body + b"\0" * pad
+
+
+def build_v9(flowsets, domain=0):
+    body = b"".join(flowsets)
+    hdr = struct.pack(">HHIIII", 9, len(flowsets), 0, 1700000100, 7, domain)
+    return hdr + body
+
+
+def build_ipfix(sets, domain=0):
+    body = b"".join(sets)
+    hdr = struct.pack(">HHIII", 10, 16 + len(body), 1700000200, 7, domain)
+    return hdr + body
+
+
+V9_TEMPLATE_FIELDS = [  # (IE, len)
+    (8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 4), (2, 4), (10, 4), (14, 4),
+    (16, 4), (17, 4), (6, 1),
+]
+
+
+def v9_template(tid=256, fields=V9_TEMPLATE_FIELDS):
+    body = struct.pack(">HH", tid, len(fields))
+    for ie, ln in fields:
+        body += struct.pack(">HH", ie, ln)
+    return v9_flowset(0, body)
+
+
+def v9_data(tid=256, src=b"\x0a\x00\x00\x01", dst=b"\x0a\x00\x00\x02"):
+    rec = (
+        src + dst + struct.pack(">HHB", 40000, 443, 6)
+        + struct.pack(">IIIIII", 1500, 3, 10, 20, 65001, 65002)
+        + bytes([0x12])
+    )
+    return v9_flowset(tid, rec)
+
+
+# ---- NetFlow v5 ----------------------------------------------------------
+
+
+def test_netflow_v5():
+    pkt = build_v5(
+        [
+            dict(src=b"\x0a\x00\x00\x01", dst=b"\xc6\x33\x64\x09", sp=1234, dp=53,
+                 proto=17, bytes=300, pkts=2, sas=65001, das=65002, smask=8, dmask=24),
+            dict(src=b"\x0a\x01\x02\x03", dst=b"\x0a\x02\x00\x01", sp=55555, dp=443,
+                 proto=6, bytes=9000, pkts=6, flags=0x18),
+        ],
+        sampling=1000,
+    )
+    rows = parse_netflow(pkt, EXP)
+    assert len(rows) == 2
+    r = rows[0]
+    assert r["SrcAddr"] == ip16(b"\x0a\x00\x00\x01") and len(r["SrcAddr"]) == 16
+    assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (1234, 53, 17)
+    assert (r["Bytes"], r["Packets"]) == (300, 2)
+    assert (r["SrcAS"], r["DstAS"], r["SrcNetMask"], r["DstNetMask"]) == (65001, 65002, 8, 24)
+    assert r["SamplingRate"] == 1000 and r["EType"] == ETYPE_IPV4
+    assert r["TimeReceived"] == 1700000000  # header unix_secs
+    assert rows[1]["TCPFlags"] == 0x18
+
+
+# ---- NetFlow v9 ----------------------------------------------------------
+
+
+def test_netflow_v9_template_then_data():
+    cache = TemplateCache()
+    rows = parse_netflow(build_v9([v9_template(), v9_data()]), EXP, cache=cache)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["SrcAddr"] == ip16(b"\x0a\x00\x00\x01")
+    assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (40000, 443, 6)
+    assert (r["Bytes"], r["Packets"], r["InIf"], r["OutIf"]) == (1500, 3, 10, 20)
+    assert (r["SrcAS"], r["DstAS"], r["TCPFlags"]) == (65001, 65002, 0x12)
+    assert r["EType"] == ETYPE_IPV4 and r["TimeReceived"] == 1700000100
+
+
+def test_netflow_v9_data_without_template_dropped():
+    cache = TemplateCache()
+    rows = parse_netflow(build_v9([v9_data()]), EXP, cache=cache)
+    assert rows == [] and cache.missing == 1
+    # template arrives in a later datagram; same exporter+domain
+    parse_netflow(build_v9([v9_template()]), EXP, cache=cache)
+    assert len(parse_netflow(build_v9([v9_data()]), EXP, cache=cache)) == 1
+
+
+def test_netflow_v9_template_scoped_by_domain_and_exporter():
+    cache = TemplateCache()
+    parse_netflow(build_v9([v9_template()], domain=1), EXP, cache=cache)
+    assert parse_netflow(build_v9([v9_data()], domain=2), EXP, cache=cache) == []
+    assert parse_netflow(build_v9([v9_data()], domain=1), b"\x0a\x00\x00\x99", cache=cache) == []
+    assert len(parse_netflow(build_v9([v9_data()], domain=1), EXP, cache=cache)) == 1
+
+
+def test_netflow_v9_options_sampling():
+    cache = TemplateCache()
+    # options template: scope (IE1=System, 4B) + option samplingInterval(34, 4B)
+    opt_tpl = v9_flowset(1, struct.pack(">HHH", 300, 4, 4) + struct.pack(">HHHH", 1, 4, 34, 4))
+    opt_data = v9_flowset(300, struct.pack(">II", 1, 2048))
+    parse_netflow(build_v9([opt_tpl, opt_data, v9_template()]), EXP, cache=cache)
+    assert cache.sampling[(EXP, 0)] == 2048
+    rows = parse_netflow(build_v9([v9_data()]), EXP, cache=cache)
+    assert rows[0]["SamplingRate"] == 2048
+
+
+def test_ipfix_v6_and_enterprise_and_varlen():
+    cache = TemplateCache()
+    # template 256: v6 src/dst, ports, proto, bytes, one enterprise IE
+    # (skipped), one variable-length IE (skipped)
+    fields = struct.pack(">HH", 256, 7)
+    for ie, ln in [(27, 16), (28, 16), (7, 2), (11, 2), (4, 1), (1, 4)]:
+        fields += struct.pack(">HH", ie, ln)
+    fields += struct.pack(">HHI", 0x8000 | 100, 0xFFFF, 29305)  # PEN field, varlen
+    tpl = struct.pack(">HH", 2, 4 + len(fields)) + fields
+    src = bytes.fromhex("20010db8000000000000000000000001")
+    dst = bytes.fromhex("20010db8000000000000000000000002")
+    rec = src + dst + struct.pack(">HHBI", 5353, 5353, 17, 240) + bytes([3]) + b"xyz"
+    data = struct.pack(">HH", 256, 4 + len(rec)) + rec
+    rows = parse_netflow(build_ipfix([tpl, data]), EXP, cache=cache)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["SrcAddr"] == src and r["DstAddr"] == dst
+    assert r["EType"] == ETYPE_IPV6 and r["Proto"] == 17 and r["Bytes"] == 240
+    assert r["TimeReceived"] == 1700000200
+
+
+# ---- sFlow ---------------------------------------------------------------
+
+
+def eth_ipv4_tcp(src4, dst4, sp, dp, flags=0x10, vlan=None):
+    eth = b"\xaa" * 6 + b"\xbb" * 6
+    if vlan is not None:
+        eth += struct.pack(">HH", 0x8100, vlan)
+    eth += struct.pack(">H", ETYPE_IPV4)
+    ip = bytes([0x45, 0]) + struct.pack(">H", 1480) + b"\0\0\0\0" + bytes([64, 6]) \
+        + b"\0\0" + src4 + dst4
+    tcp = struct.pack(">HH", sp, dp) + b"\0" * 9 + bytes([flags]) + b"\0\0"
+    return eth + ip + tcp
+
+
+def sflow_record(fmt, body):
+    return struct.pack(">II", fmt, len(body)) + body
+
+
+def sflow_sample(records, rate=512, inif=5, outif=7):
+    body = struct.pack(">IIIII", 1, 1, rate, 100000, 0)  # seq, source_id, rate, pool, drops
+    body += struct.pack(">II", inif, outif)
+    body += struct.pack(">I", len(records)) + b"".join(records)
+    return struct.pack(">II", 1, len(body)) + body
+
+
+def build_sflow(samples, agent4=EXP):
+    hdr = struct.pack(">II", 5, 1) + agent4 + struct.pack(">IIII", 0, 9, 1000, len(samples))
+    return hdr + b"".join(samples)
+
+
+def test_sflow_raw_header_and_gateway():
+    hdr = eth_ipv4_tcp(b"\x0a\x01\x02\x03", b"\xcb\x00\x71\x05", 40001, 443, vlan=120)
+    raw = struct.pack(">IIII", 1, 1518, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+    gw = ip16(b"\x0a\x00\x00\xfe")  # next hop, v6-typed address
+    gw_body = (
+        struct.pack(">I", 2) + gw                      # next-hop (type 2 = v6 form)
+        + struct.pack(">III", 65000, 65010, 65011)     # as, src_as, src_peer_as
+        + struct.pack(">I", 1)                         # n segments
+        + struct.pack(">II", 2, 2)                     # AS-SEQUENCE, 2 ASNs
+        + struct.pack(">II", 64500, 64510)
+        + struct.pack(">I", 1) + struct.pack(">I", (65000 << 16) | 100)  # communities
+        + struct.pack(">I", 100)                       # localpref
+    )
+    sw_body = struct.pack(">IIII", 120, 0, 130, 0)
+    pkt = build_sflow([sflow_sample([
+        sflow_record(1, raw),
+        sflow_record(1001, sw_body),
+        sflow_record(1003, gw_body),
+    ])])
+    rows = parse_sflow(pkt, b"\x00" * 4)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ExporterAddress"] == ip16(EXP)  # agent address wins
+    assert r["SrcAddr"] == ip16(b"\x0a\x01\x02\x03")
+    assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (40001, 443, 6)
+    assert (r["Bytes"], r["Packets"], r["SamplingRate"]) == (1518, 1, 512)
+    assert (r["InIf"], r["OutIf"]) == (5, 7)
+    assert (r["SrcVlan"], r["DstVlan"]) == (120, 130)
+    assert r["EType"] == ETYPE_IPV4 and r["TCPFlags"] == 0x10
+    assert r["DstASPath"] == [64500, 64510] and r["DstAS"] == 64510
+    assert r["DstCommunities"] == [(65000 << 16) | 100]
+    assert r["SrcAS"] == 65010 and r["NextHop"] == gw
+
+
+def test_sflow_ipv6_header():
+    src = bytes.fromhex("20010db8000100000000000000000009")
+    dst = bytes.fromhex("20010db8000200000000000000000001")
+    eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", ETYPE_IPV6)
+    ip6 = struct.pack(">I", 0x60000000) + struct.pack(">HBB", 80, 17, 64) + src + dst
+    udp = struct.pack(">HH", 5353, 53) + b"\0\0\0\0"
+    hdr = eth + ip6 + udp
+    raw = struct.pack(">IIII", 1, 200, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+    rows = parse_sflow(build_sflow([sflow_sample([sflow_record(1, raw)])]), b"\0" * 4)
+    r = rows[0]
+    assert r["EType"] == ETYPE_IPV6 and r["SrcAddr"] == src and r["DstAddr"] == dst
+    assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (5353, 53, 17)
+
+
+# ---- Spark integration ---------------------------------------------------
+
+
+def test_decode_binary_netflow_end_to_end(spark):
+    from akvorado_spark.sources.decode import RAW_FLOW_SCHEMA, decode_binary
+    from akvorado_spark.sources.wire import WIRE_SCHEMA
+
+    pkts = [
+        build_v9([v9_template(), v9_data()]),
+        build_v5([dict(src=b"\x0a\x00\x00\x09", dst=b"\x0a\x00\x00\x08", sp=80, dp=2000,
+                       bytes=555, pkts=5)]),
+    ]
+    raw = spark.createDataFrame(
+        [(None, p, EXP, "netflow", "udp", "none") for p in pkts], RAW_FLOW_SCHEMA
+    ).repartition(1)  # template must precede data within a task
+    out = decode_binary(raw, WIRE_SCHEMA, "netflow", netflow_batch_parser())
+    rows = {r["Bytes"]: r for r in out.collect()}
+    assert set(rows) == {1500, 555}
+    assert rows[1500]["DstPort"] == 443 and rows[555]["Packets"] == 5
+    assert all(len(r["ExporterAddress"]) == 16 for r in rows.values())
+
+
+def test_decode_binary_sflow_end_to_end(spark):
+    from akvorado_spark.sources.decode import RAW_FLOW_SCHEMA, decode_binary
+    from akvorado_spark.sources.wire import WIRE_SCHEMA
+
+    hdr = eth_ipv4_tcp(b"\x0a\x00\x00\x01", b"\x0a\x00\x00\x02", 1, 2)
+    raw_rec = struct.pack(">IIII", 1, 999, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+    pkt = build_sflow([sflow_sample([sflow_record(1, raw_rec)])])
+    raw = spark.createDataFrame([(None, pkt, EXP, "sflow", "udp", "none")], RAW_FLOW_SCHEMA)
+    rows = decode_binary(raw, WIRE_SCHEMA, "sflow", sflow_batch_parser()).collect()
+    assert len(rows) == 1 and rows[0]["Bytes"] == 999 and rows[0]["SamplingRate"] == 512
