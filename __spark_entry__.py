@@ -35,6 +35,7 @@ import akvorado_spark.oracle.classify_queries  # noqa: F401
 import akvorado_spark.oracle.filter2_queries  # noqa: F401
 import akvorado_spark.oracle.multiaxis_queries  # noqa: F401
 import akvorado_spark.oracle.alias_queries  # noqa: F401
+import akvorado_spark.oracle.wire_queries  # noqa: F401
 from akvorado_spark.oracle.registry import QUERIES
 
 

@@ -1,0 +1,235 @@
+"""Oracle-gated binary-decode round-trips (S5/S6).
+
+DuckDB cannot parse NetFlow or sFlow bytes, but it can predict what a
+correct decoder must output when the datagrams are *built
+deterministically from a table it can read*.  Each query here:
+
+1. derives per-row wire fields from ``orders`` with pure integer
+   arithmetic,
+2. packs real datagrams (NetFlow v5 / v9-with-options / sFlow v5)
+   inside ``mapInPandas``,
+3. decodes them back with the production parsers in ``sources/wire``,
+4. aggregates the decoded rows into integers.
+
+The DuckDB oracle computes the same aggregates straight from
+``orders`` — so a parser that mis-reads any field (offsets, sampling
+state, template bookkeeping, header walk) hash-mismatches.  This is
+the same certified-twin strategy the sketch pipelines use.
+
+Datagrams are self-contained (template + options + data in one v9
+packet), so decoding is order-independent across partitions — the
+cross-datagram template lifecycle is covered by tests/test_wire.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import functions as F
+
+from akvorado_spark.oracle.registry import register
+from akvorado_spark.sources.tables import load_table
+from akvorado_spark.sources.wire import (
+    WIRE_SCHEMA,
+    TemplateCache,
+    parse_netflow,
+    parse_sflow,
+)
+
+_EXP = bytes([192, 0, 2, 7])
+
+# Per-row wire fields, defined once as integer arithmetic both engines
+# can compute exactly.
+_DPORTS = [53, 80, 443, 8080]
+
+
+def _fields(orderkey: int, custkey: int) -> dict:
+    return dict(
+        ok=orderkey,
+        src=bytes([10, custkey % 250, (orderkey // 250) % 250, orderkey % 250]),
+        dst=bytes([198, 51, 100, custkey % 200]),
+        sp=1024 + orderkey % 60000,
+        dp=_DPORTS[orderkey % 4],
+        proto=6 if orderkey % 3 else 17,
+        bytes=100 + orderkey % 9000,
+        pkts=1 + orderkey % 16,
+        sas=65000 + custkey % 50,
+        das=65100 + orderkey % 50,
+    )
+
+
+_V5_RATE = 1000
+_V9_RATE = 2048
+_SFLOW_RATE = 512
+
+
+# ---- builders (wire layouts per the public specs) ------------------------
+
+
+def _build_v5(recs: list[dict]) -> bytes:
+    hdr = struct.pack(">HHIIIIBBH", 5, len(recs), 0, 1700000000, 0, 0, 0, 0, _V5_RATE)
+    out = [hdr]
+    for f in recs:
+        out.append(
+            struct.pack(
+                ">4s4s4sHHIIIIHHBBBBHHBBH",
+                f["src"], f["dst"], b"\0\0\0\0", 1, 2,
+                f["pkts"], f["bytes"], 0, 0, f["sp"], f["dp"],
+                0, 0, f["proto"], 0, f["sas"], f["das"], 0, 0, 0,
+            )
+        )
+    return b"".join(out)
+
+
+_V9_FIELDS = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 4), (2, 4), (16, 4), (17, 4)]
+
+
+def _build_v9(recs: list[dict]) -> bytes:
+    tpl_body = struct.pack(">HH", 256, len(_V9_FIELDS))
+    for ie, ln in _V9_FIELDS:
+        tpl_body += struct.pack(">HH", ie, ln)
+    tpl = struct.pack(">HH", 0, 4 + len(tpl_body)) + tpl_body
+    # options template (scope System + samplingInterval) + its data record
+    opt_tpl_body = struct.pack(">HHH", 300, 4, 4) + struct.pack(">HHHH", 1, 4, 34, 4)
+    opt_tpl = struct.pack(">HH", 1, 4 + len(opt_tpl_body)) + opt_tpl_body
+    opt_data_body = struct.pack(">II", 1, _V9_RATE)
+    opt_data = struct.pack(">HH", 300, 4 + len(opt_data_body)) + opt_data_body
+    data_body = b"".join(
+        f["src"] + f["dst"]
+        + struct.pack(">HHB", f["sp"], f["dp"], f["proto"])
+        + struct.pack(">IIII", f["bytes"], f["pkts"], f["sas"], f["das"])
+        for f in recs
+    )
+    pad = (-len(data_body)) % 4
+    data = struct.pack(">HH", 256, 4 + len(data_body) + pad) + data_body + b"\0" * pad
+    body = tpl + opt_tpl + opt_data + data
+    return struct.pack(">HHIIII", 9, 4, 0, 1700000100, 0, 0) + body
+
+
+def _build_sflow(recs: list[dict]) -> bytes:
+    samples = []
+    for f in recs:
+        eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", 0x0800)
+        ip = bytes([0x45, 0]) + struct.pack(">H", f["bytes"] - 14) + b"\0\0\0\0" \
+            + bytes([64, f["proto"]]) + b"\0\0" + f["src"] + f["dst"]
+        l4 = struct.pack(">HH", f["sp"], f["dp"]) + b"\0" * 12 + b"\0\0\0\0"
+        hdr = eth + ip + l4
+        raw = struct.pack(">IIII", 1, f["bytes"], 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+        rec1 = struct.pack(">II", 1, len(raw)) + raw
+        gw = (
+            struct.pack(">I", 1) + f["src"]            # next-hop (v4 form)
+            + struct.pack(">III", 65000, f["sas"], f["sas"])
+            + struct.pack(">I", 1) + struct.pack(">II", 2, 1)
+            + struct.pack(">I", f["das"])              # AS path = [das]
+            + struct.pack(">I", 0) + struct.pack(">I", 100)
+        )
+        rec2 = struct.pack(">II", 1003, len(gw)) + gw
+        body = struct.pack(">IIIII", 1, 1, _SFLOW_RATE, 0, 0)
+        body += struct.pack(">II", 3, 4)  # inif, outif
+        body += struct.pack(">I", 2) + rec1 + rec2
+        samples.append(struct.pack(">II", 1, len(body)) + body)
+    hdr = struct.pack(">II", 5, 1) + _EXP + struct.pack(">IIII", 0, 0, 0, len(samples))
+    return hdr + b"".join(samples)
+
+
+# ---- queries -------------------------------------------------------------
+
+
+def _decode_run(spark, sf_dir, build_packets, parse):
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            recs = [
+                _fields(int(ok), int(ck))
+                for ok, ck in zip(pdf["o_orderkey"], pdf["o_custkey"])
+            ]
+            rows: list[dict] = []
+            for pkt in build_packets(recs):
+                rows.extend(parse(pkt))
+            yield pd.DataFrame(rows, columns=[f.name for f in WIRE_SCHEMA.fields])
+
+    wire = orders.mapInPandas(run, WIRE_SCHEMA)
+    return (
+        wire.groupBy(F.col("DstPort").alias("dst_port"))
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("est_bytes"),
+            F.sum("Packets").alias("sum_pkts"),
+            F.countDistinct("SrcAddr").alias("n_src"),
+            F.sum("SrcAS").alias("sum_src_as"),
+            F.sum("DstAS").alias("sum_dst_as"),
+        )
+        .orderBy("dst_port")
+    )
+
+
+def _netflow_packets(recs: list[dict]) -> list[bytes]:
+    v5 = [f for f in recs if f["ok"] % 2 == 0]
+    v9 = [f for f in recs if f["ok"] % 2 == 1]
+    pkts = [_build_v5(v5[i:i + 30]) for i in range(0, len(v5), 30)]
+    pkts += [_build_v9(v9[i:i + 50]) for i in range(0, len(v9), 50)]
+    return pkts
+
+
+def _decode_netflow(spark, sf_dir):
+    cache = TemplateCache()
+    return _decode_run(
+        spark, sf_dir, _netflow_packets,
+        lambda pkt: parse_netflow(pkt, _EXP, cache=cache),
+    )
+
+
+def _decode_sflow(spark, sf_dir):
+    return _decode_run(
+        spark, sf_dir,
+        lambda recs: [_build_sflow(recs[i:i + 8]) for i in range(0, len(recs), 8)],
+        lambda pkt: parse_sflow(pkt, b"\0" * 4),
+    )
+
+
+# The oracle re-derives the wire fields with the same arithmetic.  The
+# even/odd v5-vs-v9 split matters only through the sampling rate and is
+# keyed on o_orderkey parity in both engines, so it is stable under any
+# partitioning.
+_COMMON_FIELDS = """
+SELECT o_orderkey AS ok, o_custkey AS ck,
+       1024 + o_orderkey % 60000 AS sp,
+       CASE o_orderkey % 4 WHEN 0 THEN 53 WHEN 1 THEN 80 WHEN 2 THEN 443 ELSE 8080 END AS dp,
+       100 + o_orderkey % 9000 AS bytes,
+       1 + o_orderkey % 16 AS pkts,
+       65000 + o_custkey % 50 AS sas,
+       65100 + o_orderkey % 50 AS das,
+       (o_custkey % 250) * 1000000 + ((o_orderkey // 250) % 250) * 1000 + o_orderkey % 250 AS src_key
+FROM orders
+"""
+
+
+def _roundtrip_oracle(rate_expr: str) -> str:
+    return f"""
+WITH f AS ({_COMMON_FIELDS})
+SELECT dp AS dst_port,
+       COUNT(*) AS n_flows,
+       SUM(bytes * ({rate_expr})) AS est_bytes,
+       SUM(pkts) AS sum_pkts,
+       COUNT(DISTINCT src_key) AS n_src,
+       SUM(sas) AS sum_src_as,
+       SUM(das) AS sum_dst_as
+FROM f GROUP BY dp ORDER BY dp
+"""
+
+
+register(
+    "decode_netflow_roundtrip",
+    _decode_netflow,
+    _roundtrip_oracle(f"CASE WHEN ok % 2 = 0 THEN {_V5_RATE} ELSE {_V9_RATE} END"),
+)
+
+register(
+    "decode_sflow_roundtrip",
+    _decode_sflow,
+    _roundtrip_oracle(str(_SFLOW_RATE)).replace("SUM(pkts) AS sum_pkts", "COUNT(*) AS sum_pkts"),
+)
