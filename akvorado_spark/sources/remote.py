@@ -71,13 +71,26 @@ def networks_from_json(spark: SparkSession, path: str) -> DataFrame:
 def networks_from_geoip(
     spark: SparkSession, extracted: list[tuple[str, str, str, str, int]]
 ) -> DataFrame:
-    """S12 stub: MMDB reading requires a library not shipped here; the
-    walk's output shape is (cidr, country, state, city, asn) rows,
-    accepted directly so the rest of the pipeline is real."""
+    """S12: pre-extracted (cidr, country, state, city, asn) rows →
+    networks dimension.  ``networks_from_mmdb`` feeds this from real
+    MMDB bytes via the pure-Python reader in ``sources/mmdb.py``."""
     entries = [
         (cidr, {"country": co, "state": st, "city": ci, "asn": asn})
         for cidr, co, st, ci, asn in extracted
     ]
+    return networks_from_config(spark, entries)
+
+
+def networks_from_mmdb(spark: SparkSession, *dbs: bytes) -> DataFrame:
+    """S12: one networks dimension from MMDB file bytes (country/city
+    and/or ASN databases), walked by the in-repo MaxMind-DB reader.
+    Hot-reload = re-calling this on file change and re-broadcasting —
+    the reference watches the files the same way (outlet/geoip/)."""
+    from akvorado_spark.sources.mmdb import read_mmdb_networks
+
+    entries: list[tuple[str, dict]] = []
+    for data in dbs:
+        entries.extend(read_mmdb_networks(data))
     return networks_from_config(spark, entries)
 
 
