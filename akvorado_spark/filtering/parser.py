@@ -284,9 +284,14 @@ class _Parser:
         if kind in ("uint", "timestamp"):
             if kind == "timestamp":
                 return v  # ISO timestamp string, validated at compile
-            if not re.fullmatch(r"\d+", str(v)):
+            s = str(v)
+            # ASN columns take an optional AS prefix: `SrcAS = AS65001`
+            # (reference parser.peg ASNValue)
+            if spec.name.endswith("AS") and re.fullmatch(r"(?i)as\d+", s):
+                s = s[2:]
+            if not re.fullmatch(r"\d+", s):
                 raise FilterError(f"bad integer literal {v!r} on {spec.name}")
-            return int(v)
+            return int(s)
         if kind == "proto":
             if re.fullmatch(r"\d+", str(v)):
                 return int(v)

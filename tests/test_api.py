@@ -1,0 +1,73 @@
+"""Auxiliary API endpoints (SURVEY §3.4): filter validation,
+table-interval routing, saved filters."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from akvorado_spark.filtering import flow_filter_schema
+from akvorado_spark.filtering.parser import FilterError
+from akvorado_spark.query.api import SavedFilters, table_interval, validate_filter
+
+SCHEMA = flow_filter_schema()
+
+
+def test_validate_filter():
+    ok = validate_filter("InIfBoundary = external AND SrcAS = AS65001", SCHEMA)
+    assert ok.ok and "65001" in ok.parsed
+    assert validate_filter("", SCHEMA).ok
+
+    bad = validate_filter("SrcAddr ><> 1.2.3.4", SCHEMA)
+    assert not bad.ok and bad.message
+
+    unknown = validate_filter("NoSuchColumn = 3", SCHEMA)
+    assert not unknown.ok
+
+
+def test_table_interval_routing(spark, tmp_path):
+    from akvorado_spark.plans.rollup import FlowStore
+    from akvorado_spark.schema.definition import flows_schema
+    from akvorado_spark.sources.fixtures import flows_df
+
+    store = FlowStore(spark, str(tmp_path / "ti_store"))
+    store.write_main(flows_schema().ingest(flows_df(spark, n=2000)))
+    store.build_rollups()
+    start = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    end = datetime(2024, 1, 2, tzinfo=timezone.utc)
+
+    # 24h / 24 points → 3600 s target → 1h rollup serves it
+    r = table_interval(store, start, end, points=24)
+    assert r["resolution_s"] == 3600 and r["interval_s"] == 3600 and not r["main_table"]
+
+    # MainOnly filter forces the main table (P10)
+    r = table_interval(store, start, end, points=24,
+                       filter_text="SrcPort = 443", schema=SCHEMA)
+    assert r["main_table"]
+
+    # MainOnly dimension does too
+    r = table_interval(store, start, end, points=24, dimensions=("SrcAddr",))
+    assert r["main_table"]
+
+    # 2000 points → 43 s target → raw resolution required
+    r = table_interval(store, start, end, points=2000)
+    assert r["main_table"]
+
+
+def test_saved_filters_crud(tmp_path):
+    db = SavedFilters(str(tmp_path / "filters.db"))
+    a = db.create("alice", "external https", "InIfBoundary = external AND DstPort = 443",
+                  schema=SCHEMA)
+    b = db.create("bob", "shared asn", "SrcAS = AS65001", shared=True, schema=SCHEMA)
+    db.create("bob", "private", "DstPort = 22")
+
+    alice_sees = db.list("alice")
+    assert [f["id"] for f in alice_sees] == [a, b]  # own + shared
+
+    assert not db.delete(b, "alice")  # not the owner
+    assert db.delete(a, "alice")
+    assert [f["id"] for f in db.list("alice")] == [b]
+
+    with pytest.raises(FilterError):
+        db.create("alice", "broken", "SrcAddr ><> nope", schema=SCHEMA)
