@@ -354,8 +354,14 @@ def parse_netflow(payload: bytes, exporter: bytes, ts: int = 0,
 # --------------------------------------------------------------------------
 
 
-def _parse_sampled_header(data: bytes, r: dict) -> None:
-    """Raw packet header record (format 1): Ethernet → VLAN → IP → L4."""
+_VXLAN_PORT = 4789
+
+
+def _parse_sampled_header(data: bytes, r: dict, decap: bool = False) -> None:
+    """Raw packet header record (format 1): Ethernet → VLAN → IP → L4,
+    optionally decapsulating IPIP / IPv6-in-IP / GRE / VXLAN tunnels
+    first (S8; reference outlet/flow/decoder/helpers.go — applied when
+    the RawFlow's decapsulation flag asks for it)."""
     protocol, frame_len, _stripped, hdr_len = struct.unpack_from(">IIII", data, 0)
     r["Bytes"] = frame_len
     r["Packets"] = 1
@@ -371,24 +377,58 @@ def _parse_sampled_header(data: bytes, r: dict) -> None:
             r["SrcVlan"] = _u(h[off:off + 2]) & 0x0FFF
         etype = _u(h[off + 2:off + 4])
         off += 4
+    for _hop in range(4):  # bounded decap depth
+        if etype == ETYPE_IPV4 and len(h) >= off + 20:
+            ihl = (h[off] & 0x0F) * 4
+            proto = h[off + 9]
+            src, dst = h[off + 12:off + 16], h[off + 16:off + 20]
+            l4 = off + ihl
+        elif etype == ETYPE_IPV6 and len(h) >= off + 40:
+            proto = h[off + 6]
+            src, dst = h[off + 8:off + 24], h[off + 24:off + 40]
+            l4 = off + 40
+        else:
+            return
+        if decap and proto == 4 and len(h) >= l4 + 20:      # IPIP
+            etype, off = ETYPE_IPV4, l4
+            continue
+        if decap and proto == 41 and len(h) >= l4 + 40:     # IPv6-in-IP
+            etype, off = ETYPE_IPV6, l4
+            continue
+        if decap and proto == 47 and len(h) >= l4 + 4:      # GRE
+            flags = _u(h[l4:l4 + 2])
+            inner = _u(h[l4 + 2:l4 + 4])
+            skip = 4
+            if flags & 0x8000 or flags & 0x4000:  # checksum/routing
+                skip += 4
+            if flags & 0x2000:  # key
+                skip += 4
+            if flags & 0x1000:  # sequence
+                skip += 4
+            if inner in (ETYPE_IPV4, ETYPE_IPV6):
+                etype, off = inner, l4 + skip
+                continue
+            if inner == 0x6558 and len(h) >= l4 + skip + 14:  # transparent eth
+                etype = _u(h[l4 + skip + 12:l4 + skip + 14])
+                off = l4 + skip + 14
+                continue
+        if decap and proto == 17 and len(h) >= l4 + 8:
+            dp = _u(h[l4 + 2:l4 + 4])
+            if dp == _VXLAN_PORT and len(h) >= l4 + 8 + 8 + 14:
+                # UDP(8) + VXLAN(8) + inner Ethernet
+                inner_eth = l4 + 16
+                etype = _u(h[inner_eth + 12:inner_eth + 14])
+                off = inner_eth + 14
+                continue
+        break
     r["EType"] = etype
-    if etype == ETYPE_IPV4 and len(h) >= off + 20:
-        ihl = (h[off] & 0x0F) * 4
-        r["Proto"] = h[off + 9]
-        r["SrcAddr"] = ip16(h[off + 12:off + 16])
-        r["DstAddr"] = ip16(h[off + 16:off + 20])
-        l4 = off + ihl
-    elif etype == ETYPE_IPV6 and len(h) >= off + 40:
-        r["Proto"] = h[off + 6]
-        r["SrcAddr"] = h[off + 8:off + 24]
-        r["DstAddr"] = h[off + 24:off + 40]
-        l4 = off + 40
-    else:
-        return
-    if r["Proto"] in (6, 17) and len(h) >= l4 + 4:
+    r["Proto"] = proto
+    r["SrcAddr"] = ip16(src)
+    r["DstAddr"] = ip16(dst)
+    if proto in (6, 17) and len(h) >= l4 + 4:
         r["SrcPort"] = _u(h[l4:l4 + 2])
         r["DstPort"] = _u(h[l4 + 2:l4 + 4])
-        if r["Proto"] == 6 and len(h) >= l4 + 14:
+        if proto == 6 and len(h) >= l4 + 14:
             r["TCPFlags"] = h[l4 + 13]
 
 
@@ -402,7 +442,8 @@ def _read_addr(data: bytes, off: int) -> tuple[bytes | None, int]:
     return None, off
 
 
-def parse_sflow(payload: bytes, exporter: bytes, ts: int = 0) -> list[dict]:
+def parse_sflow(payload: bytes, exporter: bytes, ts: int = 0,
+                decapsulate: bool = False) -> list[dict]:
     version = _u(payload[0:4])
     if version != 5:
         raise ValueError(f"unsupported sFlow version {version}")
@@ -436,7 +477,7 @@ def parse_sflow(payload: bytes, exporter: bytes, ts: int = 0) -> list[dict]:
                 if (rfmt >> 12) != 0:
                     continue
                 if code == 1:
-                    _parse_sampled_header(rdata, r)
+                    _parse_sampled_header(rdata, r, decap=decapsulate)
                 elif code == 1001:  # extended switch
                     r["SrcVlan"] = _u(rdata[0:4])
                     r["DstVlan"] = _u(rdata[8:12])
@@ -502,11 +543,11 @@ def netflow_batch_parser(cache: TemplateCache | None = None):
     return parse_batch
 
 
-def sflow_batch_parser():
+def sflow_batch_parser(decapsulate: bool = False):
     def parse_batch(payloads, source_addresses):
         rows: list[dict] = []
         for p, a in zip(payloads, source_addresses):
-            rows.extend(parse_sflow(bytes(p), bytes(a)))
+            rows.extend(parse_sflow(bytes(p), bytes(a), decapsulate=decapsulate))
         return _batch_frame(rows)
 
     return parse_batch

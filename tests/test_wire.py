@@ -248,6 +248,57 @@ def test_sflow_ipv6_header():
     assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (5353, 53, 17)
 
 
+def _ipv4_hdr(src4, dst4, proto, payload_len=100):
+    return bytes([0x45, 0]) + struct.pack(">H", payload_len) + b"\0\0\0\0" \
+        + bytes([64, proto]) + b"\0\0" + src4 + dst4
+
+
+def _sflow_one(hdr_bytes):
+    raw = struct.pack(">IIII", 1, 1400, 4, len(hdr_bytes)) + hdr_bytes \
+        + b"\0" * ((-len(hdr_bytes)) % 4)
+    return build_sflow([sflow_sample([sflow_record(1, raw)])])
+
+
+def test_sflow_decap_gre():
+    inner = _ipv4_hdr(b"\x0a\x09\x09\x01", b"\x0a\x09\x09\x02", 6) \
+        + struct.pack(">HH", 8080, 443) + b"\0" * 9 + bytes([0x02]) + b"\0\0"
+    gre = struct.pack(">HH", 0x2000, ETYPE_IPV4) + struct.pack(">I", 0xBEEF) + inner  # key flag
+    outer = _ipv4_hdr(b"\xc0\x00\x02\x01", b"\xc0\x00\x02\x02", 47) + gre
+    eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", ETYPE_IPV4) + outer
+    pkt = _sflow_one(eth)
+    # without decap: outer addresses, proto GRE
+    r0 = parse_sflow(pkt, b"\0" * 4)[0]
+    assert r0["Proto"] == 47 and r0["SrcAddr"] == ip16(b"\xc0\x00\x02\x01")
+    # with decap: inner TCP flow
+    r1 = parse_sflow(pkt, b"\0" * 4, decapsulate=True)[0]
+    assert r1["Proto"] == 6 and r1["SrcAddr"] == ip16(b"\x0a\x09\x09\x01")
+    assert (r1["SrcPort"], r1["DstPort"], r1["TCPFlags"]) == (8080, 443, 0x02)
+
+
+def test_sflow_decap_ipip_and_vxlan():
+    # IPIP: v4 in v4
+    inner = _ipv4_hdr(b"\x0a\x01\x01\x01", b"\x0a\x02\x02\x02", 17) \
+        + struct.pack(">HH", 53, 5353) + b"\0\0\0\0"
+    outer = _ipv4_hdr(b"\xc0\x00\x02\x09", b"\xc0\x00\x02\x0a", 4) + inner
+    eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", ETYPE_IPV4) + outer
+    r = parse_sflow(_sflow_one(eth), b"\0" * 4, decapsulate=True)[0]
+    assert r["SrcAddr"] == ip16(b"\x0a\x01\x01\x01") and r["SrcPort"] == 53
+
+    # VXLAN: UDP/4789 + VXLAN + inner Ethernet + v6 UDP
+    src6 = bytes.fromhex("20010db8000000000000000000000031")
+    dst6 = bytes.fromhex("20010db8000000000000000000000032")
+    inner_ip6 = struct.pack(">I", 0x60000000) + struct.pack(">HBB", 20, 17, 64) + src6 + dst6
+    inner_udp = struct.pack(">HH", 1111, 2222) + b"\0\0\0\0"
+    inner_eth = b"\xcc" * 6 + b"\xdd" * 6 + struct.pack(">H", ETYPE_IPV6) + inner_ip6 + inner_udp
+    vxlan = struct.pack(">II", 0x08000000, 42 << 8)
+    udp = struct.pack(">HHHH", 55555, 4789, 0, 0)
+    outer = _ipv4_hdr(b"\xc0\x00\x02\x0b", b"\xc0\x00\x02\x0c", 17) + udp + vxlan + inner_eth
+    eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", ETYPE_IPV4) + outer
+    r = parse_sflow(_sflow_one(eth), b"\0" * 4, decapsulate=True)[0]
+    assert r["EType"] == ETYPE_IPV6 and r["SrcAddr"] == src6
+    assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (1111, 2222, 17)
+
+
 # ---- Spark integration ---------------------------------------------------
 
 
