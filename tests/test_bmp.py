@@ -1,0 +1,143 @@
+"""BMP / BGP UPDATE parser tests (S14) — datagrams packed from the
+RFC layouts in-test, RIB lifecycle, and the LPM join off a snapshot."""
+
+from __future__ import annotations
+
+import struct
+
+from akvorado_spark.sources.bmp import RIB, parse_bgp_update, parse_bmp
+
+PEER1 = b"\x00" * 10 + b"\xff\xff" + bytes([192, 0, 2, 11])
+PEER2 = b"\x00" * 10 + b"\xff\xff" + bytes([192, 0, 2, 12])
+EXPORTER = b"\x00" * 10 + b"\xff\xff" + bytes([192, 0, 2, 1])
+
+
+# ---- builders ------------------------------------------------------------
+
+
+def attr(atype: int, body: bytes, flags: int = 0x40) -> bytes:
+    if len(body) > 255:
+        return bytes([flags | 0x10, atype]) + struct.pack(">H", len(body)) + body
+    return bytes([flags, atype, len(body)]) + body
+
+
+def nlri(cidr: str) -> bytes:
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr)
+    nbytes = (net.prefixlen + 7) // 8
+    return bytes([net.prefixlen]) + net.network_address.packed[:nbytes]
+
+
+def as_path(*asns: int) -> bytes:
+    return bytes([2, len(asns)]) + b"".join(struct.pack(">I", a) for a in asns)
+
+
+def bgp_update(announced=(), withdrawn=(), attrs=b"") -> bytes:
+    w = b"".join(nlri(c) for c in withdrawn)
+    n = b"".join(nlri(c) for c in announced)
+    body = struct.pack(">H", len(w)) + w + struct.pack(">H", len(attrs)) + attrs + n
+    length = 19 + len(body)
+    return b"\xff" * 16 + struct.pack(">HB", length, 2) + body
+
+
+def bmp_msg(mtype: int, peer: bytes, peer_as: int, payload: bytes = b"") -> bytes:
+    per_peer = bytes([0, 0]) + b"\0" * 8 + peer + struct.pack(">II", peer_as, 0) \
+        + struct.pack(">II", 0, 0)
+    body = per_peer + payload
+    return struct.pack(">BIB", 3, 6 + len(body), 0 if mtype == 0 else mtype) + body
+
+
+# ---- BGP UPDATE ----------------------------------------------------------
+
+
+def test_update_v4_announce_with_attrs():
+    attrs = (
+        attr(1, b"\x00")  # origin igp
+        + attr(2, as_path(65001, 65002, 174))
+        + attr(3, bytes([10, 0, 0, 254]))
+        + attr(8, struct.pack(">II", (65000 << 16) | 100, (65000 << 16) | 200))
+        + attr(32, struct.pack(">III", 65000, 1, 2))
+    )
+    upd = parse_bgp_update(bgp_update(announced=["10.0.0.0/8", "192.0.2.0/24"], attrs=attrs))
+    assert upd["announced"] == ["10.0.0.0/8", "192.0.2.0/24"]
+    assert upd["attrs"]["as_path"] == [65001, 65002, 174]
+    assert upd["attrs"]["next_hop"][-4:] == bytes([10, 0, 0, 254])
+    assert upd["attrs"]["communities"] == [(65000 << 16) | 100, (65000 << 16) | 200]
+    assert upd["attrs"]["large_communities"] == [(65000, 1, 2)]
+
+
+def test_update_v6_mp_reach_and_unreach():
+    import ipaddress
+
+    nh = ipaddress.IPv6Address("2001:db8::fe").packed
+    v6net = ipaddress.ip_network("2001:db8:1::/48")
+    mp_body = struct.pack(">HBB", 2, 1, 16) + nh + b"\x00" \
+        + bytes([48]) + v6net.network_address.packed[:6]
+    unreach = struct.pack(">HB", 2, 1) + bytes([32]) + ipaddress.ip_network(
+        "2001:db8::/32").network_address.packed[:4]
+    upd = parse_bgp_update(bgp_update(attrs=attr(14, mp_body) + attr(15, unreach)))
+    assert upd["announced"] == ["2001:db8:1::/48"]
+    assert upd["withdrawn"] == ["2001:db8::/32"]
+    assert upd["attrs"]["next_hop"] == nh
+
+
+def test_update_withdrawn_v4():
+    upd = parse_bgp_update(bgp_update(withdrawn=["10.1.0.0/16"]))
+    assert upd["withdrawn"] == ["10.1.0.0/16"] and upd["announced"] == []
+
+
+# ---- BMP + RIB -----------------------------------------------------------
+
+
+def test_bmp_stream_and_rib_lifecycle():
+    r = RIB()
+    m1 = bmp_msg(0, PEER1, 65001, bgp_update(
+        announced=["10.0.0.0/8"], attrs=attr(2, as_path(65001, 64601))))
+    m2 = bmp_msg(0, PEER2, 65002, bgp_update(
+        announced=["10.64.0.0/10"], attrs=attr(2, as_path(65002, 64602))))
+    r.apply(m1 + m2)
+    assert len(r.routes) == 2
+
+    # implicit replace: same (peer, prefix) announced again
+    r.apply(bmp_msg(0, PEER1, 65001, bgp_update(
+        announced=["10.0.0.0/8"], attrs=attr(2, as_path(65001, 64699)))))
+    assert len(r.routes) == 2
+    rows = {tuple(row[2]): row for row in r.snapshot_rows(EXPORTER)}
+    assert (65001, 64699) in rows and rows[(65001, 64699)][1] == 64699
+
+    # withdrawal removes one route
+    r.apply(bmp_msg(0, PEER2, 65002, bgp_update(withdrawn=["10.64.0.0/10"])))
+    assert len(r.routes) == 1
+
+    # peer down purges the peer
+    r.apply(bmp_msg(2, PEER1, 65001))
+    assert r.routes == {}
+
+    events = parse_bmp(m1 + bmp_msg(2, PEER1, 65001))
+    assert [e.kind for e in events] == ["update", "peer_down"]
+    assert events[0].peer == PEER1 and events[0].peer_as == 65001
+
+
+def test_rib_snapshot_feeds_lpm_join(spark):
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.lpm import lpm_join
+
+    r = RIB()
+    r.apply(bmp_msg(0, PEER1, 65001, bgp_update(
+        announced=["10.0.0.0/8"], attrs=attr(2, as_path(65001, 64601)))))
+    r.apply(bmp_msg(0, PEER1, 65001, bgp_update(
+        announced=["10.64.0.0/10"], attrs=attr(2, as_path(65001, 64602)))))
+    routes = r.to_frame(spark, EXPORTER).drop("as_path", "communities", "next_hop")
+
+    flows = spark.createDataFrame(
+        [(EXPORTER, b"\x00" * 10 + b"\xff\xff" + bytes([10, 65, 0, 1])),
+         (EXPORTER, b"\x00" * 10 + b"\xff\xff" + bytes([10, 1, 0, 1]))],
+        "ExporterAddress binary, DstAddr binary",
+    )
+    got = lpm_join(flows, routes, "DstAddr", attrs=["dst_as"],
+                   exporter_col="ExporterAddress").collect()
+    by_ip = {bytes(row["DstAddr"])[-4:]: row["dst_as"] for row in got}
+    assert by_ip[bytes([10, 65, 0, 1])] == 64602  # /10 beats /8
+    assert by_ip[bytes([10, 1, 0, 1])] == 64601
