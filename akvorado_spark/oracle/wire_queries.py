@@ -136,8 +136,19 @@ def _build_sflow(recs: list[dict]) -> bytes:
 # ---- queries -------------------------------------------------------------
 
 
+# both engines decode the same deterministic 1-in-5 sample; the parse
+# exercises every field and all four dst_port groups at 20% of the
+# Python packing cost (the scale path would decode from Kafka, not
+# re-pack its own input)
+_SAMPLE = "o_orderkey % 5 = 0"
+
+
 def _decode_run(spark, sf_dir, build_packets, parse):
-    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(_SAMPLE)
+        .select("o_orderkey", "o_custkey")
+    )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -205,6 +216,7 @@ SELECT o_orderkey AS ok, o_custkey AS ck,
        65100 + o_orderkey % 50 AS das,
        (o_custkey % 250) * 1000000 + ((o_orderkey // 250) % 250) * 1000 + o_orderkey % 250 AS src_key
 FROM orders
+WHERE o_orderkey % 5 = 0
 """
 
 
