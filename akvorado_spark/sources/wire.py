@@ -395,6 +395,13 @@ def _parse_sampled_header(data: bytes, r: dict, decap: bool = False) -> None:
         if decap and proto == 41 and len(h) >= l4 + 40:     # IPv6-in-IP
             etype, off = ETYPE_IPV6, l4
             continue
+        if decap and proto == 43 and len(h) >= l4 + 8:      # v6 routing hdr (SRv6)
+            nxt, ext_len = h[l4], h[l4 + 1]
+            srh_end = l4 + 8 + ext_len * 8
+            if nxt in (4, 41) and len(h) >= srh_end + 20:
+                etype = ETYPE_IPV4 if nxt == 4 else ETYPE_IPV6
+                off = srh_end
+                continue
         if decap and proto == 47 and len(h) >= l4 + 4:      # GRE
             flags = _u(h[l4:l4 + 2])
             inner = _u(h[l4 + 2:l4 + 4])

@@ -299,6 +299,24 @@ def test_sflow_decap_ipip_and_vxlan():
     assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (1111, 2222, 17)
 
 
+def test_sflow_decap_srv6():
+    # outer IPv6 + SRH (2 segments) + inner IPv4 TCP
+    o_src = bytes.fromhex("20010db8ffff00000000000000000001")
+    o_dst = bytes.fromhex("20010db8ffff00000000000000000002")
+    inner = _ipv4_hdr(b"\x0a\x07\x07\x01", b"\x0a\x07\x07\x02", 6) \
+        + struct.pack(">HH", 5000, 22) + b"\0" * 9 + bytes([0x18]) + b"\0\0"
+    srh = bytes([4, 4, 4, 1]) + b"\0\0\0\0" + b"\x11" * 16 + b"\x22" * 16  # nxt=IPIP
+    outer6 = struct.pack(">I", 0x60000000) + struct.pack(">HBB", len(srh) + len(inner), 43, 64) \
+        + o_src + o_dst
+    eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", ETYPE_IPV6) + outer6 + srh + inner
+    r = parse_sflow(_sflow_one(eth), b"\0" * 4, decapsulate=True)[0]
+    assert r["EType"] == ETYPE_IPV4 and r["SrcAddr"] == ip16(b"\x0a\x07\x07\x01")
+    assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (5000, 22, 6)
+    # without decap the outer v6 flow is reported
+    r0 = parse_sflow(_sflow_one(eth), b"\0" * 4)[0]
+    assert r0["Proto"] == 43 and r0["SrcAddr"] == o_src
+
+
 # ---- Spark integration ---------------------------------------------------
 
 
