@@ -95,3 +95,52 @@ def streaming_rate_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# S5 streaming form: template-stateful NetFlow decode
+# --------------------------------------------------------------------------
+
+_DECODE_STATE_SCHEMA = T.StructType([T.StructField("cache", T.BinaryType())])
+
+
+def streaming_netflow_decode(raw: DataFrame, time_col: str = "time_received") -> DataFrame:
+    """NetFlow v9/IPFIX decode whose template cache survives across
+    micro-batches, keyed by exporter (the streaming analog of the
+    reference's persisted template store,
+    outlet/flow/decoder/netflow/persist.go).
+
+    ``raw`` is a RAW_FLOW_SCHEMA stream; state per source_address is
+    the pickled (templates, sampling) dicts — a few KB per exporter.
+    A data flowset whose template arrived in an *earlier* micro-batch
+    still decodes; within a batch rows process in time order (Kafka
+    keys datagrams by exporter, so per-exporter order is preserved
+    end-to-end)."""
+    import pickle
+
+    from akvorado_spark.sources.wire import WIRE_SCHEMA, TemplateCache, parse_netflow
+
+    names = [f.name for f in WIRE_SCHEMA.fields]
+
+    def fn(
+        key_val, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cache = TemplateCache()
+        if state.exists and state.get[0] is not None:
+            cache.templates, cache.sampling = pickle.loads(bytes(state.get[0]))
+        for pdf in pdfs:
+            if time_col in pdf.columns:
+                pdf = pdf.sort_values(time_col, kind="stable")
+            rows: list[dict] = []
+            for payload, addr in zip(pdf["payload"], pdf["source_address"]):
+                rows.extend(parse_netflow(bytes(payload), bytes(addr), cache=cache))
+            yield pd.DataFrame(rows, columns=names)
+        state.update((pickle.dumps((cache.templates, cache.sampling)),))
+
+    return raw.groupBy("source_address").applyInPandasWithState(
+        fn,
+        outputStructType=WIRE_SCHEMA,
+        stateStructType=_DECODE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -70,3 +70,42 @@ def test_streaming_rate_limit_under_limit_passthrough(spark, tmp_path):
     got = spark.read.parquet(out_dir).collect()
     assert len(got) == 10
     assert all(r["SamplingRate"] == 10 for r in got)
+
+
+def test_streaming_netflow_decode_templates_survive_batches(spark, tmp_path):
+    """A v9 data flowset decodes in a later micro-batch than its
+    template: the cache rides per-exporter state."""
+    from test_wire import EXP, build_v9, v9_data, v9_template
+
+    from akvorado_spark.sources.decode import RAW_FLOW_SCHEMA
+    from akvorado_spark.streaming.state import streaming_netflow_decode
+
+    src = str(tmp_path / "nf_in")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(None, build_v9([v9_template()]), EXP, "netflow", "udp", "none")], RAW_FLOW_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(None, build_v9([v9_data()]), EXP, "netflow", "udp", "none")], RAW_FLOW_SCHEMA
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(RAW_FLOW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src + "/*")
+    )
+    wire = streaming_netflow_decode(stream)
+    out_dir, ckpt = str(tmp_path / "nf_out"), str(tmp_path / "nf_ckpt")
+    q = (
+        wire.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    assert got[0]["DstPort"] == 443 and got[0]["Bytes"] == 1500
