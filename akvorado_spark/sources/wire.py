@@ -248,6 +248,10 @@ def _parse_ipfix_templates(payload: bytes, off: int, end: int, key, cache: Templ
 
 def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
                          exporter: bytes, rate: int, key, cache: TemplateCache) -> list[dict]:
+    # Records shorter than the residual padding (< 4 bytes total) are
+    # ambiguous on the wire — RFC 3954 padding cannot be told apart
+    # from data.  Real templates are always wider; we stop when fewer
+    # than one full record remains.
     rec_len = sum(ln for _, ln in fields if ln != 0xFFFF)
     rows = []
     while off < end:
