@@ -158,7 +158,9 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
     # binary IPs use b'Other' and render after aggregation.
     marker = rows.withColumn("__top", F.lit(1))
     folded = base.join(F.broadcast(marker), on=dims, how="left")
-    dtypes = dict(base.dtypes)
+    # dimension dtypes come from the input frame — analyzing `df` is
+    # cheaper than analyzing the derived `base` plan
+    dtypes = dict(df.dtypes)
     fold_cols = [
         F.when(
             F.col("__top").isNotNull(),
