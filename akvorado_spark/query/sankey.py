@@ -118,7 +118,9 @@ def compile_sankey(
     # so numeric dims become display strings here; string/binary pass
     # through (binary IPs are display-rendered by the caller after the
     # aggregation, with b'Other' as the fold marker).
-    dtypes = dict(base.dtypes)
+    # dimension dtypes come from the input frame — analyzing `df` is
+    # cheaper than analyzing the derived `base` plan
+    dtypes = dict(df.dtypes)
     folded = base
     for d, rc in zip(dims, rows_cols):
         vals = rows.select(F.col(rc).alias("__v")).distinct()
