@@ -126,3 +126,19 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     p = plan(out)
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "Join" in p  # an actual (hash) join on the bucketed key
+
+
+def test_wire_bridge_interface_joins_are_broadcast(spark):
+    from test_wire import EXP
+    from test_wire_pipeline import _interfaces
+
+    from akvorado_spark.sources.wire import WIRE_SCHEMA, ip16
+    from akvorado_spark.streaming.wire_bridge import wire_to_flows
+
+    wire = spark.createDataFrame([], WIRE_SCHEMA)
+    flows = wire_to_flows(wire, interfaces=_interfaces(spark))
+    p = plan(flows)
+    # both direction lookups broadcast; the fact side never shuffles
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Exchange hashpartitioning" not in p
