@@ -537,28 +537,59 @@ def _batch_frame(rows: list[dict]):
     return pd.DataFrame(rows if rows else [], columns=_WIRE_NAMES)
 
 
-def netflow_batch_parser(cache: TemplateCache | None = None):
+class DecodeErrors:
+    """Per-task malformed-datagram counter (the reference increments
+    a metric and drops the datagram rather than killing the worker,
+    outlet/core/worker.go error path)."""
+
+    def __init__(self):
+        self.count = 0
+        self.last: str | None = None
+
+    def note(self, exc: Exception) -> None:
+        self.count += 1
+        self.last = f"{type(exc).__name__}: {exc}"
+
+
+def netflow_batch_parser(cache: TemplateCache | None = None, strict: bool = True,
+                         errors: DecodeErrors | None = None):
     """``parse_batch`` for ``decode_binary(..., kind="netflow")``.
 
     One TemplateCache per task closure; pass a shared cache for
     driver-side (foreachBatch) decoding to persist templates across
-    batches."""
+    batches.  ``strict=False`` drops malformed datagrams (counted in
+    ``errors``) instead of failing the task — the production-stream
+    setting: one corrupt packet must not kill the micro-batch."""
     state = cache or TemplateCache()
+    errs = errors or DecodeErrors()
 
     def parse_batch(payloads, source_addresses):
         rows: list[dict] = []
         for p, a in zip(payloads, source_addresses):
-            rows.extend(parse_netflow(bytes(p), bytes(a), cache=state))
+            try:
+                rows.extend(parse_netflow(bytes(p), bytes(a), cache=state))
+            except Exception as e:  # truncated/garbage datagram
+                if strict:
+                    raise
+                errs.note(e)
         return _batch_frame(rows)
 
     return parse_batch
 
 
-def sflow_batch_parser(decapsulate: bool = False):
+def sflow_batch_parser(decapsulate: bool = False, strict: bool = True,
+                       errors: DecodeErrors | None = None):
+    errs = errors or DecodeErrors()
+
     def parse_batch(payloads, source_addresses):
         rows: list[dict] = []
         for p, a in zip(payloads, source_addresses):
-            rows.extend(parse_sflow(bytes(p), bytes(a), decapsulate=decapsulate))
+            try:
+                rows.extend(parse_sflow(bytes(p), bytes(a), decapsulate=decapsulate))
+            except Exception as e:
+                if strict:
+                    raise
+                errs.note(e)
         return _batch_frame(rows)
 
     return parse_batch

@@ -349,3 +349,26 @@ def test_decode_binary_sflow_end_to_end(spark):
     raw = spark.createDataFrame([(None, pkt, EXP, "sflow", "udp", "none")], RAW_FLOW_SCHEMA)
     rows = decode_binary(raw, WIRE_SCHEMA, "sflow", sflow_batch_parser()).collect()
     assert len(rows) == 1 and rows[0]["Bytes"] == 999 and rows[0]["SamplingRate"] == 512
+
+
+def test_nonstrict_parser_survives_garbage():
+    from akvorado_spark.sources.wire import DecodeErrors, netflow_batch_parser
+
+    good = build_v5([dict(src=b"\x0a\x00\x00\x01", dst=b"\x0a\x00\x00\x02", bytes=321)])
+    errs = DecodeErrors()
+    parse = netflow_batch_parser(strict=False, errors=errs)
+    out = parse(
+        [good, b"\x00\x09garbage", b"", good[:20]],  # bad version / empty / truncated
+        [EXP] * 4,
+    )
+    assert list(out["Bytes"]) == [321]
+    assert errs.count == 3 and errs.last
+
+
+def test_strict_parser_raises_on_garbage(spark):
+    import pytest
+
+    from akvorado_spark.sources.wire import netflow_batch_parser
+
+    with pytest.raises(Exception):
+        netflow_batch_parser()([b"\x00\x09garbage"], [EXP])
