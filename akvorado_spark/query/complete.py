@@ -60,6 +60,21 @@ def _ranked_union(flows: DataFrame, dico: DataFrame, limit: int) -> DataFrame:
     )
 
 
+def complete_cached(cache, handler, flows: DataFrame, prefix: str = "", **kw) -> list:
+    """Completion with the reference's 1-minute result cache
+    (console/root.go:113-117, console/config.go:109): keyed by
+    (handler, prefix, kwargs), collected rows cached; build the cache
+    with ``ResultCache(ttl_s=60)``."""
+    payload = {"complete": handler.__name__, "prefix": prefix,
+               **{k: str(v) for k, v in kw.items() if not hasattr(v, "sparkSession")}}
+    hit = cache.get(payload)
+    if hit is not None:
+        return hit
+    rows = handler(flows, prefix, **kw).collect()
+    cache.put(payload, rows)
+    return rows
+
+
 def complete_asn(
     flows: DataFrame,
     prefix: str = "",

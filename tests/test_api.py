@@ -71,3 +71,18 @@ def test_saved_filters_crud(tmp_path):
 
     with pytest.raises(FilterError):
         db.create("alice", "broken", "SrcAddr ><> nope", schema=SCHEMA)
+
+
+def test_complete_cached(spark):
+    from akvorado_spark.query.cache import ResultCache
+    from akvorado_spark.query.complete import complete_asn, complete_cached
+    from akvorado_spark.schema.definition import flows_schema
+    from akvorado_spark.sources.fixtures import flows_df
+
+    flows = flows_schema().ingest(flows_df(spark, n=500))
+    cache = ResultCache(ttl_s=60)
+    first = complete_cached(cache, complete_asn, flows, "Gl", limit=5)
+    second = complete_cached(cache, complete_asn, flows, "Gl", limit=5)
+    assert first == second and cache.hits == 1
+    complete_cached(cache, complete_asn, flows, "Ac", limit=5)  # different prefix
+    assert cache.misses == 2
