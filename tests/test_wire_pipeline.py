@@ -96,3 +96,60 @@ def test_wire_bridge_types_match_schema(spark):
     assert got == expected
     row = flows.collect()[0]
     assert row["FlowDirection"] == "undefined" and row["InIfName"] == "1"
+
+
+def test_streaming_protobuf_to_store(spark, tmp_path):
+    """The reference pipeline end-to-end in streaming form: RawFlow
+    protobuf blobs → transport decode → template-stateful NetFlow
+    decode → wire bridge → FlowStore append + rollups, driven by
+    Structured Streaming micro-batches."""
+    import os
+
+    from akvorado_spark.plans.rollup import FlowStore
+    from akvorado_spark.sources.rawflow_pb import encode_raw_flow, raw_flows_from_kafka
+    from akvorado_spark.streaming.ingest import EnrichmentConfig, FlowIngest
+    from akvorado_spark.streaming.state import streaming_netflow_decode
+
+    from test_wire import build_v5, build_v9, v9_data, v9_template
+
+    src = str(tmp_path / "pb_in")
+    os.makedirs(src)
+    # micro-batch 1: v9 template only; micro-batch 2: v9 data + a v5 packet
+    b1 = [(encode_raw_flow(time_received=1700000000, payload=build_v9([v9_template()]),
+                           source_address=EXP, decoder="netflow"),)]
+    b2 = [(encode_raw_flow(time_received=1700000060, payload=build_v9([v9_data()]),
+                           source_address=EXP, decoder="netflow"),),
+          (encode_raw_flow(time_received=1700000060,
+                           payload=build_v5([dict(src=b"\x0a\x00\x00\x05",
+                                                  dst=b"\x0a\x00\x00\x06",
+                                                  sp=123, dp=456, bytes=888, pkts=2)]),
+                           source_address=EXP, decoder="netflow"),)]
+    spark.createDataFrame(b1, "value binary").coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(b2, "value binary").coalesce(1).write.parquet(src + "/f2")
+
+    kafka_like = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    wire = streaming_netflow_decode(raw_flows_from_kafka(kafka_like))
+
+    store = FlowStore(spark, str(tmp_path / "pb_store"))
+    ingest = FlowIngest(store, EnrichmentConfig())
+
+    def sink(batch, batch_id):
+        ingest.process_batch(wire_to_flows(batch, interfaces=_interfaces(spark)))
+
+    q = (
+        wire.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "pb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    stored = store.read(store.resolutions[0]).collect()
+    assert len(stored) == 2  # the v9 record decoded via cross-batch state
+    by_bytes = {r["Bytes"]: r for r in stored}
+    assert by_bytes[1500]["InIfName"] == "xe-1/0/0"  # metadata join applied
+    assert by_bytes[888]["SamplingRate"] == 1
