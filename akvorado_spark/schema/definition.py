@@ -46,6 +46,7 @@ class FlowColumn:
     alias: str | None = None         # computed-on-read (SQL expr over stored cols)
     generated: str | None = None     # computed-at-ingest (SQL expr)
     disabled: bool = False           # present in the registry, off by default
+    materialized: bool = False       # alias flipped to computed-at-ingest + stored
     not_dimension: bool = False      # cannot be used as a console dimension
     truncatable_ip: bool = False     # subject to IP-truncation rendering
 
@@ -177,8 +178,40 @@ class FlowSchema:
         return [c for c in self.columns if not c.disabled]
 
     def stored(self) -> list[FlowColumn]:
-        """Columns physically stored in the main table (aliases excluded)."""
-        return [c for c in self.enabled() if c.alias is None]
+        """Columns physically stored in the main table (aliases
+        excluded unless materialized)."""
+        return [c for c in self.enabled() if c.alias is None or c.materialized]
+
+    # ---- config surface (reference common/schema/config.go:54-104) -------
+    def configure(
+        self,
+        enable: tuple[str, ...] = (),
+        disable: tuple[str, ...] = (),
+        materialize: tuple[str, ...] = (),
+    ) -> "FlowSchema":
+        """Apply the reference's column configuration: turn registry
+        columns on/off and flip Alias columns to computed-at-ingest +
+        stored ("Materialize", root.go:38-52).  Direction clones are
+        independent columns — name both sides to configure both.
+        Primary keys cannot be disabled (the rollup grouping contract
+        would break — mirrors the reference's validation)."""
+        for n in (*enable, *disable, *materialize):
+            if n not in self.by_name:
+                raise ValueError(f"unknown column {n!r}")
+        cols = []
+        for c in self.columns:
+            if c.name in enable:
+                c = replace(c, disabled=False)
+            if c.name in disable:
+                if c.primary:
+                    raise ValueError(f"cannot disable primary key {c.name}")
+                c = replace(c, disabled=True)
+            if c.name in materialize:
+                if c.alias is None:
+                    raise ValueError(f"{c.name} is not an alias column")
+                c = replace(c, materialized=True)
+            cols.append(c)
+        return FlowSchema(cols)
 
     def struct_type(self, main: bool = True) -> T.StructType:
         cols = self.stored() if main else self.rollup_columns()
@@ -211,15 +244,48 @@ class FlowSchema:
         return name
 
     # ---- expression layers ----------------------------------------------
+    _ALIAS_DEPS = {
+        "__src_net_prefix__": {"SrcAddr", "SrcNetMask", "EType"},
+        "__dst_net_prefix__": {"DstAddr", "DstNetMask", "EType"},
+    }
+
+    def _alias_expr(self, c: FlowColumn, present: set[str]):
+        """The Column for an alias, or None if its deps are absent."""
+        import re
+
+        if c.alias in self._ALIAS_DEPS:
+            if not self._ALIAS_DEPS[c.alias] <= present:
+                return None
+            if c.alias == "__src_net_prefix__":
+                return ip_net_prefix(F.col("SrcAddr"), F.col("SrcNetMask"), F.col("EType"))
+            return ip_net_prefix(F.col("DstAddr"), F.col("DstNetMask"), F.col("EType"))
+        refs = {
+            w
+            for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", c.alias)
+            if w in self.by_name
+        }
+        if not refs <= (present | {c.name}):
+            return None
+        return F.expr(c.alias).cast(c.dtype)
+
     def ingest(self, df: DataFrame) -> DataFrame:
         """Apply GenerateFrom columns — the raw→main transform of the
         reference's `_raw_consumer` MV (migrations_helpers.go:368-406):
-        Dst1st/2nd/3rdAS from the consecutive-dedup'd AS path."""
+        Dst1st/2nd/3rdAS from the consecutive-dedup'd AS path — plus
+        any Materialized alias columns (root.go:38-52)."""
         df = df.withColumn("__compacted_path__", array_compact(F.col("DstASPath")))
         for c in self.enabled():
             if c.generated:
                 df = df.withColumn(c.name, F.expr(c.generated).cast(c.dtype))
-        return df.drop("__compacted_path__")
+        df = df.drop("__compacted_path__")
+        present = set(df.columns)
+        for c in self.enabled():
+            if c.materialized and c.alias is not None and c.name not in present:
+                expr = self._alias_expr(c, present)
+                if expr is not None:
+                    df = df.withColumn(c.name, expr)
+                    present.add(c.name)
+        return df
 
     def view(self, df: DataFrame) -> DataFrame:
         """Apply Alias (computed-on-read) columns that the frame doesn't
@@ -227,33 +293,15 @@ class FlowSchema:
         (definition.go:288-299, types.go ClickHouseAlias).  Aliases whose
         dependencies are absent (e.g. MainOnly inputs on a rollup frame)
         are skipped — the rollup router guarantees queries touching them
-        run on the main table."""
-        import re
-
+        run on the main table.  Materialized aliases are already stored
+        and skip naturally via the presence check."""
         present = set(df.columns)
-        deps = {
-            "__src_net_prefix__": {"SrcAddr", "SrcNetMask", "EType"},
-            "__dst_net_prefix__": {"DstAddr", "DstNetMask", "EType"},
-        }
         for c in self.enabled():
             if c.alias is None or c.name in present:
                 continue
-            if c.alias in deps:
-                if not deps[c.alias] <= present:
-                    continue
-                if c.alias == "__src_net_prefix__":
-                    expr = ip_net_prefix(F.col("SrcAddr"), F.col("SrcNetMask"), F.col("EType"))
-                else:
-                    expr = ip_net_prefix(F.col("DstAddr"), F.col("DstNetMask"), F.col("EType"))
-            else:
-                refs = {
-                    w
-                    for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", c.alias)
-                    if w in self.by_name
-                }
-                if not refs <= (present | {c.name}):
-                    continue
-                expr = F.expr(c.alias).cast(c.dtype)
+            expr = self._alias_expr(c, present)
+            if expr is None:
+                continue
             df = df.withColumn(c.name, expr)
             present.add(c.name)
         return df

@@ -76,3 +76,39 @@ def test_view_net_prefix(spark):
             net = ipaddress.ip_network(f"{addr}/{r['SrcNetMask']}", strict=False)
         want = f"{net.network_address}/{r['SrcNetMask']}" if r["SrcNetMask"] else ""
         assert r["SrcNetPrefix"] == want, (str(addr), r["SrcNetMask"], r["SrcNetPrefix"], want)
+
+
+def test_configure_enable_disable_materialize(spark):
+    import pytest
+
+    from akvorado_spark.schema.definition import flows_schema
+    from akvorado_spark.sources.fixtures import flows_df
+
+    base = flows_schema()
+    assert "SrcVlan" not in [c.name for c in base.stored()]  # disabled by default
+
+    cfg = base.configure(
+        enable=("SrcVlan", "DstVlan"),
+        disable=("SrcGeoCity", "DstGeoCity"),
+        materialize=("SrcNetPrefix",),
+    )
+    stored = [c.name for c in cfg.stored()]
+    assert "SrcVlan" in stored and "DstVlan" in stored
+    assert "SrcGeoCity" not in stored
+    assert "SrcNetPrefix" in stored  # alias flipped to stored
+
+    with pytest.raises(ValueError):
+        base.configure(disable=("TimeReceived",))  # primary key
+    with pytest.raises(ValueError):
+        base.configure(materialize=("Bytes",))  # not an alias
+    with pytest.raises(ValueError):
+        base.configure(enable=("NoSuchColumn",))
+
+    # ingest computes the materialized prefix; view then skips it
+    df = cfg.ingest(flows_df(spark, n=50))
+    assert "SrcNetPrefix" in df.columns
+    rows = cfg.view(df).select("SrcAddr", "SrcNetMask", "SrcNetPrefix").collect()
+    ref = base.view(base.ingest(flows_df(spark, n=50))).select("SrcNetPrefix").collect()
+    assert [r["SrcNetPrefix"] for r in rows] == [r["SrcNetPrefix"] for r in ref]
+    # rollups never carry the materialized MainOnly prefix
+    assert "SrcNetPrefix" not in [c.name for c in cfg.rollup_columns()]
