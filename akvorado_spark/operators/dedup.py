@@ -84,6 +84,56 @@ def portable_seeded_hash(col, seed: int):
     ).cast("long")
 
 
+# --- one-base-hash + affine-mix families ----------------------------------
+# The n-seeded-hash loop is the hot expression of minhash: n md5/xxhash
+# evaluations per shingle.  The classic MinHash formulation hashes each
+# shingle ONCE and derives the n "permutations" as affine maps
+# (a*x + b mod m) of that base value — n× cheaper, same estimator
+# family.  Constants are computed in Python at plan time, and the maps
+# use only div/mod/mul on < 2^59 intermediates, so DuckDB replays the
+# portable variant bit-identically (no overflow, no engine-specific
+# semantics).
+
+MIX_MOD = 1 << 56
+_MIX_MASK28 = (1 << 28) - 1
+
+
+def mix_constants(seed: int) -> tuple[int, int, int]:
+    a1 = ((2654435761 * (seed + 1)) % (1 << 29)) | 1
+    a2 = ((40503 * (seed + 13)) % (1 << 29)) | 1
+    b = (104729 * seed + 12345) % (1 << 40)
+    return a1, a2, b
+
+
+def affine_mix(h, seed: int):
+    """Seed-indexed permutation of a 56-bit base hash (Column in,
+    Column out); mirrored textually by the certified oracle SQL."""
+    a1, a2, b = mix_constants(seed)
+    hi = F.shiftright(h, 28)
+    lo = h.bitwiseAND(F.lit(_MIX_MASK28))
+    return (hi * F.lit(a1) + lo * F.lit(a2) + F.lit(b)) % F.lit(MIX_MOD)
+
+
+def portable_base_hash(col):
+    """56-bit md5 prefix of the value — one evaluation per shingle."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 14), 16, 10
+    ).cast("long")
+
+
+def xxhash64_base_hash(col):
+    """Production base hash, masked into the 56-bit mix domain."""
+    return F.xxhash64(col).bitwiseAND(F.lit(MIX_MOD - 1))
+
+
+# hash_fn → (base, mix) upgrade map: pipelines passing one of the two
+# canonical seeded functions automatically get the one-base-hash plan
+HASH_FAMILIES = {
+    seeded_xxhash64: (xxhash64_base_hash, affine_mix),
+    portable_seeded_hash: (portable_base_hash, affine_mix),
+}
+
+
 def corpus_grams(df: DataFrame, text_col: str, id_col: str, ngram: int = 3) -> DataFrame:
     """Exploded (id, gram) frame — the shared upstream of minhash
     signatures and exact Jaccard scoring.  When one pipeline needs it
@@ -107,18 +157,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """id → minhash signature (array<long>, one min per seeded hash).
 
-    One explode + one groupBy: each shingle row computes all
-    ``n_hashes`` seeded hash values (JVM intrinsics), the groupBy
-    takes per-seed minima map-side before the shuffle.  Pass a
+    One explode + one groupBy: each shingle row hashes ONCE (the
+    canonical families upgrade to base-hash + per-seed affine mixes via
+    ``HASH_FAMILIES``; an unknown ``hash_fn`` evaluates per seed), the
+    groupBy takes per-seed minima map-side before the shuffle.  Pass a
     (possibly persisted) ``grams`` frame from :func:`corpus_grams` to
     share the shingle scan with other consumers.
     """
     if grams is None:
         grams = corpus_grams(df, text_col, id_col, ngram)
-    mins = [
-        F.min(hash_fn(F.col("__g"), i)).alias(f"__m{i}")
-        for i in range(n_hashes)
-    ]
+    family = HASH_FAMILIES.get(hash_fn)
+    if family is not None:
+        base_fn, mix = family
+        # Project the base hash BEFORE the aggregate so it is computed
+        # once per shingle row regardless of codegen CSE behavior.
+        grams = grams.withColumn("__b", base_fn(F.col("__g")))
+        mins = [
+            F.min(mix(F.col("__b"), i)).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        mins = [
+            F.min(hash_fn(F.col("__g"), i)).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
     sig = grams.groupBy(id_col).agg(*mins)
     return sig.select(
         id_col, F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("signature")

@@ -381,13 +381,24 @@ def _minhash_certified(spark, sf_dir):
 
 
 def _minhash_oracle(n: int = 32, bands: int = 8, thr: float = 0.5, sample: str = "doc_id % 5 = 0") -> str:
-    """DuckDB mirror of the ENTIRE sketch pipeline — grams → n seeded
-    minima → band buckets → in-bucket candidate pairs → exact Jaccard —
-    using the portable md5-prefix seeded hash, so candidate generation
-    itself (not just the verification) is value-checked."""
+    """DuckDB mirror of the ENTIRE sketch pipeline — grams → one base
+    hash + n affine-mix minima → band buckets → in-bucket candidate
+    pairs → exact Jaccard — replaying the portable md5-prefix base hash
+    and the exact ``mix_constants`` integer maps, so candidate
+    generation itself (not just the verification) is value-checked."""
+    from akvorado_spark.operators.dedup import MIX_MOD, _MIX_MASK28, mix_constants
+
     rpb = n // bands
     mins = ",\n       ".join(
-        f"MIN(('0x' || substr(md5('{i}|' || g), 1, 14))::BIGINT) AS m{i}" for i in range(n)
+        "MIN(((bh >> 28) * {a1} + (bh & {m}) * {a2} + {b}) % {mod}) AS m{i}".format(
+            a1=mix_constants(i)[0],
+            a2=mix_constants(i)[1],
+            b=mix_constants(i)[2],
+            m=_MIX_MASK28,
+            mod=MIX_MOD,
+            i=i,
+        )
+        for i in range(n)
     )
     band_rows = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, ('0x' || substr(md5('{b}|' || concat_ws(','"
@@ -415,8 +426,9 @@ grams AS (
     WHERE i <= GREATEST(len(ws) - 2, 1)
   )
 ),
+based AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT AS bh FROM grams),
 sig AS (SELECT doc_id, {mins}
-        FROM grams GROUP BY doc_id),
+        FROM based GROUP BY doc_id),
 banded AS (
   {band_rows}
 ),
