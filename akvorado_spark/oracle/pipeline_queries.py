@@ -25,7 +25,7 @@ from akvorado_spark.sources.tables import load_table
 def _dedup_exact(spark, sf_dir):
     from akvorado_spark.operators.dedup import exact_dedup
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     groups = exact_dedup(docs, "text", "doc_id")
     return groups.agg(
         F.count(F.lit(1)).alias("n_groups"),
@@ -58,7 +58,7 @@ _J_THRESHOLD = 0.30
 def _jaccard_pairs(spark, sf_dir):
     from akvorado_spark.operators.dedup import corpus_grams, ngram_jaccard_pairs
 
-    docs = load_table(spark, "documents", sf_dir).filter(_J_SAMPLE)
+    docs = load_table(spark, "documents", sf_dir, spread=True).filter(_J_SAMPLE)
     # grams feed both self-join sides and the size aggregate: one scan
     grams = corpus_grams(docs, "text", "doc_id").persist()
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ngram=3, grams=grams)
@@ -120,6 +120,8 @@ def _text_stats(spark, sf_dir):
         token_count,
     )
 
+    # no spread: the regex aggregate over 5k docs is cheaper than the
+    # exchange of full text rows (measured)
     docs = load_table(spark, "documents", sf_dir)
     t = F.col("text")
     return (
@@ -153,7 +155,7 @@ register("text_stats", _text_stats, _TEXT_ORACLE)
 def _lang_id(spark, sf_dir):
     from akvorado_spark.operators.text import lang_id
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir, spread=True)
     return (
         docs.select("lang", lang_id(F.col("text")).alias("guess"))
         .groupBy("lang", "guess")
@@ -208,7 +210,7 @@ _FP_SAMPLE = "doc_id % 17 = 0"
 def _text_fingerprint(spark, sf_dir):
     from akvorado_spark.operators.text import fingerprint, portable_word_hash
 
-    docs = load_table(spark, "documents", sf_dir).filter(_FP_SAMPLE)
+    docs = load_table(spark, "documents", sf_dir, spread=True).filter(_FP_SAMPLE)
     return docs.select(
         "doc_id", fingerprint(F.col("text"), portable_word_hash).alias("fp")
     )
@@ -239,7 +241,7 @@ register("text_fingerprint", _text_fingerprint, _fingerprint_oracle())
 def _ann_bruteforce(spark, sf_dir):
     from akvorado_spark.operators.similarity import brute_force_topk
 
-    vecs = load_table(spark, "embeddings", sf_dir)
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
     queries = (
         vecs.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -275,7 +277,7 @@ register("ann_bruteforce_topk", _ann_bruteforce, _ANN_ORACLE)
 def _ann_ivf(spark, sf_dir):
     from akvorado_spark.operators.similarity import ivf_topk, seed_centroids
 
-    vecs = load_table(spark, "embeddings", sf_dir)
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
     queries = (
         vecs.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -294,7 +296,7 @@ register("ann_ivf_topk", _ann_ivf, _ANN_ORACLE)
 def _embed_neardup(spark, sf_dir):
     from akvorado_spark.operators.similarity import dot, norm
 
-    vecs = load_table(spark, "embeddings", sf_dir).filter("vec_id % 5 = 0")
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True).filter("vec_id % 5 = 0")
     # norms are per-vector: compute once before the self-join instead of
     # per pair (same fold expression → bit-identical doubles, 1/3 the
     # float work across O(n²) pairs)
@@ -337,7 +339,7 @@ register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
 # ---------------------------------------------------------------------------
 
 
-def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0"):
+def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spread=False):
     from akvorado_spark.operators.dedup import (
         corpus_grams,
         lsh_candidate_pairs,
@@ -346,7 +348,10 @@ def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0"):
         seeded_xxhash64,
     )
 
-    docs = load_table(spark, "documents", sf_dir).filter(sample)
+    # spread pays only when the per-gram hash is expensive (md5 in the
+    # certified twin); with JVM xxhash64 the exchange costs more than
+    # the parallelism buys (measured at sf0.1)
+    docs = load_table(spark, "documents", sf_dir, spread=spread).filter(sample)
     # The corpus has no natural near-dups: seed deterministic ones
     # (id + 10^7, text with a short suffix → Jaccard just under 1).
     perturbed = docs.select(
@@ -376,7 +381,7 @@ def _minhash_certified(spark, sf_dir):
     from akvorado_spark.operators.dedup import portable_seeded_hash
 
     return _minhash_pipeline(
-        spark, sf_dir, hash_fn=portable_seeded_hash, sample=_MH_CERT_SAMPLE
+        spark, sf_dir, hash_fn=portable_seeded_hash, sample=_MH_CERT_SAMPLE, spread=True
     )
 
 
@@ -463,7 +468,7 @@ register("dedup_minhash_certified", _minhash_certified, _minhash_oracle(sample=_
 def _simhash_fps(spark, sf_dir):
     from akvorado_spark.operators.dedup import simhash
 
-    docs = load_table(spark, "documents", sf_dir).filter("doc_id % 7 = 0")
+    docs = load_table(spark, "documents", sf_dir, spread=True).filter("doc_id % 7 = 0")
     fps = simhash(docs, "text", "doc_id")
     return fps.orderBy("doc_id")
 
@@ -479,7 +484,7 @@ def _simhash_certified(spark, sf_dir):
     from akvorado_spark.operators.dedup import simhash
     from akvorado_spark.operators.text import portable_word_hash
 
-    docs = load_table(spark, "documents", sf_dir).filter(_SH_SAMPLE)
+    docs = load_table(spark, "documents", sf_dir, spread=True).filter(_SH_SAMPLE)
     return simhash(docs, "text", "doc_id", bits=_SH_BITS, hash_fn=portable_word_hash).orderBy(
         "doc_id"
     )
@@ -530,7 +535,7 @@ def _lsh_planes():
 def _ann_lsh(spark, sf_dir):
     from akvorado_spark.operators.similarity import lsh_topk
 
-    vecs = load_table(spark, "embeddings", sf_dir)
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
     queries = (
         vecs.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -594,7 +599,7 @@ _CHUNK_W, _CHUNK_S = 50, 40
 def _doc_chunks(spark, sf_dir):
     from akvorado_spark.operators.text import chunk_documents, portable_word_hash
 
-    docs = load_table(spark, "documents", sf_dir).filter(_CHUNK_SAMPLE)
+    docs = load_table(spark, "documents", sf_dir, spread=True).filter(_CHUNK_SAMPLE)
     out = chunk_documents(docs, "text", "doc_id", window=_CHUNK_W, stride=_CHUNK_S)
     return out.select(
         "doc_id",
@@ -638,6 +643,9 @@ _MM_SAMPLE = "doc_id % 11 = 0"
 def _multimodal_meta(spark, sf_dir):
     from akvorado_spark.operators.multimodal import decode_image
 
+    # no spread: the fake decode is cheap per row, so fanning the
+    # batch over 32 Arrow workers costs more than it saves (measured);
+    # a real image decode would flip this
     docs = load_table(spark, "documents", sf_dir).filter(_MM_SAMPLE)
     with_media = docs.select(
         "doc_id", F.unhex(F.md5(F.col("text").cast("binary"))).alias("media")

@@ -145,7 +145,7 @@ _SAMPLE = "o_orderkey % 5 = 0"
 
 def _decode_run(spark, sf_dir, build_packets, parse):
     orders = (
-        load_table(spark, "orders", sf_dir)
+        load_table(spark, "orders", sf_dir, spread=True)
         .filter(_SAMPLE)
         .select("o_orderkey", "o_custkey")
     )

@@ -80,6 +80,61 @@ def top_percent(
     )
 
 
+def widget_graph(
+    df: DataFrame,
+    interval_s: int,
+    time_col: str = "TimeReceived",
+    weight_sql: str = "Bytes * SamplingRate * 8",
+) -> DataFrame:
+    """Homepage traffic graph (reference console/widgets.go:250-298):
+    a dimensionless Gbps time series over the whole range, gap-filled.
+
+    Output ``(bucket BIGINT epoch-µs, gbps DOUBLE)``.  The reference
+    divides per-row inside SUM; summing exact integers first and
+    dividing once by a constant is the same value with engine-stable
+    doubles.  The caller applies the homepage filter (default
+    ``InIfBoundary = 'external'``, reference console/config.go:110).
+
+    Scale: one scan + one partial-aggregated shuffle on the bucket;
+    bounds and the fill spine are 1-row/‌tiny frames broadcast in.
+    """
+    step_us = interval_s * 1_000_000
+    ts = F.unix_micros(F.col(time_col).cast("timestamp"))
+    bounds = df.agg(
+        F.min(ts).alias("__start_us"), F.max(ts).alias("__max_us")
+    )
+    base = df.join(F.broadcast(bounds)).select(
+        (
+            F.col("__start_us")
+            + F.floor((ts - F.col("__start_us")) / step_us) * step_us
+        )
+        .cast("long")
+        .alias("bucket"),
+        F.expr(weight_sql).cast("long").alias("__bits"),
+    )
+    agg = base.groupBy("bucket").agg(F.sum("__bits").alias("__bits"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("__max_us") - F.col("__start_us")) / step_us).cast("long"),
+            )
+        ).alias("__i"),
+        "__start_us",
+    ).select((F.col("__start_us") + F.col("__i") * step_us).cast("long").alias("bucket"))
+    return (
+        spine.join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("__bits"), F.lit(0)).cast("double")
+                / F.lit(float(interval_s) * 1e9)
+            ).alias("gbps"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def last_flow(
     df: DataFrame,
     time_col: str = "TimeReceived",

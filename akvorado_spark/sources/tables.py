@@ -29,8 +29,19 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# unique-id column used for deterministic spread partitioning
+_SPREAD_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+}
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+
+def load_table(
+    spark: SparkSession, name: str, sf_dir: str | None = None, spread: bool = False
+) -> DataFrame:
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     # The events table stores TIMESTAMP(NANOS) which Spark's parquet
     # reader rejects by default; read nanos as long and convert.
@@ -44,6 +55,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             # integer `div` — double division would lose precision >2^53
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        # The test tables are single-row-group parquet files, so the
+        # scan stage is ONE task no matter how many cores the session
+        # has — any per-row-heavy stage downstream (shingling, vector
+        # math, datagram decode) serializes on it.  An explicit
+        # shuffle of the (small) input restores parallelism.  Hash
+        # partitioning on the table's unique id beats round-robin
+        # here: it is deterministic on retry without the local
+        # sort-before-repartition pass over full rows.  Opt-in: at
+        # production scale inputs arrive in thousands of splits and
+        # the extra exchange would be waste, so only pipelines whose
+        # next stage is compute-bound ask.
+        key = _SPREAD_KEYS.get(name, df.columns[0])
+        df = df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
     return df
 
 
