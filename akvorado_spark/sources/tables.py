@@ -55,6 +55,13 @@ def load_table(
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             # integer `div` — double division would lose precision >2^53
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Parquet naive timestamps surface as TIMESTAMP_NTZ, which
+            # strict-typed functions (unix_micros, session_window
+            # arithmetic) reject.  With the session tz pinned to UTC
+            # above, the NTZ→LTZ cast is instant-preserving and keeps
+            # epoch math identical to the DuckDB oracle's naive-UTC.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     if spread:
         # The test tables are single-row-group parquet files, so the
         # scan stage is ONE task no matter how many cores the session

@@ -25,34 +25,42 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # the query, not session startup
-    entrymod.entry(spark).count()
-    # materialize the session-scoped fact view at the bench SF — that
-    # derivation is ingest-time work in the reference (stored table),
-    # not query latency
-    entrymod.queries()["flt_proto_enum"](spark, sf_dir).count()
+    try:
+        entrymod.entry(spark).count()
+        # materialize the session-scoped fact view at the bench SF — that
+        # derivation is ingest-time work in the reference (stored table),
+        # not query latency
+        entrymod.queries()["flt_proto_enum"](spark, sf_dir).count()
+    except Exception as exc:
+        print(f"# warmup error: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # one broken query must not sink the run
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -23,25 +23,28 @@ TABLES = (
 ).split()
 
 
+def _strict(v):
+    """Pessimistic model of the driver's value hash: type-aware repr.
+
+    bytearray vs bytes, Decimal vs int, 1 vs 1.0, numpy scalar vs python
+    scalar all count as DIFFERENT — queries must emit identical python
+    values from both engines.
+    """
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_strict(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_strict(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, float) and math.isnan(v):
+        return "float:NaN"
+    return f"{type(v).__name__}:{v!r}"
+
+
 def normalize(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            elif isinstance(v, (list, tuple)):
-                v = tuple(
-                    round(x, 6) if isinstance(x, float) else x for x in v
-                )
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
+        out.append(tuple(_strict(row[i]) for i in order))
+    out.sort()
     return [tuple(colnames[i] for i in order)] + out
 
 
@@ -66,17 +69,27 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as exc:
+            print(f"  {name:40s} ERROR {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
+            continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"  {name:40s} rows={len(srows):7d} (no oracle) {spark_t:5.1f}s")
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:
+            print(f"  {name:40s} ORACLE-ERROR {type(exc).__name__}: {str(exc)[:200]}")
+            failures.append(name)
+            continue
         duck_t = time.time() - t0
         s_norm = normalize(srows, scols)
         o_norm = normalize(orows, ocols)
