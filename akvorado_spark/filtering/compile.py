@@ -34,8 +34,14 @@ def _q(s: str) -> str:
 def _ip_eq_sql(col: str, v: str, negate: bool) -> str:
     if "/" in v:
         lo, hi = prefix_range(v)
-        expr = f"{col} BETWEEN unhex('{lo.hex()}') AND unhex('{hi.hex()}')"
-        return f"NOT ({expr})" if negate else expr
+        # >=/<= instead of BETWEEN: DuckDB 1.x's optimizer hits an
+        # internal NULL-deref when the same BLOB BETWEEN appears (once
+        # negated) in both branches of an OR; the comparison pair is
+        # semantically identical and planner-safe in both dialects.
+        expr = (
+            f"({col} >= unhex('{lo.hex()}') AND {col} <= unhex('{hi.hex()}'))"
+        )
+        return f"NOT {expr}" if negate else expr
     op = "<>" if negate else "="
     return f"{col} {op} unhex('{ip_bytes(v).hex()}')"
 

@@ -37,7 +37,7 @@ def _oracle_packet_size() -> str:
     case = "CASE " + " ".join(conds) + f" ELSE '{prev}-Inf' END"
     return f"""
 WITH src AS (SELECT Bytes // Packets AS ps FROM {oracle_view_sql()})
-SELECT {case} AS PacketSizeBucket, COUNT(*) AS flows, SUM(ps) AS size_sum
+SELECT {case} AS PacketSizeBucket, COUNT(*) AS flows, CAST(SUM(ps) AS BIGINT) AS size_sum
 FROM src GROUP BY PacketSizeBucket ORDER BY PacketSizeBucket"""
 
 

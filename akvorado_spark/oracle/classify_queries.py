@@ -73,7 +73,7 @@ cls AS (
   FROM src
 )
 SELECT ExporterSite, ExporterRole, InIfProvider, InIfConnectivity,
-       COUNT(*) AS flows, SUM(Bytes) AS bytes
+       COUNT(*) AS flows, CAST(SUM(Bytes) AS BIGINT) AS bytes
 FROM cls
 GROUP BY ExporterSite, ExporterRole, InIfProvider, InIfConnectivity
 ORDER BY ExporterSite, ExporterRole, InIfProvider, InIfConnectivity"""
@@ -136,8 +136,8 @@ kept AS (
   SELECT *, CAST(FLOOR(SamplingRate * total / LEAST(total, 10)) AS BIGINT) AS sr
   FROM numbered WHERE rn <= 10
 )
-SELECT ExporterName, COUNT(*) AS kept, SUM(sr) AS sampling_sum,
-       SUM(Bytes * sr) AS bytes_est
+SELECT ExporterName, COUNT(*) AS kept, CAST(SUM(sr) AS BIGINT) AS sampling_sum,
+       CAST(SUM(Bytes * sr) AS BIGINT) AS bytes_est
 FROM kept GROUP BY ExporterName ORDER BY ExporterName"""
 
 
@@ -240,7 +240,7 @@ resolved AS (
            0) AS asn
   FROM fl f LEFT JOIN rj ON f.rid = rj.rid LEFT JOIN nj ON f.rid = nj.rid
 )
-SELECT asn, COUNT(*) AS flows, SUM(Bytes) AS bytes
+SELECT asn, COUNT(*) AS flows, CAST(SUM(Bytes) AS BIGINT) AS bytes
 FROM resolved GROUP BY asn ORDER BY asn"""
 
 

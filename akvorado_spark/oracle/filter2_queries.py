@@ -56,8 +56,10 @@ FILTER_CASES = {
     "flt_mac_eq": f"SrcMAC = {_MAC_STR} AND Proto != 'icmp'",
 }
 
+# CAST pins BIGINT on both engines (DuckDB SUM(BIGINT)→HUGEINT→float64
+# in pandas, which the driver's dtype-aware hash rejects).
 AGG = (
-    "SELECT Proto, COUNT(*) AS flows, SUM(Bytes * SamplingRate) AS bytes "
+    "SELECT Proto, COUNT(*) AS flows, CAST(SUM(Bytes * SamplingRate) AS BIGINT) AS bytes "
     "FROM ({src}) WHERE {where} GROUP BY Proto ORDER BY Proto"
 )
 

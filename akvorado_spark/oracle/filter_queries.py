@@ -26,9 +26,12 @@ FILTER_CASES = {
     "flt_time_range": "TimeReceived >= '1995-01-01 00:00:00' AND TimeReceived < '1996-07-01 00:00:00'",
 }
 
+# CAST on the sums pins BIGINT on both engines: DuckDB's SUM(BIGINT) is
+# HUGEINT, which pandas/arrow render as float64/decimal128 and the
+# driver's dtype-aware hash then rejects against Spark's int64.
 AGG_SQL = (
-    "SELECT Proto, COUNT(*) AS flows, SUM(Bytes) AS bytes, "
-    "SUM(Bytes * SamplingRate * 8) AS l3bits FROM {src} WHERE {where} "
+    "SELECT Proto, COUNT(*) AS flows, CAST(SUM(Bytes) AS BIGINT) AS bytes, "
+    "CAST(SUM(Bytes * SamplingRate * 8) AS BIGINT) AS l3bits FROM {src} WHERE {where} "
     "GROUP BY Proto ORDER BY Proto"
 )
 

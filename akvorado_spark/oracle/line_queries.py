@@ -115,7 +115,7 @@ SELECT user_id,
        CAST(FLOOR((epoch_us(CAST(MAX(ts) AS TIMESTAMP))
              - epoch_us(CAST(MIN(ts) AS TIMESTAMP))) / 1000000) AS BIGINT) AS span_s,
        COUNT(*) AS n_events,
-       SUM(cents) AS value_cents
+       CAST(SUM(cents) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"""
 
 register("events_sessionize", _spark_sessionize, _SESSION_ORACLE)
@@ -144,7 +144,7 @@ def _spark_json_props(spark, sf_dir):
 
 _JSON_ORACLE = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type"""
@@ -278,7 +278,7 @@ def _spark_hash_sample(spark, sf_dir):
 
 
 _SAMPLE_ORACLE = """
-SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum
+SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 10
 GROUP BY lang ORDER BY lang"""

@@ -81,7 +81,7 @@ r AS (
   FROM m GROUP BY rid
 )
 SELECT COALESCE(name, 'unknown') AS net_name, COALESCE(asn, 0) AS net_asn,
-       COUNT(*) AS flows, SUM(Bytes) AS bytes
+       COUNT(*) AS flows, CAST(SUM(Bytes) AS BIGINT) AS bytes
 FROM r GROUP BY 1, 2 ORDER BY net_name, net_asn"""
 
 

@@ -40,8 +40,8 @@ register(
     _dedup_exact,
     """
 SELECT COUNT(*) AS n_groups,
-       SUM(sz - 1) AS n_duplicates,
-       SUM(mn) AS survivor_id_sum,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_duplicates,
+       CAST(SUM(mn) AS BIGINT) AS survivor_id_sum,
        MAX(sz) AS max_group
 FROM (SELECT MIN(doc_id) AS mn, COUNT(*) AS sz FROM documents GROUP BY text)
 """,
@@ -95,7 +95,7 @@ inter AS (
   FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
-SELECT COUNT(*) AS n_pairs, SUM(id_a + id_b) AS pair_id_sum
+SELECT COUNT(*) AS n_pairs, CAST(SUM(id_a + id_b) AS BIGINT) AS pair_id_sum
 FROM (
   SELECT id_a, id_b,
          ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j
@@ -140,11 +140,11 @@ def _text_stats(spark, sf_dir):
 _TEXT_ORACLE = """
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS n_tokens,
-       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS n_bpe_tokens,
-       SUM(length(text)) AS n_chars_sum,
-       SUM(CAST(ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-                / GREATEST(length(text), 1), 6) * 1000000 AS BIGINT)) AS punct_micro
+       CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum,
+       CAST(SUM(CAST(ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                / GREATEST(length(text), 1), 6) * 1000000 AS BIGINT)) AS BIGINT) AS punct_micro
 FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
@@ -322,7 +322,7 @@ def _embed_neardup(spark, sf_dir):
 
 _NEARDUP_ORACLE = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0)
-SELECT COUNT(*) AS n_pairs, SUM(id_a + id_b) AS id_sum FROM (
+SELECT COUNT(*) AS n_pairs, CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND(list_dot_product(a.e, b.e)
                / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 6) AS sim

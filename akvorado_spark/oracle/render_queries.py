@@ -67,7 +67,7 @@ base AS (
   LEFT JOIN tcp t ON s.DstPort = t.port
   LEFT JOIN udp u ON s.DstPort = u.port
 )
-SELECT proto_name, dst_port, SUM(Bytes) AS bytes, COUNT(*) AS flows
+SELECT proto_name, dst_port, CAST(SUM(Bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
 FROM base GROUP BY proto_name, dst_port ORDER BY proto_name, dst_port"""
 
 
@@ -106,7 +106,7 @@ base AS (
          s.Bytes * s.SamplingRate AS w
   FROM source s LEFT JOIN a ON s.SrcAS = a.asn
 )
-SELECT src_as, etype, boundary, SUM(w) AS bytes
+SELECT src_as, etype, boundary, CAST(SUM(w) AS BIGINT) AS bytes
 FROM base GROUP BY src_as, etype, boundary ORDER BY src_as, etype, boundary"""
 
 

@@ -49,9 +49,9 @@ for _n, (_u, _i, _lt) in _LINE_UNITS.items():
 _UNITS_BY_IF = (
     "SELECT InIfName, "
     "COUNT(*) AS fps, "
-    "SUM(Packets * SamplingRate) AS pps, "
-    "SUM(Bytes * SamplingRate * 8) AS l3bps, "
-    "SUM((Bytes + 38 * Packets) * SamplingRate * 8) AS l2bps, "
+    "CAST(SUM(Packets * SamplingRate) AS BIGINT) AS pps, "
+    "CAST(SUM(Bytes * SamplingRate * 8) AS BIGINT) AS l3bps, "
+    "CAST(SUM((Bytes + 38 * Packets) * SamplingRate * 8) AS BIGINT) AS l2bps, "
     "CAST(ROUND(" + UNITS["inl2%"].agg_sql + ", 6) AS DOUBLE) AS inl2pct, "
     "COUNT(DISTINCT hex(ExporterAddress) || '|' || InIfName) AS n_ifaces "
     "FROM {src} GROUP BY InIfName ORDER BY InIfName"
@@ -77,7 +77,7 @@ _GROUPING_SETS = (
     "CAST(GROUPING(ExporterName) AS INT) AS g_exporter, "
     "CAST(GROUPING(Proto) AS INT) AS g_proto, "
     "COUNT(*) AS fps, "
-    "SUM(Bytes * SamplingRate * 8) AS l3bytes_x8 "
+    "CAST(SUM(Bytes * SamplingRate * 8) AS BIGINT) AS l3bytes_x8 "
     "FROM {src} "
     "GROUP BY GROUPING SETS ((ExporterName, Proto), (ExporterName), ())"
 )

@@ -116,7 +116,7 @@ def _spark_topk_weighted(spark, sf_dir):
 
 def _oracle_topk_weighted() -> str:
     return f"""
-SELECT ExporterName, Proto, SUM(Bytes * SamplingRate) AS weight
+SELECT ExporterName, Proto, CAST(SUM(Bytes * SamplingRate) AS BIGINT) AS weight
 FROM {oracle_view_sql()}
 GROUP BY ExporterName, Proto
 ORDER BY weight DESC, ExporterName, Proto

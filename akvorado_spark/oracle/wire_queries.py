@@ -225,11 +225,11 @@ def _roundtrip_oracle(rate_expr: str) -> str:
 WITH f AS ({_COMMON_FIELDS})
 SELECT dp AS dst_port,
        COUNT(*) AS n_flows,
-       SUM(bytes * ({rate_expr})) AS est_bytes,
-       SUM(pkts) AS sum_pkts,
+       CAST(SUM(bytes * ({rate_expr})) AS BIGINT) AS est_bytes,
+       CAST(SUM(pkts) AS BIGINT) AS sum_pkts,
        COUNT(DISTINCT src_key) AS n_src,
-       SUM(sas) AS sum_src_as,
-       SUM(das) AS sum_dst_as
+       CAST(SUM(sas) AS BIGINT) AS sum_src_as,
+       CAST(SUM(das) AS BIGINT) AS sum_dst_as
 FROM f GROUP BY dp ORDER BY dp
 """
 
@@ -243,5 +243,7 @@ register(
 register(
     "decode_sflow_roundtrip",
     _decode_sflow,
-    _roundtrip_oracle(str(_SFLOW_RATE)).replace("SUM(pkts) AS sum_pkts", "COUNT(*) AS sum_pkts"),
+    _roundtrip_oracle(str(_SFLOW_RATE)).replace(
+        "CAST(SUM(pkts) AS BIGINT) AS sum_pkts", "COUNT(*) AS sum_pkts"
+    ),
 )

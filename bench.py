@@ -25,6 +25,7 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # the query, not session startup
+    warmup_error = None
     try:
         entrymod.entry(spark).count()
         # materialize the session-scoped fact view at the bench SF — that
@@ -32,7 +33,8 @@ def main() -> None:
         # not query latency
         entrymod.queries()["flt_proto_enum"](spark, sf_dir).count()
     except Exception as exc:
-        print(f"# warmup error: {exc}", file=sys.stderr)
+        warmup_error = f"{type(exc).__name__}: {str(exc)[:200]}"
+        print(f"# warmup error: {warmup_error}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -51,16 +53,25 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # A failed query must not read as a speedup: each one adds a 60 s
+    # penalty to the headline value and the process exits nonzero, so a
+    # partially broken build is never comparable to a clean run.
+    PENALTY_S = 60.0
     out = {
         "metric": "total_query_wall_time",
-        "value": round(total, 3),
+        "value": round(total + PENALTY_S * len(errors), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
+        out["error_penalty_sec"] = PENALTY_S * len(errors)
+    if warmup_error:
+        out["warmup_error"] = warmup_error
     print(json.dumps(out))
+    if errors:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
