@@ -41,7 +41,7 @@ from akvorado_spark.oracle.registry import QUERIES
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["graph_line_avg"].spark(spark, "/root/testdata/sf0.001")
+    return QUERIES["graph_line_suite"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

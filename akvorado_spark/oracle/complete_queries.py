@@ -108,7 +108,7 @@ SELECT label, detail FROM u
 GROUP BY label, detail ORDER BY MIN(rank), MIN(ord), label LIMIT {_LIMIT}"""
 
 
-register("complete_asn", _spark_complete_asn, _oracle_complete_asn())
+
 
 
 def _spark_complete_port(spark, sf_dir):
@@ -146,7 +146,7 @@ SELECT label, detail FROM u
 GROUP BY label, detail ORDER BY MIN(rank), MIN(ord), label LIMIT {_LIMIT}"""
 
 
-register("complete_port", _spark_complete_port, _oracle_complete_port())
+
 
 
 # --- exporter-table completion (single-branch O4; reference
@@ -190,7 +190,36 @@ SELECT label, 'interface name' AS detail FROM names
 ORDER BY position(lower('{_IF_PREFIX}') IN lower(label)), label LIMIT {_LIMIT}"""
 
 
-register("complete_ifname", _spark_complete_ifname, _oracle_complete_ifname())
+# Tagged UNION of the three completion branches (dictionary-backed ASN,
+# port, exporter-table interface) — one correctness slot, each branch
+# still hash-gated through its own ranking pipeline.
+def _complete_suite_spark(spark, sf_dir):
+    parts = []
+    for name, fn in (
+        ("complete_asn", _spark_complete_asn),
+        ("complete_port", _spark_complete_port),
+        ("complete_ifname", _spark_complete_ifname),
+    ):
+        df = fn(spark, sf_dir)
+        parts.append(df.select(F.lit(name).alias("variant"), "label", "detail"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _complete_suite_oracle() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{name}' AS variant, label, detail FROM ({sql})"
+        for name, sql in (
+            ("complete_asn", _oracle_complete_asn()),
+            ("complete_port", _oracle_complete_port()),
+            ("complete_ifname", _oracle_complete_ifname()),
+        )
+    )
+
+
+register("complete_suite", _complete_suite_spark, _complete_suite_oracle())
 
 
 # --- exporters-list widget (reference console/widgets.go:111-132) ----------

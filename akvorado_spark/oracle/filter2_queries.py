@@ -64,16 +64,27 @@ AGG = (
 )
 
 
-def _mk(name: str, dsl: str) -> None:
-    f = CompiledFilter(parse_filter(dsl, _SCHEMA), _SCHEMA)
+# One tagged-UNION suite — same slot economics as flt_dsl_suite.
+def _member(variant: str, where: str, src: str) -> str:
+    inner = AGG.format(src=src, where=where)
+    return f"SELECT '{variant}' AS variant, * FROM ({inner})"
 
-    def run(spark, sf_dir, _f=f):
-        register_spark_view(spark, sf_dir)
-        return spark.sql(AGG.format(src=_SPARK_EXT, where=_f.spark_sql))
 
+def _suite_spark(spark, sf_dir):
+    register_spark_view(spark, sf_dir)
+    parts = [
+        _member(n, CompiledFilter(parse_filter(d, _SCHEMA), _SCHEMA).spark_sql, _SPARK_EXT)
+        for n, d in FILTER_CASES.items()
+    ]
+    return spark.sql(" UNION ALL ".join(parts))
+
+
+def _suite_oracle() -> str:
     duck_src = _DUCK_EXT.replace("flows_v", f"({oracle_view_sql()})")
-    register(name, run, AGG.format(src=duck_src, where=f.duckdb_sql))
+    return " UNION ALL ".join(
+        _member(n, CompiledFilter(parse_filter(d, _SCHEMA), _SCHEMA).duckdb_sql, duck_src)
+        for n, d in FILTER_CASES.items()
+    )
 
 
-for _name, _dsl in FILTER_CASES.items():
-    _mk(_name, _dsl)
+register("flt_ext_suite", _suite_spark, _suite_oracle())

@@ -44,16 +44,49 @@ def events_source(spark, sf_dir: str):
     return df.selectExpr("ts", "event_type", "value", f"{USER_SEG} AS user_seg")
 
 
-def _mk(name: str, req: LineRequest) -> None:
-    def run(spark, sf_dir, _req=req):
-        return compile_line(events_source(spark, sf_dir), _req)
-
-    src = f"(SELECT ts, event_type, value, {USER_SEG} AS user_seg FROM events)"
-    register(name, run, oracle_line_sql(src, req))
+# One tagged-UNION suite: every line-compiler mode (avg/max/last top-N,
+# two dimensions, fill on/off) stays individually hash-gated while
+# spending a single slot of the driver's 50-query correctness budget.
+_ORACLE_SRC = f"(SELECT ts, event_type, value, {USER_SEG} AS user_seg FROM events)"
 
 
-for _name, _req in LINE_REQS.items():
-    _mk(_name, _req)
+def _graph_suite_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    src = events_source(spark, sf_dir)
+    parts = []
+    for name, req in LINE_REQS.items():
+        df = compile_line(src, req)
+        dim2 = F.col("user_seg") if "user_seg" in df.columns else F.lit("")
+        parts.append(
+            df.select(
+                F.lit(name).alias("variant"),
+                "bucket",
+                F.col("event_type").alias("dim1"),
+                dim2.alias("dim2"),
+                "sum_w",
+                "xps",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _graph_suite_oracle() -> str:
+    members = []
+    for name, req in LINE_REQS.items():
+        dim2 = "user_seg" if "user_seg" in req.dimensions else "''"
+        members.append(
+            f"SELECT '{name}' AS variant, bucket, event_type AS dim1, "
+            f"{dim2} AS dim2, sum_w, xps "
+            f"FROM ({oracle_line_sql(_ORACLE_SRC, req)})"
+        )
+    return " UNION ALL ".join(members)
+
+
+register("graph_line_suite", _graph_suite_spark, _graph_suite_oracle())
 
 
 # --- bonus operators the reference lacks but Spark gives natively ----------

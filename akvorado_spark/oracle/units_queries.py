@@ -20,9 +20,9 @@ _LINE_UNITS = {
 }
 
 
-def _mk_line(name: str, unit_name: str, interval_s: int, limit_type: str) -> None:
+def _line_req(unit_name: str, interval_s: int, limit_type: str) -> LineRequest:
     u = UNITS[unit_name]
-    req = LineRequest(
+    return LineRequest(
         time_col="TimeReceived",
         dimensions=("InIfName",),
         weight_sql=None,
@@ -34,15 +34,30 @@ def _mk_line(name: str, unit_name: str, interval_s: int, limit_type: str) -> Non
         value_type=u.value_type,
     )
 
-    def run(spark, sf_dir, _req=req):
-        register_spark_view(spark, sf_dir)
-        return compile_line(spark.table("flows_v"), _req)
 
-    register(name, run, oracle_line_sql(oracle_view_sql(), req))
+# Tagged UNION of the three unit runs — one correctness slot, each unit
+# still exercised through the full line machinery and hash-gated.
+def _units_suite_spark(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    register_spark_view(spark, sf_dir)
+    out = None
+    for name, (u, i, lt) in _LINE_UNITS.items():
+        df = compile_line(spark.table("flows_v"), _line_req(u, i, lt))
+        df = df.select(F.lit(name).alias("variant"), "bucket", "InIfName", "sum_w", "xps")
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
-for _n, (_u, _i, _lt) in _LINE_UNITS.items():
-    _mk_line(_n, _u, _i, _lt)
+def _units_suite_oracle() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{name}' AS variant, bucket, InIfName, sum_w, xps "
+        f"FROM ({oracle_line_sql(oracle_view_sql(), _line_req(u, i, lt))})"
+        for name, (u, i, lt) in _LINE_UNITS.items()
+    )
+
+
+register("units_line_suite", _units_suite_spark, _units_suite_oracle())
 
 
 # All units side by side per interface + the distinct-interface count (A8).

@@ -234,16 +234,26 @@ FROM f GROUP BY dp ORDER BY dp
 """
 
 
-register(
-    "decode_netflow_roundtrip",
-    _decode_netflow,
-    _roundtrip_oracle(f"CASE WHEN ok % 2 = 0 THEN {_V5_RATE} ELSE {_V9_RATE} END"),
+# Tagged UNION of both decoder round-trips — one correctness slot; the
+# NetFlow (v5 + templated v9) and sFlow (raw-header walk) parsers each
+# stay fully hash-gated against DuckDB's arithmetic prediction.
+_NETFLOW_ORACLE = _roundtrip_oracle(
+    f"CASE WHEN ok % 2 = 0 THEN {_V5_RATE} ELSE {_V9_RATE} END"
+)
+_SFLOW_ORACLE = _roundtrip_oracle(str(_SFLOW_RATE)).replace(
+    "CAST(SUM(pkts) AS BIGINT) AS sum_pkts", "COUNT(*) AS sum_pkts"
 )
 
+
+def _decode_suite_spark(spark, sf_dir):
+    nf = _decode_netflow(spark, sf_dir).select(F.lit("netflow").alias("variant"), "*")
+    sf = _decode_sflow(spark, sf_dir).select(F.lit("sflow").alias("variant"), "*")
+    return nf.unionByName(sf)
+
+
 register(
-    "decode_sflow_roundtrip",
-    _decode_sflow,
-    _roundtrip_oracle(str(_SFLOW_RATE)).replace(
-        "CAST(SUM(pkts) AS BIGINT) AS sum_pkts", "COUNT(*) AS sum_pkts"
-    ),
+    "decode_roundtrip_suite",
+    _decode_suite_spark,
+    f"SELECT 'netflow' AS variant, * FROM ({_NETFLOW_ORACLE}) "
+    f"UNION ALL SELECT 'sflow' AS variant, * FROM ({_SFLOW_ORACLE})",
 )

@@ -31,7 +31,7 @@ def main() -> None:
         # materialize the session-scoped fact view at the bench SF — that
         # derivation is ingest-time work in the reference (stored table),
         # not query latency
-        entrymod.queries()["flt_proto_enum"](spark, sf_dir).count()
+        entrymod.queries()["flt_dsl_suite"](spark, sf_dir).count()
     except Exception as exc:
         warmup_error = f"{type(exc).__name__}: {str(exc)[:200]}"
         print(f"# warmup error: {warmup_error}", file=sys.stderr)

@@ -98,7 +98,7 @@ def test_line_compiler_plan_shape(spark):
     from akvorado_spark.oracle.registry import QUERIES
     import akvorado_spark.oracle.line_queries  # noqa: F401
 
-    df = QUERIES["graph_line_avg"].spark(spark, SF_DIR)
+    df = QUERIES["graph_line_suite"].spark(spark, SF_DIR)
     p = plan(df)
     assert "CartesianProduct" not in p
     # marker/spine joins broadcast; scalar bounds ride 1-row
