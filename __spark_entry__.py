@@ -36,6 +36,8 @@ import akvorado_spark.oracle.filter2_queries  # noqa: F401
 import akvorado_spark.oracle.multiaxis_queries  # noqa: F401
 import akvorado_spark.oracle.alias_queries  # noqa: F401
 import akvorado_spark.oracle.wire_queries  # noqa: F401
+import akvorado_spark.oracle.rollup_queries  # noqa: F401
+import akvorado_spark.oracle.setops_queries  # noqa: F401
 from akvorado_spark.oracle.registry import QUERIES
 
 

@@ -32,6 +32,11 @@ def main() -> None:
         # derivation is ingest-time work in the reference (stored table),
         # not query latency
         entrymod.queries()["flt_dsl_suite"](spark, sf_dir).count()
+        # same for the rollup store: the orchestrator builds those
+        # tables at ingest; routed queries then measure query latency
+        from akvorado_spark.oracle.rollup_queries import get_store
+
+        get_store(spark, sf_dir)
     except Exception as exc:
         warmup_error = f"{type(exc).__name__}: {str(exc)[:200]}"
         print(f"# warmup error: {warmup_error}", file=sys.stderr)

@@ -129,3 +129,21 @@ def test_ttl_expiry(spark, tmp_path):
     dropped = s.expire(now=now)
     assert any(d.startswith("flows/") for d in dropped)
     assert not any(d.startswith("flows_3600s/") for d in dropped)  # 1 y TTL
+
+
+def test_routed_oracle_schema_config():
+    """The oracle suite's configured schema keeps exactly the derived
+    frame's columns; the rollup grouping contract survives the config."""
+    from akvorado_spark.oracle.rollup_queries import routed_schema
+
+    sch = routed_schema()
+    stored = {c.name for c in sch.stored()}
+    assert stored == {
+        "TimeReceived", "SamplingRate", "ExporterAddress", "ExporterName",
+        "SrcAS", "DstAS", "InIfName", "OutIfName", "EType", "Proto",
+        "ForwardingStatus", "Bytes", "Packets",
+    }
+    assert set(sch.rollup_keys()) == stored - {"Bytes", "Packets"}
+    # primary keys are not disableable — the config surface must reject it
+    with pytest.raises(ValueError):
+        sch.configure(disable=("TimeReceived",))
