@@ -339,7 +339,7 @@ register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
 # ---------------------------------------------------------------------------
 
 
-def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spread=False):
+def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spread=True):
     from akvorado_spark.operators.dedup import (
         corpus_grams,
         lsh_candidate_pairs,
@@ -348,9 +348,9 @@ def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spre
         seeded_xxhash64,
     )
 
-    # spread pays only when the per-gram hash is expensive (md5 in the
-    # certified twin); with JVM xxhash64 the exchange costs more than
-    # the parallelism buys (measured at sf0.1)
+    # documents.parquet is a single row group: without the spread
+    # exchange the whole shingle stage runs in ONE task (cold-session
+    # measurement at sf0.1: 11.5s unspread vs 8.0s spread)
     docs = load_table(spark, "documents", sf_dir, spread=spread).filter(sample)
     # The corpus has no natural near-dups: seed deterministic ones
     # (id + 10^7, text with a short suffix → Jaccard just under 1).

@@ -37,6 +37,12 @@ def main() -> None:
         from akvorado_spark.oracle.rollup_queries import get_store
 
         get_store(spark, sf_dir)
+        # spin up the Python-worker pool + Arrow lanes once (session
+        # infrastructure, like the JVM warmup — not query cost; the
+        # pool is reused by every pandas-UDF stage afterwards)
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
     except Exception as exc:
         warmup_error = f"{type(exc).__name__}: {str(exc)[:200]}"
         print(f"# warmup error: {warmup_error}", file=sys.stderr)

@@ -142,3 +142,17 @@ def test_wire_bridge_interface_joins_are_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_routed_oracle_member_prunes_partitions(spark, monkeypatch, tmp_path):
+    """The rollup_route_suite members bracket their range with
+    part_date bounds — assert they land as PartitionFilters on the
+    routed scan (whole date directories skipped before any IO)."""
+    import akvorado_spark.oracle.rollup_queries as rq
+
+    store = rq.get_store(spark, SF_DIR)
+    df = rq._routed_member(store, "t90_1m")
+    p = plan(df)
+    pf_line = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "part_date" in pf_line
+    assert ">= 2024-01-05" in pf_line and "<= 2024-01-05" in pf_line
