@@ -60,7 +60,7 @@ SELECT
   CAST(64 AS INT) AS ForwardingStatus,
   CAST(ROUND(value * 100) AS BIGINT) AS Bytes,
   CAST(1 + event_id % 16 AS BIGINT) AS Packets
-FROM events
+FROM {src}
 """
 
 # Every optional (non-primary) dimension the derived frame doesn't
@@ -100,8 +100,9 @@ def get_store(spark, sf_dir: str) -> FlowStore:
         return store
     root = tempfile.mkdtemp(prefix="akvorado_rollups_")
     store = FlowStore(spark, root, schema=routed_schema())
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
-    store.write_main(spark.sql(_FLOW_SQL))
+    # private view name: never collide with driver-registered views
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("__rollup_src_events")
+    store.write_main(spark.sql(_FLOW_SQL.format(src="__rollup_src_events")))
     store.build_rollups()
     _STORES[key] = store
     return store
