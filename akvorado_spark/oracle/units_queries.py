@@ -38,12 +38,24 @@ def _line_req(unit_name: str, interval_s: int, limit_type: str) -> LineRequest:
 # Tagged UNION of the three unit runs — one correctness slot, each unit
 # still exercised through the full line machinery and hash-gated.
 def _units_suite_spark(spark, sf_dir):
+    from dataclasses import replace
+
     from pyspark.sql import functions as F
 
     register_spark_view(spark, sf_dir)
+    # shared literal bounds, same rationale as the graph-line suite:
+    # one 2-scalar collect instead of three broadcast-agg subtrees
+    src = spark.table("flows_v")
+    ts = F.col("TimeReceived").cast("timestamp")
+    row = src.agg(
+        F.min(F.unix_micros(ts)).alias("lo"), F.max(F.unix_micros(ts)).alias("hi")
+    ).first()
     out = None
     for name, (u, i, lt) in _LINE_UNITS.items():
-        df = compile_line(spark.table("flows_v"), _line_req(u, i, lt))
+        req = _line_req(u, i, lt)
+        if row["lo"] is not None:
+            req = replace(req, start_us=int(row["lo"]), end_us=int(row["hi"]) + 1)
+        df = compile_line(src, req)
         df = df.select(F.lit(name).alias("variant"), "bucket", "InIfName", "sum_w", "xps")
         out = df if out is None else out.unionByName(df)
     return out
