@@ -147,3 +147,32 @@ def test_routed_oracle_schema_config():
     # primary keys are not disableable — the config surface must reject it
     with pytest.raises(ValueError):
         sch.configure(disable=("TimeReceived",))
+
+
+def test_router_skips_rollup_not_covering_range_start(spark, tmp_path):
+    """Retention fallback: a coarse rollup whose oldest retained
+    partition is after the range start must be skipped in favor of the
+    coarsest finer table that still covers the start (reference
+    getBestTable's oldest-data probe, console/clickhouse.go:283-335)."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "st")
+    s = FlowStore(spark, root)
+    df = flows_schema().ingest(flows_df(spark, n=4_000))
+    # the fixture's late rows dip before midnight — trim so day 1 is
+    # the genuine oldest partition
+    df = df.filter(F.col("TimeReceived") >= F.lit(datetime(2024, 1, 1, tzinfo=timezone.utc)))
+    day2 = df.withColumn("TimeReceived", F.col("TimeReceived") + F.expr("INTERVAL 1 DAY"))
+    s.write_main(df.unionByName(day2))
+    s.build_rollups()
+    # simulate the 1h table's TTL having expired day 1
+    shutil.rmtree(os.path.join(s.path(s.resolutions[3]), "part_date=2024-01-01"))
+
+    day1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    end = datetime(2024, 1, 2, 12, tzinfo=timezone.utc)
+    res, snapped = s.best_table(day1, end, target_interval_s=7200)
+    assert res.interval_s == 300 and snapped == 7200  # 1h skipped, 5m covers
+    # a range starting on day 2 can still route to the 1h table
+    res2, _ = s.best_table(datetime(2024, 1, 2, tzinfo=timezone.utc), end, 7200)
+    assert res2.interval_s == 3600
