@@ -305,10 +305,18 @@ buckets AS (
   WHERE t.i <= FLOOR((b.max_us - b.start_us) / {step_us})
 ),
 dim_spine AS (
+  -- 'Other' exists iff ANY base row folds outside the top set.  Not
+  -- "distinct dims > limit": under limit_type=last the ranking
+  -- population is only the final bucket, so a tuple missing there
+  -- folds to 'Other' even when total cardinality <= limit (found by
+  -- the randomized cross-engine sweep in test_line_cross_property).
   SELECT {dcols} FROM rows_top
   UNION ALL
   SELECT {other_tuple}
-  WHERE (SELECT COUNT(*) FROM (SELECT DISTINCT {dcols} FROM base)) > {req.limit}
+  WHERE EXISTS (
+    SELECT 1 FROM base b LEFT JOIN rows_top r ON {on_fold}
+    WHERE r.{dims[0]} IS NULL
+  )
 ),
 spine AS (SELECT * FROM buckets CROSS JOIN dim_spine)
 SELECT s.bucket, {s_dims}, CAST(COALESCE(a.sum_w, 0) AS {otype}) AS sum_w,
