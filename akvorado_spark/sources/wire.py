@@ -307,6 +307,13 @@ def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
         tset, oset = 0, 1
     elif version == 10:
         _v, total, export_time, _seq, domain = struct.unpack_from(">HHIII", payload, 0)
+        if total > len(payload):
+            # the message length is attacker-controlled input; trusting
+            # it would walk sets past the buffer (RFC 7011 §3.1: it must
+            # equal the datagram length)
+            raise ValueError(
+                f"IPFIX length {total} exceeds datagram size {len(payload)}"
+            )
         unix_secs = export_time
         off = 16
         tset, oset = 2, 3
@@ -347,10 +354,18 @@ def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
 
 def parse_netflow(payload: bytes, exporter: bytes, ts: int = 0,
                   cache: TemplateCache | None = None) -> list[dict]:
-    version = _u(payload[0:2])
-    if version == 5:
-        return parse_netflow_v5(payload, exporter, ts)
-    return parse_netflow_templated(payload, exporter, ts, cache or TemplateCache())
+    """Public entry point.  Error contract: malformed or truncated
+    datagrams raise ``ValueError`` — never a bare ``struct.error`` /
+    ``IndexError`` from an out-of-bounds read (fuzz-asserted)."""
+    try:
+        version = _u(payload[0:2])
+        if version == 5:
+            return parse_netflow_v5(payload, exporter, ts)
+        return parse_netflow_templated(payload, exporter, ts, cache or TemplateCache())
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed NetFlow datagram: {e}") from e
 
 
 # --------------------------------------------------------------------------
@@ -455,6 +470,17 @@ def _read_addr(data: bytes, off: int) -> tuple[bytes | None, int]:
 
 def parse_sflow(payload: bytes, exporter: bytes, ts: int = 0,
                 decapsulate: bool = False) -> list[dict]:
+    """Same ValueError-only error contract as :func:`parse_netflow`."""
+    try:
+        return _parse_sflow5(payload, exporter, ts, decapsulate)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed sFlow datagram: {e}") from e
+
+
+def _parse_sflow5(payload: bytes, exporter: bytes, ts: int,
+                  decapsulate: bool) -> list[dict]:
     version = _u(payload[0:4])
     if version != 5:
         raise ValueError(f"unsupported sFlow version {version}")

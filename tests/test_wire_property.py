@@ -151,3 +151,34 @@ def test_mmdb_matches_reference_lpm(cidrs, probes):
         expect = max(containing, key=lambda x: x[0].prefixlen)[1] if containing else None
         got = reader.lookup(addr.packed)
         assert (got["i"] if got else None) == expect, str(addr)
+
+
+def test_fuzz_garbage_datagrams_raise_only_valueerror():
+    """Error contract under fuzzing: random garbage (including
+    truncations with plausible headers) either parses to rows or
+    raises ValueError — never struct.error/IndexError from an
+    out-of-bounds read.  The non-strict batch parsers rely on typed
+    errors staying inside the decoder."""
+    import random
+    import struct as _s
+
+    from akvorado_spark.sources.wire import TemplateCache, parse_netflow, parse_sflow
+
+    rnd = random.Random(20260813)
+    for i in range(4000):
+        n = rnd.randint(0, 220)
+        b = bytearray(rnd.getrandbits(8) for _ in range(n))
+        if n >= 4 and i % 3 == 0:
+            # plant plausible version words so header walks go deeper
+            _s.pack_into(">H", b, 0, rnd.choice([5, 9, 10]))
+            if i % 6 == 0:
+                _s.pack_into(">I", b, 0, 5)
+        b = bytes(b)
+        try:
+            parse_netflow(b, b"x", cache=TemplateCache())
+        except ValueError:
+            pass
+        try:
+            parse_sflow(b, b"\0" * 4)
+        except ValueError:
+            pass
