@@ -116,13 +116,31 @@ class BMPEvent:
 
 
 def parse_bmp(data: bytes) -> list[BMPEvent]:
-    """A BMP byte stream → events (RFC 7854 §4)."""
+    """A BMP byte stream → events (RFC 7854 §4).
+
+    Error contract: malformed input raises ``ValueError`` only; the
+    attacker-controlled common-header length is validated so it can
+    neither stall the walk (length < header size) nor run past the
+    buffer."""
+    try:
+        return _parse_bmp_stream(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed BMP stream: {e}") from e
+
+
+def _parse_bmp_stream(data: bytes) -> list[BMPEvent]:
     events = []
     off = 0
     while off + 6 <= len(data):
         version, length, mtype = struct.unpack_from(">BIB", data, off)
         if version != 3:
             raise ValueError(f"unsupported BMP version {version}")
+        if length < 6:
+            raise ValueError(f"BMP message length {length} below header size")
+        if off + length > len(data):
+            raise ValueError("BMP message length exceeds buffer")
         end = off + length
         body = off + 6
         if mtype in (0, 2, 3):  # messages with a per-peer header

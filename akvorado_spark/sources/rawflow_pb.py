@@ -49,12 +49,16 @@ def _varint(value: int) -> bytes:
 def _read_varint(data: bytes, off: int) -> tuple[int, int]:
     shift = value = 0
     while True:
+        if off >= len(data):
+            raise ValueError("truncated varint")
         b = data[off]
         off += 1
         value |= (b & 0x7F) << shift
         if not b & 0x80:
             return value, off
         shift += 7
+        if shift > 63:  # proto varints are <= 10 bytes; reject runaways
+            raise ValueError("varint longer than 64 bits")
 
 
 def encode_raw_flow(
@@ -101,6 +105,8 @@ def decode_raw_flow(data: bytes) -> dict:
             value, off = _read_varint(data, off)
         elif wire == 2:
             ln, off = _read_varint(data, off)
+            if ln > len(data) - off:
+                raise ValueError("length-delimited field exceeds buffer")
             value = data[off:off + ln]
             off += ln
         elif wire == 5:
@@ -112,8 +118,15 @@ def decode_raw_flow(data: bytes) -> dict:
         if fieldno == 1:
             msg["time_received"] = value
         elif fieldno == 2:
+            # bytes fields must arrive length-delimited: bytes(varint)
+            # would ALLOCATE that many zeros — a malformed tag byte
+            # must not demand gigabytes (wire-type confusion)
+            if wire != 2:
+                raise ValueError(f"field 2 (payload) with wire type {wire}")
             msg["payload"] = bytes(value)
         elif fieldno == 3:
+            if wire != 2:
+                raise ValueError(f"field 3 (source_address) with wire type {wire}")
             msg["source_address"] = bytes(value)
         elif fieldno == 4:
             msg["use_source_address"] = bool(value)

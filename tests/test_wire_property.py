@@ -182,3 +182,30 @@ def test_fuzz_garbage_datagrams_raise_only_valueerror():
             parse_sflow(b, b"\0" * 4)
         except ValueError:
             pass
+
+
+def test_fuzz_bmp_and_rawflow_raise_only_valueerror():
+    """Same typed-error contract for the other binary inputs: the BMP
+    stream walker (attacker-controlled common-header length: must
+    neither stall nor overrun) and the RawFlow proto decoder (varint
+    bounds, wire-type confusion must not trigger huge allocations)."""
+    import random
+
+    from akvorado_spark.sources.bmp import parse_bmp
+    from akvorado_spark.sources.rawflow_pb import decode_raw_flow
+
+    rnd = random.Random(20260814)
+    for i in range(4000):
+        n = rnd.randint(0, 260)
+        b = bytearray(rnd.getrandbits(8) for _ in range(n))
+        if n >= 6 and i % 3 == 0:
+            b[0] = 3  # plant the BMP version so the walk goes deeper
+        b = bytes(b)
+        try:
+            parse_bmp(b)
+        except ValueError:
+            pass
+        try:
+            decode_raw_flow(b)
+        except ValueError:
+            pass
