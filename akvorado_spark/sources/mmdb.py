@@ -30,8 +30,14 @@ class _Decoder:
     data: bytes
     base: int  # file offset of the data section (pointers are relative to it)
 
-    def decode(self, offset: int):
-        """Decode the value at ``base + offset``; returns (value, next_offset)."""
+    def decode(self, offset: int, _depth: int = 0):
+        """Decode the value at ``base + offset``; returns (value, next_offset).
+
+        ``_depth`` bounds total recursion (containers + pointer hops):
+        the spec forbids pointer-to-pointer, but a corrupt file can
+        form pointer cycles that would otherwise recurse forever."""
+        if _depth > 512:
+            raise ValueError("MMDB data recursion too deep (pointer cycle?)")
         ctrl = self.data[self.base + offset]
         offset += 1
         dtype = ctrl >> 5
@@ -48,7 +54,7 @@ class _Decoder:
                 ptr = ((val << 24) | (b[0] << 16) | (b[1] << 8) | b[2]) + 526336
             else:
                 ptr = int.from_bytes(b, "big")
-            value, _ = self.decode(ptr)
+            value, _ = self.decode(ptr, _depth + 1)
             return value, offset
         size = ctrl & 0x1F
         if dtype == 0:  # extended type
@@ -79,13 +85,13 @@ class _Decoder:
         if dtype == 7:  # map
             out = {}
             for _ in range(size):
-                key, offset = self.decode(offset)
-                out[key], offset = self.decode(offset)
+                key, offset = self.decode(offset, _depth + 1)
+                out[key], offset = self.decode(offset, _depth + 1)
             return out, offset
         if dtype == 11:  # array
             items = []
             for _ in range(size):
-                v, offset = self.decode(offset)
+                v, offset = self.decode(offset, _depth + 1)
                 items.append(v)
             return items, offset
         if dtype == 14:  # bool — size IS the value
@@ -95,17 +101,31 @@ class _Decoder:
         raise ValueError(f"unknown MMDB data type {dtype}")
 
 
+_CORRUPT_ERRS = (struct.error, IndexError, KeyError, TypeError,
+                 UnicodeDecodeError, OverflowError)
+
+
 class MMDBReader:
+    """Error contract: a corrupt database raises ``ValueError`` from
+    the constructor and from ``lookup``/``networks`` — never a bare
+    decode-level exception (fuzz-asserted).  GeoIP files are
+    operator-supplied downloads; a truncated one must fail legibly."""
+
     def __init__(self, data: bytes):
         self.data = data
         meta_at = data.rfind(_METADATA_MARKER)
         if meta_at < 0:
             raise ValueError("not an MMDB file (metadata marker missing)")
-        meta_dec = _Decoder(data, meta_at + len(_METADATA_MARKER))
-        self.metadata, _ = meta_dec.decode(0)
-        self.node_count = self.metadata["node_count"]
-        self.record_size = self.metadata["record_size"]
-        self.ip_version = self.metadata.get("ip_version", 6)
+        try:
+            meta_dec = _Decoder(data, meta_at + len(_METADATA_MARKER))
+            self.metadata, _ = meta_dec.decode(0)
+            self.node_count = self.metadata["node_count"]
+            self.record_size = self.metadata["record_size"]
+            self.ip_version = self.metadata.get("ip_version", 6)
+        except _CORRUPT_ERRS as e:
+            raise ValueError(f"corrupt MMDB metadata: {e}") from e
+        if not isinstance(self.node_count, int) or not isinstance(self.record_size, int):
+            raise ValueError("corrupt MMDB metadata: non-integer tree geometry")
         self.node_bytes = self.record_size * 2 // 8
         self.tree_size = self.node_count * self.node_bytes
         self._dec = _Decoder(data, self.tree_size + _DATA_SEPARATOR_SIZE)
@@ -135,6 +155,12 @@ class MMDBReader:
 
     def lookup(self, ip: bytes):
         """Longest-prefix lookup of a 4- or 16-byte address."""
+        try:
+            return self._lookup(ip)
+        except _CORRUPT_ERRS as e:
+            raise ValueError(f"corrupt MMDB tree/data section: {e}") from e
+
+    def _lookup(self, ip: bytes):
         if self.ip_version == 4 and len(ip) == 16:
             ip = ip[12:]
         elif self.ip_version == 6 and len(ip) == 4:
@@ -151,6 +177,12 @@ class MMDBReader:
 
     def networks(self):
         """Enumerate (cidr, data) for every route in the tree (DFS)."""
+        try:
+            yield from self._networks()
+        except _CORRUPT_ERRS as e:
+            raise ValueError(f"corrupt MMDB tree/data section: {e}") from e
+
+    def _networks(self):
         bits_total = 128 if self.ip_version == 6 else 32
         stack = [(0, 0, 0)]  # node, depth, prefix int
         while stack:

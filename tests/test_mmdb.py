@@ -217,3 +217,25 @@ def test_networks_from_mmdb_lpm_join(spark):
     assert by_city["San Francisco"]["asn"] == 65002
     assert by_city["San Francisco"]["country"] == "US"
     assert by_city["Paris"]["country"] == "FR" and by_city["Paris"]["asn"] is None
+
+
+def test_fuzz_corrupt_mmdb_raises_only_valueerror():
+    """A corrupt/truncated database must fail with ValueError from the
+    constructor, networks() and lookup() — never a bare decode-level
+    exception (GeoIP files are operator-supplied downloads)."""
+    import random
+
+    rnd = random.Random(20260815)
+    for i in range(1500):
+        n = rnd.randint(0, 400)
+        b = bytes(rnd.getrandbits(8) for _ in range(n))
+        if i % 2 == 0:
+            b += b"\xab\xcd\xefMaxMind.com" + bytes(
+                rnd.getrandbits(8) for _ in range(rnd.randint(0, 60))
+            )
+        try:
+            r = MMDBReader(b)
+            list(r.networks())
+            r.lookup(b"\x7f\x00\x00\x01")
+        except ValueError:
+            pass
