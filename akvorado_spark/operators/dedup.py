@@ -208,9 +208,11 @@ def lsh_candidate_pairs(
     fallback probes one row, which costs a full pass over the
     signature pipeline.  ``max_bucket`` bounds per-bucket pair blowup
     at scale: a bucket denser than this is a degenerate near-identical
-    cluster; only its first ``max_bucket`` ids (sorted) pair up, which
-    keeps the cluster connected for transitive dedup without emitting
-    m²/2 pairs in one row.  Default None = exact (every pair).
+    cluster, so instead of its m²/2 clique the expansion emits the
+    clique of the first ``max_bucket`` ids PLUS a star from the bucket
+    minimum to every remaining id — (m-1) + k·(k-1)/2 pairs, linear in
+    m, and every member stays connected for transitive dedup.
+    Default None = exact (every pair).
     """
     n = n_hashes or len(signatures.select("signature").first()["signature"])
     rows_per_band = max(n // bands, 1)
@@ -239,9 +241,17 @@ def lsh_candidate_pairs(
         .agg(F.collect_set(id_col).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
-    ids = F.array_sort(F.col("__ids"))
-    if max_bucket is not None:
-        ids = F.slice(ids, 1, max_bucket)
+    return _bucket_pairs(buckets, max_bucket)
+
+
+def _bucket_pairs(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Ordered distinct pairs from a frame of ``__ids`` arrays.
+
+    Uncapped: the full in-bucket clique.  Capped: clique of the first
+    ``max_bucket`` sorted ids + a star from the bucket minimum to every
+    other id — linear in bucket size, cluster stays connected."""
+    ids_all = F.array_sort(F.col("__ids"))
+    ids = ids_all if max_bucket is None else F.slice(ids_all, 1, max_bucket)
     pair_arrays = F.transform(
         ids,
         lambda x, i: F.transform(
@@ -249,8 +259,17 @@ def lsh_candidate_pairs(
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
         ),
     )
+    pairs = F.flatten(pair_arrays)
+    if max_bucket is not None:
+        star = F.transform(
+            F.slice(ids_all, 2, F.size(ids_all)),
+            lambda y: F.struct(
+                F.element_at(ids_all, 1).alias("id_a"), y.alias("id_b")
+            ),
+        )
+        pairs = F.concat(pairs, star)
     return (
-        buckets.select(F.explode(F.flatten(pair_arrays)).alias("__p"))
+        buckets.select(F.explode(pairs).alias("__p"))
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
@@ -351,12 +370,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64, hash_fn=N
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_candidate_pairs(fps: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+def simhash_candidate_pairs(
+    fps: DataFrame, id_col: str, bands: int = 4, max_bucket: int | None = None
+) -> DataFrame:
     """Near-dup candidates: documents sharing any 16-bit band of the
     fingerprint (Hamming distance ≤ (bands-1) per the pigeonhole
     principle when distance < bands).  Same bucket-group pair
     expansion as :func:`lsh_candidate_pairs` — one shuffle, the
-    (64-aggregate) simhash lineage computed once."""
+    (64-aggregate) simhash lineage computed once; ``max_bucket``
+    bounds degenerate-bucket pair blowup the same way."""
     width = 64 // bands
     mask = (1 << width) - 1
     banded = fps.select(
@@ -375,16 +397,4 @@ def simhash_candidate_pairs(fps: DataFrame, id_col: str, bands: int = 4) -> Data
         .agg(F.collect_set(id_col).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
-    ids = F.array_sort(F.col("__ids"))
-    pair_arrays = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
-    )
-    return (
-        buckets.select(F.explode(F.flatten(pair_arrays)).alias("__p"))
-        .select("__p.id_a", "__p.id_b")
-        .distinct()
-    )
+    return _bucket_pairs(buckets, max_bucket)

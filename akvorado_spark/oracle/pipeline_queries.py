@@ -339,7 +339,8 @@ register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
 # ---------------------------------------------------------------------------
 
 
-def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spread=True):
+def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spread=True,
+                      max_bucket=1024):
     from akvorado_spark.operators.dedup import (
         corpus_grams,
         lsh_candidate_pairs,
@@ -364,7 +365,12 @@ def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spre
     # join — materialize it once (spills to disk if it outgrows memory).
     grams = corpus_grams(corpus, "text", "doc_id").persist()
     sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32, hash_fn=fn, grams=grams)
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, n_hashes=32, hash_fn=fn)
+    # production path bounds degenerate-bucket pair blowup (a bucket of
+    # m near-identical docs would emit m²/2 pairs); the certified twin
+    # passes None because its DuckDB oracle mirrors the uncapped join
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", bands=8, n_hashes=32, hash_fn=fn, max_bucket=max_bucket
+    )
     verified = ngram_jaccard_pairs(corpus, "text", "doc_id", pairs=cands, grams=grams)
     return verified.filter(F.round("jaccard", 6) >= 0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -381,7 +387,8 @@ def _minhash_certified(spark, sf_dir):
     from akvorado_spark.operators.dedup import portable_seeded_hash
 
     return _minhash_pipeline(
-        spark, sf_dir, hash_fn=portable_seeded_hash, sample=_MH_CERT_SAMPLE, spread=True
+        spark, sf_dir, hash_fn=portable_seeded_hash, sample=_MH_CERT_SAMPLE, spread=True,
+        max_bucket=None,  # exact: the DuckDB oracle mirrors the uncapped join
     )
 
 

@@ -243,3 +243,30 @@ def test_chunk_documents_tail_and_overlap(spark):
     assert (1, 3) not in rows
     assert rows[(2, 0)] == (2, "a b")  # short doc → one whole chunk
     assert rows[(3, 0)][0] == 0  # empty doc → one empty chunk, not dropped
+
+
+def test_capped_bucket_pairs_stay_connected(spark):
+    """A degenerate near-identical cluster (one bucket of m docs) under
+    max_bucket=k must emit (m-1) + C(k,2) pairs — the first-k clique
+    plus a star from the bucket minimum — so every member remains
+    reachable for transitive dedup, instead of the m²/2 clique."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    m, k = 10, 3
+    docs = spark.createDataFrame(
+        [(i, "identical text content repeated for every document here") for i in range(m)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    capped = lsh_candidate_pairs(sigs, "doc_id", bands=4, n_hashes=8, max_bucket=k)
+    rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # star: (0, j) for every j; clique on {0,1,2} adds (1,2)
+    assert rows == {(0, j) for j in range(1, m)} | {(1, 2)}
+    # every doc appears in at least one pair (connectivity)
+    touched = {i for p in rows for i in p}
+    assert touched == set(range(m))
+    # uncapped emits the full clique
+    full = lsh_candidate_pairs(sigs, "doc_id", bands=4, n_hashes=8)
+    assert full.count() == m * (m - 1) // 2
