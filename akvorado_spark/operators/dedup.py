@@ -398,3 +398,127 @@ def simhash_candidate_pairs(
         .filter(F.size("__ids") > 1)
     )
     return _bucket_pairs(buckets, max_bucket)
+
+
+# ---------------------------------------------------------------------------
+# transitive cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into transitive clusters.
+
+    Returns (id, comp) where ``comp`` is the minimum id reachable from
+    ``id`` over the undirected pair graph — the survivor every member
+    of a duplicate cluster dedups to.
+
+    Algorithm: min-label propagation.  Each round joins the symmetric
+    edge list with the current labels, takes the per-node minimum of
+    neighbor labels, and lowers each node's label accordingly — one
+    shuffle join + one min-aggregate per round, converging in
+    O(graph diameter) rounds.  Near-dup graphs are bucket cliques and
+    capped-bucket stars (see ``_bucket_pairs``), so the diameter is a
+    small constant; ``max_iter`` is a safety bound, not the expected
+    cost.  At 100 TB the frames in the loop are |V| label rows and |E|
+    edges — the *candidate-pair* population, orders of magnitude
+    smaller than the corpus — and each iterate is ``localCheckpoint``ed
+    so lineage (and task closures) stay O(1) across rounds instead of
+    re-deriving the whole upstream sketch pipeline per round.
+    Convergence is detected by the monotone label-sum invariant: labels
+    only ever decrease, so an unchanged SUM(comp) is a fixpoint.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    # initialize each label to min(own id, direct neighbors): the
+    # common near-dup topologies (cliques, capped-bucket stars) are
+    # diameter-1, so this IS already the fixpoint and the loop below
+    # runs exactly one confirming round
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("__mb"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("__mb")).alias("comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    if prev_sum is None:  # empty pair set
+        edges.unpersist()
+        return labels
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("__nc")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("__nc").alias("__nc"))
+            .select(F.col("a").alias("id"), "__nc")
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("__nc", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 3,
+    min_overlap: int = 3,
+    train_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Flag training documents contaminated by an evaluation set.
+
+    A training doc is flagged when it shares ≥ ``min_overlap`` distinct
+    word n-grams with some eval doc.  Returns (train_id, eval_id,
+    overlap) for every flagged pairing; the clean corpus is a left-anti
+    join of ``train`` against the distinct ``train_id``s.
+
+    Shape at scale: the eval side is benchmark-sized (thousands of
+    docs) → its gram frame broadcasts; the training gram stream joins
+    map-side without shuffling the corpus, and only matching grams
+    reach the (train_id, eval_id) aggregate.
+    """
+    tg = (
+        train_grams
+        if train_grams is not None
+        else corpus_grams(train, text_col, id_col, ngram)
+    ).select(F.col(id_col).alias("train_id"), "__g")
+    eg = corpus_grams(eval_df, text_col, id_col, ngram).select(
+        F.col(id_col).alias("eval_id"), "__g"
+    )
+    return (
+        tg.join(F.broadcast(eg), "__g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )

@@ -106,7 +106,220 @@ FROM (
 WHERE j >= {_J_THRESHOLD}
 """
 
-register("dedup_ngram_jaccard", _jaccard_pairs, _JACCARD_ORACLE)
+# (the standalone dedup_ngram_jaccard slot was folded into
+# dedup_pipeline_suite below — its machinery is the suite's `pair`
+# member; _jaccard_pairs/_JACCARD_ORACLE stay importable for tests)
+
+# ---------------------------------------------------------------------------
+# dedup pipeline suite: pair scoring → transitive cluster resolution →
+# eval-set decontamination → per-key capped sampling, each member
+# individually hash-gated by its `variant` tag.  The DuckDB oracle
+# replays the WHOLE pipeline, including the connected-components
+# fixpoint (as a recursive CTE) and the portable md5 sampling order.
+# ---------------------------------------------------------------------------
+
+_DP_SAMPLE = "doc_id % 10 = 0"
+_DP_THR = 0.30
+_DP_MIN_OVERLAP = 3
+_DP_PER_KEY = 3
+
+
+def _dedup_pipeline_suite(spark, sf_dir):
+    """Members (schema: variant, id_a BIGINT, id_b BIGINT, val DOUBLE):
+
+    - ``pair``       (id_a, id_b, jaccard): word-3-gram Jaccard ≥ 0.30
+      over the corpus + two seeded perturbation families (alpha/beta
+      tails on every 3rd doc → deliberate 3-cliques orig↔alpha↔beta).
+    - ``component``  (doc_id, min-reachable id, cluster size): the
+      pairs resolved transitively by :func:`connected_components`.
+    - ``decontam``   (train_id, eval_id, shared grams): training docs
+      flagged against a synthetic eval set derived from every 5th
+      corpus doc (contamination = eval text present in training).
+    - ``persample``  (doc_id, rank, 0.0): ≤ 3 docs per (lang, source)
+      in portable-md5 order — the per-domain cap of a pretraining mix.
+    """
+    from akvorado_spark.operators.dedup import (
+        connected_components,
+        corpus_grams,
+        decontaminate,
+        ngram_jaccard_pairs,
+    )
+    from akvorado_spark.operators.sampling import sample_per_key
+
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    base = docs.filter(_DP_SAMPLE).select("doc_id", "text", "lang", "source")
+    # perturbations via a per-row variant array + explode, NOT unionAll:
+    # a 3-branch union would triple the mapper partition count (3 × the
+    # spread width) and every downstream stage pays the task-scheduling
+    # bill; the explode keeps one narrow pass over the spread partitions
+    is_seed = F.expr("doc_id % 30 = 0")
+    variants = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.when(
+            is_seed,
+            F.struct(
+                (F.col("doc_id") + 40_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" alpha near duplicate tail")).alias("text"),
+            ),
+        ),
+        F.when(
+            is_seed,
+            F.struct(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" beta near duplicate tail")).alias("text"),
+            ),
+        ),
+    )
+    corpus = base.select(
+        F.explode(F.filter(variants, lambda x: x.isNotNull())).alias("__v")
+    ).select("__v.doc_id", "__v.text")
+    # one shingle pass feeds pair scoring AND the decontamination probe
+    grams = corpus_grams(corpus, "text", "doc_id").persist()
+    pairs = (
+        ngram_jaccard_pairs(corpus, "text", "doc_id", grams=grams)
+        .filter(F.round("jaccard", 6) >= _DP_THR)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("val"))
+        .persist()
+    )
+    pair_rows = pairs.select(F.lit("pair").alias("variant"), "id_a", "id_b", "val")
+
+    labels = connected_components(pairs)
+    csizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("__nc"))
+    comp_rows = labels.join(csizes, "comp").select(
+        F.lit("component").alias("variant"),
+        F.col("id").alias("id_a"),
+        F.col("comp").alias("id_b"),
+        F.col("__nc").cast("double").alias("val"),
+    )
+
+    eval_df = base.filter("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 60_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" shared eval fragment tail")).alias("text"),
+    )
+    base_grams = grams.filter("doc_id < 40000000")
+    dec = decontaminate(
+        base, eval_df, "text", "doc_id",
+        min_overlap=_DP_MIN_OVERLAP, train_grams=base_grams,
+    )
+    dec_rows = dec.select(
+        F.lit("decontam").alias("variant"),
+        F.col("train_id").alias("id_a"),
+        F.col("eval_id").alias("id_b"),
+        F.col("overlap").cast("double").alias("val"),
+    )
+
+    samp = sample_per_key(base, ("lang", "source"), _DP_PER_KEY, "doc_id")
+    samp_rows = samp.select(
+        F.lit("persample").alias("variant"),
+        F.col("doc_id").alias("id_a"),
+        F.col("sample_rank").cast("long").alias("id_b"),
+        F.lit(0.0).alias("val"),
+    )
+
+    return (
+        pair_rows.unionByName(comp_rows)
+        .unionByName(dec_rows)
+        .unionByName(samp_rows)
+        .orderBy("variant", "id_a", "id_b")
+    )
+
+
+_DP_ORACLE = f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, text, lang, source FROM documents WHERE {_DP_SAMPLE}),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 40000000, text || ' alpha near duplicate tail'
+  FROM base WHERE doc_id % 30 = 0
+  UNION ALL
+  SELECT doc_id + 50000000, text || ' beta near duplicate tail'
+  FROM base WHERE doc_id % 30 = 0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN array_to_string(ws[i:i+2], ' ')
+                ELSE array_to_string(ws, ' ') END AS g
+    FROM toks, generate_series(1, 100000) t(i)
+    WHERE i <= GREATEST(len(ws) - 2, 1)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_DP_THR}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comps AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+csizes AS (SELECT comp, COUNT(*) AS nc FROM comps GROUP BY comp),
+eval_docs AS (
+  SELECT doc_id + 60000000 AS doc_id, text || ' shared eval fragment tail' AS text
+  FROM base WHERE doc_id % 50 = 0
+),
+etoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM eval_docs
+),
+egrams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN array_to_string(ws[i:i+2], ' ')
+                ELSE array_to_string(ws, ' ') END AS g
+    FROM etoks, generate_series(1, 100000) t(i)
+    WHERE i <= GREATEST(len(ws) - 2, 1)
+  )
+),
+decont AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS ov
+  FROM (SELECT * FROM grams WHERE doc_id < 40000000) t
+  JOIN egrams e ON t.g = e.g
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_DP_MIN_OVERLAP}
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM base
+)
+SELECT 'pair' AS variant, id_a, id_b, j AS val FROM pairs
+UNION ALL
+SELECT 'component', c.id, c.comp, CAST(s.nc AS DOUBLE)
+FROM comps c JOIN csizes s ON c.comp = s.comp
+UNION ALL
+SELECT 'decontam', train_id, eval_id, CAST(ov AS DOUBLE) FROM decont
+UNION ALL
+SELECT 'persample', doc_id, rk, 0.0 FROM ranked WHERE rk <= {_DP_PER_KEY}
+ORDER BY 1, 2, 3
+"""
+
+register("dedup_pipeline_suite", _dedup_pipeline_suite, _DP_ORACLE)
 
 # ---------------------------------------------------------------------------
 # text analysis: token counts + quality components per lang/source

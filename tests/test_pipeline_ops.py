@@ -270,3 +270,98 @@ def test_capped_bucket_pairs_stay_connected(spark):
     # uncapped emits the full clique
     full = lsh_candidate_pairs(sigs, "doc_id", bands=4, n_hashes=8)
     assert full.count() == m * (m - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# round 3: transitive components, decontamination, per-key sampling
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_path_graph(spark):
+    """A 4-node path has diameter 3 — exercises propagation rounds
+    beyond the min-neighbor initialization."""
+    from akvorado_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_star_and_clique(spark):
+    from akvorado_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # star centered at 5 + clique {20,21,22}
+        [(5, 6), (5, 7), (5, 8), (20, 21), (20, 22), (21, 22)],
+        "id_a long, id_b long",
+    )
+    labels = connected_components(pairs)
+    comp = {r["id"]: r["comp"] for r in labels.collect()}
+    assert comp == {5: 5, 6: 5, 7: 5, 8: 5, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty(spark):
+    from akvorado_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_max_iter_caps_rounds(spark):
+    """With max_iter=0 the result is the min-neighbor initialization,
+    not the transitive fixpoint — the cap is a real bound."""
+    from akvorado_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    comp0 = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=0).collect()}
+    assert comp0 == {1: 1, 2: 1, 3: 2, 4: 3}  # one-hop minima only
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from akvorado_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words entirely unrelated to anything"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = decontaminate(train, ev, "text", "doc_id", min_overlap=3).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in got] == [(1, 100)]
+    # raising the bar above the real overlap clears the flag
+    n_shared = got[0]["overlap"]
+    assert (
+        decontaminate(train, ev, "text", "doc_id", min_overlap=n_shared + 1).count() == 0
+    )
+
+
+def test_sample_per_key_cap_and_determinism(spark):
+    import hashlib
+
+    from akvorado_spark.operators.sampling import sample_per_key
+
+    rows = [(i, f"k{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sample_per_key(df, ("grp",), 4, "doc_id")
+    got = [(r["grp"], r["doc_id"], r["sample_rank"]) for r in out.collect()]
+    assert len(got) == 12  # 3 keys × 4
+    # mirror the portable hash order in pure Python
+    for g in ("k0", "k1", "k2"):
+        ids = [i for i, k in rows if k == g]
+        expect = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
+        mine = sorted(
+            [(r[2], r[1]) for r in got if r[0] == g]
+        )
+        assert [i for _, i in mine] == expect
+    # deterministic across evaluations
+    again = [(r["grp"], r["doc_id"], r["sample_rank"]) for r in out.collect()]
+    assert sorted(again) == sorted(got)
