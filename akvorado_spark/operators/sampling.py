@@ -37,13 +37,12 @@ def sample_per_key(
     Rows within a key are ranked by the portable hash of their id (ties
     by the id itself) and the first ``n`` survive; the output carries
     ``rank_col`` (1-based).  One shuffle — the window's partitionBy on
-    the key.  Skew note: a pathologically hot key concentrates its rows
-    in one task, but only until the rank filter — at 100 TB the
-    pre-filter ``row_number`` cost per key is bounded by that key's row
-    count, and a two-phase variant (per-partition top-n via
-    ``TakeOrdered``-style aggregation, then re-rank survivors) drops in
-    if a single key outgrows a task; ``n`` is typically tiny so the
-    survivor frame always is.
+    the key.  Skew-safe: because the rank filter is a constant bound,
+    Catalyst inserts a *Partial* ``WindowGroupLimit`` before the
+    exchange (plan-asserted in tests/test_plans.py) — each map task
+    forwards at most ``n`` rows per key, so even a pathologically hot
+    key ships O(n × map tasks) rows to its reducer, never its full row
+    count.
     """
     w = Window.partitionBy(*key_cols).orderBy(
         portable_order_hash(F.col(id_col)).asc(), F.col(id_col).asc()

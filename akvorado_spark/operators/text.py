@@ -159,3 +159,77 @@ def analyze(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF vocabulary + keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def term_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus vocabulary with document frequency and smoothed IDF.
+
+    Output: (term, doc_freq, idf) where
+    ``idf = ln((N + 1) / (doc_freq + 1)) + 1`` (the sklearn-style
+    smooth form; never zero or negative, new terms at serve time get
+    the N-doc ceiling).
+
+    Plan shape at 100 TB: one narrow tokenize/explode pass, a map-side
+    pre-aggregated groupBy on the term (the only shuffle — term
+    cardinality, not token volume, crosses the wire), and the corpus
+    size N rides in as a broadcast 1-row frame, not a driver action —
+    the whole thing stays lazy and composable.
+    """
+    total = df.agg(F.count(F.lit(1)).alias("__N"))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
+    )
+    docfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return docfreq.join(F.broadcast(total)).select(
+        "term",
+        "doc_freq",
+        (
+            F.log((F.col("__N") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    Output: (id, term, tf BIGINT, weight DOUBLE, term_rank) with ties
+    broken by the term text, so ranking is deterministic across
+    engines and partitionings.  Pass a precomputed :func:`term_stats`
+    frame to amortize the vocabulary across calls (the idf side is
+    vocabulary-sized → broadcastable; the per-doc ranking window
+    partitions by document id, so no single task sees more than one
+    document's terms beyond the tf aggregate).
+    """
+    from pyspark.sql import Window
+
+    if stats is None:
+        stats = term_stats(df, text_col, id_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    weighted = tf.join(F.broadcast(stats.select("term", "idf")), "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf")).alias("weight"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        weighted.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+    )

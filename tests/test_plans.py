@@ -156,3 +156,59 @@ def test_routed_oracle_member_prunes_partitions(spark, monkeypatch, tmp_path):
     pf_line = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
     assert "part_date" in pf_line
     assert ">= 2024-01-05" in pf_line and "<= 2024-01-05" in pf_line
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set side of decontamination must broadcast: the corpus
+    gram stream may be 100 TB-scale and cannot be shuffled for the
+    probe join."""
+    from akvorado_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"w{i} common words here") for i in range(100)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(1, "common words here")], "doc_id long, text string")
+    p = plan(decontaminate(train, ev, "text", "doc_id"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_sample_per_key_single_shuffle(spark):
+    """Per-key sampling is one key-partitioned window — exactly one
+    exchange, no extra sort-merge machinery."""
+    from akvorado_spark.operators.sampling import sample_per_key
+
+    import re
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(100)], "doc_id long, grp string"
+    )
+    p = plan(sample_per_key(df, ("grp",), 4, "doc_id"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "SortMergeJoin" not in p
+    # Spark's rank-limit pushdown: a Partial WindowGroupLimit keeps at
+    # most n rows per key per map task BEFORE the shuffle, so a hot key
+    # never funnels its full row count through one reducer
+    assert "row_number(), 4, Partial" in p and "row_number(), 4, Final" in p
+
+
+def test_connected_components_round_is_one_join_one_agg(spark):
+    """Each propagation round's plan: the label frame (checkpointed,
+    tiny) joins the edge list and min-aggregates — no cartesian
+    product, no nested loop; with a small label side the join may
+    broadcast, with a large one it hash-partitions, both fine — what
+    must NOT appear is a per-round re-derivation of the upstream pair
+    pipeline (the checkpoint truncates lineage, so the plan reads from
+    an ExistingRDD/LogicalRDD scan, not from the original source)."""
+    from akvorado_spark.operators.dedup import connected_components
+
+    pairs = spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
+        "o_orderkey AS id_a", "o_orderkey + 1 AS id_b"
+    ).limit(200)
+    labels = connected_components(pairs, max_iter=1)
+    p = plan(labels)
+    # the returned frame is a checkpoint: its lineage must NOT reach
+    # back to the parquet source
+    assert "parquet" not in p.lower()
+    assert "Scan ExistingRDD" in p

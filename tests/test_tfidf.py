@@ -1,0 +1,102 @@
+"""Cross-engine verification of the TF-IDF vocabulary and keyword
+extraction operators: the same tokenization, smoothed-IDF formula and
+deterministic (weight DESC, term ASC) ranking are replayed in DuckDB
+over the same parquet corpus and must agree value-for-value."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from akvorado_spark.operators.text import term_stats, tfidf_topk_terms
+from akvorado_spark.sources.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con
+
+
+_DUCK_TOKS = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+)
+"""
+
+
+def test_term_stats_matches_duckdb(spark, docs, duck):
+    got = {
+        r["term"]: (r["doc_freq"], round(r["idf"], 9))
+        for r in term_stats(docs, "text", "doc_id").collect()
+    }
+    want_rows = duck.execute(
+        f"""
+WITH {_DUCK_TOKS},
+terms AS (SELECT DISTINCT doc_id, t.term FROM toks, UNNEST(ws) AS t(term)),
+df AS (SELECT term, COUNT(*) AS doc_freq FROM terms GROUP BY term),
+n AS (SELECT COUNT(*) AS N FROM documents)
+SELECT term, doc_freq, LN((N + 1.0) / (doc_freq + 1.0)) + 1.0 AS idf
+FROM df CROSS JOIN n
+"""
+    ).fetchall()
+    want = {t: (d, round(i, 9)) for t, d, i in want_rows}
+    assert got == want
+    assert len(got) > 10  # the synthetic corpus has a small real vocabulary
+
+
+def test_tfidf_topk_matches_duckdb(spark, docs, duck):
+    got = sorted(
+        (r["doc_id"], r["term_rank"], r["term"], r["tf"], round(r["weight"], 9))
+        for r in tfidf_topk_terms(docs, "text", "doc_id", k=3).collect()
+    )
+    want = sorted(
+        (d, rk, t, tf, round(w, 9))
+        for d, rk, t, tf, w in duck.execute(
+            f"""
+WITH {_DUCK_TOKS},
+tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM toks, UNNEST(ws) AS t(term) GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS N FROM documents),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY term
+),
+weighted AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (LN((n.N + 1.0) / (df.doc_freq + 1.0)) + 1.0) AS weight
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, weight,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY weight DESC, term
+         ) AS term_rank
+  FROM weighted
+)
+SELECT doc_id, term_rank, term, tf, weight FROM ranked WHERE term_rank <= 3
+"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_tfidf_precomputed_stats_path(spark, docs):
+    stats = term_stats(docs, "text", "doc_id")
+    a = tfidf_topk_terms(docs, "text", "doc_id", k=2, stats=stats)
+    b = tfidf_topk_terms(docs, "text", "doc_id", k=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
