@@ -89,7 +89,13 @@ register("graph_line_bidir", _spark_bidir_line, _oracle_bidir_line())
 _US = 1_000_000
 _START = 820454400 * _US  # 1996-01-01
 _END = 836179200 * _US  # 1996-07-01
-_SHIFT = 4 * 7 * 86400 * _US  # "month" = 4 weeks (console/line.go:81-96)
+# the range spans ~6 months → nearest_period picks the YEAR case, whose
+# shift is measured from the range start so both ends move equally
+# across leap days (reference console/line.go:57-96; helper unit-tested
+# against the reference's leap-year cases in tests/test_line.py)
+from akvorado_spark.query.line import previous_period as _previous_period
+
+_PREV_START, _PREV_END, _SHIFT = _previous_period(_START, _END)
 _INTERVAL = 14 * 86400  # 14-day buckets
 
 

@@ -324,3 +324,61 @@ SELECT s.bucket, {s_dims}, CAST(COALESCE(a.sum_w, 0) AS {otype}) AS sum_w,
 FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket AND {on_spine}
 ORDER BY s.bucket, {s_dims}"""
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Previous-period selection (reference console/line.go:57-96)
+# ---------------------------------------------------------------------------
+
+_HOUR_S = 3600
+
+
+def nearest_period(diff_s: int) -> tuple[int, str]:
+    """Period length/name for a comparison axis, from the range span.
+
+    Mirrors reference console/line.go:57-73: <2h → hour, <2d → day,
+    <2w → week, <2×4w → "month" (4 weeks, not calendar), else year
+    (length 0 here — a year has no fixed length, see
+    :func:`previous_period`).
+    """
+    if diff_s < 2 * _HOUR_S:
+        return _HOUR_S, "hour"
+    if diff_s < 2 * 24 * _HOUR_S:
+        return 24 * _HOUR_S, "day"
+    if diff_s < 2 * 7 * 24 * _HOUR_S:
+        return 7 * 24 * _HOUR_S, "week"
+    if diff_s < 2 * 4 * 7 * 24 * _HOUR_S:
+        return 4 * 7 * 24 * _HOUR_S, "month"
+    return 0, "year"
+
+
+def previous_period(start_us: int, end_us: int) -> tuple[int, int, int]:
+    """Shift a [start, end) range back one period.
+
+    Returns (prev_start_us, prev_end_us, shift_us); the comparison
+    axis scans the shifted range and its buckets move forward by
+    ``shift_us`` to overlay the main time axis.
+
+    The year case mirrors reference console/line.go:81-96 exactly: the
+    shift is measured from the range start (``AddDate(-1, 0, 0)``), so
+    BOTH ends move by the same amount — if a leap day sits between the
+    periods, an end-measured shift would give the previous period one
+    bucket more or less than the main one (reference test
+    console/line_test.go TestGraphQueryAxesLeapYear).  Go normalizes
+    Feb 29 minus one year to Mar 1; the ``ValueError`` fallback does
+    the same.
+    """
+    from datetime import datetime, timedelta, timezone
+
+    diff_s = (end_us - start_us) // 1_000_000
+    period_s, _name = nearest_period(diff_s)
+    if period_s:
+        shift_us = period_s * 1_000_000
+    else:
+        start = datetime.fromtimestamp(start_us // 1_000_000, tz=timezone.utc)
+        try:
+            a_year_back = start.replace(year=start.year - 1)
+        except ValueError:  # Feb 29 → normalize to Mar 1, like Go AddDate
+            a_year_back = start.replace(year=start.year - 1, month=3, day=1)
+        shift_us = int((start - a_year_back) / timedelta(microseconds=1))
+    return start_us - shift_us, end_us - shift_us, shift_us

@@ -75,3 +75,72 @@ def test_line_limit_last_restricts_ranking_window(spark):
     avg = compile_line(df, LineRequest(**base, limit_type="avg"))
     last = compile_line(df, LineRequest(**base, limit_type="last"))
     assert avg.columns == last.columns == ["bucket", "event_type", "sum_w", "xps"]
+
+
+# ---------------------------------------------------------------------------
+# previous-period selection (reference console/line.go:57-96 + the
+# leap-year invariant of console/line_test.go TestGraphQueryAxesLeapYear)
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_period_breakpoints():
+    from akvorado_spark.query.line import nearest_period
+
+    h = 3600
+    assert nearest_period(h) == (h, "hour")
+    assert nearest_period(2 * h - 1) == (h, "hour")
+    assert nearest_period(2 * h) == (24 * h, "day")
+    assert nearest_period(2 * 24 * h) == (7 * 24 * h, "week")
+    assert nearest_period(2 * 7 * 24 * h) == (4 * 7 * 24 * h, "month")
+    assert nearest_period(2 * 4 * 7 * 24 * h) == (0, "year")
+
+
+def test_previous_period_leap_year_spans_match():
+    """Both reference leap cases: whether the leap day sits in the main
+    or the previous period, the two ranges must cover the SAME span —
+    they share a bucket grid, so a longer previous range would draw one
+    extra point."""
+    from datetime import datetime, timezone
+
+    from akvorado_spark.query.line import previous_period
+
+    us = 1_000_000
+
+    def ts(y, m, d, hh=15, mm=45, ss=10):
+        return int(datetime(y, m, d, hh, mm, ss, tzinfo=timezone.utc).timestamp()) * us
+
+    for start, end in [
+        (ts(2020, 1, 1), ts(2020, 3, 5)),  # leap day in the main period
+        (ts(2021, 1, 1), ts(2021, 3, 5)),  # leap day in the previous period
+    ]:
+        ps, pe, shift = previous_period(start, end)
+        assert pe - ps == end - start  # identical span
+        assert ps == start - shift and pe == end - shift
+        # the shift is a plausible year: 365 or 366 days
+        assert shift in (365 * 86400 * us, 366 * 86400 * us)
+
+
+def test_previous_period_feb29_start_normalizes_like_go():
+    """Go's AddDate(-1,0,0) turns 2024-02-29 into 2023-03-01; the shift
+    must mirror that normalization (365 days, not a ValueError)."""
+    from datetime import datetime, timezone
+
+    from akvorado_spark.query.line import previous_period
+
+    us = 1_000_000
+    start = int(datetime(2024, 2, 29, tzinfo=timezone.utc).timestamp()) * us
+    end = start + 90 * 86400 * us
+    ps, pe, shift = previous_period(start, end)
+    assert shift == 365 * 86400 * us
+    assert pe - ps == end - start
+
+
+def test_previous_period_sub_year_uses_fixed_periods():
+    from akvorado_spark.query.line import previous_period
+
+    us = 1_000_000
+    start = 1_700_000_000 * us
+    # 1-hour range → hour shift
+    assert previous_period(start, start + 3600 * us)[2] == 3600 * us
+    # 3-day range → week shift
+    assert previous_period(start, start + 3 * 86400 * us)[2] == 7 * 86400 * us

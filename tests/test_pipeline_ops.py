@@ -365,3 +365,50 @@ def test_sample_per_key_cap_and_determinism(spark):
     # deterministic across evaluations
     again = [(r["grp"], r["doc_id"], r["sample_rank"]) for r in out.collect()]
     assert sorted(again) == sorted(got)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized cross-check: arbitrary sparse graphs (not just the
+    dedup clique/star shapes) against a pure-Python union-find."""
+    import random
+
+    from akvorado_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, n * 2)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {}
+        for v in touched:
+            root = find(v)
+            # min id in the component, matching the operator's contract
+            want.setdefault(root, []).append(v)
+        expect = {
+            v: min(members) for members in want.values() for v in members
+        }
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["comp"] for r in connected_components(pairs, max_iter=64).collect()
+        }
+        assert got == expect, f"trial {trial}: n={n} edges={edges}"

@@ -116,3 +116,71 @@ def test_enrich_chain(spark):
     rows = out.groupBy("FlowClass").count().collect()
     classes = {r["FlowClass"] for r in rows}
     assert classes <= {"tcp", "other"} and "tcp" in classes
+
+
+def test_streaming_rollup_watermark_drops_too_late_rows(spark, tmp_path):
+    """The watermarked T5 variant: in-watermark rows aggregate into
+    their window; a row arriving behind the watermark is DROPPED (the
+    documented semantic delta vs the batch late-merge path)."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from akvorado_spark.schema.definition import flows_schema
+    from akvorado_spark.streaming.ingest import streaming_rollup
+
+    sch = flows_schema()
+    src = tmp_path / "src"
+    src.mkdir()
+
+    base = flows_df(spark, n=40)
+    ingested = sch.ingest(base).limit(0)  # schema template
+    stream_schema = ingested.schema
+
+    # ONE template row (constant rollup keys) replicated per timestamp,
+    # so each window is exactly one aggregation group
+    template = sch.ingest(flows_df(spark, n=1)).drop("TimeReceived").limit(1)
+
+    def mk_rows(ts_list):
+        tsdf = spark.createDataFrame(
+            [(t,) for t in ts_list], "TimeReceived timestamp"
+        )
+        return template.crossJoin(tsdf).select(*stream_schema.fieldNames())
+
+    from datetime import datetime, timezone
+
+    def ts(minute, sec=0):
+        return datetime(2024, 1, 1, 10, minute, sec, tzinfo=timezone.utc)
+
+    stream = (
+        spark.readStream.schema(stream_schema).parquet(str(src))
+    )
+    agg = streaming_rollup(stream, sch, interval_s=60, watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_rollup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: two rows in window 10:00 + one row far ahead at 10:10
+        mk_rows([ts(0, 10), ts(0, 40), ts(10, 0)]).write.mode("append").parquet(
+            str(src)
+        )
+        q.processAllAvailable()
+        # watermark is now 10:08 — window 10:00 is behind it
+        # batch 2: a too-late row for window 10:00 + a fresh row at 10:10
+        mk_rows([ts(0, 50), ts(10, 30)]).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table("wm_rollup").collect()
+    win0 = [r for r in out if r["TimeReceived"] == ts(0, 0).replace(tzinfo=None)]
+    # window 10:00 was emitted once (batch 1) and NEVER updated by the
+    # late row — every emission for it counts exactly the 2 on-time rows
+    assert win0 and all(r["Flows"] == 2 for r in win0)
+    win10 = [r for r in out if r["TimeReceived"] == ts(10, 0).replace(tzinfo=None)]
+    # the fresh row DID update its window: latest emission counts 2
+    assert max(r["Flows"] for r in win10) == 2
