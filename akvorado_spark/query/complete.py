@@ -195,3 +195,84 @@ def complete_port(
         )
     )
     return _ranked_union(named, from_dict, limit)
+
+
+# ---------------------------------------------------------------------------
+# Static completion contexts (reference console/filter.go:110-240):
+# column names, per-column operators, and enum-like values.  These are
+# schema-driven driver-side lists — no data scan; the data-driven value
+# branches (ASNs, ports, exporters, interface names) are the functions
+# above.
+# ---------------------------------------------------------------------------
+
+# operator surface per filter-column kind; every entry is asserted
+# parseable by tests/test_filter.py::test_completion_operators_all_parse
+FILTER_OPERATORS: dict[str, tuple[str, ...]] = {
+    "ip": ("=", "!=", "<<", "!<<", "IN (", "NOTIN ("),
+    "prefix": ("=", "!="),
+    "string": ("=", "!=", "LIKE", "ILIKE", "UNLIKE", "IUNLIKE", "IN (", "NOTIN ("),
+    "uint": ("=", "!=", "<", "<=", ">", ">=", "IN (", "NOTIN ("),
+    "proto": ("=", "!=", "<", "<=", ">", ">=", "IN (", "NOTIN ("),
+    "etype": ("=", "!="),
+    "enum": ("=", "!="),
+    "array_uint": ("=", "!="),
+    "community": ("=", "!="),
+    "large_community": ("=", "!="),
+    "mac": ("=", "!="),
+    "timestamp": ("=", "!=", "<", "<=", ">", ">="),
+}
+
+
+def complete_column(prefix: str, fschema) -> list[dict]:
+    """Column-name completion: filterable columns matching the prefix
+    case-insensitively, prefix-anchored matches first (reference orders
+    by match position), then alphabetical."""
+    p = prefix.lower()
+    out = []
+    for spec in fschema.columns.values():
+        pos = spec.name.lower().find(p)
+        if pos < 0:
+            continue
+        out.append((pos, spec.name))
+    return [
+        {"label": name, "detail": "column"}
+        for _, name in sorted(out)
+    ]
+
+
+def complete_operator(column: str, fschema) -> list[dict]:
+    """Operators valid for the column's filter kind."""
+    spec = fschema.lookup(column)
+    if spec is None:
+        return []
+    return [
+        {"label": op, "detail": "comparison operator"}
+        for op in FILTER_OPERATORS.get(spec.kind, ())
+    ]
+
+
+_ETYPE_VALUES = ("IPv4", "IPv6")
+
+
+def complete_static_value(column: str, prefix: str, fschema) -> list[dict]:
+    """Enum-like value completion: boundary/direction labels, EType
+    names, protocol names — the reference's static `value` branches;
+    data-driven branches live in complete_asn/complete_port/
+    complete_exporter."""
+    spec = fschema.lookup(column)
+    if spec is None:
+        return []
+    p = prefix.lower()
+    if spec.kind == "enum" and spec.enum_values:
+        vals = [(v, "enum value") for v in sorted(spec.enum_values)]
+    elif spec.kind == "etype":
+        vals = [(v, "ethernet type") for v in _ETYPE_VALUES]
+    elif spec.kind == "proto":
+        from akvorado_spark.sources.dictionaries import PROTOCOLS
+
+        vals = [(name, "protocol") for _, name in PROTOCOLS]
+    else:
+        return []
+    return [
+        {"label": v, "detail": d} for v, d in vals if p in v.lower()
+    ]

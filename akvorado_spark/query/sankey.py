@@ -181,3 +181,47 @@ agg AS (SELECT {dcols}, CAST({agg} AS {otype}) AS sum_w FROM folded GROUP BY {dc
 SELECT a.{dcols.replace(', ', ', a.')}, a.sum_w, CAST(a.sum_w AS DOUBLE) / r.range_s AS xps
 FROM agg a CROSS JOIN rng r
 ORDER BY xps DESC, {dcols}"""
+
+
+def sankey_nodes_links(
+    rows: list[tuple[list[str], int, int]],
+    dimension_labels: dict[int, list[str]],
+) -> tuple[list[dict], list[dict]]:
+    """Driver-side node/link assembly (reference console/sankey.go:197-262).
+
+    ``rows`` is the collected query output as (dimension values, xps,
+    axis); ``dimension_labels[axis]`` names each dimension position
+    (the reverse axis uses reversed column names).  Nodes are labeled
+    ``"<dimension>: <value>"`` and deduplicated per axis; links between
+    adjacent dimensions aggregate xps per (source, target, axis) —
+    client-side link aggregation, since the same adjacent pair can
+    appear under many full-tuple rows.  Links sort by (axis, xps desc,
+    source) like the reference.
+
+    This is presentation assembly over an already-aggregated ≤limit-row
+    result — O(rows × dims) on the driver by design.
+    """
+    nodes: list[dict] = []
+    seen: set[tuple[str, int]] = set()
+    links: dict[tuple[int, str, str], int] = {}
+
+    def add_node(name: str, axis: int) -> None:
+        if (name, axis) not in seen:
+            seen.add((name, axis))
+            nodes.append({"name": name, "axis": axis})
+
+    for dims, xps, axis in rows:
+        labels = dimension_labels[axis]
+        for i in range(len(dims) - 1):
+            d1 = f"{labels[i]}: {dims[i]}"
+            d2 = f"{labels[i + 1]}: {dims[i + 1]}"
+            add_node(d1, axis)
+            add_node(d2, axis)
+            links[(axis, d1, d2)] = links.get((axis, d1, d2), 0) + int(xps)
+
+    out_links = [
+        {"source": s, "target": t, "xps": v, "axis": a}
+        for (a, s, t), v in links.items()
+    ]
+    out_links.sort(key=lambda l: (l["axis"], -l["xps"], l["source"]))
+    return nodes, out_links

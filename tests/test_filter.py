@@ -202,3 +202,122 @@ def test_filter_property_precedence_and_dialects(fixture_frames, tree):
     ).fetchone()[0]
     assert duck_n == duck_min  # precedence: bare parse ≡ explicit parens
     assert sdf.filter(f_paren.column()).count() == duck_n  # dialect parity
+
+
+# ---------------------------------------------------------------------------
+# static completion contexts (reference console/filter.go:110-240)
+# ---------------------------------------------------------------------------
+
+
+def test_completion_columns_prefix_anchored_first():
+    from akvorado_spark.filtering.model import flow_filter_schema
+    from akvorado_spark.query.complete import complete_column
+
+    got = [c["label"] for c in complete_column("src", flow_filter_schema())]
+    assert got and all("src" in c.lower() for c in got)
+    # prefix-anchored (position 0) names come before substring matches
+    anchored = [c for c in got if c.lower().startswith("src")]
+    assert got[: len(anchored)] == anchored
+    assert "SrcAddr" in anchored and "SrcAS" in anchored
+
+
+def test_completion_operators_all_parse():
+    """Every advertised operator must actually parse for a column of
+    that kind — the completion list can never suggest a dead end."""
+    from akvorado_spark.filtering import compile_filter
+    from akvorado_spark.filtering.model import flow_filter_schema
+    from akvorado_spark.query.complete import FILTER_OPERATORS, complete_operator
+
+    sch = flow_filter_schema()
+    sample_value = {
+        "ip": "'192.0.2.1'",
+        "prefix": "'10.0.0.0/8'",
+        "string": "'x%'",
+        "uint": "10",
+        "proto": "6",
+        "etype": "IPv4",
+        "enum": None,  # per-column values
+        "array_uint": "65001",
+        "community": "65000:100",
+        "large_community": "65000:1:2",
+        "mac": "00:11:22:33:44:55",
+        "timestamp": "'2024-01-01 00:00:00'",
+    }
+    enum_value = {"inifboundary": "external", "flowdirection": "ingress"}
+    seen_kinds = set()
+    for spec in sch.columns.values():
+        kind = spec.kind
+        if kind in seen_kinds:
+            continue
+        seen_kinds.add(kind)
+        v = enum_value.get(spec.name.lower()) if kind == "enum" else sample_value[kind]
+        if v is None:
+            v = next(iter(spec.enum_values))
+        ops = complete_operator(spec.name, sch)
+        assert ops, f"no operators advertised for {spec.name} ({kind})"
+        for op in ops:
+            label = op["label"]
+            if label.startswith(("IN", "NOTIN")):
+                text = f"{spec.name} {label} {v}, {v} )"
+            else:
+                text = f"{spec.name} {label} {v}"
+            compile_filter(text, sch)  # must not raise
+    assert FILTER_OPERATORS.keys() >= seen_kinds
+
+
+def test_completion_static_values():
+    from akvorado_spark.filtering.model import flow_filter_schema
+    from akvorado_spark.query.complete import complete_static_value
+
+    sch = flow_filter_schema()
+    labels = [v["label"] for v in complete_static_value("InIfBoundary", "", sch)]
+    assert labels == sorted(labels) and "external" in labels and "internal" in labels
+    assert [v["label"] for v in complete_static_value("EType", "ipv6", sch)] == ["IPv6"]
+    protos = [v["label"] for v in complete_static_value("Proto", "tc", sch)]
+    assert "TCP" in protos
+    assert complete_static_value("SrcPort", "", sch) == []
+
+
+def test_filter_parser_garbage_fuzz_error_contract():
+    """Garbage and truncated inputs must surface as FilterError (or
+    parse cleanly) — never IndexError/KeyError/AttributeError escapes,
+    matching the ValueError-only contract of the binary parsers."""
+    import random
+
+    from akvorado_spark.filtering import compile_filter
+    from akvorado_spark.filtering.model import flow_filter_schema
+    from akvorado_spark.filtering.parser import FilterError
+
+    sch = flow_filter_schema()
+    rng = random.Random(7)
+    seeds = [
+        "SrcAddr << '10.0.0.0/8' AND (DstPort = 443 OR Proto = 6)",
+        "ExporterName LIKE 'router%'",
+        "DstCommunities = 65000:100 AND SrcAS = AS65001",
+        "InIfBoundary = external -- comment",
+    ]
+    alphabet = "()'\"<>=! ANDORabc0129:./%,-"
+    n_ok = n_err = 0
+    for i in range(800):
+        if rng.random() < 0.5:
+            s = rng.choice(seeds)
+            # mutate: truncate, splice garbage, duplicate a slice
+            cut = rng.randrange(len(s))
+            mode = rng.randrange(3)
+            if mode == 0:
+                s = s[:cut]
+            elif mode == 1:
+                s = s[:cut] + "".join(
+                    rng.choice(alphabet) for _ in range(rng.randrange(1, 8))
+                ) + s[cut:]
+            else:
+                s = s[:cut] + s[rng.randrange(len(s)):]
+        else:
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 40)))
+        try:
+            compile_filter(s, sch)
+            n_ok += 1
+        except FilterError:
+            n_err += 1
+        # anything else escapes and fails the test
+    assert n_err > 100  # the fuzz actually exercised rejection paths

@@ -101,3 +101,42 @@ def test_graph_sankey_filter_and_units(store):
         .count()
     )
     assert sum(r["sum_w"] for r in rows) == direct
+
+
+def test_sankey_nodes_links_assembly():
+    """Mirror of reference console/sankey.go:197-262: node dedup per
+    axis, link aggregation over repeated adjacent pairs, and the
+    (axis, xps desc, source) link ordering."""
+    from akvorado_spark.query.sankey import sankey_nodes_links
+
+    rows = [
+        (["router1", "TCP"], 100, 1),
+        (["router1", "UDP"], 50, 1),
+        (["router2", "TCP"], 70, 1),
+        # same adjacent pair as row 1 → its link aggregates
+        (["router1", "TCP"], 30, 1),
+        (["router9", "TCP"], 5, 2),
+    ]
+    labels = {1: ["ExporterName", "Proto"], 2: ["ExporterName", "Proto"]}
+    nodes, links = sankey_nodes_links(rows, labels)
+    assert {(n["name"], n["axis"]) for n in nodes} == {
+        ("ExporterName: router1", 1),
+        ("ExporterName: router2", 1),
+        ("Proto: TCP", 1),
+        ("Proto: UDP", 1),
+        ("ExporterName: router9", 2),
+        ("Proto: TCP", 2),
+    }
+    assert links == [
+        {"source": "ExporterName: router1", "target": "Proto: TCP", "xps": 130, "axis": 1},
+        {"source": "ExporterName: router2", "target": "Proto: TCP", "xps": 70, "axis": 1},
+        {"source": "ExporterName: router1", "target": "Proto: UDP", "xps": 50, "axis": 1},
+        {"source": "ExporterName: router9", "target": "Proto: TCP", "xps": 5, "axis": 2},
+    ]
+
+
+def test_sankey_nodes_links_single_dimension_has_no_links():
+    from akvorado_spark.query.sankey import sankey_nodes_links
+
+    nodes, links = sankey_nodes_links([(["a"], 10, 1)], {1: ["X"]})
+    assert nodes == [] and links == []
