@@ -256,3 +256,67 @@ def neardup_pairs(
         F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("sim"),
     )
     return pairs.filter(F.col("sim") >= threshold)
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+) -> DataFrame:
+    """Distributed Lloyd's k-means — the real IVF coarse-quantizer
+    trainer (``seed_centroids`` stays as the seedless test stub).
+
+    Initialization is deterministic and portable: the ``n_cells``
+    vectors lowest in md5-of-id order (a hash-shuffled sample, no RNG
+    state).  Each iteration: broadcast the k×dim centroid frame →
+    per-row nearest cell by dot product (one narrow pass) →
+    elementwise vector mean per cell via posexplode + (cell, pos)
+    aggregate — ONE shuffle whose key cardinality is k × dim, never
+    row count.  New centroids (k×dim floats) collect to the driver
+    between rounds, exactly like any iterative-ML driver loop; at
+    100 TB the per-iteration cost is the assignment scan, and the
+    trained centroids feed :func:`ivf_assign` at ingest so probes
+    prune to buckets.
+
+    Empty cells keep their previous centroid (standard Lloyd's
+    fallback).  Returns (c_id, c_vec) like ``seed_centroids``.
+    """
+    from pyspark.sql import Window
+
+    hash_order = F.md5(F.col(id_col).cast("string").cast("binary"))
+    init = (
+        vectors.orderBy(hash_order, F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy(hash_order, F.col(id_col))).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+    centroids = [(r["c_id"], list(r["c_vec"])) for r in init.collect()]
+    spark = vectors.sparkSession
+
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(centroids, "c_id int, c_vec array<double>")
+        assigned = ivf_assign(
+            vectors.select(id_col, vec_col), F.broadcast(cent_df), vec_col
+        )
+        means = (
+            assigned.select("__cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("__cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("__cell").alias("c_id"),
+                F.transform("pm", lambda s: s["m"]).alias("c_vec"),
+            )
+        )
+        new = {r["c_id"]: list(r["c_vec"]) for r in means.collect()}
+        updated = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+        if updated == centroids:
+            break
+        centroids = updated
+
+    return spark.createDataFrame(centroids, "c_id int, c_vec array<double>")

@@ -61,3 +61,43 @@ def test_ivf_matches_bruteforce_within_probed_cells(spark):
     assert [(r["q_id"], r["vec_id"]) for r in approx] == [
         (r["q_id"], r["vec_id"]) for r in exact
     ]
+
+
+def test_kmeans_centroids_separates_blobs(spark):
+    """Three well-separated blobs: trained centroids land near the blob
+    means and IVF assignment groups blob members together."""
+    import random
+
+    from akvorado_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    rng = random.Random(13)
+    blobs = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    rows = []
+    for i in range(90):
+        b = blobs[i % 3]
+        rows.append(
+            (i, [c + rng.uniform(-0.5, 0.5) for c in b])
+        )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(vecs, 3, iters=6)
+    got = {tuple(round(x) for x in r["c_vec"]) for r in cents.collect()}
+    assert got == {(10, 0, 0), (0, 10, 0), (0, 0, 10)}
+
+    assigned = ivf_assign(vecs, cents)
+    cells = {}
+    for r in assigned.collect():
+        cells.setdefault(r["vec_id"] % 3, set()).add(r["__cell"])
+    # every blob maps to exactly one distinct cell
+    assert all(len(c) == 1 for c in cells.values())
+    assert len(set().union(*cells.values())) == 3
+
+
+def test_kmeans_centroids_deterministic(spark):
+    from akvorado_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [float(i % 7), float(i % 3)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, kmeans_centroids(vecs, 4, iters=3).collect()))
+    b = sorted(map(tuple, kmeans_centroids(vecs, 4, iters=3).collect()))
+    assert [(c, list(v)) for c, v in a] == [(c, list(v)) for c, v in b]
