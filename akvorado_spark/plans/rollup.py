@@ -63,17 +63,31 @@ DEFAULT_RESOLUTIONS = (
 class FlowStore:
     """A directory of flow tables at multiple resolutions."""
 
+    # Bloom filters on the point-lookup columns the time-sort order
+    # can't serve — the analog of the reference's bloom/set skip
+    # indexes (common/schema/config.go:122-139).
+    BLOOM_COLUMNS = ("SrcAddr", "DstAddr", "SrcAS", "DstAS")
+    # Cap per-column-chunk bloom size: parquet-mr's 1 MiB default is
+    # sized for ~1M-NDV row groups (about right for full 128 MB row
+    # groups at cluster scale); small local writes would pay it per
+    # tiny file, so cap lower and let deployments raise it.
+    BLOOM_MAX_BYTES = 128 * 1024
+
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         schema: FlowSchema | None = None,
         resolutions: tuple[Resolution, ...] = DEFAULT_RESOLUTIONS,
+        bloom_columns: tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.root = root
         self.schema = schema or flows_schema()
         self.resolutions = resolutions
+        self.bloom_columns = (
+            self.BLOOM_COLUMNS if bloom_columns is None else bloom_columns
+        )
 
     def path(self, res: Resolution) -> str:
         return os.path.join(self.root, res.table_name)
@@ -101,7 +115,19 @@ class FlowStore:
             .repartitionByRange("part_date", *sort_keys)
             .sortWithinPartitions("part_date", *sort_keys)
         )
-        out.write.mode(mode).partitionBy("part_date").parquet(self.path(self.resolutions[0]))
+        writer = out.write.mode(mode).partitionBy("part_date")
+        # Addresses/ASNs appear all over the time-sorted row groups, so
+        # min/max stats can't skip for them; blooms restore point-filter
+        # skipping there.  Time and interface filters already prune via
+        # partition values and sorted min/max stats.
+        blooms = [c for c in self.bloom_columns if c in df.columns]
+        if blooms:
+            writer = writer.option(
+                "parquet.bloom.filter.max.bytes", str(self.BLOOM_MAX_BYTES)
+            )
+            for c in blooms:
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(self.path(self.resolutions[0]))
 
     def rollup_frame(self, df: DataFrame, interval_s: int) -> DataFrame:
         """The rollup aggregation: SummingMergeTree semantics."""

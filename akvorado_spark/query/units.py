@@ -64,3 +64,39 @@ UNITS: dict[str, UnitSpec] = {
         is_rate=True,
     ),
 }
+
+
+def _pct_approx(side_speed: str, side_if: str, rsd: float) -> str:
+    return (
+        f"COALESCE(SUM((Bytes + 38 * Packets) * SamplingRate * 8 * CAST(100 AS DOUBLE) "
+        f"/ (NULLIF({side_speed}, 0) * CAST(1000000 AS DOUBLE))) "
+        f"/ NULLIF(APPROX_COUNT_DISTINCT(hex(ExporterAddress) || '|' || {side_if}, {rsd}), 0), "
+        f"CAST(0 AS DOUBLE))"
+    )
+
+
+def approx_pct_unit(name: str, rsd: float = 0.02) -> UnitSpec:
+    """A8 scale path: the %-utilization units with the per-group exact
+    COUNT(DISTINCT exporter, interface) swapped for a HyperLogLog++
+    sketch (``approx_count_distinct``).
+
+    The exact form expands each row for the distinct aggregate and
+    holds the distinct set per group; the sketch form is one pass with
+    constant per-group state (~rsd-sized registers), the right trade
+    when grouping by high-cardinality dimensions over 100 TB.  The
+    interface population per group is typically tiny (≤ thousands), 
+    where HLL++ uses its exact sparse representation — so results
+    usually match the exact unit bit-for-bit (asserted in tests) and
+    degrade gracefully to ±rsd beyond it.  Spark-side only: DuckDB's
+    approx_distinct uses a different sketch, so these variants are
+    verified against the exact units in pytest, not the driver oracle.
+    """
+    base = UNITS[name]
+    side = "In" if name.startswith("in") else "Out"
+    return UnitSpec(
+        base.name + "~approx",
+        _pct_approx(f"{side}IfSpeed", f"{side}IfName", rsd),
+        base.base_cols,
+        value_type="double",
+        is_rate=True,
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from akvorado_spark.query.line import LineRequest, compile_line
@@ -144,3 +145,23 @@ def test_previous_period_sub_year_uses_fixed_periods():
     assert previous_period(start, start + 3600 * us)[2] == 3600 * us
     # 3-day range → week shift
     assert previous_period(start, start + 3 * 86400 * us)[2] == 7 * 86400 * us
+
+
+def test_approx_pct_units_match_exact_at_small_cardinality(spark):
+    """A8 scale path: HLL++ distinct-count %-units agree with the exact
+    units while the per-group interface population sits in the sketch's
+    exact sparse range (and stay within rsd beyond)."""
+    from akvorado_spark.oracle.flows_view import register_spark_view
+    from akvorado_spark.query.units import UNITS, approx_pct_unit
+
+    register_spark_view(spark, SF_DIR)
+    src = spark.table("flows_v")
+    for name in ("inl2%", "outl2%"):
+        exact = UNITS[name]
+        approx = approx_pct_unit(name)
+        rows = src.groupBy("ExporterName").agg(
+            F.expr(exact.agg_sql).alias("e"), F.expr(approx.agg_sql).alias("a")
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["a"] == pytest.approx(r["e"], rel=0.05)
