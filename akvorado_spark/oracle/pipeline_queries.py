@@ -124,7 +124,8 @@ _DP_MIN_OVERLAP = 3
 _DP_PER_KEY = 3
 
 
-def _dedup_pipeline_suite(spark, sf_dir):
+def _dedup_pipeline_suite(spark, sf_dir, sample=_DP_SAMPLE, thr=_DP_THR,
+                          min_overlap=_DP_MIN_OVERLAP, per_key=_DP_PER_KEY):
     """Members (schema: variant, id_a BIGINT, id_b BIGINT, val DOUBLE):
 
     - ``pair``       (id_a, id_b, jaccard): word-3-gram Jaccard ≥ 0.30
@@ -147,7 +148,7 @@ def _dedup_pipeline_suite(spark, sf_dir):
     from akvorado_spark.operators.sampling import sample_per_key
 
     docs = load_table(spark, "documents", sf_dir, spread=True)
-    base = docs.filter(_DP_SAMPLE).select("doc_id", "text", "lang", "source")
+    base = docs.filter(sample).select("doc_id", "text", "lang", "source")
     # perturbations via a per-row variant array + explode, NOT unionAll:
     # a 3-branch union would triple the mapper partition count (3 × the
     # spread width) and every downstream stage pays the task-scheduling
@@ -177,7 +178,7 @@ def _dedup_pipeline_suite(spark, sf_dir):
     grams = corpus_grams(corpus, "text", "doc_id").persist()
     pairs = (
         ngram_jaccard_pairs(corpus, "text", "doc_id", grams=grams)
-        .filter(F.round("jaccard", 6) >= _DP_THR)
+        .filter(F.round("jaccard", 6) >= thr)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("val"))
         .persist()
     )
@@ -199,7 +200,7 @@ def _dedup_pipeline_suite(spark, sf_dir):
     base_grams = grams.filter("doc_id < 40000000")
     dec = decontaminate(
         base, eval_df, "text", "doc_id",
-        min_overlap=_DP_MIN_OVERLAP, train_grams=base_grams,
+        min_overlap=min_overlap, train_grams=base_grams,
     )
     dec_rows = dec.select(
         F.lit("decontam").alias("variant"),
@@ -208,7 +209,7 @@ def _dedup_pipeline_suite(spark, sf_dir):
         F.col("overlap").cast("double").alias("val"),
     )
 
-    samp = sample_per_key(base, ("lang", "source"), _DP_PER_KEY, "doc_id")
+    samp = sample_per_key(base, ("lang", "source"), per_key, "doc_id")
     samp_rows = samp.select(
         F.lit("persample").alias("variant"),
         F.col("doc_id").alias("id_a"),
@@ -224,9 +225,14 @@ def _dedup_pipeline_suite(spark, sf_dir):
     )
 
 
-_DP_ORACLE = f"""
+def dp_oracle_sql(sample=_DP_SAMPLE, thr=_DP_THR, min_overlap=_DP_MIN_OVERLAP,
+                  per_key=_DP_PER_KEY) -> str:
+    """Parameterized DuckDB mirror of the whole dedup pipeline —
+    shared by the registered suite and the randomized cross-engine
+    sweep in tests/test_pipeline_ops.py."""
+    return f"""
 WITH RECURSIVE
-base AS (SELECT doc_id, text, lang, source FROM documents WHERE {_DP_SAMPLE}),
+base AS (SELECT doc_id, text, lang, source FROM documents WHERE {sample}),
 corpus AS (
   SELECT doc_id, text FROM base
   UNION ALL
@@ -263,7 +269,7 @@ pairs AS (
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_DP_THR}
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {thr}
 ),
 edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
 nodes AS (SELECT DISTINCT a AS id FROM edges),
@@ -298,7 +304,7 @@ decont AS (
   FROM (SELECT * FROM grams WHERE doc_id < 40000000) t
   JOIN egrams e ON t.g = e.g
   GROUP BY 1, 2
-  HAVING COUNT(*) >= {_DP_MIN_OVERLAP}
+  HAVING COUNT(*) >= {min_overlap}
 ),
 ranked AS (
   SELECT doc_id,
@@ -315,11 +321,10 @@ FROM comps c JOIN csizes s ON c.comp = s.comp
 UNION ALL
 SELECT 'decontam', train_id, eval_id, CAST(ov AS DOUBLE) FROM decont
 UNION ALL
-SELECT 'persample', doc_id, rk, 0.0 FROM ranked WHERE rk <= {_DP_PER_KEY}
-ORDER BY 1, 2, 3
-"""
+SELECT 'persample', doc_id, rk, 0.0 FROM ranked WHERE rk <= {per_key}
+ORDER BY 1, 2, 3"""
 
-register("dedup_pipeline_suite", _dedup_pipeline_suite, _DP_ORACLE)
+register("dedup_pipeline_suite", _dedup_pipeline_suite, dp_oracle_sql())
 
 # ---------------------------------------------------------------------------
 # text analysis: token counts + quality components per lang/source

@@ -85,12 +85,23 @@ def kafka_sink(
     topic: str,
     checkpoint: str,
     key_col: str | None = "ExporterAddress",
+    wire_format: str = "proto",
 ):
     """S10: second writeStream of enriched flows to Kafka (reference
     outlet/kafkaoutput/, emit at outlet/core/worker.go:119-123).
-    Requires the spark-sql-kafka package on the classpath."""
+    ``wire_format``: "proto" (default — the reference's protobuf
+    encoding, sources/flow_pb.py; version the topic with
+    ``flow_schema_hash()``) or "json" (self-describing, no schema
+    registry needed).  Requires the spark-sql-kafka package.
+    """
+    if wire_format == "proto":
+        from akvorado_spark.sources.flow_pb import serialize_flows_proto
+
+        frame = serialize_flows_proto(stream, key_col=key_col or "ExporterAddress")
+    else:
+        frame = serialize_flows(stream, key_col)
     return (
-        serialize_flows(stream, key_col)
+        frame
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("topic", topic)

@@ -412,3 +412,50 @@ def test_connected_components_random_graphs_match_union_find(spark):
             r["id"]: r["comp"] for r in connected_components(pairs, max_iter=64).collect()
         }
         assert got == expect, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_dedup_pipeline_cross_engine_random_params(spark):
+    """Randomized cross-engine sweep of the WHOLE dedup pipeline suite:
+    random sampling predicates, Jaccard thresholds, decontamination
+    overlap bars and per-key caps run through the Spark pipeline and
+    the parameterized DuckDB mirror (including the recursive-CTE
+    connected-components fixpoint); row multisets must match exactly."""
+    import random
+
+    import duckdb
+
+    from akvorado_spark.oracle.pipeline_queries import (
+        _dedup_pipeline_suite,
+        dp_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rng = random.Random(99)
+    draws = [
+        (
+            rng.choice(["doc_id % 7 = 0", "doc_id % 5 = 1", "doc_id % 3 = 2"]),
+            rng.choice([0.2, 0.4, 0.6]),
+            rng.choice([2, 4]),
+            rng.choice([1, 2, 5]),
+        )
+        for _ in range(3)
+    ]
+    for sample, thr, min_overlap, per_key in draws:
+        got = sorted(
+            (r["variant"], r["id_a"], r["id_b"], round(r["val"], 6))
+            for r in _dedup_pipeline_suite(
+                spark, SF_DIR, sample=sample, thr=thr,
+                min_overlap=min_overlap, per_key=per_key,
+            ).collect()
+        )
+        want = sorted(
+            (v, a, b, round(x, 6))
+            for v, a, b, x in con.execute(
+                dp_oracle_sql(sample, thr, min_overlap, per_key)
+            ).fetchall()
+        )
+        assert got == want, (sample, thr, min_overlap, per_key)
+        assert got  # the draw produced actual rows
