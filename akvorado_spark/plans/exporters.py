@@ -10,11 +10,11 @@ Spark-first:
 
 - the ARRAY JOIN unpivot is ``explode(array(struct(in...),
   struct(out...)))`` — one narrow projection, no shuffle;
-- the Replacing merge is "latest row per key": a groupBy on the key
-  computing MAX(TimeReceived), then a self-join to pick that row's
-  attributes (MAX-reduced to stay deterministic under ties).  At
-  100 TB the groupBy+join share the same hash partitioning on the
-  key, so AQE plans a single shuffle of the (tiny, deduped) side;
+- the Replacing merge is "latest row per key": ONE aggregation on the
+  key where each attribute rides a max(struct(TimeReceived, attr)) —
+  partial aggregation map-side, a single shuffle keyed by
+  (exporter, interface), no join; ties MAX-reduce the attributes so
+  the result is engine-deterministic;
 - TTL = a time predicate on the caller's ``now``.
 """
 
@@ -66,14 +66,20 @@ def latest_exporters(
     if ttl is not None and now is not None:
         exporters = exporters.filter(F.col("TimeReceived") >= F.lit(now - ttl))
     keys = [c for c in ("ExporterAddress", "IfName") if c in exporters.columns]
-    latest = exporters.groupBy(*keys).agg(F.max("TimeReceived").alias("TimeReceived"))
     attrs = [c for c in exporters.columns if c not in keys and c != "TimeReceived"]
-    return (
-        exporters.join(latest, on=[*keys, "TimeReceived"])
-        .groupBy(*keys, "TimeReceived")
-        .agg(*[F.max(a).alias(a) for a in attrs])
-        .select(*exporters.columns)
-    )
+    # ONE map-side-combined aggregation: per attribute, max(struct(ts,
+    # attr)) orders by TimeReceived first, so it returns the attribute
+    # of a latest row — ties on ts resolve to the attribute MAX, and a
+    # struct with the max ts wins even when its attribute is NULL,
+    # exactly the former groupBy-max + join-back + per-attr-MAX shape
+    # but with one shuffle instead of two plus a join.
+    aggs = [F.max("TimeReceived").alias("TimeReceived")] + [
+        F.max(F.struct(F.col("TimeReceived").alias("t"), F.col(a).alias("v")))
+        .getField("v")
+        .alias(a)
+        for a in attrs
+    ]
+    return exporters.groupBy(*keys).agg(*aggs).select(*exporters.columns)
 
 
 def exporter_names(latest: DataFrame) -> DataFrame:
