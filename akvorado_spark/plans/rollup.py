@@ -179,7 +179,26 @@ class FlowStore:
     # --- read / route -----------------------------------------------------
 
     def read(self, res: Resolution) -> DataFrame:
-        return self.spark.read.parquet(self.path(res))
+        """Read a table; an empty/absent table (nothing ingested yet, or
+        TTL dropped every partition) reads as a zero-row frame with the
+        declared schema instead of failing schema inference — queries
+        over an empty store must compose, not crash."""
+        p = self.path(res)
+        if os.path.isdir(p) and any(
+            d.startswith("part_date=") for d in os.listdir(p)
+        ):
+            return self.spark.read.parquet(p)
+        import pyspark.sql.types as T
+
+        schema = self.schema.struct_type(main=res.interval_s == 0)
+        if res.interval_s != 0:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField("Flows", T.LongType())]
+            )
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("part_date", T.DateType())]
+        )
+        return self.spark.createDataFrame([], schema)
 
     def oldest(self, res: Resolution) -> datetime | None:
         """Oldest retained data, from partition directory names (cheap —

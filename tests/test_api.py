@@ -86,3 +86,37 @@ def test_complete_cached(spark):
     assert first == second and cache.hits == 1
     complete_cached(cache, complete_asn, flows, "Ac", limit=5)  # different prefix
     assert cache.misses == 2
+
+
+def test_queries_survive_empty_corpus(spark, tmp_path):
+    """Zero-row inputs (nothing ingested yet, TTL dropped everything,
+    a filter matched nothing upstream) must compose through the query
+    registry, not crash — the scalar-collect / fold / spine paths are
+    where empty frames bite.  A full-registry sweep ran offline; this
+    pins the representatives with driver-side collects and the
+    empty-store read path."""
+    import __spark_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "empty_sf")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+
+    queries = entrymod.queries()
+    for name in (
+        "graph_line_suite",      # bounds collect + fill spine
+        "rollup_route_suite",    # empty-store read + router
+        "dedup_pipeline_suite",  # components fixpoint on zero pairs
+        "widget_flow_rate",      # scalar aggregate
+        "widget_last_flow",      # max-timestamp probe
+        "series_stats",          # p95/last formulas
+        "sankey_bidir",          # scalar range CTE
+        "complete_suite",        # dictionary-only completion branches
+    ):
+        df = queries[name](spark, dst)
+        assert df.count() >= 0, name  # evaluates without raising

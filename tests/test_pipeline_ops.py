@@ -459,3 +459,64 @@ def test_dedup_pipeline_cross_engine_random_params(spark):
         )
         assert got == want, (sample, thr, min_overlap, per_key)
         assert got  # the draw produced actual rows
+
+
+def test_pack_documents_matches_duckdb_cumsum(spark):
+    """Sequence packing: the per-key token stream chops into
+    budget-sized windows; DuckDB replays the same portable-hash order
+    and running total."""
+    import duckdb
+
+    from akvorado_spark.operators.sampling import pack_documents
+    from akvorado_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang", "text")
+    with_tokens = docs.withColumn(
+        "n_tokens", F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
+    )
+    got = sorted(
+        (r["lang"], r["doc_id"], r["bin_id"], r["bin_offset"])
+        for r in pack_documents(
+            with_tokens, "n_tokens", 128, key_cols=("lang",)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        con.execute(
+            """
+WITH t AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS n
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id,
+         COALESCE(SUM(n) OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM t
+)
+SELECT lang, doc_id, CAST(cb // 128 AS BIGINT), CAST(cb % 128 AS BIGINT) FROM c
+"""
+        ).fetchall()
+    )
+    assert got == want
+    # every bin except possibly the last per key starts at offset < budget
+    assert all(0 <= off < 128 for _, _, _, off in got)
+
+
+def test_pack_documents_no_keys_bounded_windows(spark):
+    from akvorado_spark.operators.sampling import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    out = pack_documents(df, "n_tokens", 25)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert "__pack_bucket" not in out.columns
+    # 10-token docs in 25-token bins: offsets only reach {0,10,20,5,15...}
+    assert all(r["bin_offset"] < 25 for r in rows)
