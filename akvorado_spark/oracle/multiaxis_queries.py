@@ -13,7 +13,13 @@ from akvorado_spark.filtering.model import ColumnSpec, FilterSchema
 from akvorado_spark.filtering.parser import parse_filter
 from akvorado_spark.oracle.flows_view import oracle_view_sql, register_spark_view
 from akvorado_spark.oracle.registry import register
-from akvorado_spark.query.line import LineRequest, compile_line, oracle_line_sql
+from akvorado_spark.query.line import (
+    LineRequest,
+    compile_line,
+    oracle_line_rows_sql,
+    oracle_line_sql,
+    top_rows_frame,
+)
 
 _SCHEMA = FilterSchema(
     {
@@ -53,10 +59,17 @@ def _spark_bidir_line(spark, sf_dir):
     direct = CompiledFilter(parse_filter(_FILTER, _SCHEMA), _SCHEMA)
     reverse = direct.reverse()
     df = spark.table("flows_v")
-    ax1 = compile_line(df.filter(direct.column()), _req("InIfName"))
-    ax2 = compile_line(df.filter(reverse.column()), _req("OutIfName")).withColumnRenamed(
-        "OutIfName", "InIfName"
-    )
+    direct_df = df.filter(direct.column())
+    # the reverse axis folds against the DIRECT axis's top set — the
+    # reference shares axis 1's rows CTE across axes (skipWithClause,
+    # console/line.go:169-216) so the chart's series are identical
+    rows1 = top_rows_frame(direct_df, _req("InIfName"))
+    ax1 = compile_line(direct_df, _req("InIfName"), rows=rows1)
+    ax2 = compile_line(
+        df.filter(reverse.column()),
+        _req("OutIfName"),
+        rows=rows1.withColumnRenamed("InIfName", "OutIfName"),
+    ).withColumnRenamed("OutIfName", "InIfName")
     return ax1.select(F.lit(1).alias("axis"), "*").unionAll(
         ax2.select(F.lit(2).alias("axis"), "*")
     )
@@ -65,13 +78,13 @@ def _spark_bidir_line(spark, sf_dir):
 def _oracle_bidir_line() -> str:
     direct = CompiledFilter(parse_filter(_FILTER, _SCHEMA), _SCHEMA)
     reverse = direct.reverse()
-    ax1 = oracle_line_sql(
-        f"(SELECT * FROM ({oracle_view_sql()}) WHERE {direct.duckdb_sql})",
-        _req("InIfName"),
-    )
+    direct_src = f"(SELECT * FROM ({oracle_view_sql()}) WHERE {direct.duckdb_sql})"
+    rows1 = oracle_line_rows_sql(direct_src, _req("InIfName"))
+    ax1 = oracle_line_sql(direct_src, _req("InIfName"))
     ax2 = oracle_line_sql(
         f"(SELECT * FROM ({oracle_view_sql()}) WHERE {reverse.duckdb_sql})",
         _req("OutIfName"),
+        rows_sql=f"SELECT InIfName AS OutIfName FROM ({rows1})",
     )
     return f"""
 SELECT 1 AS axis, bucket, InIfName, sum_w, xps FROM ({ax1})
@@ -123,12 +136,15 @@ def _spark_prev_period(spark, sf_dir):
     register_spark_view(spark, sf_dir)
     df = spark.table("flows_v")
     ts = F.unix_micros(F.col("TimeReceived").cast("timestamp"))
-    ax1 = compile_line(
-        df.filter((ts >= _START) & (ts < _END)), _prev_req(_START, _END)
-    )
+    main_df = df.filter((ts >= _START) & (ts < _END))
+    # the comparison axis shares the MAIN period's top set (reference
+    # skipWithClause) so both periods chart the same series
+    rows1 = top_rows_frame(main_df, _prev_req(_START, _END))
+    ax1 = compile_line(main_df, _prev_req(_START, _END), rows=rows1)
     ax3 = compile_line(
         df.filter((ts >= _START - _SHIFT) & (ts < _END - _SHIFT)),
         _prev_req(_START - _SHIFT, _END - _SHIFT),
+        rows=rows1,
     ).withColumn("bucket", F.col("bucket") + F.lit(_SHIFT))
     return ax1.select(F.lit(1).alias("axis"), "*").unionAll(
         ax3.select(F.lit(3).alias("axis"), "*")
@@ -143,8 +159,11 @@ def _oracle_prev_period() -> str:
         f"(SELECT * FROM ({oracle_view_sql()}) "
         f"WHERE {_range_filter_sql(_START - _SHIFT, _END - _SHIFT)})"
     )
+    rows1 = oracle_line_rows_sql(src1, _prev_req(_START, _END))
     ax1 = oracle_line_sql(src1, _prev_req(_START, _END))
-    ax3 = oracle_line_sql(src3, _prev_req(_START - _SHIFT, _END - _SHIFT))
+    ax3 = oracle_line_sql(
+        src3, _prev_req(_START - _SHIFT, _END - _SHIFT), rows_sql=rows1
+    )
     return f"""
 SELECT 1 AS axis, bucket, InIfName, sum_w, xps FROM ({ax1})
 UNION ALL

@@ -109,28 +109,73 @@ def _top_rows(base: DataFrame, req: LineRequest, bounds: DataFrame) -> DataFrame
     return ranked.orderBy(*order).limit(req.limit).drop("__tw")
 
 
-def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
+def _bounds_frame(df: DataFrame, req: LineRequest) -> DataFrame:
+    if req.start_us is not None:
+        # explicit range: a literal 1-row bounds frame (no data pass)
+        return df.sparkSession.range(1).select(
+            F.lit(req.start_us).cast("long").alias("__start_us"),
+            F.lit(req.end_us - 1).cast("long").alias("__max_us"),
+        )
+    ts_ltz = F.col(req.time_col).cast("timestamp")  # tolerate TIMESTAMP_NTZ
+    return df.agg(
+        F.min(F.unix_micros(ts_ltz)).alias("__start_us"),
+        F.max(F.unix_micros(ts_ltz)).alias("__max_us"),
+    )
+
+
+def top_rows_frame(df: DataFrame, req: LineRequest) -> DataFrame:
+    """The axis-1 ``rows`` CTE as a standalone frame: the top-N
+    dimension tuples of THIS request.
+
+    The reference emits the rows CTE once and every further axis
+    (reverse direction, previous period) references it instead of
+    ranking its own population (``skipWithClause``,
+    console/line.go:169-216) — the chart's series set stays identical
+    across axes.  Compute this on the direct axis and pass it (with
+    dimension columns renamed to the other axis's names) as
+    ``compile_line(..., rows=...)``.
+    """
+    dims = list(req.dimensions)
+    step_us = req.interval_s * 1_000_000
+    bounds = _bounds_frame(df, req)
+    base = df.join(F.broadcast(bounds)).withColumn(
+        "__bucket",
+        (
+            F.col("__start_us")
+            + F.floor(
+                (F.unix_micros(F.col(req.time_col).cast("timestamp")) - F.col("__start_us"))
+                / step_us
+            )
+            * step_us
+        ).cast("long"),
+    )
+    if req.agg_sql:
+        base = base.select("__bucket", *req.base_cols, *dims)
+    else:
+        base = base.withColumn("__w", F.expr(req.weight_sql).cast("long")).select(
+            "__bucket", "__w", *dims
+        )
+    return _top_rows(base, req, bounds)
+
+
+def compile_line(
+    df: DataFrame, req: LineRequest, rows: DataFrame | None = None
+) -> DataFrame:
     """Compile a LineRequest into a DataFrame plan.
 
     Output columns: ``bucket`` (BIGINT epoch-µs), the dimension
     columns (folded to 'Other' outside the top-N), ``sum_w`` (the
     unit aggregate), ``xps`` (DOUBLE = sum_w / interval).
+
+    ``rows``: optional precomputed top-tuple frame (columns = this
+    request's dimensions) — the shared-CTE multi-axis form (see
+    :func:`top_rows_frame`); when omitted the top set is ranked from
+    this request's own population.
     """
     dims = list(req.dimensions)
     step_us = req.interval_s * 1_000_000
 
-    if req.start_us is not None:
-        # explicit range: a literal 1-row bounds frame (no data pass)
-        bounds = df.sparkSession.range(1).select(
-            F.lit(req.start_us).cast("long").alias("__start_us"),
-            F.lit(req.end_us - 1).cast("long").alias("__max_us"),
-        )
-    else:
-        ts_ltz = F.col(req.time_col).cast("timestamp")  # tolerate TIMESTAMP_NTZ inputs
-        bounds = df.agg(
-            F.min(F.unix_micros(ts_ltz)).alias("__start_us"),
-            F.max(F.unix_micros(ts_ltz)).alias("__max_us"),
-        )
+    bounds = _bounds_frame(df, req)
 
     base = df.join(F.broadcast(bounds)).withColumn(  # 1-row scalar frame (J9 shape)
         "__bucket",
@@ -150,7 +195,10 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
             "__bucket", "__w", *dims
         )
 
-    rows = _top_rows(base, req, bounds)
+    if rows is None:
+        rows = _top_rows(base, req, bounds)
+    else:
+        rows = rows.select(*dims)
 
     # Fold non-top tuples into 'Other' via a broadcast left join (J7).
     # Numeric dims fold through their display string (the reference
@@ -218,10 +266,15 @@ def compile_line(df: DataFrame, req: LineRequest) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def oracle_line_sql(table_sql: str, req: LineRequest) -> str:
+def oracle_line_sql(
+    table_sql: str, req: LineRequest, rows_sql: str | None = None
+) -> str:
     """Emit DuckDB SQL equivalent to ``compile_line`` over ``table_sql``.
 
     ``table_sql`` is a table name or a parenthesized subquery.
+    ``rows_sql``: optional standalone SELECT yielding the top tuples
+    (columns = this request's dimensions) - the shared-rows-CTE
+    multi-axis form, mirroring ``compile_line(..., rows=...)``.
     """
     dims = list(req.dimensions)
     step_us = req.interval_s * 1_000_000
@@ -270,6 +323,11 @@ def oracle_line_sql(table_sql: str, req: LineRequest) -> str:
         bounds_sql = (
             f"SELECT MIN(epoch_us({ts})) AS start_us, MAX(epoch_us({ts})) AS max_us FROM source"
         )
+    rows_body = (
+        rows_sql
+        if rows_sql is not None
+        else f"SELECT * FROM ({ranked}) ORDER BY tw DESC, {tie} LIMIT {req.limit}"
+    )
     sql = f"""
 WITH source AS (SELECT * FROM {table_sql}),
 bounds AS (
@@ -281,7 +339,7 @@ base AS (
   FROM source s CROSS JOIN bounds b
 ),
 rows_top AS (
-  SELECT * FROM ({ranked}) ORDER BY tw DESC, {tie} LIMIT {req.limit}
+  {rows_body}
 ),
 folded AS (
   SELECT b.bucket, {fold_sel}{fold_vals}
@@ -382,3 +440,54 @@ def previous_period(start_us: int, end_us: int) -> tuple[int, int, int]:
             a_year_back = start.replace(year=start.year - 1, month=3, day=1)
         shift_us = int((start - a_year_back) / timedelta(microseconds=1))
     return start_us - shift_us, end_us - shift_us, shift_us
+
+
+def oracle_line_rows_sql(table_sql: str, req: LineRequest) -> str:
+    """Standalone SELECT of this request's top-N dimension tuples -
+    the DuckDB mirror of :func:`top_rows_frame`, for sharing across
+    axes via ``oracle_line_sql(..., rows_sql=...)``."""
+    dims = list(req.dimensions)
+    step_us = req.interval_s * 1_000_000
+    dcols = ", ".join(dims)
+    ts = req.time_col
+    agg = req.agg_sql if req.agg_sql else "SUM(w)"
+    base_vals = (
+        ", ".join(req.base_cols)
+        if req.agg_sql
+        else f"CAST({req.weight_sql} AS BIGINT) AS w"
+    )
+    base_sel = (base_vals + ", " if base_vals else "") + dcols
+    if req.limit_type == "max":
+        ranked = (
+            f"SELECT {dcols}, MAX(bw) AS tw FROM ("
+            f"SELECT bucket, {dcols}, {agg} AS bw FROM base GROUP BY bucket, {dcols}"
+            f") GROUP BY {dcols}"
+        )
+    elif req.limit_type == "last":
+        ranked = (
+            f"SELECT {dcols}, {agg} AS tw FROM base "
+            f"WHERE bucket = (SELECT MAX(bucket) FROM base) GROUP BY {dcols}"
+        )
+    else:
+        ranked = f"SELECT {dcols}, {agg} AS tw FROM base GROUP BY {dcols}"
+    tie = ", ".join(dims)
+    if req.start_us is not None:
+        bounds_sql = (
+            f"SELECT CAST({req.start_us} AS BIGINT) AS start_us, "
+            f"CAST({req.end_us - 1} AS BIGINT) AS max_us"
+        )
+    else:
+        bounds_sql = (
+            f"SELECT MIN(epoch_us({ts})) AS start_us, MAX(epoch_us({ts})) AS max_us FROM source"
+        )
+    return f"""
+SELECT {dcols} FROM (
+  WITH source AS (SELECT * FROM {table_sql}),
+  bounds AS ({bounds_sql}),
+  base AS (
+    SELECT CAST(b.start_us + FLOOR((epoch_us(s.{ts}) - b.start_us) / {step_us}) * {step_us} AS BIGINT) AS bucket,
+           {base_sel}
+    FROM source s CROSS JOIN bounds b
+  )
+  SELECT * FROM ({ranked}) ORDER BY tw DESC, {tie} LIMIT {req.limit}
+)"""
