@@ -195,6 +195,7 @@ def compile_line(
             "__bucket", "__w", *dims
         )
 
+    shared_rows = rows is not None
     if rows is None:
         rows = _top_rows(base, req, bounds)
     else:
@@ -249,6 +250,22 @@ def compile_line(
     # any", WITHOUT the extra full-data distinct pass; it's a tiny
     # reuse of agg's shuffle output (≤ limit+1 tuples).
     dim_spine = agg.select(*dims).distinct()
+    if shared_rows:
+        # a shared top tuple can be absent from THIS axis's population;
+        # it must still spine-fill with zeros so every axis charts the
+        # same series (with self-ranked rows every top tuple is in agg
+        # by construction, so this union would be a no-op there);
+        # numeric dims take the same display-string form the fold used
+        dim_spine = dim_spine.unionByName(
+            rows.select(
+                *[
+                    F.col(d)
+                    if dtypes[d] in ("string", "binary")
+                    else F.col(d).cast("string").alias(d)
+                    for d in dims
+                ]
+            )
+        ).distinct()
 
     spine = buckets.crossJoin(F.broadcast(dim_spine))
     out = (

@@ -77,3 +77,40 @@ def test_random_line_request_agrees_across_engines(engines, req):
     ).fetchall()
     d_rows = sorted(tuple(r) for r in o_res)
     assert s_rows == d_rows, (req, s_rows[:3], d_rows[:3])
+
+
+@settings(
+    max_examples=int(__import__("os").environ.get("LINE_PROP_EXAMPLES", "10")),
+    deadline=None,
+    derandomize=not __import__("os").environ.get("LINE_PROP_RANDOM"),
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    req=_REQS,
+    flt=st.sampled_from(
+        ["value >= 0.3", "value < 0.7", "CAST(ROUND(value * 1000000) AS BIGINT) % 2 = 0"]
+    ),
+)
+def test_random_shared_rows_axis_agrees_across_engines(engines, req, flt):
+    """The multi-axis shared-rows path: a second axis over a DIFFERENT
+    population (an extra filter) folds against the FIRST axis's top
+    set — compile_line(rows=...) vs oracle_line_sql(rows_sql=...) must
+    agree for arbitrary requests, including tuples that exist in axis 2
+    but were never ranked (they must fold to 'Other') and top tuples
+    absent from axis 2 (they must still spine-fill when fill=True)."""
+    from akvorado_spark.query.line import oracle_line_rows_sql, top_rows_frame
+
+    spark, src, con = engines
+    src2_sql = f"SELECT * FROM ({_SRC_SQL}) WHERE {flt}"
+    src2 = src.filter(flt)
+    rows1 = top_rows_frame(src, req)
+    sdf = compile_line(src2, req, rows=rows1)
+    cols = ["bucket", *req.dimensions, "sum_w"]
+    s_rows = sorted(tuple(r[c] for c in cols) for r in sdf.select(cols).collect())
+    rows1_sql = oracle_line_rows_sql(f"({_SRC_SQL})", req)
+    o_sql = oracle_line_sql(f"({src2_sql})", req, rows_sql=rows1_sql)
+    d_rows = sorted(
+        tuple(r)
+        for r in con.execute(f"SELECT {', '.join(cols)} FROM ({o_sql})").fetchall()
+    )
+    assert s_rows == d_rows, (req, flt, s_rows[:3], d_rows[:3])
