@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from akvorado_spark.filtering import compile_filter, flow_filter_schema
 from akvorado_spark.functions.ip import ip_display, ip_truncate_family
 from akvorado_spark.plans.rollup import FlowStore
-from akvorado_spark.query.line import LineRequest, compile_line
+from akvorado_spark.query.line import LineRequest, compile_line, top_rows_frame
 from akvorado_spark.query.sankey import (
     SankeyRequest,
     compile_sankey,
@@ -97,6 +97,10 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
 
     axes: list[DataFrame] = []
 
+    # axes 2-4 fold against axis 1's top set (the reference shares the
+    # rows CTE across axes via skipWithClause, console/line.go:169-216)
+    shared_rows: dict[str, DataFrame] = {}
+
     def one_axis(
         axis_no: int,
         filt,
@@ -128,22 +132,28 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         agg_sql = unit.agg_sql
         if req.units == "fps" and res.interval_s > 0:
             agg_sql = "SUM(Flows)"  # exact flow count through the rollup merge
-        line = compile_line(
-            df,
-            LineRequest(
-                time_col="TimeReceived",
-                dimensions=dims,
-                weight_sql=None,
-                interval_s=interval_s,
-                limit=req.limit,
-                limit_type=req.limit_type,
-                agg_sql=agg_sql,
-                base_cols=unit.base_cols if agg_sql == unit.agg_sql else ("Flows",),
-                value_type=unit.value_type,
-                start_us=_us(start),
-                end_us=_us(end),
-            ),
+        lreq = LineRequest(
+            time_col="TimeReceived",
+            dimensions=dims,
+            weight_sql=None,
+            interval_s=interval_s,
+            limit=req.limit,
+            limit_type=req.limit_type,
+            agg_sql=agg_sql,
+            base_cols=unit.base_cols if agg_sql == unit.agg_sql else ("Flows",),
+            value_type=unit.value_type,
+            start_us=_us(start),
+            end_us=_us(end),
         )
+        if axis_no == 1:
+            rows = top_rows_frame(df, lreq)
+            shared_rows["rows"] = rows
+        else:
+            rows = shared_rows["rows"]
+            for orig, actual in zip(req.dimensions, dims):
+                if orig != actual:
+                    rows = rows.withColumnRenamed(orig, actual)
+        line = compile_line(df, lreq, rows=rows)
         if shift is not None:
             shift_us = int(shift.total_seconds() * 1_000_000)
             line = line.withColumn("bucket", F.col("bucket") + F.lit(shift_us))

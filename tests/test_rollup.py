@@ -222,3 +222,23 @@ def test_main_table_has_bloom_filters_on_addresses(spark, tmp_path):
     without = total_size(FlowStore(spark, str(tmp_path / "nb"), bloom_columns=()))
     rows.unpersist()
     assert with_bloom > without + 32 * 1024
+
+
+def test_graph_line_axes_share_series(store):
+    """Axes 2-4 fold against axis 1's top set (the reference's shared
+    rows CTE): the reverse and previous-period axes must chart exactly
+    the same series values as the direct axis — never a tuple the
+    direct axis didn't rank."""
+    out = graph_line(
+        store,
+        GraphRequest(
+            start=START, end=END, dimensions=("SrcAS",), units="l3bps",
+            points=24, limit=2, bidirectional=True, previous_period="hour",
+        ),
+    ).collect()
+    by_axis = {}
+    for r in out:
+        by_axis.setdefault(r["axis"], set()).add(r["SrcAS"])
+    assert set(by_axis) == {1, 2, 3, 4}
+    for axis in (2, 3, 4):
+        assert by_axis[axis] <= by_axis[1], axis
