@@ -106,6 +106,7 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         filt,
         dims: tuple[str, ...],
         shift: timedelta | None = None,
+        reversed_axis: bool = False,
     ) -> DataFrame:
         start, end = req.start, req.end
         if shift is not None:
@@ -128,9 +129,13 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
                     df = df.withColumn(
                         d, ip_truncate_family(F.col(d), req.truncate_v4, req.truncate_v6)
                     )
-        unit = UNITS[req.units]
+        # a reversed axis measures the opposite traffic direction, so
+        # direction-asymmetric units swap (reference reverseUnits,
+        # console/graph.go:30-40, applied at console/line.go:120-123)
+        units = REVERSE_UNITS.get(req.units, req.units) if reversed_axis else req.units
+        unit = UNITS[units]
         agg_sql = unit.agg_sql
-        if req.units == "fps" and res.interval_s > 0:
+        if units == "fps" and res.interval_s > 0:
             agg_sql = "SUM(Flows)"  # exact flow count through the rollup merge
         lreq = LineRequest(
             time_col="TimeReceived",
@@ -179,13 +184,13 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
     axes.append(one_axis(1, direct, req.dimensions))
     if req.bidirectional:
         rdims = tuple(sch.reverse_name(d) for d in req.dimensions)
-        axes.append(one_axis(2, reverse, rdims))
+        axes.append(one_axis(2, reverse, rdims, reversed_axis=True))
     if req.previous_period:
         shift = _shift_back(req)
         axes.append(one_axis(3, direct, req.dimensions, shift))
         if req.bidirectional:
             rdims = tuple(sch.reverse_name(d) for d in req.dimensions)
-            axes.append(one_axis(4, reverse, rdims, shift))
+            axes.append(one_axis(4, reverse, rdims, shift, reversed_axis=True))
 
     out = axes[0]
     for a in axes[1:]:

@@ -242,3 +242,33 @@ def test_graph_line_axes_share_series(store):
     assert set(by_axis) == {1, 2, 3, 4}
     for axis in (2, 3, 4):
         assert by_axis[axis] <= by_axis[1], axis
+
+
+def test_graph_line_reversed_axis_swaps_pct_units(store):
+    """A reversed axis measures the opposite direction: inl2% on the
+    reverse axis must equal outl2% computed directly (reference
+    reverseUnits, console/graph.go:30-40).  With an empty filter and a
+    self-reversing dimension the reverse population equals the direct
+    one, and a limit above the cardinality means nothing folds — so
+    axis 2 of an inl2% request must match axis 1 of an outl2% request
+    value-for-value."""
+    req_in = GraphRequest(
+        start=START, end=END, dimensions=("ExporterName",), units="inl2%",
+        points=4, limit=50, bidirectional=True,
+    )
+    req_out = GraphRequest(
+        start=START, end=END, dimensions=("ExporterName",), units="outl2%",
+        points=4, limit=50,
+    )
+    ax2 = {
+        (r["bucket"], r["ExporterName"]): r["sum_w"]
+        for r in graph_line(store, req_in).collect()
+        if r["axis"] == 2
+    }
+    ax1_out = {
+        (r["bucket"], r["ExporterName"]): r["sum_w"]
+        for r in graph_line(store, req_out).collect()
+    }
+    assert ax2 and set(ax2) == set(ax1_out)
+    for k, v in ax2.items():
+        assert abs(v - ax1_out[k]) < 1e-9, k
