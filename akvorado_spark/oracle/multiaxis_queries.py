@@ -132,20 +132,30 @@ def _range_filter_sql(start: int, end: int) -> str:
     )
 
 
+def _prev_req_nodim(start: int, end: int) -> LineRequest:
+    from dataclasses import replace
+
+    return replace(_prev_req(start, end), dimensions=())
+
+
 def _spark_prev_period(spark, sf_dir):
     register_spark_view(spark, sf_dir)
     df = spark.table("flows_v")
     ts = F.unix_micros(F.col("TimeReceived").cast("timestamp"))
     main_df = df.filter((ts >= _START) & (ts < _END))
-    # the comparison axis shares the MAIN period's top set (reference
-    # skipWithClause) so both periods chart the same series
-    rows1 = top_rows_frame(main_df, _prev_req(_START, _END))
-    ax1 = compile_line(main_df, _prev_req(_START, _END), rows=rows1)
-    ax3 = compile_line(
-        df.filter((ts >= _START - _SHIFT) & (ts < _END - _SHIFT)),
-        _prev_req(_START - _SHIFT, _END - _SHIFT),
-        rows=rows1,
-    ).withColumn("bucket", F.col("bucket") + F.lit(_SHIFT))
+    ax1 = compile_line(main_df, _prev_req(_START, _END))
+    # the comparison axis is DIMENSIONLESS: the reference strips
+    # dimensions when shifting (console/line.go:81-86) — one total
+    # series, the dimension column riding along empty for the union
+    ax3 = (
+        compile_line(
+            df.filter((ts >= _START - _SHIFT) & (ts < _END - _SHIFT)),
+            _prev_req_nodim(_START - _SHIFT, _END - _SHIFT),
+        )
+        .withColumn("bucket", F.col("bucket") + F.lit(_SHIFT))
+        .withColumn("InIfName", F.lit(""))
+        .select("bucket", "InIfName", "sum_w", "xps")
+    )
     return ax1.select(F.lit(1).alias("axis"), "*").unionAll(
         ax3.select(F.lit(3).alias("axis"), "*")
     )
@@ -159,15 +169,12 @@ def _oracle_prev_period() -> str:
         f"(SELECT * FROM ({oracle_view_sql()}) "
         f"WHERE {_range_filter_sql(_START - _SHIFT, _END - _SHIFT)})"
     )
-    rows1 = oracle_line_rows_sql(src1, _prev_req(_START, _END))
     ax1 = oracle_line_sql(src1, _prev_req(_START, _END))
-    ax3 = oracle_line_sql(
-        src3, _prev_req(_START - _SHIFT, _END - _SHIFT), rows_sql=rows1
-    )
+    ax3 = oracle_line_sql(src3, _prev_req_nodim(_START - _SHIFT, _END - _SHIFT))
     return f"""
 SELECT 1 AS axis, bucket, InIfName, sum_w, xps FROM ({ax1})
 UNION ALL
-SELECT 3 AS axis, bucket + {_SHIFT} AS bucket, InIfName, sum_w, xps FROM ({ax3})"""
+SELECT 3 AS axis, bucket + {_SHIFT} AS bucket, '' AS InIfName, sum_w, xps FROM ({ax3})"""
 
 
 register("graph_line_prev_period", _spark_prev_period, _oracle_prev_period())

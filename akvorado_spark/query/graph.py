@@ -137,9 +137,15 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         agg_sql = unit.agg_sql
         if units == "fps" and res.interval_s > 0:
             agg_sql = "SUM(Flows)"  # exact flow count through the rollup merge
+        # the previous-period axes chart ONE total series: the reference
+        # strips dimensions when shifting (console/line.go:81-86,
+        # "dimensions are stripped"), so axes 3/4 aggregate over the
+        # whole filtered population and the dimension columns ride
+        # along empty for union-schema compatibility
+        axis_dims = () if shift is not None else dims
         lreq = LineRequest(
             time_col="TimeReceived",
-            dimensions=dims,
+            dimensions=axis_dims,
             weight_sql=None,
             interval_s=interval_s,
             limit=req.limit,
@@ -150,15 +156,22 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
             start_us=_us(start),
             end_us=_us(end),
         )
-        if axis_no == 1:
-            rows = top_rows_frame(df, lreq)
-            shared_rows["rows"] = rows
+        if not axis_dims:
+            line = compile_line(df, lreq)
         else:
-            rows = shared_rows["rows"]
-            for orig, actual in zip(req.dimensions, dims):
-                if orig != actual:
-                    rows = rows.withColumnRenamed(orig, actual)
-        line = compile_line(df, lreq, rows=rows)
+            if axis_no == 1:
+                rows = top_rows_frame(df, lreq)
+                shared_rows["rows"] = rows
+            else:
+                rows = shared_rows["rows"]
+                for orig, actual in zip(req.dimensions, dims):
+                    if orig != actual:
+                        rows = rows.withColumnRenamed(orig, actual)
+            line = compile_line(df, lreq, rows=rows)
+        if not axis_dims:
+            for d in req.dimensions:
+                line = line.withColumn(d, F.lit(""))
+            line = line.select("bucket", *req.dimensions, "sum_w", "xps")
         if shift is not None:
             shift_us = int(shift.total_seconds() * 1_000_000)
             line = line.withColumn("bucket", F.col("bucket") + F.lit(shift_us))
@@ -166,7 +179,7 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         # aggregation (P11): grouping stayed on cheap binary keys; only
         # the few surviving rows pay the render.  The 'Other' fold
         # literal arrives as the 5-byte b'Other' (no 16-byte collision).
-        for d in dims:
+        for d in axis_dims:
             spec = store.schema.by_name.get(d)
             if spec is not None and spec.truncatable_ip:
                 line = line.withColumn(
@@ -176,7 +189,7 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
                     ),
                 )
         # normalize dimension column names across axes (reverse swaps them)
-        for orig, actual in zip(req.dimensions, dims):
+        for orig, actual in zip(req.dimensions, axis_dims):
             if orig != actual:
                 line = line.withColumnRenamed(actual, orig)
         return line.select(F.lit(axis_no).alias("axis"), "*")

@@ -195,6 +195,37 @@ def compile_line(
             "__bucket", "__w", *dims
         )
 
+    if not dims:
+        # dimensionless request (total-traffic graph; also the
+        # previous-period axes, whose dimensions the reference strips —
+        # console/line.go:81-86): no ranking, no fold, one series
+        agg = base.groupBy("__bucket").agg(_agg_col(req).alias("sum_w"))
+        if not req.fill:
+            out = agg.withColumnRenamed("__bucket", "bucket")
+            return out.withColumn(
+                "xps", F.col("sum_w") / F.lit(req.interval_s)
+            ).orderBy("bucket")
+        buckets = bounds.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor(
+                        (F.col("__max_us") - F.col("__start_us")) / step_us
+                    ).cast("long"),
+                )
+            ).alias("__i"),
+            "__start_us",
+        ).select(
+            (F.col("__start_us") + F.col("__i") * step_us).cast("long").alias("__bucket")
+        )
+        out = (
+            buckets.join(agg, on="__bucket", how="left")
+            .withColumn("sum_w", F.coalesce(F.col("sum_w"), F.lit(0)).cast(req.value_type))
+            .withColumnRenamed("__bucket", "bucket")
+            .withColumn("xps", F.col("sum_w") / F.lit(req.interval_s))
+        )
+        return out.orderBy("bucket")
+
     shared_rows = rows is not None
     if rows is None:
         rows = _top_rows(base, req, bounds)
@@ -298,6 +329,8 @@ def oracle_line_sql(
     dcols = ", ".join(dims)
     ts = req.time_col
     agg = req.agg_sql if req.agg_sql else "SUM(w)"
+    if not dims:
+        return _oracle_line_nodim_sql(table_sql, req)
     val_names = list(req.base_cols) if req.agg_sql else ["w"]
     base_vals = (
         ", ".join(req.base_cols)
@@ -508,3 +541,48 @@ SELECT {dcols} FROM (
   )
   SELECT * FROM ({ranked}) ORDER BY tw DESC, {tie} LIMIT {req.limit}
 )"""
+
+
+def _oracle_line_nodim_sql(table_sql: str, req: LineRequest) -> str:
+    """Dimensionless oracle form: one total series, no fold."""
+    step_us = req.interval_s * 1_000_000
+    ts = req.time_col
+    agg = req.agg_sql if req.agg_sql else "SUM(w)"
+    base_vals = (
+        ", ".join(req.base_cols)
+        if req.agg_sql
+        else f"CAST({req.weight_sql} AS BIGINT) AS w"
+    )
+    otype = {"long": "BIGINT", "double": "DOUBLE", "int": "INTEGER"}[req.value_type]
+    if req.start_us is not None:
+        bounds_sql = (
+            f"SELECT CAST({req.start_us} AS BIGINT) AS start_us, "
+            f"CAST({req.end_us - 1} AS BIGINT) AS max_us"
+        )
+    else:
+        bounds_sql = (
+            f"SELECT MIN(epoch_us({ts})) AS start_us, MAX(epoch_us({ts})) AS max_us FROM source"
+        )
+    sql = f"""
+WITH source AS (SELECT * FROM {table_sql}),
+bounds AS ({bounds_sql}),
+base AS (
+  SELECT CAST(b.start_us + FLOOR((epoch_us(s.{ts}) - b.start_us) / {step_us}) * {step_us} AS BIGINT) AS bucket,
+         {base_vals}
+  FROM source s CROSS JOIN bounds b
+),
+agg AS (SELECT bucket, CAST({agg} AS {otype}) AS sum_w FROM base GROUP BY bucket)"""
+    if not req.fill:
+        return sql + f"""
+SELECT bucket, sum_w, CAST(sum_w AS {otype}) / {req.interval_s} AS xps
+FROM agg ORDER BY bucket"""
+    return sql + f""",
+buckets AS (
+  SELECT CAST(b.start_us + t.i * {step_us} AS BIGINT) AS bucket
+  FROM bounds b CROSS JOIN generate_series(0, 2000000) t(i)
+  WHERE t.i <= FLOOR((b.max_us - b.start_us) / {step_us})
+)
+SELECT k.bucket, CAST(COALESCE(a.sum_w, 0) AS {otype}) AS sum_w,
+       CAST(COALESCE(a.sum_w, 0) AS {otype}) / {req.interval_s} AS xps
+FROM buckets k LEFT JOIN agg a ON k.bucket = a.bucket
+ORDER BY k.bucket"""

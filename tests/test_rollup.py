@@ -225,10 +225,10 @@ def test_main_table_has_bloom_filters_on_addresses(spark, tmp_path):
 
 
 def test_graph_line_axes_share_series(store):
-    """Axes 2-4 fold against axis 1's top set (the reference's shared
-    rows CTE): the reverse and previous-period axes must chart exactly
-    the same series values as the direct axis — never a tuple the
-    direct axis didn't rank."""
+    """The reverse axis folds against axis 1's top set (the
+    reference's shared rows CTE) and the previous-period axes chart a
+    single dimensionless total series (the reference strips dimensions
+    when shifting)."""
     out = graph_line(
         store,
         GraphRequest(
@@ -240,8 +240,11 @@ def test_graph_line_axes_share_series(store):
     for r in out:
         by_axis.setdefault(r["axis"], set()).add(r["SrcAS"])
     assert set(by_axis) == {1, 2, 3, 4}
-    for axis in (2, 3, 4):
-        assert by_axis[axis] <= by_axis[1], axis
+    # the reverse axis folds against axis 1's shared top set
+    assert by_axis[2] <= by_axis[1]
+    # the previous-period axes chart ONE total series (the reference
+    # strips dimensions when shifting, console/line.go:81-86)
+    assert by_axis[3] == {""} and by_axis[4] == {""}
 
 
 def test_graph_line_reversed_axis_swaps_pct_units(store):
