@@ -81,6 +81,25 @@ def _us(dt: datetime) -> int:
     return int(dt.timestamp() * 1_000_000)
 
 
+
+
+def align_range(
+    start: datetime, end: datetime, table_interval_s: int, interval_s: int
+) -> tuple[datetime, datetime]:
+    """The reference's ``forRange`` (console/clickhouse.go:234-249):
+    truncate both ends to the TABLE resolution — a query bucket that
+    doesn't start on a stored-rollup boundary would split rollup rows
+    (each carries its whole bucket's sum) across query buckets — then
+    snap the end so the range is a whole number of intervals (every
+    bucket is full-width).  At least one interval survives."""
+    t = max(table_interval_s, 1)
+    s = int(start.timestamp()) // t * t
+    e = int(end.timestamp()) // t * t
+    e = s + max((e - s) // interval_s * interval_s, interval_s)
+    tz = timezone.utc
+    return datetime.fromtimestamp(s, tz=tz), datetime.fromtimestamp(e, tz=tz)
+
+
 def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
     sch = flow_filter_schema()
     direct = compile_filter(req.filter, sch)
@@ -94,6 +113,9 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
     target = max(int((req.end - req.start).total_seconds() // req.points), 1)
     res, interval_s = store.best_table(req.start, req.end, target, require_main)
     frame = store.read(res)
+    # one aligned range shared by every axis (shifted axes keep its
+    # length, so all axes draw the same number of points)
+    a_start, a_end = align_range(req.start, req.end, res.interval_s, interval_s)
 
     axes: list[DataFrame] = []
 
@@ -108,7 +130,7 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         shift: timedelta | None = None,
         reversed_axis: bool = False,
     ) -> DataFrame:
-        start, end = req.start, req.end
+        start, end = a_start, a_end
         if shift is not None:
             start, end = start - shift, end - shift
         # part_date predicate first: prunes whole partitions before the
@@ -229,17 +251,18 @@ def graph_sankey(store: FlowStore, req: GraphRequest) -> DataFrame:
     truncating = req.truncate_v4 < 32 or req.truncate_v6 < 128
 
     target = max(int((req.end - req.start).total_seconds() // 20), 1)
-    res, _ = store.best_table(req.start, req.end, target, require_main)
+    res, s_interval = store.best_table(req.start, req.end, target, require_main)
     frame = store.read(res)
+    a_start, a_end = align_range(req.start, req.end, res.interval_s, s_interval)
 
     def prep(filt, dims: tuple[str, ...]) -> DataFrame:
         df = frame.filter(
-            (F.col("part_date") >= F.lit(req.start.date()))
-            & (F.col("part_date") <= F.lit(req.end.date()))
+            (F.col("part_date") >= F.lit(a_start.date()))
+            & (F.col("part_date") <= F.lit(a_end.date()))
         ).drop("part_date")
         df = df.filter(
-            (F.col("TimeReceived") >= F.lit(req.start))
-            & (F.col("TimeReceived") < F.lit(req.end))
+            (F.col("TimeReceived") >= F.lit(a_start))
+            & (F.col("TimeReceived") < F.lit(a_end))
         ).filter(filt.column())
         df = store.schema.view(df)
         if truncating:

@@ -275,3 +275,43 @@ def test_graph_line_reversed_axis_swaps_pct_units(store):
     assert ax2 and set(ax2) == set(ax1_out)
     for k, v in ax2.items():
         assert abs(v - ax1_out[k]) < 1e-9, k
+
+
+def test_graph_line_unaligned_range_never_splits_rollup_buckets(store):
+    """An unaligned request start must not split stored rollup buckets
+    (each rollup row carries its whole bucket's sum): the handler
+    truncates the range to the table resolution (reference forRange,
+    console/clickhouse.go:234-249), so every emitted bucket lies on a
+    table-resolution boundary and the routed totals equal a direct
+    raw-table aggregation over the aligned range."""
+    from akvorado_spark.query.graph import align_range
+
+    ragged_start = START + timedelta(minutes=7, seconds=23)
+    ragged_end = END - timedelta(minutes=3, seconds=41)
+    req = GraphRequest(
+        start=ragged_start, end=ragged_end, dimensions=("ExporterName",),
+        units="l3bps", points=4, limit=50,
+    )
+    out = graph_line(store, req).collect()
+    assert out
+    # which table/interval served it
+    target = max(int((ragged_end - ragged_start).total_seconds() // 4), 1)
+    res, interval_s = store.best_table(ragged_start, ragged_end, target)
+    assert res.interval_s > 0  # the request really routed to a rollup
+    a_start, a_end = align_range(ragged_start, ragged_end, res.interval_s, interval_s)
+    lo, hi = int(a_start.timestamp() * 1e6), int(a_end.timestamp() * 1e6)
+    for r in out:
+        assert r["bucket"] % (res.interval_s * 1_000_000) == 0
+        assert lo <= r["bucket"] < hi
+    # routed totals == raw-table aggregation over the SAME aligned range
+    raw = store.read(store.resolutions[0])
+    got_total = sum(r["sum_w"] for r in out)
+    want_total = (
+        raw.filter(
+            (F.col("TimeReceived") >= F.lit(a_start))
+            & (F.col("TimeReceived") < F.lit(a_end))
+        )
+        .agg(F.sum(F.col("Bytes") * F.col("SamplingRate") * 8))
+        .first()[0]
+    )
+    assert got_total == want_total
