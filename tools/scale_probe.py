@@ -40,6 +40,11 @@ HEADLINE = [
     "rate_limit_compensated",
     "text_stats",
     "docs_chunking",
+    "exporters_table",
+    "complete_suite",
+    "widget_exporters",
+    "graph_line_bidir",
+    "graph_line_prev_period",
 ]
 
 
