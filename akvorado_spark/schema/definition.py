@@ -117,6 +117,12 @@ def _base_columns() -> list[FlowColumn]:
         _lc("SrcGeoCity"),
         FlowColumn("SrcVlan", i32, disabled=True),
         FlowColumn("SrcPort", i32, main_only=True),
+        # --- optional directional columns, disabled by default like the
+        # reference's registry (definition.go:436-452): enable via
+        # FlowSchema.configure(enable=...) ---
+        FlowColumn("SrcAddrNAT", B, disabled=True, main_only=True, truncatable_ip=True),
+        FlowColumn("SrcPortNAT", i32, disabled=True, main_only=True),
+        FlowColumn("SrcMAC", i64, disabled=True),
         FlowColumn("InIfName", T.StringType(), primary=True),
         _lc("InIfDescription", not_sorting_key=True),
         FlowColumn("InIfSpeed", i32, not_sorting_key=True, not_dimension=True),
@@ -141,6 +147,47 @@ def _base_columns() -> list[FlowColumn]:
         FlowColumn("ForwardingStatus", i32, primary=True),
         _lc("FlowDirection"),
         FlowColumn("NextHop", T.BinaryType(), main_only=True, truncatable_ip=True),
+        # --- optional L3/L4 + MPLS + VRF registry columns, disabled by
+        # default (reference definition.go:453-537); the ICMP display
+        # aliases use the type/code fallback form — dictionary-name
+        # rendering is the render layer's icmp_lookup (J2), where the
+        # reference's dictGetOrDefault also lives ---
+        FlowColumn("IPTTL", i32, disabled=True),
+        FlowColumn("IPTos", i32, disabled=True),
+        FlowColumn("IPFragmentID", i64, disabled=True),
+        FlowColumn("IPFragmentOffset", i32, disabled=True),
+        FlowColumn("IPv6FlowLabel", i64, disabled=True),
+        FlowColumn("TCPFlags", i32, disabled=True),
+        FlowColumn("ICMPv4Type", i32, disabled=True),
+        FlowColumn("ICMPv4Code", i32, disabled=True),
+        FlowColumn("ICMPv6Type", i32, disabled=True),
+        FlowColumn("ICMPv6Code", i32, disabled=True),
+        FlowColumn(
+            "ICMPv4",
+            T.StringType(),
+            disabled=True,
+            alias="CASE WHEN Proto = 1 THEN CONCAT(CAST(ICMPv4Type AS STRING), "
+            "'/', CAST(ICMPv4Code AS STRING)) ELSE '' END",
+        ),
+        FlowColumn(
+            "ICMPv6",
+            T.StringType(),
+            disabled=True,
+            alias="CASE WHEN Proto = 58 THEN CONCAT(CAST(ICMPv6Type AS STRING), "
+            "'/', CAST(ICMPv6Code AS STRING)) ELSE '' END",
+        ),
+        FlowColumn("MPLSLabels", T.ArrayType(i64), disabled=True, main_only=True,
+                   not_dimension=True),
+        FlowColumn("MPLS1stLabel", i64, disabled=True, main_only=True,
+                   alias="try_element_at(MPLSLabels, 1)"),
+        FlowColumn("MPLS2ndLabel", i64, disabled=True, main_only=True,
+                   alias="try_element_at(MPLSLabels, 2)"),
+        FlowColumn("MPLS3rdLabel", i64, disabled=True, main_only=True,
+                   alias="try_element_at(MPLSLabels, 3)"),
+        FlowColumn("MPLS4thLabel", i64, disabled=True, main_only=True,
+                   alias="try_element_at(MPLSLabels, 4)"),
+        FlowColumn("IngressVRFID", i64, disabled=True),
+        FlowColumn("EgressVRFID", i64, disabled=True),
     ]
 
 

@@ -112,3 +112,47 @@ def test_configure_enable_disable_materialize(spark):
     assert [r["SrcNetPrefix"] for r in rows] == [r["SrcNetPrefix"] for r in ref]
     # rollups never carry the materialized MainOnly prefix
     assert "SrcNetPrefix" not in [c.name for c in cfg.rollup_columns()]
+
+
+def test_optional_registry_columns_enable_and_alias(spark):
+    """The disabled registry columns (NAT, MAC, TTL/ToS/fragments,
+    TCP flags, ICMP, MPLS, VRF — reference definition.go:436-537) turn
+    on via configure() and their alias columns compute from stored
+    deps: MPLS label aliases index MPLSLabels, ICMP display aliases
+    gate on Proto with the type/code fallback form."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.schema.definition import flows_schema
+
+    base = flows_schema()
+    names = {c.name for c in base.columns}
+    assert {
+        "SrcAddrNAT", "DstAddrNAT", "SrcPortNAT", "DstPortNAT", "SrcMAC",
+        "DstMAC", "IPTTL", "IPTos", "IPFragmentID", "IPFragmentOffset",
+        "IPv6FlowLabel", "TCPFlags", "ICMPv4Type", "ICMPv4Code", "ICMPv4",
+        "ICMPv6", "MPLSLabels", "MPLS1stLabel", "MPLS4thLabel",
+        "IngressVRFID", "EgressVRFID",
+    } <= names
+    # all disabled by default — the stored schema is unchanged
+    assert not any(
+        c.name in ("TCPFlags", "MPLSLabels", "SrcMAC") for c in base.stored()
+    )
+
+    sch = base.configure(
+        enable=("MPLSLabels", "MPLS1stLabel", "MPLS2ndLabel", "TCPFlags",
+                "ICMPv4", "ICMPv4Type", "ICMPv4Code", "Proto")
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [100, 200], 6, 0, 0),
+            (2, [300], 1, 3, 1),
+            (3, [], 1, 8, 0),
+        ],
+        "id long, MPLSLabels array<long>, Proto int, ICMPv4Type int, ICMPv4Code int",
+    ).withColumn("TCPFlags", F.lit(16).cast("int"))
+    out = {r["id"]: r for r in sch.view(df).collect()}
+    assert out[1]["MPLS1stLabel"] == 100 and out[1]["MPLS2ndLabel"] == 200
+    assert out[2]["MPLS1stLabel"] == 300 and out[2]["MPLS2ndLabel"] is None
+    assert out[1]["ICMPv4"] == ""        # not ICMP
+    assert out[2]["ICMPv4"] == "3/1"
+    assert out[3]["ICMPv4"] == "8/0"
