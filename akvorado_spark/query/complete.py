@@ -276,3 +276,68 @@ def complete_static_value(column: str, prefix: str, fschema) -> list[dict]:
     return [
         {"label": v, "detail": d} for v, d in vals if p in v.lower()
     ]
+
+
+def complete_mac(
+    flows: DataFrame, prefix: str = "", limit: int = 20, column: str = "SrcMAC"
+) -> DataFrame:
+    """MAC-address completion (reference console/filter.go:218-243):
+    rendered MACs seen in recent flows, most-used first, prefix matched
+    on the rendered form."""
+    from akvorado_spark.query.render import render_mac
+
+    base = (
+        flows.select(render_mac(F.col(column)).alias("label"))
+        .filter(_match_pos(F.col("label"), prefix) > 0)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        base.orderBy(F.desc("__n"), "label")
+        .limit(limit)
+        .select("label", F.lit("MAC address").alias("detail"))
+    )
+
+
+def complete_communities(
+    flows: DataFrame, prefix: str = "", limit: int = 20, side: str = "Dst"
+) -> DataFrame:
+    """Community completion (reference console/filter.go:244-283):
+    each community of the recent flows unrolled out of the
+    ``<side>Communities`` / ``<side>LargeCommunities`` arrays, rendered
+    ("asn:value" / "asn:v1:v2"), most-used first per family, the two
+    families unioned, prefix matched with ``startsWith`` like the
+    reference."""
+    def unrolled(column: str, render, detail: str) -> DataFrame:
+        if column not in flows.columns:
+            return None
+        return (
+            flows.select(F.explode(F.col(column)).alias("__c"))
+            .groupBy("__c")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select(
+                render(F.col("__c")).alias("label"),
+                F.lit(detail).alias("detail"),
+                "__n",
+            )
+        )
+
+    from akvorado_spark.query.render import (
+        render_community_value,
+        render_large_community_value,
+    )
+
+    parts = [
+        unrolled(f"{side}Communities", render_community_value, "community"),
+        unrolled(f"{side}LargeCommunities", render_large_community_value, "large community"),
+    ]
+    parts = [p for p in parts if p is not None]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.filter(F.col("label").startswith(prefix))
+        .orderBy(F.desc("__n"), "label")
+        .limit(limit)
+        .select("label", "detail")
+    )

@@ -113,30 +113,34 @@ def compact_path(path: Column) -> Column:
     return F.transform(kept, lambda i: F.element_at(path, i))
 
 
+def render_community_value(c: Column) -> Column:
+    """One community → 'asn:value' (reference CommunityToString,
+    console/query/column.go:216-223)."""
+    return F.concat(
+        F.shiftright(c, 16).cast("string"),
+        F.lit(":"),
+        c.bitwiseAND(F.lit(0xFFFF)).cast("string"),
+    )
+
+
+def render_large_community_value(c: Column) -> Column:
+    """One large community struct(asn, local1, local2) → 'asn:l1:l2'
+    (reference LargeCommunityToString, column.go:234-248; SURVEY §1.3
+    recommends the struct form over UInt128)."""
+    return F.concat_ws(
+        ":",
+        c["asn"].cast("string"),
+        c["local1"].cast("string"),
+        c["local2"].cast("string"),
+    )
+
+
 def render_communities(comm: Column) -> Column:
     """``arrayMap(c -> concat(toString(shiftright(c,16)), ':',
     toString(bitAnd(c, 0xffff))), comm)`` → space-joined."""
-    strs = F.transform(
-        comm,
-        lambda c: F.concat(
-            F.shiftright(c, 16).cast("string"),
-            F.lit(":"),
-            c.bitwiseAND(F.lit(0xFFFF)).cast("string"),
-        ),
-    )
-    return F.array_join(strs, " ")
+    return F.array_join(F.transform(comm, render_community_value), " ")
 
 
 def render_large_communities(comm: Column) -> Column:
-    """Large communities as struct(asn, local1, local2) →
-    'asn:l1:l2' (SURVEY §1.3 recommends the struct form over UInt128)."""
-    strs = F.transform(
-        comm,
-        lambda c: F.concat_ws(
-            ":",
-            c["asn"].cast("string"),
-            c["local1"].cast("string"),
-            c["local2"].cast("string"),
-        ),
-    )
-    return F.array_join(strs, " ")
+    """Large communities → space-joined 'asn:l1:l2' strings."""
+    return F.array_join(F.transform(comm, render_large_community_value), " ")

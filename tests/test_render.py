@@ -87,3 +87,38 @@ def test_widgets_shapes(spark):
     assert by_name["Unknown"] == 60.0 and by_name["b"] == 30.0
     last = last_flow(df, "TimeReceived", ("ExporterName",)).collect()
     assert len(last) == 1 and last[0]["ExporterName"] == ""
+
+
+def test_complete_mac_and_communities(spark):
+    """The data-driven MAC / community completion branches (reference
+    console/filter.go:218-283): rendered values from recent flows,
+    most-used first, community + large-community families unioned with
+    startsWith prefix matching."""
+    from akvorado_spark.query.complete import complete_communities, complete_mac
+
+    flows = spark.createDataFrame(
+        [
+            (0x001122334455, [65000 * 65536 + 100, 65000 * 65536 + 100],
+             [{"asn": 65001, "local1": 1, "local2": 2}]),
+            (0x001122334455, [65000 * 65536 + 200], []),
+            (0xA1B2C3D4E5F6, [65000 * 65536 + 100], []),
+        ],
+        "SrcMAC long, DstCommunities array<long>, "
+        "DstLargeCommunities array<struct<asn:long,local1:long,local2:long>>",
+    )
+    macs = [(r["label"], r["detail"]) for r in complete_mac(flows, "00:").collect()]
+    assert macs == [("00:11:22:33:44:55", "MAC address")]
+    all_macs = [r["label"] for r in complete_mac(flows, "").collect()]
+    assert all_macs[0] == "00:11:22:33:44:55"  # most used first
+
+    comms = [
+        (r["label"], r["detail"])
+        for r in complete_communities(flows, "65000:").collect()
+    ]
+    # 65000:100 seen 3x beats 65000:200 seen once
+    assert comms == [("65000:100", "community"), ("65000:200", "community")]
+    large = [
+        (r["label"], r["detail"])
+        for r in complete_communities(flows, "65001").collect()
+    ]
+    assert large == [("65001:1:2", "large community")]
