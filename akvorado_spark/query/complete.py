@@ -341,3 +341,68 @@ def complete_communities(
         .limit(limit)
         .select("label", "detail")
     )
+
+
+def complete_network_attr(
+    networks: DataFrame, attribute: str, prefix: str = "", limit: int = 20
+) -> DataFrame:
+    """Network-attribute completion (reference console/filter.go:
+    408-432): DISTINCT values of ``attribute`` (name/role/site/region/
+    tenant) from the networks dimension table, prefix-matched
+    case-insensitively, ordered by value."""
+    col = F.col(attribute).alias("label")
+    return (
+        networks.select(col)
+        .filter(_match_pos(F.col("label"), prefix) > 0)
+        .distinct()
+        .orderBy("label")
+        .limit(limit)
+        .select("label", F.lit("network name").alias("detail"))
+    )
+
+
+def complete_icmp(
+    flows: DataFrame, prefix: str = "", limit: int = 20, v6: bool = False
+) -> DataFrame:
+    """ICMP completion (reference console/filter.go:433-489): rendered
+    ICMP values seen in recent flows of the right protocol (rank 1,
+    most-used first) unioned with the ICMP dictionary's names for that
+    protocol (rank 2, prefix position then type/code order)."""
+    from akvorado_spark.sources.dictionaries import ICMP
+    from akvorado_spark.sources.tables import local_df
+
+    proto = 58 if v6 else 1
+    col = "ICMPv6" if v6 else "ICMPv4"
+    spark = flows.sparkSession
+
+    seen = None
+    if col in flows.columns:
+        seen = (
+            flows.filter((F.col("Proto") == proto) & (F.col(col) != ""))
+            .select(F.col(col).alias("label"))
+            .filter(_match_pos(F.col("label"), prefix) > 0)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        seen = _top_with_ord(
+            seen, [F.desc("__n"), F.asc("label")], limit
+        ).select("label", F.lit(1).alias("rank"), "ord")
+
+    dico_rows = [
+        (name, t, c) for (p, t, c, name) in ICMP if p == proto
+    ]
+    dico = local_df(spark, dico_rows, "label string, t int, c int").filter(
+        _match_pos(F.col("label"), prefix) > 0
+    )
+    dico = _top_with_ord(
+        dico, [_match_pos(F.col("label"), prefix).asc(), F.asc("t"), F.asc("c")], limit
+    ).select("label", F.lit(2).alias("rank"), "ord")
+
+    u = dico if seen is None else seen.unionByName(dico)
+    return (
+        u.groupBy("label")
+        .agg(F.min("rank").alias("__r"), F.min("ord").alias("__o"))
+        .orderBy("__r", "__o", "label")
+        .limit(limit)
+        .select("label", F.lit("ICMP").alias("detail"))
+    )

@@ -122,3 +122,27 @@ def test_complete_mac_and_communities(spark):
         for r in complete_communities(flows, "65001").collect()
     ]
     assert large == [("65001:1:2", "large community")]
+
+
+def test_complete_network_attr_and_icmp(spark):
+    from akvorado_spark.query.complete import complete_icmp, complete_network_attr
+
+    networks = spark.createDataFrame(
+        [("backbone",), ("customer-a",), ("customer-b",), ("transit",)],
+        "Name string",
+    )
+    got = [r["label"] for r in complete_network_attr(networks, "Name", "cust").collect()]
+    assert got == ["customer-a", "customer-b"]
+
+    flows = spark.createDataFrame(
+        [(1, "8/0"), (1, "8/0"), (1, "3/1"), (6, "")],
+        "Proto int, ICMPv4 string",
+    )
+    labels = [r["label"] for r in complete_icmp(flows, "").collect()]
+    # flows-seen values first (8/0 most used), then dictionary names
+    assert labels[0] == "8/0" and labels[1] == "3/1"
+    assert any("echo" in l.lower() or "unreachable" in l.lower() for l in labels[2:])
+    # dictionary-only when the flows frame lacks the rendered column
+    bare = spark.createDataFrame([(1,)], "Proto int")
+    dico_only = [r["label"] for r in complete_icmp(bare, "echo").collect()]
+    assert dico_only and all("echo" in l.lower() for l in dico_only)
