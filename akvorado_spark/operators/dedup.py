@@ -478,6 +478,16 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # min-label propagation advances one hop per round: a chain
+        # longer than max_iter would silently return SPLIT clusters.
+        # Raising is the only safe outcome — a wrong dedup survivor map
+        # corrupts the corpus downstream.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "the pair graph has a path longer than max_iter — raise max_iter"
+        )
     edges.unpersist()
     return labels
 

@@ -90,7 +90,30 @@ class FlowStore:
         )
 
     def path(self, res: Resolution) -> str:
+        if "://" in self.root:
+            return self.root.rstrip("/") + "/" + res.table_name
         return os.path.join(self.root, res.table_name)
+
+    def _partition_dirs(self, p: str) -> list[str] | None:
+        """Names of ``part_date=*`` children of a table dir, or ``None``
+        when the dir itself is absent.  Local paths use ``os`` directly;
+        URI-style roots (hdfs://, s3a://, file://) go through Hadoop's
+        FileSystem API — an ``os`` check there is always False and would
+        make an existing remote table silently read as empty."""
+        if "://" not in p:
+            if not os.path.isdir(p):
+                return None
+            return [d for d in os.listdir(p) if d.startswith("part_date=")]
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory() and st.getPath().getName().startswith("part_date=")
+        ]
 
     # --- write paths ------------------------------------------------------
 
@@ -184,9 +207,7 @@ class FlowStore:
         declared schema instead of failing schema inference — queries
         over an empty store must compose, not crash."""
         p = self.path(res)
-        if os.path.isdir(p) and any(
-            d.startswith("part_date=") for d in os.listdir(p)
-        ):
+        if self._partition_dirs(p):
             return self.spark.read.parquet(p)
         import pyspark.sql.types as T
 
@@ -204,14 +225,10 @@ class FlowStore:
         """Oldest retained data, from partition directory names (cheap —
         no data scan; reference probes MIN(TimeReceived) per table,
         console/clickhouse.go:63-71)."""
-        p = self.path(res)
-        if not os.path.isdir(p):
+        parts = self._partition_dirs(self.path(res))
+        if not parts:
             return None
-        dates = sorted(
-            d.split("=", 1)[1] for d in os.listdir(p) if d.startswith("part_date=")
-        )
-        if not dates:
-            return None
+        dates = sorted(d.split("=", 1)[1] for d in parts)
         return datetime.strptime(dates[0], "%Y-%m-%d").replace(tzinfo=timezone.utc)
 
     def best_table(
@@ -233,10 +250,10 @@ class FlowStore:
             if res.interval_s > target_interval_s:
                 continue
             oldest = self.oldest(res)
-            if oldest is not None and oldest > start:
+            if oldest is None:
+                continue  # absent/empty table
+            if oldest > start:
                 continue  # doesn't cover the range start
-            if not os.path.isdir(self.path(res)):
-                continue
             if res.interval_s >= best.interval_s:
                 best = res
         snapped = target_interval_s
@@ -257,16 +274,23 @@ class FlowStore:
         for res in self.resolutions:
             cutoff = (now - timedelta(seconds=res.ttl_s)).date()
             p = self.path(res)
-            if not os.path.isdir(p):
+            parts = self._partition_dirs(p)
+            if not parts:
                 continue
-            for d in os.listdir(p):
-                if not d.startswith("part_date="):
-                    continue
+            for d in parts:
                 try:
                     dt = datetime.strptime(d.split("=", 1)[1], "%Y-%m-%d").date()
                 except ValueError:
                     continue
                 if dt < cutoff:
-                    shutil.rmtree(os.path.join(p, d))
+                    if "://" in p:
+                        jvm = self.spark._jvm
+                        jpath = jvm.org.apache.hadoop.fs.Path(p + "/" + d)
+                        fs = jpath.getFileSystem(
+                            self.spark._jsc.hadoopConfiguration()
+                        )
+                        fs.delete(jpath, True)
+                    else:
+                        shutil.rmtree(os.path.join(p, d))
                     dropped.append(os.path.join(res.table_name, d))
         return dropped

@@ -69,8 +69,8 @@ def _shift_back(req: GraphRequest) -> timedelta:
         # calendar-aware: same instant previous year (leap-safe)
         try:
             prev = req.start.replace(year=req.start.year - 1)
-        except ValueError:  # Feb 29 → Feb 28
-            prev = req.start.replace(year=req.start.year - 1, day=28)
+        except ValueError:  # Feb 29 → Mar 1, like Go AddDate (console/line.go:81-96)
+            prev = req.start.replace(year=req.start.year - 1, month=3, day=1)
         return req.start - prev
     return PREVIOUS_PERIODS[req.previous_period]
 
@@ -93,6 +93,12 @@ def align_range(
     snap the end so the range is a whole number of intervals (every
     bucket is full-width).  At least one interval survives."""
     t = max(table_interval_s, 1)
+    # naive datetimes are UTC instants everywhere in this module (_us);
+    # datetime.timestamp() would instead read them in the host TZ
+    if start.tzinfo is None:
+        start = start.replace(tzinfo=timezone.utc)
+    if end.tzinfo is None:
+        end = end.replace(tzinfo=timezone.utc)
     s = int(start.timestamp()) // t * t
     e = int(end.timestamp()) // t * t
     e = s + max((e - s) // interval_s * interval_s, interval_s)
@@ -185,10 +191,15 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
                 rows = top_rows_frame(df, lreq)
                 shared_rows["rows"] = rows
             else:
-                rows = shared_rows["rows"]
-                for orig, actual in zip(req.dimensions, dims):
-                    if orig != actual:
-                        rows = rows.withColumnRenamed(orig, actual)
+                # rename atomically: sequential withColumnRenamed breaks
+                # when the dimension list contains a reverse pair
+                # (SrcAS,DstAS → DstAS,SrcAS would collide mid-loop)
+                rows = shared_rows["rows"].select(
+                    *[
+                        F.col(orig).alias(actual)
+                        for orig, actual in zip(req.dimensions, dims)
+                    ]
+                )
             line = compile_line(df, lreq, rows=rows)
         if not axis_dims:
             for d in req.dimensions:
@@ -210,10 +221,18 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
                         ip_display(F.col(d))
                     ),
                 )
-        # normalize dimension column names across axes (reverse swaps them)
-        for orig, actual in zip(req.dimensions, axis_dims):
-            if orig != actual:
-                line = line.withColumnRenamed(actual, orig)
+        # normalize dimension column names across axes (reverse swaps
+        # them); atomic select so a reversed pair can't collide mid-rename
+        if axis_dims:
+            line = line.select(
+                "bucket",
+                *[
+                    F.col(actual).alias(orig)
+                    for orig, actual in zip(req.dimensions, axis_dims)
+                ],
+                "sum_w",
+                "xps",
+            )
         return line.select(F.lit(axis_no).alias("axis"), "*")
 
     axes.append(one_axis(1, direct, req.dimensions))
@@ -320,9 +339,12 @@ def graph_sankey(store: FlowStore, req: GraphRequest) -> DataFrame:
         compile_sankey(rdf, rreq, rows=fwd_rows, rows_cols=req.dimensions, rng=rng),
         rdims,
     )
-    for rev, fwd in zip(rdims, req.dimensions):
-        if rev != fwd:
-            ax2 = ax2.withColumnRenamed(rev, fwd)
+    # atomic rename (a reversed pair would collide in a sequential loop)
+    ax2 = ax2.select(
+        *[F.col(rev).alias(fwd) for rev, fwd in zip(rdims, req.dimensions)],
+        "sum_w",
+        "xps",
+    )
     return ax1.unionAll(ax2.select(F.lit(2).alias("axis"), "*"))
 
 

@@ -311,14 +311,21 @@ def test_connected_components_empty(spark):
     assert connected_components(pairs).count() == 0
 
 
-def test_connected_components_max_iter_caps_rounds(spark):
-    """With max_iter=0 the result is the min-neighbor initialization,
-    not the transitive fixpoint — the cap is a real bound."""
+def test_connected_components_nonconvergence_raises(spark):
+    """A pair graph with a chain longer than max_iter must raise, not
+    silently return split clusters (ADVICE r3: dedup.py max_iter)."""
     from akvorado_spark.operators.dedup import connected_components
 
-    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
-    comp0 = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=0).collect()}
-    assert comp0 == {1: 1, 2: 1, 3: 2, 4: 3}  # one-hop minima only
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, max_iter=1)
+    # the same chain converges (to one component) with enough rounds
+    comp = {
+        r["id"]: r["comp"] for r in connected_components(pairs, max_iter=15).collect()
+    }
+    assert set(comp.values()) == {1}
 
 
 def test_decontaminate_flags_overlapping_docs(spark):

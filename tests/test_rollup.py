@@ -105,6 +105,36 @@ def test_graph_line_bidirectional_and_truncate(store):
             assert int(a) % (1 << 80) == 0  # /48 truncation
 
 
+def test_graph_line_bidirectional_paired_dims(store):
+    """Dimensions containing a reverse pair (SrcAS, DstAS) — the
+    reversed axis swaps them to (DstAS, SrcAS), which crashed the old
+    sequential rename with AMBIGUOUS_REFERENCE (ADVICE r3).  The
+    reversed axis must fold against axis 1's top tuple set."""
+    out = graph_line(
+        store,
+        GraphRequest(
+            start=START, end=END, dimensions=("SrcAS", "DstAS"), units="l3bps",
+            points=24, limit=3, bidirectional=True,
+        ),
+    ).collect()
+    ax1 = [r for r in out if r["axis"] == 1]
+    ax2 = [r for r in out if r["axis"] == 2]
+    assert ax1 and ax2
+    kept1 = {
+        (r["SrcAS"], r["DstAS"])
+        for r in ax1
+        if "Other" not in (str(r["SrcAS"]), str(r["DstAS"]))
+    }
+    kept2 = {
+        (r["SrcAS"], r["DstAS"])
+        for r in ax2
+        if "Other" not in (str(r["SrcAS"]), str(r["DstAS"]))
+    }
+    assert len(kept1) <= 3
+    # shared rows CTE: the reversed axis charts exactly axis 1's series set
+    assert kept2 <= kept1
+
+
 def test_graph_line_previous_period_overlays(store):
     mid = datetime(2024, 1, 1, 3, tzinfo=timezone.utc)
     out = graph_line(
@@ -315,3 +345,55 @@ def test_graph_line_unaligned_range_never_splits_rollup_buckets(store):
         .first()[0]
     )
     assert got_total == want_total
+
+
+def test_flowstore_uri_root_round_trip(spark, tmp_path):
+    """URI-style roots (hdfs://, s3a://, file://) must go through the
+    Hadoop FileSystem API — an os.path check is always False there and
+    silently read an existing table as empty (ADVICE r3: rollup.py).
+    file:// exercises that code path against the local FS."""
+    root = "file://" + str(tmp_path / "uristore")
+    s = FlowStore(spark, root)
+    # absent table: still composes as an empty typed frame
+    assert s.read(s.resolutions[0]).count() == 0
+    assert s.oldest(s.resolutions[0]) is None
+    df = flows_schema().ingest(flows_df(spark, n=500))
+    s.write_main(df)
+    s.build_rollups()
+    # the same data read back through the URI root — NOT silently empty
+    assert s.read(s.resolutions[0]).count() == 500
+    assert s.oldest(s.resolutions[0]) is not None
+    res, _ = s.best_table(START, END, target_interval_s=7200)
+    assert res.interval_s == 3600  # router sees the rollup through the URI
+    # TTL expiry deletes partitions through the Hadoop FS as well
+    dropped = s.expire(now=datetime(2030, 1, 1, tzinfo=timezone.utc))
+    assert dropped
+    assert s.read(s.resolutions[0]).count() == 0
+
+
+def test_align_range_naive_datetimes_are_utc(spark):
+    """Naive datetimes are UTC instants (like _us); align_range must not
+    reinterpret them in the host TZ (ADVICE r3: graph.py align_range).
+    Forces a non-UTC process TZ so datetime.timestamp()'s local-time
+    reading would actually shift the result."""
+    import os
+    import time
+
+    from akvorado_spark.query.graph import align_range
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        naive = datetime(2024, 1, 1, 3, 7, 23)
+        aware = naive.replace(tzinfo=timezone.utc)
+        s1, e1 = align_range(naive, naive + timedelta(hours=2), 3600, 3600)
+        s2, e2 = align_range(aware, aware + timedelta(hours=2), 3600, 3600)
+        assert (s1, e1) == (s2, e2)
+        assert s1 == datetime(2024, 1, 1, 3, tzinfo=timezone.utc)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()

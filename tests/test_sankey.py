@@ -58,6 +58,22 @@ def test_sankey_folds_per_dimension_not_per_tuple(spark):
         assert r["xps"] == pytest.approx(r["sum_w"] / int(span))
 
 
+def test_graph_sankey_bidirectional_paired_dims(store):
+    """Reverse-pair dimension list (SrcAS, DstAS): the reversed axis's
+    atomic rename back to forward names must not collide (ADVICE r3)."""
+    req = GraphRequest(
+        start=START,
+        end=END,
+        dimensions=("SrcAS", "DstAS"),
+        units="l3bps",
+        limit=3,
+        bidirectional=True,
+    )
+    out = graph_sankey(store, req).collect()
+    assert {r["axis"] for r in out} == {1, 2}
+    assert {c for c in out[0].asDict()} >= {"SrcAS", "DstAS", "sum_w", "xps"}
+
+
 def test_graph_sankey_bidirectional_probes_forward_rows(store):
     req = GraphRequest(
         start=START,
