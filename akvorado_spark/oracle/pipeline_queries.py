@@ -551,14 +551,20 @@ SELECT COUNT(*) AS n_pairs, CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum FROM (
 register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
 
 # ---------------------------------------------------------------------------
-# minhash-LSH near-dup + simhash: seeded xxhash64 isn't reproducible in
-# DuckDB → rows-only driver check; full verification lives in pytest
-# against pure-Python reimplementations.
+# minhash-LSH near-dup + simhash on the PRODUCTION xxhash64 paths.
+# Seeded xxhash64 isn't reproducible in DuckDB, so these are gated by
+# GROUND-TRUTH EQUALITY instead of hash replay: DuckDB computes the true
+# answer directly from the texts (all gram-sharing pairs above the
+# threshold; identical-token-multiset pairs), hash-free, and the Spark
+# side must produce exactly that set *through* the sketch pipeline.
+# Equality certifies end-to-end recall AND precision of the xxhash64
+# path; the *_certified twins additionally replay the full sketch
+# arithmetic on a portable hash.
 # ---------------------------------------------------------------------------
 
 
 def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spread=True,
-                      max_bucket=1024):
+                      max_bucket=1024, bands=8, thr=0.5):
     from akvorado_spark.operators.dedup import (
         corpus_grams,
         lsh_candidate_pairs,
@@ -587,15 +593,75 @@ def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spre
     # m near-identical docs would emit m²/2 pairs); the certified twin
     # passes None because its DuckDB oracle mirrors the uncapped join
     cands = lsh_candidate_pairs(
-        sigs, "doc_id", bands=8, n_hashes=32, hash_fn=fn, max_bucket=max_bucket
+        sigs, "doc_id", bands=bands, n_hashes=32, hash_fn=fn, max_bucket=max_bucket
     )
     verified = ngram_jaccard_pairs(corpus, "text", "doc_id", pairs=cands, grams=grams)
-    return verified.filter(F.round("jaccard", 6) >= 0.5).select(
+    return verified.filter(F.round("jaccard", 6) >= thr).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
 
 
-register("dedup_minhash_lsh", _minhash_pipeline, None)
+# Ground-truth corpus CTEs shared by the truth oracles: sampled docs +
+# seeded near-dup twins (suffix-perturbed), word-trigram shingles —
+# byte-identical construction to corpus_grams on the Spark side.
+_TRUTH_CORPUS = """
+docs0 AS (SELECT doc_id, text FROM documents WHERE {sample}),
+pert AS (SELECT doc_id + 10000000 AS doc_id, text || ' trailing marker suffix' AS text
+         FROM docs0 WHERE (doc_id + 10000000) % 3 = 0),
+corpus AS (SELECT * FROM docs0 UNION ALL SELECT * FROM pert),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 3
+                THEN array_to_string(ws[i:i+2], ' ')
+                ELSE array_to_string(ws, ' ') END AS g
+    FROM toks, generate_series(1, 100000) t(i)
+    WHERE i <= GREATEST(len(ws) - 2, 1)
+  )
+)"""
+
+
+def _minhash_truth_oracle(sample: str, thr: float) -> str:
+    """The TRUE near-dup pair set, computed without any hashing: every
+    pair of documents sharing at least one shingle, with exact word-
+    trigram Jaccard, thresholded.  The registered Spark query must
+    reproduce this set exactly *through* the xxhash64 MinHash+LSH
+    pipeline — a recall+precision gate on the production sketch at this
+    banding (16 bands × 2 rows: miss probability < 1e-10 at J ≥ thr)."""
+    return f"""
+WITH {_TRUTH_CORPUS.format(sample=sample)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM grams x JOIN grams y ON y.g = x.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {thr}
+ORDER BY id_a, id_b
+"""
+
+
+_MH_LSH_THR = 0.9  # above the 16x2 banding's certain-recall zone
+
+
+def _minhash_lsh_gated(spark, sf_dir):
+    return _minhash_pipeline(spark, sf_dir, bands=16, thr=_MH_LSH_THR)
+
+
+register(
+    "dedup_minhash_lsh",
+    _minhash_lsh_gated,
+    _minhash_truth_oracle("doc_id % 5 = 0", _MH_LSH_THR),
+)
 
 
 _MH_CERT_SAMPLE = "doc_id % 10 = 0"  # half the demo corpus: oracle rigor, half the cost
@@ -690,15 +756,57 @@ ORDER BY id_a, id_b
 register("dedup_minhash_certified", _minhash_certified, _minhash_oracle(sample=_MH_CERT_SAMPLE))
 
 
-def _simhash_fps(spark, sf_dir):
+def _simhash_collisions(spark, sf_dir):
+    """The production 64-bit xxhash64 SimHash, gated by its algebraic
+    invariant: the fingerprint is a token-multiset function (lowercase
+    fold, order-free vote sum), so a twin with the SAME tokens permuted
+    and case-mangled must collide exactly — under ANY word hash — while
+    64-bit fingerprints keep unrelated docs apart.  Seed such twins
+    (reversed token order, uppercased, id + 10^7), fingerprint the
+    whole corpus with the real xxhash64 path, and emit every colliding
+    pair.  DuckDB states the ground truth hash-free: pairs of documents
+    whose sorted lowercased token multisets are identical."""
     from akvorado_spark.operators.dedup import simhash
 
     docs = load_table(spark, "documents", sf_dir, spread=True).filter("doc_id % 7 = 0")
-    fps = simhash(docs, "text", "doc_id")
-    return fps.orderBy("doc_id")
+    twins = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.upper(F.col("text")), r"\s+")), " ").alias(
+            "text"
+        ),
+    ).filter("doc_id % 3 = 0")
+    corpus = docs.select("doc_id", "text").unionAll(twins)
+    fps = simhash(corpus, "text", "doc_id")
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__fp"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__fp"))
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
-register("dedup_simhash", _simhash_fps, None)
+_SIMHASH_TRUTH = """
+WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+twins AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(list_reverse(string_split_regex(upper(text), '\\s+')), ' ') AS text
+  FROM docs0 WHERE (doc_id + 10000000) % 3 = 0),
+corpus AS (SELECT * FROM docs0 UNION ALL SELECT * FROM twins),
+norm AS (
+  SELECT doc_id,
+         array_to_string(
+           list_sort(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')),
+           ' ') AS key
+  FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM norm a JOIN norm b ON a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+register("dedup_simhash", _simhash_collisions, _SIMHASH_TRUTH)
 
 
 _SH_SAMPLE = "doc_id % 7 = 0"
