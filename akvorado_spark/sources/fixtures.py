@@ -268,3 +268,252 @@ def dict_dfs(spark: SparkSession) -> dict[str, DataFrame]:
         pd.DataFrame(UDP_PORTS, columns=["port", "name"]), schema="port long, name string"
     )
     return {"asns": asns, "protocols": protocols, "tcp": tcp, "udp": udp}
+
+
+# ---------------------------------------------------------------------------
+# Demo-exporter parity (S17): weighted distributions + peak-hour curve
+# (reference demoexporter/flows/generate.go:28-61, config.go:26-83)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DemoFlowConfig:
+    """One flow class of the demo exporter — the Spark-fixture mirror of
+    the reference's FlowConfiguration (demoexporter/flows/config.go:26-58).
+    Weighting works exactly like upstream: entries are drawn uniformly
+    from the lists, so repeating a value weights it."""
+
+    per_second: float
+    src_net: str
+    dst_net: str
+    src_as: tuple[int, ...]
+    dst_as: tuple[int, ...]
+    in_ifindex: tuple[int, ...] = (1,)
+    out_ifindex: tuple[int, ...] = (2,)
+    peak_hour: float = 14.0  # hours from midnight, like config's PeakHour
+    multiplier: float = 1.0  # rate multiplier at the peak
+    protocol: tuple[str, ...] = ("tcp",)
+    src_port: tuple[int, ...] = (0,)  # 0 → ephemeral 33000-34999
+    dst_port: tuple[int, ...] = (0,)
+    size: int = 0  # 0 → uniform 300-1499; else normal(size, 0.3·size)
+    reverse_direction_ratio: float = 0.0
+
+
+def rate_to_count(rate: float, seconds: np.ndarray) -> np.ndarray:
+    """Per-second flow counts whose sum tracks ``rate`` exactly over any
+    window, including fractional rates (reference rateToCount,
+    generate.go:27-32: trunc((s+1)·r) − trunc(s·r))."""
+    s = np.asarray(seconds, dtype="float64")
+    return (np.trunc((s + 1) * rate) - np.trunc(s * rate)).astype("int64")
+
+
+def peak_hour_distance(now_h: np.ndarray, peak_h: float) -> np.ndarray:
+    """Closeness to the peak hour, 0 (opposite) → 1 (at peak), with
+    24 h wraparound (reference peakHourDistance, generate.go:51-58)."""
+    delta = np.mod(np.abs(np.asarray(now_h, dtype="float64") - peak_h), 24.0)
+    delta = np.where(24.0 - delta < delta, 24.0 - delta, delta)
+    return (12.0 - delta) / 12.0
+
+
+def peak_multiplier(cfg_multiplier: float, distance: np.ndarray) -> np.ndarray:
+    """The reference's smoothing of the peak curve (generate.go:90-92):
+    1 + (M−1)·d² / (2·(d²−d)+1) — equals 1 at d=0 and M at d=1."""
+    square = distance * distance
+    return 1.0 + (cfg_multiplier - 1.0) * square / (2.0 * (square - distance) + 1.0)
+
+
+def random_ips_in(rng: np.random.Generator, prefix: str, count: int) -> list[bytes]:
+    """``count`` random addresses inside ``prefix`` as 16-byte
+    v6/v6-mapped packed bytes (reference randomIP, generate.go:34-49)."""
+    net = ipaddress.ip_network(prefix)
+    base = int(net.network_address)
+    hostbits = net.max_prefixlen - net.prefixlen
+    mask = (1 << hostbits) - 1
+    nbytes = max((hostbits + 7) // 8, 1)
+    raw = rng.bytes(nbytes * count)
+    offs = [
+        int.from_bytes(raw[k * nbytes : (k + 1) * nbytes], "big") & mask
+        for k in range(count)
+    ]
+    if net.version == 4:
+        return [
+            ipaddress.IPv6Address(f"::ffff:{ipaddress.IPv4Address(base + o)}").packed
+            for o in offs
+        ]
+    return [ipaddress.IPv6Address(base + o).packed for o in offs]
+
+
+def _net_attrs(prefix: str) -> tuple:
+    """Attributes of the longest NETWORKS prefix containing ``prefix``
+    (so demo flows still resolve through the LPM fixtures)."""
+    want = ipaddress.ip_network(prefix)
+    best = None
+    for p in NETWORKS:
+        cand = ipaddress.ip_network(p[0])
+        if cand.version == want.version and want.subnet_of(cand):
+            if best is None or cand.prefixlen > ipaddress.ip_network(best[0]).prefixlen:
+                best = p
+    return best if best is not None else (prefix, "", "", "", "", "", "", "", "", 0)
+
+
+_DEMO_PROTO = {"tcp": 6, "udp": 17}
+
+
+def demo_flows_pdf(
+    configs: list[DemoFlowConfig],
+    start: "np.datetime64" = np.datetime64("2024-01-01T00:00:00"),
+    duration_s: int = 3600,
+    seed: int = 0,
+    exporter: str = "192.0.2.1",
+    exporter_name: str = "demo1",
+    sampling_rate: int = 1000,
+) -> pd.DataFrame:
+    """One demo exporter's worth of flows over a window — the reference
+    generator's semantics (weighted value lists, peak-hour rate curve
+    with ±10 % per-second jitter, size distributions with the 9000/1500
+    clips, reverse-direction twins) in one vectorized pass per config
+    (reference generateFlows, demoexporter/flows/generate.go:75-160).
+    Column layout matches :func:`flows_pdf` so ``flows_df``-style ingest
+    and the FlowStore accept it unchanged."""
+    rng = np.random.default_rng(seed)
+    day_off_s = int((start - start.astype("datetime64[D]")) / np.timedelta64(1, "s"))
+    frames: list[pd.DataFrame] = []
+    for cfg in configs:
+        secs = np.arange(duration_s, dtype="int64")
+        now_h = ((day_off_s + secs) % 86400) / 3600.0
+        mult = peak_multiplier(cfg.multiplier, peak_hour_distance(now_h, cfg.peak_hour))
+        jitter = 0.9 + rng.random(duration_s) / 5.0
+        # per-second varying rate: apply the trunc-telescope per second
+        r = cfg.per_second * mult * jitter
+        counts = (np.trunc((secs + 1) * r) - np.trunc(secs * r)).astype("int64")
+        n = int(counts.sum())
+        if n == 0:
+            continue
+        ts = start + np.repeat(secs, counts).astype("timedelta64[s]")
+        proto_name = rng.choice(np.array(cfg.protocol), size=n)
+        is_tcp_udp = np.isin(proto_name, ("tcp", "udp"))
+        v6 = ipaddress.ip_network(cfg.src_net).version == 6
+        proto = np.where(
+            is_tcp_udp,
+            np.vectorize(lambda p: _DEMO_PROTO.get(p, 1))(proto_name),
+            58 if v6 else 1,
+        ).astype("int64")
+        if cfg.size == 0:
+            octets = rng.integers(300, 1500, size=n)
+        else:
+            octets = (cfg.size * (rng.normal(0.0, 0.3, size=n) + 1.0)).astype("int64")
+            octets = np.clip(octets, 1, 9000)
+            if cfg.size <= 1500:
+                octets = np.minimum(octets, 1500)
+        sport = rng.choice(np.array(cfg.src_port, dtype="int64"), size=n)
+        sport = np.where(sport == 0, rng.integers(33000, 35000, size=n), sport)
+        dport = rng.choice(np.array(cfg.dst_port, dtype="int64"), size=n)
+        dport = np.where(dport == 0, rng.integers(33000, 35000, size=n), dport)
+        sport = np.where(is_tcp_udp, sport, 0)
+        dport = np.where(is_tcp_udp, dport, 0)
+        src_as = rng.choice(np.array(cfg.src_as, dtype="int64"), size=n)
+        dst_as = rng.choice(np.array(cfg.dst_as, dtype="int64"), size=n)
+        src_addr = random_ips_in(rng, cfg.src_net, n)
+        dst_addr = random_ips_in(rng, cfg.dst_net, n)
+        in_if = rng.choice(np.array(cfg.in_ifindex, dtype="int64"), size=n)
+        out_if = rng.choice(np.array(cfg.out_ifindex, dtype="int64"), size=n)
+        sattr, dattr = _net_attrs(cfg.src_net), _net_attrs(cfg.dst_net)
+        smask = ipaddress.ip_network(cfg.src_net).prefixlen
+        dmask = ipaddress.ip_network(cfg.dst_net).prefixlen
+
+        def one(
+            ts, src_addr, dst_addr, src_as, dst_as, sport, dport,
+            in_if, out_if, octets, proto, n, sattr, dattr, smask, dmask,
+        ):
+            etype = 0x86DD if v6 else 0x800
+            return pd.DataFrame(
+                {
+                    "TimeReceived": ts,
+                    "SamplingRate": np.full(n, sampling_rate, dtype="int64"),
+                    "ExporterAddress": [ip_bytes(exporter)] * n,
+                    "ExporterName": [exporter_name] * n,
+                    "ExporterGroup": ["demo"] * n,
+                    "ExporterRole": ["edge"] * n,
+                    "ExporterSite": ["demo1"] * n,
+                    "ExporterRegion": ["demo"] * n,
+                    "ExporterTenant": ["demo"] * n,
+                    "SrcAddr": src_addr,
+                    "SrcNetMask": np.full(n, smask, dtype="int16"),
+                    "SrcAS": src_as.astype("int32"),
+                    "SrcNetName": [sattr[1]] * n,
+                    "SrcNetRole": [sattr[2]] * n,
+                    "SrcNetSite": [sattr[3]] * n,
+                    "SrcNetRegion": [sattr[4]] * n,
+                    "SrcNetTenant": [sattr[5]] * n,
+                    "SrcCountry": [sattr[6]] * n,
+                    "SrcGeoState": [sattr[7]] * n,
+                    "SrcGeoCity": [sattr[8]] * n,
+                    "SrcPort": sport.astype("int32"),
+                    "DstAddr": dst_addr,
+                    "DstNetMask": np.full(n, dmask, dtype="int16"),
+                    "DstAS": dst_as.astype("int32"),
+                    "DstNetName": [dattr[1]] * n,
+                    "DstNetRole": [dattr[2]] * n,
+                    "DstNetSite": [dattr[3]] * n,
+                    "DstNetRegion": [dattr[4]] * n,
+                    "DstNetTenant": [dattr[5]] * n,
+                    "DstCountry": [dattr[6]] * n,
+                    "DstGeoState": [dattr[7]] * n,
+                    "DstGeoCity": [dattr[8]] * n,
+                    "DstPort": dport.astype("int32"),
+                    "InIfName": [f"Gi0/0/{i}" for i in in_if],
+                    "InIfDescription": ["demo in"] * n,
+                    "InIfSpeed": np.full(n, 10000, dtype="int32"),
+                    "InIfConnectivity": ["transit"] * n,
+                    "InIfProvider": ["demo"] * n,
+                    "InIfBoundary": ["external"] * n,
+                    "OutIfName": [f"Gi0/0/{i}" for i in out_if],
+                    "OutIfDescription": ["demo out"] * n,
+                    "OutIfSpeed": np.full(n, 10000, dtype="int32"),
+                    "OutIfConnectivity": ["transit"] * n,
+                    "OutIfProvider": ["demo"] * n,
+                    "OutIfBoundary": ["internal"] * n,
+                    "DstASPath": [[int(a)] for a in dst_as],
+                    "DstCommunities": [[] for _ in range(n)],
+                    "DstLargeCommunities": [[] for _ in range(n)],
+                    "EType": np.full(n, etype, dtype="int32"),
+                    "Proto": proto.astype("int32"),
+                    "Bytes": octets.astype("int64"),
+                    "Packets": np.ones(n, dtype="int64"),
+                    "ForwardingStatus": np.full(n, 64, dtype="int32"),
+                    "FlowDirection": ["ingress"] * n,
+                    "NextHop": [ip_bytes(exporter)] * n,
+                }
+            )
+
+        frames.append(
+            one(ts, src_addr, dst_addr, src_as, dst_as, sport, dport,
+                in_if, out_if, octets, proto, n, sattr, dattr, smask, dmask)
+        )
+        if cfg.reverse_direction_ratio > 0:
+            # the reverse twin swaps every directional field, scales the
+            # size (generate.go:146-157)
+            rev_octets = (octets * cfg.reverse_direction_ratio).astype("int64")
+            frames.append(
+                one(ts, dst_addr, src_addr, dst_as, src_as, dport, sport,
+                    out_if, in_if, rev_octets, proto, n, dattr, sattr, dmask, smask)
+            )
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+def demo_flows_df(spark: SparkSession, configs: list[DemoFlowConfig], **kw) -> DataFrame:
+    """Raw (pre-ingest) Spark frame from the demo generator — same
+    schema-projection contract as :func:`flows_df`."""
+    schema = flows_schema()
+    pdf = demo_flows_pdf(configs, **kw)
+    fields = [
+        T.StructField(c.name, c.dtype, True)
+        for c in schema.stored()
+        if c.generated is None and c.name in pdf.columns
+    ]
+    st = T.StructType(fields)
+    return spark.createDataFrame(pdf[[f.name for f in fields]], schema=st)
