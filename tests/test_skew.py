@@ -1,0 +1,162 @@
+"""Skew hardening for ExporterAddress-keyed shuffles (VERDICT r3 task 4).
+
+Real deployments are exporter-skewed — the reference's main table sort
+key leads with the exporter column (orchestrator/clickhouse/
+migrations_helpers.go:443-449), and a big edge router easily carries
+half the flows.  These tests build such a corpus with the demo-exporter
+generator (one exporter = ~50 % of rows) and assert the engine's
+shuffle keys keep partitions balanced anyway:
+
+- ``rate_limit`` windows on (ExporterAddress, 200 ms tick) — the tick
+  spreads a dominant exporter over the whole partition space;
+- line/sankey aggregations group on (bucket, dims) after map-side
+  partial aggregation — the bucket does the same;
+- the one key set that WOULD be skewed (ExporterAddress alone) is shown
+  failing the same balance bound, proving the test can detect skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from akvorado_spark.operators.classify import rate_limit
+from akvorado_spark.schema.definition import flows_schema
+from akvorado_spark.sources.fixtures import DemoFlowConfig, demo_flows_df
+
+N_PARTS = 32
+
+
+def _cfg(per_second: float) -> DemoFlowConfig:
+    return DemoFlowConfig(
+        per_second=per_second,
+        src_net="10.1.0.0/16",
+        dst_net="198.51.100.0/24",
+        src_as=(65501, 65502),
+        dst_as=(65520,),
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """~50 % of all rows from one exporter, the rest spread over 7."""
+    parts = [
+        demo_flows_df(
+            spark, [_cfg(70.0)], duration_s=600, seed=1,
+            exporter="192.0.2.1", exporter_name="hot1",
+        )
+    ]
+    for i in range(7):
+        parts.append(
+            demo_flows_df(
+                spark, [_cfg(10.0)], duration_s=600, seed=2 + i,
+                exporter=f"192.0.2.{i + 2}", exporter_name=f"cold{i + 1}",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return flows_schema().ingest(df).persist()
+
+
+def _partition_balance(df, *keys) -> tuple[int, float]:
+    """(max, median) rows per hash partition for the given shuffle keys
+    — exactly the distribution a shuffle on those keys produces."""
+    counts = [
+        r["n"]
+        for r in df.repartition(N_PARTS, *keys)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    counts += [0] * (N_PARTS - len(counts))
+    return max(counts), float(np.median(counts))
+
+
+def test_corpus_is_actually_skewed(skewed):
+    top = (
+        skewed.groupBy("ExporterName").count().orderBy(F.desc("count")).first()
+    )
+    assert top["ExporterName"] == "hot1"
+    assert top["count"] / skewed.count() > 0.4
+
+
+def test_rate_limit_window_keys_balance_under_skew(skewed):
+    """The window's (exporter, tick) hash keys: no partition above 4x
+    the median even when one exporter owns half the corpus."""
+    tick = (F.unix_millis(F.col("TimeReceived").cast("timestamp")) / 200).cast("long")
+    d = skewed.withColumn("__tick", tick)
+    mx, med = _partition_balance(d, "ExporterAddress", "__tick")
+    assert mx <= 4 * max(med, 1), f"straggler partition: max={mx} median={med}"
+
+
+def test_line_agg_is_partial_then_final(skewed):
+    """The line aggregation's raw-row skew never reaches the shuffle:
+    Catalyst plans partial (map-side) aggregation, so the exchange
+    carries one row per (bucket, dims) group per mapper regardless of
+    how many raw rows the hot exporter contributes."""
+    bucket = (F.unix_micros(F.col("TimeReceived").cast("timestamp")) / 5_000_000).cast(
+        "long"
+    )
+    agg = (
+        skewed.groupBy(bucket.alias("__bucket"), "ExporterAddress")
+        .agg(F.sum(F.col("Bytes") * F.col("SamplingRate") * 8).alias("w"))
+    )
+    plan = agg._sc._jvm.PythonSQLUtils.explainString(
+        agg._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_line_groupby_keys_balance_under_skew(skewed):
+    """Reduce-side distribution of the line grouping keys: with the
+    5 s buckets a typical request produces, the group keys (what the
+    post-partial-agg exchange hashes) spread evenly — the hot exporter
+    just owns more GROUPS, each one partial row per mapper, never a
+    concentration of raw rows."""
+    bucket = (F.unix_micros(F.col("TimeReceived").cast("timestamp")) / 5_000_000).cast(
+        "long"
+    )
+    groups = skewed.select(bucket.alias("__bucket"), "ExporterAddress").distinct()
+    mx, med = _partition_balance(groups, "__bucket", "ExporterAddress")
+    assert mx <= 4 * max(med, 1), f"straggler partition: max={mx} median={med}"
+
+
+def test_exporter_only_keys_would_skew(skewed):
+    """Negative control: keying on ExporterAddress ALONE concentrates
+    the hot exporter in one partition and fails the same bound — the
+    balance assertions above are detecting real structure, and any
+    future operator that shuffles on the bare exporter key will trip
+    this style of test."""
+    mx, med = _partition_balance(skewed, "ExporterAddress")
+    assert mx > 4 * max(med, 1)
+
+
+def test_rate_limit_correct_and_compensated_under_skew(skewed):
+    """Semantics under skew: per-(exporter, tick) survivors capped, and
+    the compensated SUM(Packets*SamplingRate) stays within the floor()
+    rounding error of the uncapped total for the hot exporter."""
+    limit = 50  # per second → 10 per 200 ms tick
+    out = rate_limit(skewed, limit).persist()
+    tick = (F.unix_millis(F.col("TimeReceived").cast("timestamp")) / 200).cast("long")
+    per_tick = (
+        out.withColumn("__t", tick)
+        .groupBy("ExporterAddress", "__t")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_tick <= limit // 5
+    want = (
+        skewed.filter(F.col("ExporterName") == "hot1")
+        .agg(F.sum(F.col("Packets") * F.col("SamplingRate")))
+        .first()[0]
+    )
+    got = (
+        out.filter(F.col("ExporterName") == "hot1")
+        .agg(F.sum(F.col("Packets") * F.col("SamplingRate")))
+        .first()[0]
+    )
+    assert got == pytest.approx(want, rel=0.05)
+    out.unpersist()
