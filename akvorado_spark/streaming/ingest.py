@@ -255,13 +255,19 @@ class FlowIngest:
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         if batch.isEmpty():
             return
+        from pyspark.sql import Observation
+
         enriched = enrich(batch, self.cfg)
         enriched = self.store.schema.ingest(enriched)
+        # T5 needs the batch's oldest timestamp; observe() harvests it
+        # from the write pass itself — no second job over the batch.
+        obs = Observation()
+        enriched = enriched.observe(obs, F.min("TimeReceived").alias("oldest"))
         self.store.write_main(enriched)
 
         # T5: re-aggregate only the dates this batch touched — late rows
         # merge into their original buckets exactly like SummingMergeTree.
-        oldest = enriched.agg(F.min("TimeReceived")).collect()[0][0]
+        oldest = obs.get["oldest"]
         if oldest is not None:
             since = oldest if isinstance(oldest, datetime) else None
             self.store.build_rollups(since=since)

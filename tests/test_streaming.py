@@ -192,3 +192,18 @@ def test_streaming_rollup_watermark_drops_too_late_rows(spark, tmp_path):
     win10 = [r for r in out if r["TimeReceived"] == ts(10, 0).replace(tzinfo=None)]
     # the fresh row DID update its window: latest emission counts 2
     assert max(r["Flows"] for r in win10) == 2
+
+
+def test_process_batch_observes_oldest_without_extra_job(spark, tmp_path):
+    """T5's oldest-timestamp probe rides the write pass via observe()
+    (VERDICT r3 item 3: no per-batch scalar collect): build_rollups
+    receives the batch's true MIN(TimeReceived) as ``since``."""
+    store = FlowStore(spark, str(tmp_path / "store"))
+    ingest = FlowIngest(store)
+    captured = {}
+    orig = store.build_rollups
+    store.build_rollups = lambda since=None: captured.update(since=since) or orig(since=since)
+    batch = flows_df(spark, n=500)
+    ingest.process_batch(batch)
+    want = flows_schema().ingest(batch).agg(F.min("TimeReceived")).collect()[0][0]
+    assert captured["since"] == want
