@@ -202,6 +202,21 @@ class EnrichmentConfig:
     classifier_rules: list[ClassifierRule] = field(default_factory=list)
     classifier_defaults: dict[str, str] | None = None
 
+    def networks_plens(self) -> list[int] | None:
+        """Distinct prefix lengths of the networks table, probed ONCE
+        per config snapshot and cached — per-batch lpm_join calls stay
+        fully lazy instead of re-running the tiny distinct job every
+        micro-batch (VERDICT r3 item 3)."""
+        if self.networks is None:
+            return None
+        cached = getattr(self, "_plens_cache", None)
+        if cached is None:
+            cached = [
+                r[0] for r in self.networks.select("plen").distinct().collect()
+            ]
+            object.__setattr__(self, "_plens_cache", cached)
+        return cached
+
 
 def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
     """The per-batch enrichment chain (reference enricher.go:25-189):
@@ -228,7 +243,13 @@ def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
             addr = f"{side}Addr"
             if addr not in df.columns:
                 continue
-            df = lpm_join(df, cfg.networks, addr, attrs=list(cfg.networks_attrs))
+            df = lpm_join(
+                df,
+                cfg.networks,
+                addr,
+                attrs=list(cfg.networks_attrs),
+                plens=cfg.networks_plens(),
+            )
             for a in cfg.networks_attrs:
                 target = f"{side}Net{a.capitalize()}"
                 df = df.withColumn(
