@@ -85,6 +85,7 @@ def main() -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4099")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
@@ -107,13 +108,20 @@ def main() -> int:
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
     queries["flt_dsl_suite"](spark, sf_dir).count()
 
+    import time
+
     rows = []
     seen = set(stages())
     for name in names:
         sc = spark.sparkContext
         sc.setJobGroup(name, name)
+        t0 = time.time()
         try:
             queries[name](spark, sf_dir).count()
+            # min-of-2 warm time alongside the metrics (BENCH_NOTES.md)
+            t1 = time.time()
+            queries[name](spark, sf_dir).count()
+            dt = min(t1 - t0, time.time() - t1)
         except Exception as exc:  # noqa: BLE001
             print(f"# {name}: ERROR {exc}", file=sys.stderr)
             continue
@@ -133,19 +141,20 @@ def main() -> int:
                 "sh_read": sum(st.get("shuffleReadBytes", 0) for st in new),
                 "spill": sum(st.get("diskBytesSpilled", 0) for st in new),
                 "tasks": sum(st.get("numCompleteTasks", 0) for st in new),
+                "sec": round(dt, 2),
             }
         )
         print(f"# {name}: done", file=sys.stderr)
 
     lines = [
-        "| query | stages | shuffle-writing stages | tasks | input | shuffle write | shuffle read | disk spill |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | stages | shuffle-writing stages | tasks | input | shuffle write | shuffle read | disk spill | sec (min of 2) |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['query']} | {r['stages']} | {r['shuffle_stages']} | {r['tasks']} "
             f"| {fmt_bytes(r['input'])} | {fmt_bytes(r['sh_write'])} "
-            f"| {fmt_bytes(r['sh_read'])} | {fmt_bytes(r['spill'])} |"
+            f"| {fmt_bytes(r['sh_read'])} | {fmt_bytes(r['spill'])} | {r['sec']} |"
         )
     table = "\n".join(lines)
     print(table)
