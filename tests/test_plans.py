@@ -203,8 +203,11 @@ def test_connected_components_round_is_one_join_one_agg(spark):
     an ExistingRDD/LogicalRDD scan, not from the original source)."""
     from akvorado_spark.operators.dedup import connected_components
 
+    # disjoint edges: the min-neighbor init IS the fixpoint, so the
+    # single allowed round is the confirming one (a long chain would
+    # now trip the non-convergence guard instead)
     pairs = spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
-        "o_orderkey AS id_a", "o_orderkey + 1 AS id_b"
+        "o_orderkey * 2 AS id_a", "o_orderkey * 2 + 1 AS id_b"
     ).limit(200)
     labels = connected_components(pairs, max_iter=1)
     p = plan(labels)
