@@ -80,6 +80,101 @@ def quality_score(text: Column) -> Column:
     return score.cast("double")
 
 
+def doc_lines(text: Column) -> Column:
+    """Non-blank lines of a document."""
+    return F.filter(F.split(text, "\\n"), lambda l: F.trim(l) != "")
+
+
+def quality_metric_fractions(text: Column) -> dict[str, tuple[Column, Column]]:
+    """(numerator, denominator) INTEGER column pairs for each Gopher
+    repetition/shape metric.  Integer pairs are the exactness contract:
+    ratios derive as num/den, and micro-precision gates use exact
+    integer division (num·10⁶ div den) so no cross-engine double-ROUND
+    boundary can flip a digit."""
+    w = words(text)
+    ls = doc_lines(text)
+    nw = F.size(w)
+    nl = F.size(ls)
+    return {
+        "repline": (nl - F.size(F.array_distinct(ls)), nl),
+        "symratio": (
+            F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), F.lit(0))),
+            nw,
+        ),
+        "bullet": (F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"^[-*\u2022]"))), nl),
+        "ellipsis": (
+            F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))),
+            nl,
+        ),
+        "meanwlen": (
+            F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)),
+            nw,
+        ),
+        "alpha": (F.size(F.filter(w, lambda x: x.rlike("[a-z]"))), nw),
+    }
+
+
+def _frac(pair: tuple[Column, Column]) -> Column:
+    num, den = pair
+    return num / F.greatest(den, F.lit(1))
+
+
+def repeated_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line — the
+    Gopher repetition rule (boilerplate/listing pages repeat headers
+    and nav lines; prose almost never repeats a full line)."""
+    return _frac(quality_metric_fractions(text)["repline"])
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Gopher's symbol screen: '#', ellipses per word."""
+    return _frac(quality_metric_fractions(text)["symratio"])
+
+
+def bullet_line_fraction(text: Column) -> Column:
+    return _frac(quality_metric_fractions(text)["bullet"])
+
+
+def ellipsis_line_fraction(text: Column) -> Column:
+    return _frac(quality_metric_fractions(text)["ellipsis"])
+
+
+def mean_word_length(text: Column) -> Column:
+    return _frac(quality_metric_fractions(text)["meanwlen"])
+
+
+def alpha_word_fraction(text: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character
+    (Gopher requires >= 80 %)."""
+    return _frac(quality_metric_fractions(text)["alpha"])
+
+
+def gopher_quality_pass(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """The Gopher quality-filter conjunction (Rae et al. 2021, table A1,
+    public paper) over pure built-in expressions: word-count window,
+    mean word length 3-10, symbol-to-word < 0.1, bullet lines < 90 %,
+    ellipsis lines < 30 %, >= 80 % alphabetic words, repeated lines
+    < 30 %.  Returns BOOLEAN; at 100 TB this is a narrow projection
+    evaluated in whole-stage codegen — no shuffle, no Python."""
+    n = token_count(text)
+    mwl = mean_word_length(text)
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mwl >= 3)
+        & (mwl <= 10)
+        & (symbol_word_ratio(text) < 0.1)
+        & (bullet_line_fraction(text) < 0.9)
+        & (ellipsis_line_fraction(text) < 0.3)
+        & (alpha_word_fraction(text) >= 0.8)
+        & (repeated_line_fraction(text) < 0.3)
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-vote language guess over the embedded lists; 'und' when
     no list scores a hit."""

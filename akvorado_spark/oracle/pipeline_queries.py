@@ -332,38 +332,116 @@ register("dedup_pipeline_suite", _dedup_pipeline_suite, dp_oracle_sql())
 
 
 def _text_stats(spark, sf_dir):
+    """Corpus statistics + the Gopher quality-filter rules (Rae et al.
+    2021 table A1 — public paper), verified per (lang, source) group.
+    A 'degraded' twin set (repeated lines, bullets, ellipses, symbol
+    noise) is seeded so every rule discriminates; the degraded docs
+    land in their own source group."""
     from akvorado_spark.operators.text import (
         bpe_ish_token_count,
+        gopher_quality_pass,
         punct_ratio,
+        quality_metric_fractions,
         token_count,
     )
 
     # no spread: the regex aggregate over 5k docs is cheaper than the
     # exchange of full text rows (measured)
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "source", "text")
+    degraded = docs.filter("doc_id % 4 = 0").select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.col("lang"),
+        F.lit("degraded").alias("source"),
+        F.concat_ws(
+            "\n",
+            F.col("text"), F.col("text"),
+            F.lit("- bullet one"), F.lit("- bullet two"),
+            F.lit("to be continued..."), F.lit("### # # #"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(degraded)
     t = F.col("text")
+
+    fr = quality_metric_fractions(t)
+
+    def micro(key):
+        # exact integer micro-units: num·10⁶ div den (no double ROUND,
+        # so no cross-engine half-ulp boundary)
+        num, den = fr[key]
+        num6 = num.cast("long") * F.lit(1000000).cast("long")
+        d = F.greatest(den.cast("long"), F.lit(1).cast("long"))
+        return F.sum(((num6 - num6 % d) / d).cast("long"))
+
     return (
-        docs.groupBy("lang", "source")
+        corpus.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count(t)).alias("n_tokens"),
             F.sum(bpe_ish_token_count(t)).alias("n_bpe_tokens"),
             F.sum(F.length(t)).alias("n_chars_sum"),
             F.sum((F.round(punct_ratio(t), 6) * 1000000).cast("long")).alias("punct_micro"),
+            F.sum(gopher_quality_pass(t).cast("long")).alias("n_gopher_pass"),
+            micro("repline").alias("repline_micro"),
+            micro("symratio").alias("symratio_micro"),
+            micro("bullet").alias("bullet_micro"),
+            micro("ellipsis").alias("ellipsis_micro"),
+            micro("meanwlen").alias("meanwlen_micro"),
+            micro("alpha").alias("alpha_micro"),
         )
         .orderBy("lang", "source")
     )
 
 
 _TEXT_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, lang, 'degraded',
+         text || chr(10) || text || chr(10) || '- bullet one' || chr(10) ||
+         '- bullet two' || chr(10) || 'to be continued...' || chr(10) || '### # # #'
+  FROM documents WHERE doc_id % 4 = 0
+),
+feat AS (
+  SELECT lang, source, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+  FROM corpus
+),
+m AS (
+  SELECT lang, source, text,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(ws), 1) AS BIGINT) AS dw,
+         CAST(GREATEST(len(ls), 1) AS BIGINT) AS dl,
+         CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_rep,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bul,
+         CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS BIGINT) AS n_ell,
+         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS n_wchars,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha
+  FROM feat
+)
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
        CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_bpe_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum,
        CAST(SUM(CAST(ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-                / GREATEST(length(text), 1), 6) * 1000000 AS BIGINT)) AS BIGINT) AS punct_micro
-FROM documents GROUP BY lang, source ORDER BY lang, source
+                / GREATEST(length(text), 1), 6) * 1000000 AS BIGINT)) AS BIGINT) AS punct_micro,
+       CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND CAST(n_wchars AS DOUBLE) / dw >= 3 AND CAST(n_wchars AS DOUBLE) / dw <= 10
+                      AND CAST(n_sym AS DOUBLE) / dw < 0.1
+                      AND CAST(n_bul AS DOUBLE) / dl < 0.9
+                      AND CAST(n_ell AS DOUBLE) / dl < 0.3
+                      AND CAST(n_alpha AS DOUBLE) / dw >= 0.8
+                      AND CAST(n_rep AS DOUBLE) / dl < 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+       CAST(SUM((n_rep * 1000000) // dl) AS BIGINT) AS repline_micro,
+       CAST(SUM((n_sym * 1000000) // dw) AS BIGINT) AS symratio_micro,
+       CAST(SUM((n_bul * 1000000) // dl) AS BIGINT) AS bullet_micro,
+       CAST(SUM((n_ell * 1000000) // dl) AS BIGINT) AS ellipsis_micro,
+       CAST(SUM((n_wchars * 1000000) // dw) AS BIGINT) AS meanwlen_micro,
+       CAST(SUM((n_alpha * 1000000) // dw) AS BIGINT) AS alpha_micro
+FROM m GROUP BY lang, source ORDER BY lang, source
 """
 
 register("text_stats", _text_stats, _TEXT_ORACLE)

@@ -527,3 +527,37 @@ def test_pack_documents_no_keys_bounded_windows(spark):
     assert "__pack_bucket" not in out.columns
     # 10-token docs in 25-token bins: offsets only reach {0,10,20,5,15...}
     assert all(r["bin_offset"] < 25 for r in rows)
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule (Rae et al. 2021 table A1) trips on its own
+    degenerate document while clean prose passes."""
+    from akvorado_spark.operators.text import (
+        gopher_quality_pass,
+        repeated_line_fraction,
+        symbol_word_ratio,
+    )
+
+    clean = " ".join(["the quick brown fox jumps over lazy dogs daily"] * 8)
+    cases = [
+        ("clean", clean, True),
+        ("too_short", "tiny doc", False),
+        ("repeated_lines", "\n".join(["same line of words here"] * 20), False),
+        ("symbol_soup", " ".join(["### word"] * 40), False),
+        ("bullets", "\n".join(["- item number " + str(i) for i in range(30)]), False),
+        ("ellipses", "\n".join([f"trailing off number {i}..." for i in range(30)]), False),
+        ("numeric", " ".join(["12345 67890"] * 40), False),
+    ]
+    df = spark.createDataFrame([(n, t) for n, t, _ in cases], "name string, text string")
+    got = {
+        r["name"]: r["p"]
+        for r in df.select("name", gopher_quality_pass(F.col("text")).alias("p")).collect()
+    }
+    assert got == {n: want for n, _, want in cases}
+    # the fraction metrics themselves
+    vals = df.filter("name = 'repeated_lines'").select(
+        repeated_line_fraction(F.col("text")).alias("r"),
+        symbol_word_ratio(F.col("text")).alias("s"),
+    ).first()
+    assert vals["r"] == pytest.approx(19 / 20)
+    assert vals["s"] == 0.0
