@@ -106,3 +106,71 @@ def pack_documents(
         .drop("__cum_before")
     )
     return out.drop("__pack_bucket") if not key_cols else out
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = 1_000_000,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Weighted dataset mixing: resample each source to a target rate,
+    deterministically (the pretraining mix primitive — e.g. Wikipedia
+    ×2.5, CommonCrawl ×0.1).
+
+    ``rates[source]`` may exceed 1: ``floor(rate)`` full copies are
+    emitted per row plus one fractional copy kept when the portable
+    hash of ``(id, epoch)`` lands under the fractional threshold; each
+    copy carries ``epoch_col`` so downstream shuffles/packing spread
+    repeats.  Sub-1 rates thin the source by the same hash bucketing.
+
+    No RNG and NO SHUFFLE: rate lookup is a literal map, the epoch fan-
+    out is a ``sequence``+``explode`` (narrow), and the keep decision is
+    a hash comparison — the whole operator runs inside one codegen
+    stage at any scale.  Fractional thresholds are precomputed in exact
+    integer bucket units so an oracle can replay them without floating-
+    point boundary hazards.
+    """
+    import math
+
+    from akvorado_spark.operators.text import portable_word_hash
+
+    def spec(rate: float) -> tuple[int, int]:
+        copies = int(math.floor(rate))
+        return copies, int(round((rate - copies) * buckets))
+
+    copies_map, thr_map = {}, {}
+    for s, r in rates.items():
+        copies_map[s], thr_map[s] = spec(r)
+    d_copies, d_thr = spec(default_rate)
+
+    def lookup(m: dict[str, int], default: int):
+        if not m:
+            return F.lit(default)
+        pairs = []
+        for k, v in m.items():
+            pairs += [F.lit(k), F.lit(v)]
+        return F.coalesce(
+            F.create_map(*pairs)[F.col(source_col)], F.lit(default)
+        )
+
+    out = df.withColumn("__mx_copies", lookup(copies_map, d_copies)).withColumn(
+        "__mx_thr", lookup(thr_map, d_thr)
+    )
+    out = out.withColumn(
+        epoch_col, F.explode(F.sequence(F.lit(0), F.col("__mx_copies")))
+    )
+    h = F.pmod(
+        portable_word_hash(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit("#"), F.col(epoch_col).cast("string")
+            )
+        ),
+        F.lit(buckets),
+    )
+    return out.filter(
+        (F.col(epoch_col) < F.col("__mx_copies")) | (h < F.col("__mx_thr"))
+    ).drop("__mx_copies", "__mx_thr")

@@ -306,29 +306,73 @@ register("events_range_join", _spark_range_join, _RANGE_ORACLE)
 # Deterministic hash sampling: portable md5-prefix hash of the id
 # gives an engine-reproducible pseudo-random 10% sample — the
 # training-pipeline sampling primitive (no RNG state, stable across
-# reruns and engines, stratifiable by any key expression).
+# reruns and engines, stratifiable by any key expression).  The 'mixed'
+# variant drives mix_sources: weighted per-source resampling with
+# up-sampling epochs (src0 ×2.5, src1 ×1, src2 ×0.25, rest ×0.05).
+_MIX_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+_MIX_DEFAULT = 0.05
+
+
 def _spark_hash_sample(spark, sf_dir):
     from pyspark.sql import functions as F
 
+    from akvorado_spark.operators.sampling import mix_sources
     from akvorado_spark.operators.text import portable_word_hash
 
     docs = load_table(spark, "documents", sf_dir)
     bucket = F.pmod(portable_word_hash(F.col("doc_id").cast("string")), F.lit(100))
-    return (
+    uniform = (
         docs.filter(bucket < 10)
         .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .select(
+            F.lit("uniform").alias("variant"),
+            F.col("lang").alias("grp"),
+            "n",
+            "id_sum",
+            F.lit(0).cast("long").alias("epoch_sum"),
+        )
+    )
+    mixed = (
+        mix_sources(docs, _MIX_RATES, "source", "doc_id", default_rate=_MIX_DEFAULT)
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("doc_id").alias("id_sum"),
+            F.sum("epoch").cast("long").alias("epoch_sum"),
         )
-        .orderBy("lang")
+        .select(
+            F.lit("mixed").alias("variant"), F.col("source").alias("grp"),
+            "n", "id_sum", "epoch_sum",
+        )
     )
+    return uniform.unionByName(mixed).orderBy("variant", "grp")
 
 
 _SAMPLE_ORACLE = """
-SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+WITH rates(source, copies, thr) AS (
+  VALUES ('src0', 2, 500000), ('src1', 1, 0), ('src2', 0, 250000)
+),
+d AS (
+  SELECT doc_id, lang, source,
+         COALESCE(copies, 0) AS copies, COALESCE(thr, 50000) AS thr
+  FROM documents LEFT JOIN rates USING (source)
+),
+mixed AS (
+  SELECT d.*, t.epoch FROM d, generate_series(0, 2) t(epoch)
+  WHERE t.epoch <= d.copies
+    AND (t.epoch < d.copies
+         OR ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(t.epoch AS VARCHAR)), 1, 14))::BIGINT
+            % 1000000 < d.thr)
+)
+SELECT 'uniform' AS variant, lang AS grp, COUNT(*) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS epoch_sum
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 10
-GROUP BY lang ORDER BY lang"""
+GROUP BY lang
+UNION ALL
+SELECT 'mixed', source, COUNT(*), CAST(SUM(doc_id) AS BIGINT), CAST(SUM(epoch) AS BIGINT)
+FROM mixed GROUP BY source
+ORDER BY variant, grp"""
 
 register("docs_hash_sample", _spark_hash_sample, _SAMPLE_ORACLE)

@@ -561,3 +561,36 @@ def test_gopher_quality_filter_rules(spark):
     ).first()
     assert vals["r"] == pytest.approx(19 / 20)
     assert vals["s"] == 0.0
+
+
+def test_mix_sources_rates_and_epochs(spark, docs):
+    """Weighted mixing realizes each source's target rate (hash-exact
+    determinism, tolerance only from bucket granularity on small
+    groups), up-samples via epochs, and never shuffles."""
+    from akvorado_spark.operators.sampling import mix_sources
+
+    base = docs.select("doc_id", "source")
+    out = mix_sources(
+        base, {"src0": 2.5, "src1": 1.0, "src2": 0.25}, default_rate=0.0
+    ).persist()
+    n_by = {r["source"]: r["n"] for r in base.groupBy("source").count()
+            .withColumnRenamed("count", "n").collect()}
+    got = {r["source"]: r["n"] for r in out.groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    # rate 0 sources vanish entirely
+    assert set(got) <= {"src0", "src1", "src2"}
+    assert got["src1"] == n_by["src1"]  # rate 1.0 = identity
+    assert got["src0"] == pytest.approx(2.5 * n_by["src0"], rel=0.25)
+    assert got["src2"] == pytest.approx(0.25 * n_by["src2"], rel=0.5)
+    # epochs: rate 2.5 rows carry epochs {0,1,2}; full copies always kept
+    epochs = {r["epoch"] for r in out.filter("source = 'src0'").select("epoch").distinct().collect()}
+    assert epochs == {0, 1, 2}
+    full = out.filter("source = 'src0' AND epoch < 2").count()
+    assert full == 2 * n_by["src0"]
+    # determinism: same inputs → same sample
+    again = mix_sources(base, {"src0": 2.5, "src1": 1.0, "src2": 0.25}, default_rate=0.0)
+    assert again.count() == out.count()
+    # narrow plan: no exchange anywhere in the operator itself
+    plan = mix_sources(base, {"src0": 2.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    out.unpersist()
