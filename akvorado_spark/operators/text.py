@@ -328,3 +328,34 @@ def tfidf_topk_terms(
         weighted.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction)
+# ---------------------------------------------------------------------------
+
+# Applied strictly in this order; each stage counts matches on the
+# PREVIOUS stage's output, so counts and redactions compose the same
+# way in any engine replaying the sequence.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_stages(text: Column) -> tuple[Column, dict[str, Column]]:
+    """(redacted_text, {kind: match_count}) — emails, then IPv4
+    addresses, then phone-shaped digit runs, each replaced with a typed
+    placeholder token.  Pure regexp built-ins: at 100 TB this is a
+    narrow codegen projection, no Python, no shuffle."""
+    counts: dict[str, Column] = {}
+    cur = text
+    for kind, pat, token in PII_PATTERNS:
+        counts[kind] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, token)
+    return cur, counts
+
+
+def redact_pii(text: Column) -> Column:
+    return redact_pii_stages(text)[0]

@@ -342,6 +342,7 @@ def _text_stats(spark, sf_dir):
         gopher_quality_pass,
         punct_ratio,
         quality_metric_fractions,
+        redact_pii_stages,
         token_count,
     )
 
@@ -357,12 +358,22 @@ def _text_stats(spark, sf_dir):
             F.col("text"), F.col("text"),
             F.lit("- bullet one"), F.lit("- bullet two"),
             F.lit("to be continued..."), F.lit("### # # #"),
+            F.lit("contact bob.smith@example.com or 10.1.2.3 at +1 555-123-4567"),
         ).alias("text"),
     )
     corpus = docs.unionByName(degraded)
     t = F.col("text")
 
     fr = quality_metric_fractions(t)
+    _pii = redact_pii_stages(t)
+
+    def _punct_micro_sum(t):
+        # exact integer micro-units, same contract as micro() below
+        num = F.length(F.regexp_replace(t, r"[^.,!?;:]", "")).cast("long") * F.lit(
+            1000000
+        ).cast("long")
+        d = F.greatest(F.length(t).cast("long"), F.lit(1).cast("long"))
+        return F.sum(((num - num % d) / d).cast("long"))
 
     def micro(key):
         # exact integer micro-units: num·10⁶ div den (no double ROUND,
@@ -379,7 +390,7 @@ def _text_stats(spark, sf_dir):
             F.sum(token_count(t)).alias("n_tokens"),
             F.sum(bpe_ish_token_count(t)).alias("n_bpe_tokens"),
             F.sum(F.length(t)).alias("n_chars_sum"),
-            F.sum((F.round(punct_ratio(t), 6) * 1000000).cast("long")).alias("punct_micro"),
+            _punct_micro_sum(t).alias("punct_micro"),
             F.sum(gopher_quality_pass(t).cast("long")).alias("n_gopher_pass"),
             micro("repline").alias("repline_micro"),
             micro("symratio").alias("symratio_micro"),
@@ -387,6 +398,10 @@ def _text_stats(spark, sf_dir):
             micro("ellipsis").alias("ellipsis_micro"),
             micro("meanwlen").alias("meanwlen_micro"),
             micro("alpha").alias("alpha_micro"),
+            F.sum(_pii[1]["email"]).alias("n_emails"),
+            F.sum(_pii[1]["ip"]).alias("n_ips"),
+            F.sum(_pii[1]["phone"]).alias("n_phones"),
+            F.sum(F.length(_pii[0])).alias("redacted_chars"),
         )
         .orderBy("lang", "source")
     )
@@ -399,7 +414,32 @@ WITH corpus AS (
   SELECT doc_id + 20000000, lang, 'degraded',
          text || chr(10) || text || chr(10) || '- bullet one' || chr(10) ||
          '- bullet two' || chr(10) || 'to be continued...' || chr(10) || '### # # #'
+         || chr(10) || 'contact bob.smith@example.com or 10.1.2.3 at +1 555-123-4567'
   FROM documents WHERE doc_id % 4 = 0
+),
+pii AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_em,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM corpus
+),
+pii2 AS (
+  SELECT doc_id, lang, source, n_em,
+         len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+         regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
+  FROM pii
+),
+pii3 AS (
+  SELECT doc_id, lang, source, n_em, n_ip,
+         len(regexp_extract_all(t2, '\\+?\\d[\\d\\- ]{7,}\\d')) AS n_ph,
+         length(regexp_replace(t2, '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g')) AS red_len
+  FROM pii2
+),
+pii_agg AS (
+  SELECT lang, source,
+         CAST(SUM(n_em) AS BIGINT) AS n_emails, CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+         CAST(SUM(n_ph) AS BIGINT) AS n_phones, CAST(SUM(red_len) AS BIGINT) AS redacted_chars
+  FROM pii3 GROUP BY lang, source
 ),
 feat AS (
   SELECT lang, source, text,
@@ -425,8 +465,8 @@ SELECT lang, source,
        CAST(SUM(n_words) AS BIGINT) AS n_tokens,
        CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_bpe_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum,
-       CAST(SUM(CAST(ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-                / GREATEST(length(text), 1), 6) * 1000000 AS BIGINT)) AS BIGINT) AS punct_micro,
+       CAST(SUM((CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) * 1000000)
+                // GREATEST(length(text), 1)) AS BIGINT) AS punct_micro,
        CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
                       AND CAST(n_wchars AS DOUBLE) / dw >= 3 AND CAST(n_wchars AS DOUBLE) / dw <= 10
                       AND CAST(n_sym AS DOUBLE) / dw < 0.1
@@ -440,8 +480,13 @@ SELECT lang, source,
        CAST(SUM((n_bul * 1000000) // dl) AS BIGINT) AS bullet_micro,
        CAST(SUM((n_ell * 1000000) // dl) AS BIGINT) AS ellipsis_micro,
        CAST(SUM((n_wchars * 1000000) // dw) AS BIGINT) AS meanwlen_micro,
-       CAST(SUM((n_alpha * 1000000) // dw) AS BIGINT) AS alpha_micro
-FROM m GROUP BY lang, source ORDER BY lang, source
+       CAST(SUM((n_alpha * 1000000) // dw) AS BIGINT) AS alpha_micro,
+       ANY_VALUE(p.n_emails) AS n_emails,
+       ANY_VALUE(p.n_ips) AS n_ips,
+       ANY_VALUE(p.n_phones) AS n_phones,
+       ANY_VALUE(p.redacted_chars) AS redacted_chars
+FROM m JOIN pii_agg p USING (lang, source)
+GROUP BY lang, source ORDER BY lang, source
 """
 
 register("text_stats", _text_stats, _TEXT_ORACLE)

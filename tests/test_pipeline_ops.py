@@ -594,3 +594,31 @@ def test_mix_sources_rates_and_epochs(spark, docs):
     plan = mix_sources(base, {"src0": 2.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     out.unpersist()
+
+
+def test_redact_pii_stages(spark):
+    from akvorado_spark.operators.text import redact_pii_stages
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b@example.com and c@d.org here",),
+            ("server 192.168.10.1 talked to 10.0.0.7",),
+            ("call +1 555-123-4567 now",),
+            ("mixed bob@x.io at 10.1.2.3 tel 555-876-5432 1",),
+            ("clean text with no identifiers at all",),
+        ],
+        "text string",
+    )
+    red, counts = redact_pii_stages(F.col("text"))
+    out = df.select(
+        red.alias("r"),
+        counts["email"].alias("e"),
+        counts["ip"].alias("i"),
+        counts["phone"].alias("p"),
+    ).collect()
+    assert out[0]["e"] == 2 and "<EMAIL>" in out[0]["r"] and "@" not in out[0]["r"]
+    assert out[1]["i"] == 2 and out[1]["r"].count("<IP>") == 2
+    assert out[2]["p"] == 1 and "<PHONE>" in out[2]["r"]
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (1, 1, 1)
+    assert out[4]["r"] == "clean text with no identifiers at all"
+    assert (out[4]["e"], out[4]["i"], out[4]["p"]) == (0, 0, 0)
