@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -141,6 +142,65 @@ def streaming_netflow_decode(raw: DataFrame, time_col: str = "time_received") ->
         fn,
         outputStructType=WIRE_SCHEMA,
         stateStructType=_DECODE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming exact dedup: cross-micro-batch duplicate suppression
+# --------------------------------------------------------------------------
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact dedup ACROSS micro-batches: the first arrival of each
+    distinct ``content_col`` value passes, every later arrival — in the
+    same batch or any future one — is dropped.
+
+    Spark's own ``dropDuplicates`` on a stream needs a watermark and
+    forgets state past it; training-data ingestion wants *unbounded*
+    "have I ever seen this document" semantics, so this keeps an
+    explicit seen-set via ``applyInPandasWithState``.
+
+    Scale shape: rows are routed by ``pmod(xxhash64(content), buckets)``
+    — the JVM computes the hash, the Python side only set-tests 64-bit
+    ints — so state shards evenly across ``buckets`` groups and each
+    group's state is an array<long> of hashes: 8 bytes per distinct
+    document ever seen, independent of document size.  A billion
+    distinct docs is ~8 GB of state fleet-wide, spread over the
+    executors holding the shards; beyond that, swap the seen-set for a
+    bloom filter in the same state slot (accepting its false-drop
+    rate).  State survives query restarts through the checkpoint's
+    state store.
+    """
+    h = F.xxhash64(F.col(content_col))
+    d = df.withColumn("__h", h).withColumn("__b", F.pmod(h, F.lit(buckets)))
+    out_names = [f.name for f in df.schema.fields]
+
+    def fn(
+        key_val, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            mask = []
+            for hv in pdf["__h"]:
+                hv = int(hv)
+                if hv in seen:
+                    mask.append(False)
+                else:
+                    seen.add(hv)
+                    mask.append(True)
+            yield pdf.loc[mask, out_names]
+        state.update((sorted(seen),))
+
+    return d.groupBy("__b").applyInPandasWithState(
+        fn,
+        outputStructType=df.schema,
+        stateStructType="seen array<bigint>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

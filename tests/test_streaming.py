@@ -207,3 +207,59 @@ def test_process_batch_observes_oldest_without_extra_job(spark, tmp_path):
     ingest.process_batch(batch)
     want = flows_schema().ingest(batch).agg(F.min("TimeReceived")).collect()[0][0]
     assert captured["since"] == want
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First arrival of each document passes; re-arrivals are dropped
+    both within a batch and across query RESTARTS (state survives via
+    the checkpoint state store) — unbounded 'seen ever' semantics."""
+    import os as _os
+
+    from akvorado_spark.streaming.ingest import file_source
+    from akvorado_spark.streaming.state import streaming_exact_dedup
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src, exist_ok=True)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    chunk1 = spark.createDataFrame(
+        [(i, f"document number {i % 30}") for i in range(50)],  # 20 in-batch dups
+        "doc_id long, text string",
+    )
+    chunk1.coalesce(1).write.mode("overwrite").parquet(src + "/c1")
+
+    def run(path):
+        stream = file_source(spark, path, chunk1.schema)
+        q = (
+            streaming_exact_dedup(stream, "text")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(src + "/c1")
+    first = spark.read.parquet(sink)
+    assert first.count() == 30  # in-batch dups suppressed
+    assert first.select("text").distinct().count() == 30
+
+    # second run, same checkpoint: 10 repeats of old docs + 5 new ones
+    chunk2 = spark.createDataFrame(
+        [(100 + i, f"document number {i}") for i in range(10)]
+        + [(200 + i, f"fresh document {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    import glob
+    import shutil
+
+    chunk2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "c2_tmp"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "c2_tmp" / "part-*.parquet"))):
+        shutil.move(f, src + f"/c1/chunk2-{i}.parquet")
+    run(src + "/c1")
+    final = spark.read.parquet(sink)
+    assert final.count() == 35  # only the 5 fresh docs got through
+    texts = {r["text"] for r in final.collect()}
+    assert all(f"fresh document {i}" in texts for i in range(5))
