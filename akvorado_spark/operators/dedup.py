@@ -420,11 +420,14 @@ def connected_components(
     Algorithm: min-label propagation.  Each round joins the symmetric
     edge list with the current labels, takes the per-node minimum of
     neighbor labels, and lowers each node's label accordingly — one
-    shuffle join + one min-aggregate per round, converging in
-    O(graph diameter) rounds.  Near-dup graphs are bucket cliques and
-    capped-bucket stars (see ``_bucket_pairs``), so the diameter is a
-    small constant; ``max_iter`` is a safety bound, not the expected
-    cost.  At 100 TB the frames in the loop are |V| label rows and |E|
+    shuffle join + one min-aggregate per round.  Near-dup graphs are
+    bucket cliques and capped-bucket stars (see ``_bucket_pairs``), so
+    the diameter is a small constant and rounds stay at that minimal
+    shape; if a graph hasn't converged after a few rounds, every
+    further round also pointer-jumps (comp ← comp of comp), doubling
+    the propagation distance so even a path of length d resolves in
+    O(log d) further rounds.  ``max_iter`` is a safety bound, not the
+    expected cost.  At 100 TB the frames in the loop are |V| label rows and |E|
     edges — the *candidate-pair* population, orders of magnitude
     smaller than the corpus — and each iterate is ``localCheckpoint``ed
     so lineage (and task closures) stay O(1) across rounds instead of
@@ -457,7 +460,13 @@ def connected_components(
     if prev_sum is None:  # empty pair set
         edges.unpersist()
         return labels
-    for _ in range(max_iter):
+    # After this many plain rounds, add a pointer-jump (comp ← comp of
+    # comp) each round: propagation distance doubles per round, so a
+    # path of length d resolves in ~POINTER_JUMP_AFTER + log2(d) rounds
+    # instead of d.  The common near-dup topologies (diameter 1-2) never
+    # reach it, keeping their rounds at one join + one aggregate.
+    POINTER_JUMP_AFTER = 4
+    for rnd in range(max_iter):
         nbr_min = (
             edges.join(
                 labels.select(F.col("id").alias("b"), F.col("comp").alias("__nc")), "b"
@@ -466,14 +475,19 @@ def connected_components(
             .agg(F.min("__nc").alias("__nc"))
             .select(F.col("a").alias("id"), "__nc")
         )
-        labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("__nc", F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("__nc", F.col("comp"))).alias("comp"),
         )
+        if rnd >= POINTER_JUMP_AFTER:
+            # shortcut: follow the label's own label one hop
+            hop = labels.select(
+                F.col("id").alias("comp"), F.col("comp").alias("__cc")
+            )
+            labels = labels.join(hop, "comp", "left").select(
+                "id", F.least(F.col("comp"), F.coalesce("__cc", F.col("comp"))).alias("comp")
+            )
+        labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break

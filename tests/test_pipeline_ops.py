@@ -622,3 +622,17 @@ def test_redact_pii_stages(spark):
     assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (1, 1, 1)
     assert out[4]["r"] == "clean text with no identifiers at all"
     assert (out[4]["e"], out[4]["i"], out[4]["p"]) == (0, 0, 0)
+
+
+def test_connected_components_long_chain_pointer_jumps(spark):
+    """A 200-node path converges inside the default max_iter: rounds
+    past the plain-propagation phase pointer-jump, doubling distance
+    per round (O(log d), not O(d))."""
+    from akvorado_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {1}
+    assert len(comp) == 200
