@@ -78,6 +78,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def suggest_planes(n_vectors: int, target_bucket: int = 64) -> int:
+    """Sketch width that keeps expected bucket occupancy constant as
+    the corpus grows: ``ceil(log2(n / target_bucket))``, floored at 4.
+
+    The measured failure mode this prevents (SCALE_METRICS.md, 10×
+    corpus run): a FIXED-width sketch makes intra-bucket verify pairs
+    grow ~N²/2^planes — 10× vectors meant ~100× pair comparisons.
+    Re-deriving the width per corpus holds the per-bucket population
+    (and so the verify-join cost per vector) flat; one extra plane per
+    corpus doubling.
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def lsh_sketch(vec_col, planes: np.ndarray):
     """Sign-bit sketch (one long) of a vector column against fixed
     hyperplanes — pure SQL fold per plane."""

@@ -636,3 +636,16 @@ def test_connected_components_long_chain_pointer_jumps(spark):
     comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {1}
     assert len(comp) == 200
+
+
+def test_suggest_planes_holds_bucket_occupancy():
+    """One extra plane per corpus doubling; expected occupancy stays at
+    the target across 6 orders of magnitude."""
+    from akvorado_spark.operators.similarity import suggest_planes
+
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000, 1_000_000_000):
+        p = suggest_planes(n, target_bucket=64)
+        occupancy = n / (2 ** p)
+        assert 32 <= occupancy <= 64, (n, p, occupancy)
+    assert suggest_planes(2_000) == suggest_planes(1_000) + 1
+    assert suggest_planes(10) == 4  # floor for tiny corpora
