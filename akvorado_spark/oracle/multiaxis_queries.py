@@ -54,12 +54,25 @@ def _req(dim: str) -> LineRequest:
     )
 
 
+def _req2(dims: tuple[str, str]) -> LineRequest:
+    return LineRequest(
+        time_col="TimeReceived",
+        dimensions=dims,
+        weight_sql=None,
+        interval_s=30 * 86400,
+        limit=3,
+        agg_sql=_L3,
+        base_cols=_BASE,
+    )
+
+
 def _spark_bidir_line(spark, sf_dir):
     register_spark_view(spark, sf_dir)
     direct = CompiledFilter(parse_filter(_FILTER, _SCHEMA), _SCHEMA)
     reverse = direct.reverse()
     df = spark.table("flows_v")
     direct_df = df.filter(direct.column())
+    reverse_df = df.filter(reverse.column())
     # the reverse axis folds against the DIRECT axis's top set — the
     # reference shares axis 1's rows CTE across axes (skipWithClause,
     # console/line.go:169-216) so the chart's series are identical
@@ -70,26 +83,77 @@ def _spark_bidir_line(spark, sf_dir):
         _req("OutIfName"),
         rows=rows1.withColumnRenamed("InIfName", "OutIfName"),
     ).withColumnRenamed("OutIfName", "InIfName")
-    return ax1.select(F.lit(1).alias("axis"), "*").unionAll(
+    one = ax1.select(F.lit(1).alias("axis"), "*").unionAll(
         ax2.select(F.lit(2).alias("axis"), "*")
     )
+    one = one.select(
+        F.lit("if").alias("variant"), "axis", "bucket",
+        F.col("InIfName").cast("string").alias("d1"),
+        F.lit("").alias("d2"), "sum_w", "xps",
+    )
+    # REVERSE-PAIR dimension list (SrcPort, DstPort) → (DstPort,
+    # SrcPort): the shared rows CTE swaps columns ATOMICALLY — the
+    # sequential-rename collision fixed this round, now value-gated.
+    # Ports ride as strings so the 'Other' fold literal types cleanly
+    # in both engines.
+    def _ports(d):
+        return d.withColumn("SrcPortS", F.col("SrcPort").cast("string")).withColumn(
+            "DstPortS", F.col("DstPort").cast("string")
+        )
+
+    rows2 = top_rows_frame(_ports(direct_df), _req2(("SrcPortS", "DstPortS")))
+    ax3 = compile_line(_ports(direct_df), _req2(("SrcPortS", "DstPortS")), rows=rows2)
+    rows2r = rows2.select(
+        F.col("SrcPortS").alias("DstPortS"), F.col("DstPortS").alias("SrcPortS")
+    )
+    ax4 = compile_line(_ports(reverse_df), _req2(("DstPortS", "SrcPortS")), rows=rows2r)
+    pair = ax3.select(
+        F.lit("ports").alias("variant"), F.lit(1).alias("axis"), "bucket",
+        F.col("SrcPortS").alias("d1"), F.col("DstPortS").alias("d2"), "sum_w", "xps",
+    ).unionAll(
+        ax4.select(
+            F.lit("ports").alias("variant"), F.lit(2).alias("axis"), "bucket",
+            # normalize to forward names positionally, like graph_line
+            F.col("DstPortS").alias("d1"), F.col("SrcPortS").alias("d2"),
+            "sum_w", "xps",
+        )
+    )
+    return one.unionAll(pair)
 
 
 def _oracle_bidir_line() -> str:
     direct = CompiledFilter(parse_filter(_FILTER, _SCHEMA), _SCHEMA)
     reverse = direct.reverse()
     direct_src = f"(SELECT * FROM ({oracle_view_sql()}) WHERE {direct.duckdb_sql})"
+    reverse_src = f"(SELECT * FROM ({oracle_view_sql()}) WHERE {reverse.duckdb_sql})"
     rows1 = oracle_line_rows_sql(direct_src, _req("InIfName"))
     ax1 = oracle_line_sql(direct_src, _req("InIfName"))
     ax2 = oracle_line_sql(
-        f"(SELECT * FROM ({oracle_view_sql()}) WHERE {reverse.duckdb_sql})",
+        reverse_src,
         _req("OutIfName"),
         rows_sql=f"SELECT InIfName AS OutIfName FROM ({rows1})",
     )
+    def _ports_src(src: str) -> str:
+        return (
+            f"(SELECT *, CAST(SrcPort AS VARCHAR) AS SrcPortS,"
+            f" CAST(DstPort AS VARCHAR) AS DstPortS FROM {src})"
+        )
+
+    rows2 = oracle_line_rows_sql(_ports_src(direct_src), _req2(("SrcPortS", "DstPortS")))
+    ax3 = oracle_line_sql(_ports_src(direct_src), _req2(("SrcPortS", "DstPortS")))
+    ax4 = oracle_line_sql(
+        _ports_src(reverse_src),
+        _req2(("DstPortS", "SrcPortS")),
+        rows_sql=f"SELECT SrcPortS AS DstPortS, DstPortS AS SrcPortS FROM ({rows2})",
+    )
     return f"""
-SELECT 1 AS axis, bucket, InIfName, sum_w, xps FROM ({ax1})
+SELECT 'if' AS variant, 1 AS axis, bucket, CAST(InIfName AS VARCHAR) AS d1, '' AS d2, sum_w, xps FROM ({ax1})
 UNION ALL
-SELECT 2 AS axis, bucket, OutIfName AS InIfName, sum_w, xps FROM ({ax2})"""
+SELECT 'if', 2, bucket, CAST(OutIfName AS VARCHAR), '', sum_w, xps FROM ({ax2})
+UNION ALL
+SELECT 'ports', 1, bucket, SrcPortS, DstPortS, sum_w, xps FROM ({ax3})
+UNION ALL
+SELECT 'ports', 2, bucket, DstPortS, SrcPortS, sum_w, xps FROM ({ax4})"""
 
 
 register("graph_line_bidir", _spark_bidir_line, _oracle_bidir_line())
