@@ -86,12 +86,41 @@ def _spark_sankey_bidir(spark, sf_dir):
     ax2 = compile_sankey(df, req_rev, rows=fwd_rows, rows_cols=_FWD_DIMS)
     for rev, fwd in zip(_REV_DIMS, _FWD_DIMS):
         ax2 = ax2.withColumnRenamed(rev, fwd)
-    return (
+    one = (
         ax1.select(F.lit(1).alias("axis"), "*")
         .unionAll(ax2.select(F.lit(2).alias("axis"), "*"))
         .withColumnRenamed("InIfName", "d1")
         .withColumnRenamed("DstPortS", "d2")
+        .select(F.lit("if").alias("variant"), "*")
     )
+    # reverse-PAIR dimension list (SrcPortS, DstPortS) → (DstPortS,
+    # SrcPortS): the reverse axis probes the forward rows positionally
+    # and the output renames back atomically (the collision fixed this
+    # round), value-gated here
+    pdims = ("SrcPortS", "DstPortS")
+    req_p = SankeyRequest(
+        time_col="TimeReceived", dimensions=pdims, weight_sql=None,
+        limit=5, agg_sql=_L3, base_cols=_BASE,
+    )
+    rows_p = top_rows(df, req_p)
+    p1 = compile_sankey(df, req_p, rows=rows_p, rows_cols=pdims)
+    req_pr = SankeyRequest(
+        time_col="TimeReceived", dimensions=("DstPortS", "SrcPortS"),
+        weight_sql=None, limit=5, agg_sql=_L3, base_cols=_BASE,
+    )
+    p2 = compile_sankey(df, req_pr, rows=rows_p, rows_cols=pdims)
+    pair = p1.select(
+        F.lit("ports").alias("variant"), F.lit(1).alias("axis"),
+        F.col("SrcPortS").alias("d1"), F.col("DstPortS").alias("d2"),
+        "sum_w", "xps",
+    ).unionAll(
+        p2.select(
+            F.lit("ports").alias("variant"), F.lit(2).alias("axis"),
+            F.col("DstPortS").alias("d1"), F.col("SrcPortS").alias("d2"),
+            "sum_w", "xps",
+        )
+    )
+    return one.unionAll(pair)
 
 
 def _oracle_sankey_bidir() -> str:
@@ -128,10 +157,35 @@ u AS (
 ),
 agg AS (
   SELECT axis, d1, d2, CAST({_L3} AS BIGINT) AS sum_w FROM u GROUP BY axis, d1, d2
+),
+rows_p AS (
+  SELECT SrcPortS, DstPortS FROM (
+    SELECT SrcPortS, DstPortS, CAST({_L3} AS BIGINT) AS tw
+    FROM base GROUP BY SrcPortS, DstPortS
+  ) ORDER BY tw DESC, SrcPortS, DstPortS LIMIT 5
+),
+up AS (
+  SELECT 1 AS axis,
+         CASE WHEN b.SrcPortS IN (SELECT SrcPortS FROM rows_p) THEN b.SrcPortS ELSE 'Other' END AS d1,
+         CASE WHEN b.DstPortS IN (SELECT DstPortS FROM rows_p) THEN b.DstPortS ELSE 'Other' END AS d2,
+         Bytes, SamplingRate
+  FROM base b
+  UNION ALL
+  SELECT 2 AS axis,
+         CASE WHEN b.DstPortS IN (SELECT SrcPortS FROM rows_p) THEN b.DstPortS ELSE 'Other' END AS d1,
+         CASE WHEN b.SrcPortS IN (SELECT DstPortS FROM rows_p) THEN b.SrcPortS ELSE 'Other' END AS d2,
+         Bytes, SamplingRate
+  FROM base b
+),
+aggp AS (
+  SELECT axis, d1, d2, CAST({_L3} AS BIGINT) AS sum_w FROM up GROUP BY axis, d1, d2
 )
-SELECT a.axis, a.d1, a.d2, a.sum_w, CAST(a.sum_w AS DOUBLE) / r.range_s AS xps
+SELECT 'if' AS variant, a.axis, a.d1, a.d2, a.sum_w, CAST(a.sum_w AS DOUBLE) / r.range_s AS xps
 FROM agg a CROSS JOIN rng r
-ORDER BY a.axis, xps DESC, a.d1, a.d2"""
+UNION ALL
+SELECT 'ports', a.axis, a.d1, a.d2, a.sum_w, CAST(a.sum_w AS DOUBLE) / r.range_s AS xps
+FROM aggp a CROSS JOIN rng r
+ORDER BY variant, axis, xps DESC, d1, d2"""
 
 
 register("sankey_bidir", _spark_sankey_bidir, _oracle_sankey_bidir())
