@@ -359,3 +359,43 @@ def redact_pii_stages(text: Column) -> tuple[Column, dict[str, Column]]:
 
 def redact_pii(text: Column) -> Column:
     return redact_pii_stages(text)[0]
+
+
+def duplicate_ngram_char_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document duplicate word-n-gram character mass — the second
+    Gopher repetition family (Rae et al. 2021 table A1: 'duplicate
+    n-gram character fraction').
+
+    Returns (id, dup_chars, total_chars) as exact integers: for every
+    word n-gram occurrence, its string length counts toward
+    ``total_chars``; occurrences of grams appearing more than once in
+    the document count toward ``dup_chars``.  The fraction
+    dup_chars/total_chars is the repetition signal (boilerplate and
+    listicle spam repeat phrases; prose doesn't).
+
+    Shape at scale: one explode (narrow) and one aggregation keyed by
+    (document, gram) then (document) — partial aggregation absorbs the
+    within-doc repetition before the exchange, and the keys are
+    document-scoped so hot documents shard by gram first.
+    """
+    w = words(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+    )
+    # docs shorter than n words contribute their whole text as one gram
+    grams = F.when(F.size(w) >= n, grams).otherwise(
+        F.array(F.array_join(w, " "))
+    )
+    g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    per_gram = g.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c"), F.length(F.first("__g")).alias("__l")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__c") > 1, F.col("__c") * F.col("__l")).otherwise(0))
+        .cast("long")
+        .alias("dup_chars"),
+        F.sum(F.col("__c") * F.col("__l")).cast("long").alias("total_chars"),
+    )

@@ -339,6 +339,7 @@ def _text_stats(spark, sf_dir):
     land in their own source group."""
     from akvorado_spark.operators.text import (
         bpe_ish_token_count,
+        duplicate_ngram_char_stats,
         gopher_quality_pass,
         punct_ratio,
         quality_metric_fractions,
@@ -383,7 +384,23 @@ def _text_stats(spark, sf_dir):
         d = F.greatest(den.cast("long"), F.lit(1).cast("long"))
         return F.sum(((num6 - num6 % d) / d).cast("long"))
 
-    return (
+    # Gopher's duplicate-2-gram char fraction needs a keyed aggregation
+    # (counts, not a projection): per-doc exact integers, micro'd with
+    # the same integer division, aggregated to the group grain
+    dup = duplicate_ngram_char_stats(corpus, "text", "doc_id", n=2)
+    num6 = F.col("dup_chars") * F.lit(1000000).cast("long")
+    dden = F.greatest(F.col("total_chars"), F.lit(1).cast("long"))
+    dup6 = dup.select(
+        "doc_id", (((num6 - num6 % dden) / dden).cast("long")).alias("__dup6")
+    )
+    dup_grp = (
+        corpus.select("doc_id", "lang", "source")
+        .join(dup6, "doc_id")
+        .groupBy("lang", "source")
+        .agg(F.sum("__dup6").alias("dup2_micro"))
+    )
+
+    main = (
         corpus.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -403,8 +420,8 @@ def _text_stats(spark, sf_dir):
             F.sum(_pii[1]["phone"]).alias("n_phones"),
             F.sum(F.length(_pii[0])).alias("redacted_chars"),
         )
-        .orderBy("lang", "source")
     )
+    return main.join(dup_grp, ["lang", "source"]).orderBy("lang", "source")
 
 
 _TEXT_ORACLE = """
@@ -440,6 +457,33 @@ pii_agg AS (
          CAST(SUM(n_em) AS BIGINT) AS n_emails, CAST(SUM(n_ip) AS BIGINT) AS n_ips,
          CAST(SUM(n_ph) AS BIGINT) AS n_phones, CAST(SUM(red_len) AS BIGINT) AS redacted_chars
   FROM pii3 GROUP BY lang, source
+),
+dtoks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM corpus
+),
+dgrams AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(ws) >= 2 THEN array_to_string(ws[i:i+1], ' ')
+              ELSE array_to_string(ws, ' ') END AS g
+  FROM dtoks, generate_series(1, 100000) t(i)
+  WHERE i <= GREATEST(len(ws) - 1, 1)
+),
+dcnt AS (
+  SELECT doc_id, lang, source, g, COUNT(*) AS c, MAX(length(g)) AS l
+  FROM dgrams GROUP BY doc_id, lang, source, g
+),
+ddoc AS (
+  SELECT doc_id, lang, source,
+         CAST(SUM(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS BIGINT) AS dup,
+         CAST(SUM(c * l) AS BIGINT) AS tot
+  FROM dcnt GROUP BY doc_id, lang, source
+),
+dagg AS (
+  SELECT lang, source,
+         CAST(SUM((dup * 1000000) // GREATEST(tot, 1)) AS BIGINT) AS dup2_micro
+  FROM ddoc GROUP BY lang, source
 ),
 feat AS (
   SELECT lang, source, text,
@@ -484,8 +528,9 @@ SELECT lang, source,
        ANY_VALUE(p.n_emails) AS n_emails,
        ANY_VALUE(p.n_ips) AS n_ips,
        ANY_VALUE(p.n_phones) AS n_phones,
-       ANY_VALUE(p.redacted_chars) AS redacted_chars
-FROM m JOIN pii_agg p USING (lang, source)
+       ANY_VALUE(p.redacted_chars) AS redacted_chars,
+       ANY_VALUE(dg.dup2_micro) AS dup2_micro
+FROM m JOIN pii_agg p USING (lang, source) JOIN dagg dg USING (lang, source)
 GROUP BY lang, source ORDER BY lang, source
 """
 

@@ -649,3 +649,25 @@ def test_suggest_planes_holds_bucket_occupancy():
         assert 32 <= occupancy <= 64, (n, p, occupancy)
     assert suggest_planes(2_000) == suggest_planes(1_000) + 1
     assert suggest_planes(10) == 4  # floor for tiny corpora
+
+
+def test_duplicate_ngram_char_stats(spark):
+    from akvorado_spark.operators.text import duplicate_ngram_char_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),       # grams: 'a b'x2, 'b a', 'b c' → dup 6/12
+            (2, "all words distinct here"),
+            (3, "same same same same"),  # 'same same'x3 → all duplicated
+            (4, "one"),             # shorter than n → single whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_chars"], r["total_chars"])
+        for r in duplicate_ngram_char_stats(df, "text", "doc_id", n=2).collect()
+    }
+    assert got[1] == (6, 12)
+    assert got[2] == (0, got[2][1]) and got[2][1] > 0
+    assert got[3] == (27, 27)
+    assert got[4] == (0, 3)
