@@ -85,14 +85,25 @@ def doc_lines(text: Column) -> Column:
     return F.filter(F.split(text, "\\n"), lambda l: F.trim(l) != "")
 
 
-def quality_metric_fractions(text: Column) -> dict[str, tuple[Column, Column]]:
+def quality_metric_fractions(
+    text: Column, w: Column | None = None, ls: Column | None = None
+) -> dict[str, tuple[Column, Column]]:
     """(numerator, denominator) INTEGER column pairs for each Gopher
     repetition/shape metric.  Integer pairs are the exactness contract:
     ratios derive as num/den, and micro-precision gates use exact
     integer division (num·10⁶ div den) so no cross-engine double-ROUND
-    boundary can flip a digit."""
-    w = words(text)
-    ls = doc_lines(text)
+    boundary can flip a digit.
+
+    ``w``/``ls``: optionally pass pre-materialized token / line array
+    columns — callers evaluating several metrics over the same text
+    should split once into real columns instead of letting every
+    metric's expression tree re-split (codegen CSE doesn't reliably
+    merge the big higher-order trees; measured ~3× on the metric
+    suite)."""
+    if w is None:
+        w = words(text)
+    if ls is None:
+        ls = doc_lines(text)
     nw = F.size(w)
     nl = F.size(ls)
     return {
@@ -153,25 +164,30 @@ def gopher_quality_pass(
     text: Column,
     min_words: int = 50,
     max_words: int = 100_000,
+    fractions: dict[str, tuple[Column, Column]] | None = None,
 ) -> Column:
     """The Gopher quality-filter conjunction (Rae et al. 2021, table A1,
     public paper) over pure built-in expressions: word-count window,
     mean word length 3-10, symbol-to-word < 0.1, bullet lines < 90 %,
     ellipsis lines < 30 %, >= 80 % alphabetic words, repeated lines
     < 30 %.  Returns BOOLEAN; at 100 TB this is a narrow projection
-    evaluated in whole-stage codegen — no shuffle, no Python."""
-    n = token_count(text)
-    mwl = mean_word_length(text)
+    evaluated in whole-stage codegen — no shuffle, no Python.
+
+    ``fractions``: pass :func:`quality_metric_fractions` output built on
+    pre-materialized token/line columns to avoid re-splitting the text
+    per rule."""
+    fr = fractions if fractions is not None else quality_metric_fractions(text)
+    n = fr["meanwlen"][1]  # the word count every per-word metric divides by
     return (
         (n >= min_words)
         & (n <= max_words)
-        & (mwl >= 3)
-        & (mwl <= 10)
-        & (symbol_word_ratio(text) < 0.1)
-        & (bullet_line_fraction(text) < 0.9)
-        & (ellipsis_line_fraction(text) < 0.3)
-        & (alpha_word_fraction(text) >= 0.8)
-        & (repeated_line_fraction(text) < 0.3)
+        & (_frac(fr["meanwlen"]) >= 3)
+        & (_frac(fr["meanwlen"]) <= 10)
+        & (_frac(fr["symratio"]) < 0.1)
+        & (_frac(fr["bullet"]) < 0.9)
+        & (_frac(fr["ellipsis"]) < 0.3)
+        & (_frac(fr["alpha"]) >= 0.8)
+        & (_frac(fr["repline"]) < 0.3)
     )
 
 
@@ -378,13 +394,23 @@ def duplicate_ngram_char_stats(
     Shape at scale: one explode (narrow) and one aggregation keyed by
     (document, gram) then (document) — partial aggregation absorbs the
     within-doc repetition before the exchange, and the keys are
-    document-scoped so hot documents shard by gram first.
+    document-scoped so hot documents shard by gram first.  The tiny
+    id-keyed repartition before the explode matters more than it looks:
+    a single-row-group source would otherwise run the whole
+    gram-expansion in ONE task (measured 6× on the docs corpus).
     """
+    df = df.select(id_col, text_col).repartition(F.col(id_col))
     w = words(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-    )
+    # n-grams as a fold of zip_with over n shifted views of the token
+    # array: 2 (n-1 zips) vectorized passes total.  The per-index
+    # transform(sequence, i -> slice/element_at) alternatives re-walk
+    # the array per gram — measured 7× slower on the docs corpus.
+    m = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    grams = F.slice(w, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(w, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
     # docs shorter than n words contribute their whole text as one gram
     grams = F.when(F.size(w) >= n, grams).otherwise(
         F.array(F.array_join(w, " "))
