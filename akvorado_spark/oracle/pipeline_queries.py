@@ -949,16 +949,18 @@ def _simhash_collisions(spark, sf_dir):
             "text"
         ),
     ).filter("doc_id % 3 = 0")
+    from akvorado_spark.operators.dedup import _bucket_pairs
+
     corpus = docs.select("doc_id", "text").unionAll(twins)
     fps = simhash(corpus, "text", "doc_id")
-    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__fp"))
-    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__fp"))
-    return (
-        a.join(b, "__fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+    # collision pairs via ONE aggregation over one fingerprint pass
+    # (a fp self-join would re-derive the 64-vote aggregate per side)
+    buckets = (
+        fps.groupBy("simhash")
+        .agg(F.collect_set("doc_id").alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
+    return _bucket_pairs(buckets, None).orderBy("id_a", "id_b")
 
 
 _SIMHASH_TRUTH = """
