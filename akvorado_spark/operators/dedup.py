@@ -139,6 +139,65 @@ HASH_FAMILIES = {
 }
 
 
+def minhash_signature_expr(grams, n_hashes: int = 32, hash_fn=seeded_xxhash64):
+    """MinHash signature (array<long>) as a PURE EXPRESSION over a gram
+    ARRAY column — no explode, no shuffle.  Bit-identical to
+    :func:`minhash_signatures` (asserted in tests): the per-doc group-by
+    there becomes an ``array_min`` here.
+
+    This is the streaming-safe form: a stateless narrow projection that
+    Structured Streaming can run in append mode with no aggregation
+    state, feeding :func:`~akvorado_spark.streaming.state.streaming_minhash_candidates`.
+    Batch pipelines keep :func:`minhash_signatures` when they already
+    materialize the exploded gram frame for the verify join.
+    """
+    # seed binding must NOT add a lambda parameter: PySpark reads a
+    # 2-arg lambda as (element, array_index) and would pass the index
+    # as the seed
+    def _one_arg(fn, seed):
+        return lambda x: fn(x, seed)
+
+    family = HASH_FAMILIES.get(hash_fn)
+    if family is not None:
+        base_fn, mix = family
+        bases = F.transform(grams, base_fn)
+        mins = [
+            F.array_min(F.transform(bases, _one_arg(mix, i)))
+            for i in range(n_hashes)
+        ]
+    else:
+        mins = [
+            F.array_min(F.transform(grams, _one_arg(hash_fn, i)))
+            for i in range(n_hashes)
+        ]
+    return F.array(*mins)
+
+
+def band_buckets_expr(signature, bands: int, n_hashes: int, hash_fn=seeded_xxhash64):
+    """array<long> of per-band bucket keys for a signature column —
+    the same slice-hash :func:`lsh_candidate_pairs` uses, exposed as an
+    expression so streaming (and any caller holding signatures as a
+    column) buckets identically to the batch path."""
+    rows_per_band = max(n_hashes // bands, 1)
+    return F.array(
+        *[
+            hash_fn(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                b,
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def corpus_grams(df: DataFrame, text_col: str, id_col: str, ngram: int = 3) -> DataFrame:
     """Exploded (id, gram) frame — the shared upstream of minhash
     signatures and exact Jaccard scoring.  When one pipeline needs it
@@ -220,25 +279,10 @@ def lsh_candidate_pairs(
     Default None = exact (every pair).
     """
     n = n_hashes or len(signatures.select("signature").first()["signature"])
-    rows_per_band = max(n // bands, 1)
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    hash_fn(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ),
-                        b,
-                    )
-                    for b in range(bands)
-                ]
-            )
+            band_buckets_expr(F.col("signature"), bands, n, hash_fn)
         ).alias("band", "bucket"),
     )
     buckets = (

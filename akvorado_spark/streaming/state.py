@@ -204,3 +204,85 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# streaming near-dup candidates: stateful LSH across micro-batches
+# --------------------------------------------------------------------------
+
+
+def streaming_minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-dup candidate pairs ACROSS micro-batches: each arriving
+    document is checked against every document EVER seen in any of its
+    LSH band buckets, not just its own batch.
+
+    The whole sketch runs as stateless narrow expressions
+    (``minhash_signature_expr`` — no aggregation state, so the stream
+    stays in append mode); only bucket membership is stateful:
+    ``applyInPandasWithState`` keyed by (band, bucket) keeps the member
+    id list and emits (id_a, id_b) for each new member against the
+    existing ones.  Identical bucketing to the batch
+    ``lsh_candidate_pairs`` (shared ``band_buckets_expr``), so a
+    streamed corpus yields exactly the batch pair set (asserted in
+    tests).
+
+    Scale shape: state is ids-only — 8 bytes per (band, doc) ever seen,
+    sharded across the (band, bucket) key space.  ``max_bucket`` bounds
+    degenerate buckets: past it, new members pair only with the
+    bucket's first member (star topology — connectivity for transitive
+    dedup is preserved, pair volume stays linear).  Pairs may repeat
+    across bands and batches; dedupe downstream (the batch path's
+    ``distinct``) or feed connected components, which tolerates
+    duplicates.
+    """
+    from akvorado_spark.operators.dedup import (
+        band_buckets_expr,
+        minhash_signature_expr,
+        word_ngrams,
+    )
+
+    sig = minhash_signature_expr(word_ngrams(F.col(text_col), ngram), n_hashes)
+    banded = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.posexplode(band_buckets_expr(sig, bands, n_hashes)).alias(
+            "band", "bucket"
+        ),
+    )
+
+    out_schema = "id_a long, id_b long"
+
+    def fn(
+        key_val, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        members = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        for pdf in pdfs:
+            rows = []
+            for new in pdf["__id"]:
+                new = int(new)
+                if new in seen:
+                    continue
+                targets = members if len(members) < max_bucket else members[:1]
+                rows.extend(
+                    (min(m, new), max(m, new)) for m in targets
+                )
+                members.append(new)
+                seen.add(new)
+            yield pd.DataFrame(rows, columns=["id_a", "id_b"])
+        state.update((members,))
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="members array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

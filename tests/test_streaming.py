@@ -263,3 +263,103 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert final.count() == 35  # only the 5 fresh docs got through
     texts = {r["text"] for r in final.collect()}
     assert all(f"fresh document {i}" in texts for i in range(5))
+
+
+def test_minhash_signature_expr_matches_grouped(spark):
+    """The expression-only signature is bit-identical to the
+    explode+groupBy batch form."""
+    from akvorado_spark.operators.dedup import (
+        minhash_signature_expr,
+        minhash_signatures,
+        word_ngrams,
+    )
+    from akvorado_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).filter("doc_id % 6 = 0").select(
+        "doc_id", "text"
+    )
+    a = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(docs, "text", "doc_id", n_hashes=16).collect()
+    }
+    b = {
+        r["doc_id"]: r["signature"]
+        for r in docs.select(
+            "doc_id",
+            minhash_signature_expr(
+                word_ngrams(F.col("text")), n_hashes=16
+            ).alias("signature"),
+        ).collect()
+    }
+    assert a == b and len(a) > 20
+
+
+def test_streaming_minhash_candidates_equals_batch(spark, tmp_path):
+    """A corpus streamed in two micro-batch runs (state carried through
+    the checkpoint) yields exactly the batch LSH candidate pair set —
+    including pairs whose two members arrived in DIFFERENT batches."""
+    import glob
+    import os as _os
+    import shutil
+
+    from akvorado_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from akvorado_spark.sources.tables import load_table
+    from akvorado_spark.streaming.ingest import file_source
+    from akvorado_spark.streaming.state import streaming_minhash_candidates
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).filter("doc_id % 6 = 0").select(
+        "doc_id", "text"
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
+    )
+    corpus = docs.unionAll(twins)
+
+    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", bands=16, n_hashes=32, max_bucket=None
+        ).collect()
+    }
+    assert want  # the twins guarantee a non-empty candidate set
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src, exist_ok=True)
+    sink = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    # chunk 1 = originals, chunk 2 = twins: every twin pair SPANS batches
+    docs.coalesce(1).write.parquet(src + "/w")
+    for i, f in enumerate(glob.glob(src + "/w/part-*.parquet")):
+        shutil.move(f, src + f"/chunk1-{i}.parquet")
+
+    def run():
+        q = (
+            streaming_minhash_candidates(
+                file_source(spark, src, docs.schema), "text", "doc_id"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    twins.coalesce(1).write.parquet(src + "/w2")
+    for i, f in enumerate(glob.glob(src + "/w2/part-*.parquet")):
+        shutil.move(f, src + f"/chunk2-{i}.parquet")
+    run()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    assert got == want
