@@ -119,3 +119,37 @@ def test_dup2gram_matches_python_reference(spark):
     }
     for i, text in docs:
         assert got[i] == _py_dup2(text), (i, repr(text), got[i], _py_dup2(text))
+
+
+def test_mix_sources_matches_python_replay_random_rates(spark):
+    """Random rate maps (incl. >1 up-sampling and 0): the kept
+    (id, epoch) set matches an independent python md5 replay exactly."""
+    import hashlib
+    import math
+
+    from akvorado_spark.operators.sampling import mix_sources
+
+    rng = random.Random(99)
+    rows = [(i, f"src{rng.randint(0, 5)}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for trial in range(3):
+        rates = {f"src{j}": rng.choice([0.0, 0.2, 0.5, 1.0, 1.7, 3.25])
+                 for j in range(4)}
+        default = rng.choice([0.0, 0.1])
+        got = {
+            (r["doc_id"], r["epoch"])
+            for r in mix_sources(df, rates, default_rate=default).collect()
+        }
+
+        def keep(i, src):
+            r = rates.get(src, default)
+            copies = int(math.floor(r))
+            thr = int(round((r - copies) * 1_000_000))
+            out = [(i, e) for e in range(copies)]
+            h = int(hashlib.md5(f"{i}#{copies}".encode()).hexdigest()[:14], 16)
+            if h % 1_000_000 < thr:
+                out.append((i, copies))
+            return out
+
+        want = {p for i, src in rows for p in keep(i, src)}
+        assert got == want, (trial, rates, len(got), len(want))
