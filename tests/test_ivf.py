@@ -101,3 +101,60 @@ def test_kmeans_centroids_deterministic(spark):
     a = sorted(map(tuple, kmeans_centroids(vecs, 4, iters=3).collect()))
     b = sorted(map(tuple, kmeans_centroids(vecs, 4, iters=3).collect()))
     assert [(c, list(v)) for c, v in a] == [(c, list(v)) for c, v in b]
+
+
+def test_ann_recall_at_k_measured(spark):
+    """Measured recall@10 vs brute force on the real embeddings corpus
+    — quantified quality floor for both approximate variants, and the
+    IVF nprobe knob demonstrably trades recall for probes."""
+    from akvorado_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        lsh_topk,
+        suggest_planes,
+    )
+    from akvorado_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_MED
+
+    vecs = load_table(spark, "embeddings", SF_DIR_MED).select("vec_id", "embedding")
+    queries = vecs.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dim = len(vecs.select("embedding").first()["embedding"])
+    n = vecs.count()
+    k = 10
+
+    def recall(df) -> float:
+        approx = {
+            (r["q_id"], r["vec_id"]) for r in df.collect() if r["q_id"] != r["vec_id"]
+        }
+        hit = len(approx & exact_pairs)
+        return hit / len(exact_pairs)
+
+    exact_pairs = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(vecs, queries, k=k).collect()
+        if r["q_id"] != r["vec_id"]
+    }
+    assert exact_pairs
+
+    cents = kmeans_centroids(vecs, n_cells=16, iters=5)
+    r_ivf2 = recall(ivf_topk(vecs, queries, cents, k=k, nprobe=2))
+    r_ivf6 = recall(ivf_topk(vecs, queries, cents, k=k, nprobe=6))
+    assert r_ivf6 >= r_ivf2  # more probes never lose recall
+    assert r_ivf6 >= 0.5, (r_ivf2, r_ivf6)
+
+    # the corpus embeddings are near-random (NN cosine ~0.35), the
+    # regime where a SINGLE full-sketch bucket probe is bucket-share
+    # limited by construction: recall ~ occupancy/n = 1/2^planes.  The
+    # honest assertions are (a) it clears that random-bucketing
+    # baseline and (b) fewer planes -> bigger buckets -> more recall —
+    # the knob works in the measured direction.  (Guaranteed-recall on
+    # genuinely similar vectors is covered by the planted-copy test in
+    # test_pipeline_ops.)
+    planes = suggest_planes(n, target_bucket=256)
+    r_lsh = recall(lsh_topk(vecs, queries, k=k, dim=dim, n_planes=planes))
+    assert r_lsh >= 0.5 / (2 ** planes), r_lsh
+    r_lsh_wide = recall(lsh_topk(vecs, queries, k=k, dim=dim, n_planes=planes - 2))
+    assert r_lsh_wide >= r_lsh, (r_lsh, r_lsh_wide)
