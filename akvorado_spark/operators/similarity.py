@@ -126,19 +126,37 @@ def lsh_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the full sign sketch bucket;
     exact cosine re-ranks within the bucket.
 
     Recall/cost trades via ``n_planes`` (more planes → smaller buckets,
-    lower recall).  At cluster scale the sketch column is computed once
-    at ingest and bucketed on write, so probes touch single buckets.
+    lower recall) and ``multiprobe``: with ``multiprobe=1`` each query
+    ALSO probes every bucket one sign-flip away — the standard
+    multiprobe-LSH recall amplifier, ×(n_planes+1) candidate buckets
+    for the same index (a near neighbor that disagrees on exactly one
+    close-to-the-hyperplane sign is recovered).  The query side stays
+    broadcast — the probe fan-out multiplies the tiny side, never the
+    corpus.  At cluster scale the sketch column is computed once at
+    ingest and bucketed on write, so probes touch single buckets.
     """
     from pyspark.sql import Window
 
     planes = _hyperplanes(dim, n_planes, seed)
     v = vectors.withColumn("__sketch", lsh_sketch(F.col(vec_col), planes))
     q = queries.withColumn("__qsketch", lsh_sketch(F.col(q_vec_col), planes))
+    if multiprobe:
+        if multiprobe != 1:
+            raise ValueError("multiprobe supports 0 (off) or 1 (1-bit flips)")
+        probes = F.array(
+            F.col("__qsketch"),
+            *[
+                F.col("__qsketch").bitwiseXOR(F.lit(1 << b))
+                for b in range(n_planes)
+            ],
+        )
+        q = q.withColumn("__qsketch", F.explode(probes))
     cand = v.join(F.broadcast(q), F.col("__sketch") == F.col("__qsketch"))
     scored = cand.select(
         F.col(q_id_col),

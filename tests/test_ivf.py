@@ -158,3 +158,9 @@ def test_ann_recall_at_k_measured(spark):
     assert r_lsh >= 0.5 / (2 ** planes), r_lsh
     r_lsh_wide = recall(lsh_topk(vecs, queries, k=k, dim=dim, n_planes=planes - 2))
     assert r_lsh_wide >= r_lsh, (r_lsh, r_lsh_wide)
+    # multiprobe: +n_planes 1-bit-flip buckets per query — the recall
+    # amplifier that doesn't touch the index
+    r_multi = recall(
+        lsh_topk(vecs, queries, k=k, dim=dim, n_planes=planes, multiprobe=1)
+    )
+    assert r_multi >= max(2 * r_lsh, 0.2), (r_lsh, r_multi)
