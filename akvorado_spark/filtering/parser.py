@@ -225,11 +225,17 @@ class _Parser:
         return vals
 
     def _parse_literal(self):
+        # Keep the quoted-vs-bare distinction: the reference's grammar
+        # types literals lexically — strings MUST be quoted (a bare
+        # word there is a typo'd column/keyword, parser_test.go
+        # TestInvalidFilter `InIfProvider = OutIfProviderr`), while IP
+        # literals must NOT be (`ExporterAddress="2001:db8::1"` is
+        # invalid).
         t = self.next()
         if t.typ == "str":
-            return t.val
+            return ("str", t.val)
         if t.typ == "word":
-            return t.val
+            return ("word", t.val)
         raise FilterError(f"expected literal at offset {t.pos}, got {t.val!r}")
 
     # --- literal typing/validation per column kind ------------------------
@@ -258,8 +264,21 @@ class _Parser:
             raise FilterError(f"operator {op} not valid for {kind} column {spec.name}")
         return Cond(spec.name, kind, op, self._one(spec, value))
 
-    def _one(self, spec: ColumnSpec, v: str):
+    def _one(self, spec: ColumnSpec, v):
         kind = spec.kind
+        quoted = None
+        if isinstance(v, tuple) and len(v) == 2 and v[0] in ("str", "word"):
+            quoted = v[0] == "str"
+            v = v[1]
+        # The reference types literals lexically: a bare word where a
+        # string belongs is a typo'd column/keyword and must error
+        # (parser_test.go `InIfProvider = OutIfProviderr`).  Dialect
+        # extension kept on purpose: IP literals may be quoted OR bare
+        # (both validate as addresses, so no typo can slip through).
+        if quoted is not None and kind == "string" and not quoted:
+            raise FilterError(
+                f"string value for {spec.name} must be quoted, got bare {v!r}"
+            )
         if kind == "ip":
             # exact IP or subnet; '=' with '/len' behaves as containment
             # (reference console/filter/helpers.go:288-313)
@@ -291,7 +310,13 @@ class _Parser:
                 s = s[2:]
             if not re.fullmatch(r"\d+", s):
                 raise FilterError(f"bad integer literal {v!r} on {spec.name}")
-            return int(s)
+            n = int(s)
+            # engine integers are signed 64-bit; the reference likewise
+            # rejects overflowing literals (TestInvalidFilter
+            # `SrcAS=785473854857857485784`)
+            if n > 0x7FFF_FFFF_FFFF_FFFF:
+                raise FilterError(f"integer literal {v!r} out of range on {spec.name}")
+            return n
         if kind == "proto":
             if re.fullmatch(r"\d+", str(v)):
                 return int(v)

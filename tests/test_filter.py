@@ -114,6 +114,37 @@ def test_requires_main_table():
         "SrcAddr << ",
         "SrcAS = 1 trailing",
         "(SrcAS = 1",
+        # the reference's TestInvalidFilter table
+        # (console/filter/parser_test.go:651-692), minus quoted-IP
+        # strictness (documented dialect extension: quoted IPs parse)
+        "ExporterName",
+        "ExporterName = ",
+        "ExporterName = 'something",
+        "ExporterName='something\"",
+        "ExporterNamee='something'",
+        "ExporterName>'something'",
+        "ExporterAddress=203.0.113",
+        "ExporterAddress=2001:db8",
+        "SrcAS=12322a",
+        "SrcAS=785473854857857485784",  # overflows the engine integer
+        "EType = ipv7",
+        "Proto = 100 AND",
+        "AND Proto = 100",
+        "Proto = 100 AND (Proto = 100",
+        "SrcAS IN (AS12322, 29447",
+        "SrcAS IN (AS12322,",
+        "SrcPort < ExporterName",
+        "SrcPort < SrcAS",
+        "SrcPort < DstPortt",
+        "SrcPort IN (DstPort)",
+        "SrcAS = ExporterName",
+        "SrcAS = DstASPath",
+        "SrcAS IN (DstAS)",
+        "InIfProvider LIKE OutIfProvider",
+        # bare words where a string belongs are typo'd columns/keywords
+        "InIfProvider IN (OutIfProvider)",
+        "InIfProvider = SrcAS",
+        "InIfProvider = OutIfProviderr",
     ],
 )
 def test_filter_errors(bad):
