@@ -33,29 +33,53 @@ register("widget_flow_rate", _spark_flow_rate, _oracle_flow_rate())
 
 
 def _spark_top_percent(spark, sf_dir):
+    """Two reference homepage-top variants (console/widgets_test.go
+    TestWidgetTop): 'exporter' (plain selector) and 'src-port' (the
+    composite dictGet(protocols)/port rendered selector) — both over
+    the external-boundary population with the Unknown fold."""
     from pyspark.sql import functions as F
 
     register_spark_view(spark, sf_dir)
     df = spark.table("flows_v").filter(F.col("InIfBoundary") == "external")
-    return top_percent(df, "ExporterName", "Bytes * SamplingRate", limit=5)
+    exporter = top_percent(df, "ExporterName", "Bytes * SamplingRate", limit=5)
+    proto_name = F.coalesce(
+        F.create_map(
+            F.lit(6), F.lit("TCP"), F.lit(17), F.lit("UDP"), F.lit(1), F.lit("ICMP")
+        )[F.col("Proto")],
+        F.lit("???"),
+    )
+    composed = df.withColumn(
+        "__sel", F.concat(proto_name, F.lit("/"), F.col("SrcPort").cast("string"))
+    )
+    srcport = top_percent(composed, "__sel", "Bytes * SamplingRate", limit=5)
+    return exporter.select(
+        F.lit("exporter").alias("variant"), "Name", "Percent"
+    ).unionAll(srcport.select(F.lit("src-port").alias("variant"), "Name", "Percent"))
 
 
 def _oracle_top_percent() -> str:
-    return f"""
-WITH source AS (
-  SELECT * FROM {oracle_view_sql()} WHERE InIfBoundary = 'external'
-),
-base AS (
-  SELECT CASE WHEN CAST(ExporterName AS STRING) = '' THEN 'Unknown'
-              ELSE CAST(ExporterName AS STRING) END AS Name,
-         CAST(Bytes * SamplingRate AS BIGINT) AS w
-  FROM source
-),
-t AS (SELECT SUM(w) AS total FROM base)
-SELECT b.Name, CAST(SUM(b.w) AS DOUBLE) * 100 / CAST(t.total AS DOUBLE) AS Percent
-FROM base b CROSS JOIN t
-GROUP BY b.Name, t.total
-ORDER BY Percent DESC, Name LIMIT 5"""
+    def one(variant: str, name_sql: str) -> str:
+        return f"""
+SELECT '{variant}' AS variant, Name, Percent FROM (
+  WITH base AS (
+    SELECT CASE WHEN {name_sql} = '' THEN 'Unknown' ELSE {name_sql} END AS Name,
+           CAST(Bytes * SamplingRate AS BIGINT) AS w
+    FROM ({oracle_view_sql()}) WHERE InIfBoundary = 'external'
+  ),
+  t AS (SELECT SUM(w) AS total FROM base)
+  SELECT b.Name, CAST(SUM(b.w) AS DOUBLE) * 100 / CAST(t.total AS DOUBLE) AS Percent
+  FROM base b CROSS JOIN t
+  GROUP BY b.Name, t.total
+  ORDER BY Percent DESC, Name LIMIT 5
+)"""
+
+    exporter = one("exporter", "CAST(ExporterName AS STRING)")
+    srcport = one(
+        "src-port",
+        "concat(CASE WHEN Proto = 6 THEN 'TCP' WHEN Proto = 17 THEN 'UDP' "
+        "WHEN Proto = 1 THEN 'ICMP' ELSE '???' END, '/', CAST(SrcPort AS STRING))",
+    )
+    return exporter + " UNION ALL " + srcport
 
 
 register("widget_top_percent", _spark_top_percent, _oracle_top_percent())
