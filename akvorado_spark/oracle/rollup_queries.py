@@ -118,11 +118,24 @@ _RANGE_6H = ("2024-01-05 00:00:00", "2024-01-05 06:00:00")
 # The EXPECTED table is not consulted by the Spark side — it re-derives
 # the choice through best_table; only the oracle pins it, so a routing
 # regression hash-mismatches.
+# Reference coverage rule (clickhouse.go:283-335): a table covers only
+# when the range START lies a full resolution bucket after its oldest
+# data.  A range opening at the corpus's first instant therefore covers
+# nothing and takes the oldest-data fallback — pinned by its own
+# variant below.
+_RANGE_COVERED = ("2024-01-02 00:00:00", "2024-02-01 00:00:00")
+_RANGE_BEFORE = ("2023-12-01 00:00:00", "2024-02-01 00:00:00")
+
 _VARIANTS = {
-    "t7200_1h": (7200, _RANGE_FULL, False, "flows_3600s", 7200),
+    "t7200_1h": (7200, _RANGE_COVERED, False, "flows_3600s", 7200),
     "t90_1m": (90, _RANGE_DAY, False, "flows_60s", 60),
     "t30_main": (30, _RANGE_6H, False, "flows", 30),
-    "t7200_force_main": (7200, _RANGE_FULL, True, "flows", 7200),
+    "t7200_force_main": (7200, _RANGE_COVERED, True, "flows", 7200),
+    # start before ANY data: no table covers; the fallback picks the
+    # table reaching back furthest (all share the day-1 oldest, so the
+    # raw table's 1 s slack wins) — the reference's
+    # "all tables out of range" case
+    "t7200_fallback_oldest": (7200, _RANGE_BEFORE, False, "flows", 7200),
 }
 
 

@@ -238,24 +238,64 @@ class FlowStore:
         target_interval_s: int,
         require_main: bool = False,
     ) -> tuple[Resolution, int]:
-        """Pick the coarsest table serving the query, and the snapped
+        """Pick the best table serving the query, and the snapped
         interval (a multiple of the table resolution ≥ target) —
-        reference getBestTable + snapping (console/clickhouse.go:283-335,
-        234-249)."""
+        the reference getBestTable + snapping
+        (console/clickhouse.go:283-335, 234-249), including both of its
+        selection rules:
+
+        * a table *covers* the range only when the start lies a full
+          resolution bucket after its oldest data
+          (``start > oldest + resolution``);
+        * when NO table covers the start, fall back to the candidates
+          with the oldest data — at 100 TB this is the difference
+          between charting a year-long range from the 1-year rollup
+          and silently serving only the raw table's 15-day tail.
+
+        Among the candidates, the coarsest resolution ≤ the target
+        interval wins (the finest available when even it exceeds the
+        target).  Our ``oldest()`` is partition-date-floored (cheap
+        directory probe) where the reference issues MIN(TimeReceived);
+        same semantics at day granularity.
+        """
         main = self.resolutions[0]
         if require_main:
             return main, max(target_interval_s, 1)
-        best = main
-        for res in sorted(self.resolutions[1:], key=lambda r: r.interval_s):
-            if res.interval_s > target_interval_s:
-                continue
+        present = []
+        for res in self.resolutions:
             oldest = self.oldest(res)
-            if oldest is None:
-                continue  # absent/empty table
-            if oldest > start:
-                continue  # doesn't cover the range start
-            if res.interval_s >= best.interval_s:
+            if oldest is not None:
+                present.append((res, oldest))
+        if not present:
+            return main, max(target_interval_s, 1)
+        covering = [
+            (res, old)
+            for res, old in present
+            if start > old + timedelta(seconds=max(res.interval_s, 1))
+        ]
+        if covering:
+            cands = covering
+        else:
+            # no coverage: the table whose data reaches back furthest
+            # (oldest + resolution minimal), plus any with strictly
+            # older raw oldest (reference clickhouse.go:299-315)
+            fallback = min(
+                present,
+                key=lambda t: (
+                    t[1] + timedelta(seconds=max(t[0].interval_s, 1)),
+                    t[0].interval_s,
+                ),
+            )
+            cands = [fallback] + [
+                t for t in present if t is not fallback and t[1] < fallback[1]
+            ]
+        cands.sort(key=lambda t: t[0].interval_s)
+        best = cands[0][0]
+        for res, _ in cands[1:]:
+            if res.interval_s <= target_interval_s:
                 best = res
+            else:
+                break
         snapped = target_interval_s
         if best.interval_s > 0:
             snapped = max(

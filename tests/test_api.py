@@ -34,8 +34,10 @@ def test_table_interval_routing(spark, tmp_path):
     store = FlowStore(spark, str(tmp_path / "ti_store"))
     store.write_main(flows_schema().ingest(flows_df(spark, n=2000)))
     store.build_rollups()
-    start = datetime(2024, 1, 1, tzinfo=timezone.utc)
-    end = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    # start a clear resolution bucket after the data begins (reference
+    # coverage rule: start > oldest + resolution)
+    start = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    end = datetime(2024, 1, 3, tzinfo=timezone.utc)
 
     # 24h / 24 points → 3600 s target → 1h rollup serves it
     r = table_interval(store, start, end, points=24)

@@ -199,13 +199,21 @@ def test_router_skips_rollup_not_covering_range_start(spark, tmp_path):
     # simulate the 1h table's TTL having expired day 1
     shutil.rmtree(os.path.join(s.path(s.resolutions[3]), "part_date=2024-01-01"))
 
-    day1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
     end = datetime(2024, 1, 2, 12, tzinfo=timezone.utc)
-    res, snapped = s.best_table(day1, end, target_interval_s=7200)
-    assert res.interval_s == 300 and snapped == 7200  # 1h skipped, 5m covers
-    # a range starting on day 2 can still route to the 1h table
-    res2, _ = s.best_table(datetime(2024, 1, 2, tzinfo=timezone.utc), end, 7200)
+    # start a full bucket after day 1's data begins: the 1h table (its
+    # day-1 partition TTL'd) does NOT cover, the 5m table does
+    mid1 = datetime(2024, 1, 1, 12, tzinfo=timezone.utc)
+    res, snapped = s.best_table(mid1, end, target_interval_s=7200)
+    assert res.interval_s == 300 and snapped == 7200
+    # a range starting well into day 2 routes to the 1h table again
+    res2, _ = s.best_table(datetime(2024, 1, 2, 6, tzinfo=timezone.utc), end, 7200)
     assert res2.interval_s == 3600
+    # reference semantics: a start AT/BEFORE the oldest data means no
+    # table covers; fall back to the table reaching back furthest —
+    # the raw table here (all share day-1 oldest, main's slack is
+    # smallest; clickhouse_test.go "only flows table, out of range")
+    res3, _ = s.best_table(datetime(2024, 1, 1, tzinfo=timezone.utc), end, 7200)
+    assert res3.interval_s == 0
 
 def test_main_table_has_bloom_filters_on_addresses(spark, tmp_path):
     """The written parquet must carry bloom filters for the address /
@@ -363,7 +371,8 @@ def test_flowstore_uri_root_round_trip(spark, tmp_path):
     # the same data read back through the URI root — NOT silently empty
     assert s.read(s.resolutions[0]).count() == 500
     assert s.oldest(s.resolutions[0]) is not None
-    res, _ = s.best_table(START, END, target_interval_s=7200)
+    # start a clear bucket after the data begins so the rollup covers
+    res, _ = s.best_table(START + timedelta(days=1), END + timedelta(days=1), 7200)
     assert res.interval_s == 3600  # router sees the rollup through the URI
     # TTL expiry deletes partitions through the Hadoop FS as well
     dropped = s.expire(now=datetime(2030, 1, 1, tzinfo=timezone.utc))
