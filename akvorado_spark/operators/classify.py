@@ -52,6 +52,27 @@ class ClassifierRule:
     reject: bool = False
 
 
+def classify_regex_sql(subject_sql: str, pattern: str, template: str) -> str:
+    """SQL equivalent of the reference's ``ClassifyRegex(subject,
+    pattern, template)`` (outlet/core/classifier.go): when the subject
+    matches, the RESULT IS THE TEMPLATE with ``$N`` capture-group
+    substitutions (not a substitution inside the subject); a
+    non-matching subject classifies nothing (NULL → the cascade's
+    coalesce skips this rule).
+
+    Rendered as ``CASE WHEN subject RLIKE p THEN
+    regexp_replace(regexp_extract(subject, p, 0), p, template) END`` —
+    extract the whole match, then rewrite it as the template.  Stays
+    inside codegen like the rest of the cascade.
+    """
+    p = pattern.replace("\\", "\\\\").replace("'", "\\'")
+    t = template.replace("\\", "\\\\").replace("'", "\\'")
+    return (
+        f"CASE WHEN {subject_sql} RLIKE '{p}' THEN "
+        f"regexp_replace(regexp_extract({subject_sql}, '{p}', 0), '{p}', '{t}') END"
+    )
+
+
 def classify(
     df: DataFrame,
     rules: list[ClassifierRule],

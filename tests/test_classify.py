@@ -135,3 +135,52 @@ def test_next_hop_provider_precedence(spark):
         next_hop(("flow", "routing"), F.col("fnh"), routing_nh=F.col("rnh")).alias("nh")
     ).collect()
     assert [bytes(r["nh"]) for r in out] == [b, a, zero]
+
+
+def test_exporter_classifier_reference_cases(spark):
+    """The reference's TestExporterClassifier table
+    (outlet/core/classifier_test.go:13-140), re-expressed as SQL rules:
+    constant classification, startsWith/matches conditions, Format,
+    ClassifyRegex with $N capture templates (incl. regex classes and
+    the non-matching case), and selective Reject."""
+    from akvorado_spark.operators.classify import (
+        ClassifierRule,
+        classify,
+        classify_regex_sql,
+    )
+
+    exporters = spark.createDataFrame(
+        [("exporter",), ("roger",), ("nothing-here",)], "Name string"
+    )
+    rules = [
+        # Exporter.Name startsWith "expo" && Classify("europe")
+        ClassifierRule(when="startswith(Name, 'expo')", sets={"Group": "'europe'"}),
+        # Exporter.Name matches "^e.p.r" && ClassifySite("paris")
+        ClassifierRule(when="Name RLIKE '^e.p.r'", sets={"Site": "'paris'"}),
+        # ClassifyTenant(Format("tenant-%s", Exporter.Name))
+        ClassifierRule(when="true", sets={"Tenant": "format_string('tenant-%s', Name)"}),
+        # ClassifyRegex(Exporter.Name, "^(e.p+).r", "europe-$1")
+        ClassifierRule(
+            when="true",
+            sets={"RegexGroup": classify_regex_sql("Name", r"^(e.p+).r", "europe-$1")},
+        ),
+        # regex with class: ClassifyRegex(..., "^(\\w+).r", "europe-$1")
+        ClassifierRule(
+            when="true",
+            sets={"ClassGroup": classify_regex_sql("Name", r"^(\w+).r", "europe-$1")},
+        ),
+        # selective reject: Exporter.Name startsWith "nothing" && Reject()
+        ClassifierRule(when="startswith(Name, 'nothing')", reject=True),
+    ]
+    out = {r["Name"]: r for r in classify(exporters, rules).collect()}
+    assert set(out) == {"exporter", "roger"}  # 'nothing-here' rejected
+    e = out["exporter"]
+    assert e["Group"] == "europe"
+    assert e["Site"] == "paris"
+    assert e["Tenant"] == "tenant-exporter"
+    assert e["RegexGroup"] == "europe-exp"       # "^(e.p+).r" → $1 = "exp"
+    assert e["ClassGroup"] == "europe-export"    # "^(\w+).r" → $1 = "export"
+    r = out["roger"]
+    assert r["Group"] is None and r["Site"] is None  # conditions don't match
+    assert r["Tenant"] == "tenant-roger"
+    assert r["RegexGroup"] is None  # non-matching regex classifies nothing
