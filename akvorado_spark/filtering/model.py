@@ -44,11 +44,14 @@ class FilterSchema:
         return self.reverse.get(name, name)
 
 
-def flow_filter_schema() -> FilterSchema:
-    """Filter model for the flows fact table (SURVEY §2.2)."""
+def flow_filter_schema(fs=None) -> FilterSchema:
+    """Filter model for the flows fact table (SURVEY §2.2).  Pass a
+    configured ``FlowSchema`` to derive the filter surface (and the
+    main-table-required analysis) from its column placement."""
     from akvorado_spark.schema.definition import flows_schema
 
-    fs = flows_schema()
+    if fs is None:
+        fs = flows_schema()
     cols: dict[str, ColumnSpec] = {}
     rev: dict[str, str] = {}
 
@@ -61,7 +64,11 @@ def flow_filter_schema() -> FilterSchema:
         if n in ("SrcAddr", "DstAddr", "ExporterAddress", "NextHop"):
             add(ColumnSpec(n, "ip", c.main_only))
         elif n in ("SrcNetPrefix", "DstNetPrefix"):
-            add(ColumnSpec(n, "prefix", True))
+            # main-table requirement follows the column's placement, not
+            # the name: a deployment that materializes the prefix into
+            # the rollups can filter on it anywhere (reference
+            # parser_test.go TestPrefixFilterMainTableRequired)
+            add(ColumnSpec(n, "prefix", c.main_only))
         elif n == "Proto":
             add(ColumnSpec(n, "proto"))
         elif n == "EType":

@@ -352,3 +352,28 @@ def test_filter_parser_garbage_fuzz_error_contract():
             n_err += 1
         # anything else escapes and fails the test
     assert n_err > 100  # the fuzz actually exercised rejection paths
+
+
+def test_prefix_filter_main_table_follows_column_placement():
+    """Reference TestPrefixFilterMainTableRequired
+    (console/filter/parser_test.go:596-650): a NetPrefix filter forces
+    the main table only when the prefix columns actually live there —
+    a deployment materializing them into the rollups can filter
+    anywhere."""
+    from dataclasses import replace
+
+    from akvorado_spark.schema.definition import FlowSchema, flows_schema
+
+    q = "SrcNetPrefix = '192.168.0.128/27'"
+    # default schema: address/mask/prefix are MainOnly → required
+    assert compile_filter(q, flow_filter_schema()).requires_main_table
+
+    moved = FlowSchema(
+        [
+            replace(c, main_only=False)
+            if c.name in ("SrcAddr", "SrcNetMask", "SrcNetPrefix")
+            else c
+            for c in flows_schema().columns
+        ]
+    )
+    assert not compile_filter(q, flow_filter_schema(moved)).requires_main_table
