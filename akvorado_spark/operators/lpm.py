@@ -72,10 +72,19 @@ def _expand_to_bytes(
 
 def _resolve_blocks(exp: DataFrame, attrs: list[str], group_keys: list[str]) -> DataFrame:
     """Per block key, pre-resolve nested prefixes: each attribute takes
-    the value of the longest prefix that sets it (inheritance)."""
+    the value of the longest prefix that sets it (inheritance).  When
+    the table carries a ``__prio`` column (``merge_networks`` assigns
+    source order), equal-length ties resolve to the HIGHEST priority —
+    the reference's "last configured database wins" trie-insert
+    semantics (outlet/geoip/iter.go: databases walked in configuration
+    order, later inserts replace)."""
+    has_prio = "__prio" in exp.columns
+    ranks = [F.col("__plen").alias("p")] + (
+        [F.col("__prio").alias("pr")] if has_prio else []
+    )
     aggs = [
         F.max(
-            F.when(F.col(a).isNotNull(), F.struct(F.col("__plen").alias("p"), F.col(a).alias("v")))
+            F.when(F.col(a).isNotNull(), F.struct(*ranks, F.col(a).alias("v")))
         )["v"].alias(a)
         for a in attrs
     ]
@@ -108,7 +117,7 @@ def lpm_join(
         attrs = [
             c
             for c in prefixes.columns
-            if c not in (prefix_lo, prefix_len, prefix_exporter, "hi", "prefix")
+            if c not in (prefix_lo, prefix_len, prefix_exporter, "hi", "prefix", "__prio")
         ]
     prefixes = prefixes.coalesce(1)
     if plens is None:
@@ -132,7 +141,11 @@ def lpm_join(
         if keyed and prefix_exporter != "__e":
             pfx = pfx.withColumnRenamed(prefix_exporter, "__e")
         for B in byte_widths:
-            keep = (["__e"] if keyed else []) + list(attrs)
+            keep = (
+                (["__e"] if keyed else [])
+                + (["__prio"] if "__prio" in pfx.columns else [])
+                + list(attrs)
+            )
             exp = _expand_to_bytes(pfx, B, prefix_lo, prefix_len, keep)
             group_keys = ["__key"] + (["__e"] if keyed else [])
             blocks = _resolve_blocks(exp, attrs, group_keys)

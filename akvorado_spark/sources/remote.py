@@ -95,8 +95,14 @@ def networks_from_mmdb(spark: SparkSession, *dbs: bytes) -> DataFrame:
 
 
 def merge_networks(*sources: DataFrame) -> DataFrame:
-    """Concatenate sources; LPM+inheritance resolves overlaps."""
-    out = sources[0]
-    for s in sources[1:]:
-        out = out.unionByName(s)
+    """Concatenate sources with their configuration order attached as
+    ``__prio``: overlapping prefixes resolve longest-first as always,
+    and equal-length ties go to the LATEST source — the reference walks
+    its databases in configuration order and later trie inserts replace
+    earlier ones (outlet/geoip/iter.go)."""
+    from pyspark.sql import functions as F
+
+    out = sources[0].withColumn("__prio", F.lit(0))
+    for i, s in enumerate(sources[1:], start=1):
+        out = out.unionByName(s.withColumn("__prio", F.lit(i)))
     return out

@@ -106,3 +106,29 @@ def test_lpm_no_match_is_null(spark):
     flows = spark.createDataFrame([(ip_bytes("8.8.8.8"),)], "SrcAddr binary")
     r = lpm_join(flows, networks_df(spark), "SrcAddr", attrs=["name"]).collect()[0]
     assert r["name"] is None
+
+
+def test_merge_networks_config_order_wins_equal_prefix(spark):
+    """Two sources defining the SAME prefix: the later-configured one
+    wins the tie (reference geoip trie-insert order,
+    outlet/geoip/iter.go); longer prefixes from ANY source still beat
+    shorter ones."""
+    from akvorado_spark.operators.lpm import lpm_join
+    from akvorado_spark.sources.remote import merge_networks, networks_from_config
+
+    first = networks_from_config(
+        spark, [("10.0.0.0/8", {"country": "AA"}), ("10.1.0.0/16", {"country": "XX"})]
+    )
+    second = networks_from_config(spark, [("10.0.0.0/8", {"country": "BB"})])
+    nets = merge_networks(first, second)
+    flows = spark.createDataFrame(
+        [
+            (bytes([0] * 10 + [0xFF, 0xFF, 10, 2, 0, 1]),),   # /8 tie → BB
+            (bytes([0] * 10 + [0xFF, 0xFF, 10, 1, 0, 1]),),   # /16 beats both
+        ],
+        "addr binary",
+    )
+    out = {bytes(r["addr"])[-4:]: r["country"]
+           for r in lpm_join(flows, nets, "addr", attrs=["country"]).collect()}
+    assert out[bytes([10, 2, 0, 1])] == "BB"
+    assert out[bytes([10, 1, 0, 1])] == "XX"
