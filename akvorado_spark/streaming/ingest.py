@@ -201,6 +201,17 @@ class EnrichmentConfig:
     networks_attrs: tuple[str, ...] = ()
     classifier_rules: list[ClassifierRule] = field(default_factory=list)
     classifier_defaults: dict[str, str] | None = None
+    # per-exporter-subnet sampling maps (reference SubnetMap,
+    # outlet/core/config.go:27-33 / enricher.go:91-101): override FORCES
+    # the rate; default fills a zero rate.  [(cidr, rate), ...],
+    # longest prefix wins.
+    sampling_override: tuple[tuple[str, int], ...] = ()
+    sampling_default: tuple[tuple[str, int], ...] = ()
+    # reference skip rules (enricher.go:80-101): drop flows with both
+    # interfaces unset, no metadata-resolved exporter name, or a zero
+    # sampling rate after the default map.  Off by default — batch
+    # replays of already-clean corpora shouldn't silently shrink.
+    skip_incomplete: bool = False
 
     def networks_plens(self) -> list[int] | None:
         """Distinct prefix lengths of the networks table, probed ONCE
@@ -218,10 +229,39 @@ class EnrichmentConfig:
         return cached
 
 
+def _subnet_case(col, entries):
+    """SubnetMap lookup as a longest-prefix-first CASE chain over
+    16-byte [lo, hi] bounds — config-sized, stays in codegen (the
+    reference's helpers.SubnetMap is a config trie, never data-sized)."""
+    from akvorado_spark.functions.ip import prefix_mapped_len, prefix_range
+
+    ranked = sorted(entries, key=lambda e: -prefix_mapped_len(e[0]))
+    out = F.lit(None).cast("long")
+    for cidr, val in reversed(ranked):
+        lo, hi = prefix_range(cidr)
+        out = F.when(
+            (col >= F.lit(lo)) & (col <= F.lit(hi)), F.lit(int(val)).cast("long")
+        ).otherwise(out)
+    return out
+
+
 def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
     """The per-batch enrichment chain (reference enricher.go:25-189):
-    metadata → classifiers → networks LPM, each a broadcast join or a
-    codegen when-cascade."""
+    sampling maps + skip rules → metadata → classifiers → networks LPM,
+    each a broadcast join or a codegen when-cascade."""
+    addr = F.col("ExporterAddress")
+    if cfg.sampling_override and "SamplingRate" in df.columns:
+        ov = _subnet_case(addr, cfg.sampling_override)
+        df = df.withColumn("SamplingRate", F.coalesce(ov, F.col("SamplingRate")))
+    if cfg.sampling_default and "SamplingRate" in df.columns:
+        de = _subnet_case(addr, cfg.sampling_default)
+        df = df.withColumn(
+            "SamplingRate",
+            F.when(
+                F.col("SamplingRate").isNull() | (F.col("SamplingRate") == 0),
+                F.coalesce(de, F.lit(0).cast("long")),
+            ).otherwise(F.col("SamplingRate")),
+        )
     if cfg.metadata is not None:
         meta_cols = [c for c in cfg.metadata.columns if c != cfg.metadata_key]
         meta = cfg.metadata
@@ -240,13 +280,13 @@ def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
         df = classify(df, cfg.classifier_rules, cfg.classifier_defaults)
     if cfg.networks is not None and cfg.networks_attrs:
         for side in ("Src", "Dst"):
-            addr = f"{side}Addr"
-            if addr not in df.columns:
+            side_addr = f"{side}Addr"
+            if side_addr not in df.columns:
                 continue
             df = lpm_join(
                 df,
                 cfg.networks,
-                addr,
+                side_addr,
                 attrs=list(cfg.networks_attrs),
                 plens=cfg.networks_plens(),
             )
@@ -256,6 +296,21 @@ def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
                     target,
                     F.coalesce(F.col(a), F.col(target) if target in df.columns else F.lit("")),
                 ).drop(a)
+    if cfg.skip_incomplete:
+        # reference enricher.go:80-101: both interfaces unset, no
+        # metadata-resolved name, or a zero rate after the default map
+        # → the flow is dropped
+        if "InIfName" in df.columns and "OutIfName" in df.columns:
+            df = df.filter(
+                (F.coalesce(F.col("InIfName"), F.lit("")) != "")
+                | (F.coalesce(F.col("OutIfName"), F.lit("")) != "")
+            )
+        if "ExporterName" in df.columns:
+            df = df.filter(F.coalesce(F.col("ExporterName"), F.lit("")) != "")
+        if "SamplingRate" in df.columns:
+            df = df.filter(
+                F.coalesce(F.col("SamplingRate"), F.lit(0)) != 0
+            )
     return df
 
 

@@ -363,3 +363,33 @@ def test_streaming_minhash_candidates_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(sink).distinct().collect()
     }
     assert got == want
+
+
+def test_sampling_subnet_maps_and_skip_rules(spark):
+    """Reference enricher.go:80-101: the override SubnetMap FORCES the
+    rate (longest prefix wins), the default map fills zero rates, and
+    skip_incomplete drops interface-less / nameless / still-zero-rate
+    flows."""
+    from akvorado_spark.functions.ip import ip_bytes
+
+    rows = [
+        # (exporter, rate, in, out, name)
+        (ip_bytes("192.0.2.1"), 100, "Gi0", "Gi1", "r1"),     # override /24 → 5000
+        (ip_bytes("192.0.2.9"), 100, "Gi0", "Gi1", "r2"),     # override /32 beats /24 → 7000
+        (ip_bytes("198.51.100.1"), 0, "Gi0", "Gi1", "r3"),    # default map fills → 900
+        (ip_bytes("203.0.113.1"), 0, "Gi0", "Gi1", "r4"),     # no default → dropped
+        (ip_bytes("198.51.100.2"), 100, "", "", "r5"),        # no interfaces → dropped
+        (ip_bytes("198.51.100.3"), 100, "Gi0", "", ""),       # no name → dropped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ExporterAddress binary, SamplingRate long, InIfName string, "
+        "OutIfName string, ExporterName string",
+    )
+    cfg = EnrichmentConfig(
+        sampling_override=(("192.0.2.0/24", 5000), ("192.0.2.9/32", 7000)),
+        sampling_default=(("198.51.100.0/24", 900),),
+        skip_incomplete=True,
+    )
+    out = {r["ExporterName"]: r["SamplingRate"] for r in enrich(df, cfg).collect()}
+    assert out == {"r1": 5000, "r2": 7000, "r3": 900}
