@@ -82,10 +82,13 @@ def _resolve_blocks(exp: DataFrame, attrs: list[str], group_keys: list[str]) -> 
     ranks = [F.col("__plen").alias("p")] + (
         [F.col("__prio").alias("pr")] if has_prio else []
     )
+    # max_by instead of max(struct(rank, value))[v]: the rank NULLs out
+    # where the attribute is unset (those rows are skipped), and the
+    # value never has to be orderable — maps/structs ride through
+    # (needed by the static-metadata interface maps)
+    rank = lambda a: F.when(F.col(a).isNotNull(), F.struct(*ranks))  # noqa: E731
     aggs = [
-        F.max(
-            F.when(F.col(a).isNotNull(), F.struct(*ranks, F.col(a).alias("v")))
-        )["v"].alias(a)
+        F.max_by(F.col(a), rank(a)).alias(a)
         for a in attrs
     ]
     return exp.groupBy(*group_keys).agg(*aggs)

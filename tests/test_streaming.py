@@ -393,3 +393,66 @@ def test_sampling_subnet_maps_and_skip_rules(spark):
     )
     out = {r["ExporterName"]: r["SamplingRate"] for r in enrich(df, cfg).collect()}
     assert out == {"r1": 5000, "r2": 7000, "r3": 900}
+
+
+def test_static_metadata_provider_reference_cases(spark):
+    """Mirrors the reference's TestStaticProvider
+    (outlet/metadata/provider/static/root_test.go): subnet-keyed
+    exporter config, per-ifindex interfaces, Default fallback, and the
+    no-default miss skipping the flow."""
+    from akvorado_spark.functions.ip import ip_bytes
+    from akvorado_spark.sources.static_meta import (
+        resolve_static_metadata,
+        static_metadata_frame,
+    )
+
+    meta = static_metadata_frame(
+        spark,
+        {
+            "2001:db8:1::/48": {
+                "name": "nodefault",
+                "ifindexes": {
+                    10: {"name": "Gi10", "description": "10th interface", "speed": 1000},
+                    11: {"name": "Gi11", "description": "11th interface", "speed": 1000},
+                },
+            },
+            "2001:db8:2::/48": {
+                "name": "default",
+                "default": {"name": "Default0", "description": "Default interface", "speed": 1000},
+                "ifindexes": {10: {"name": "Gi10", "description": "10th interface", "speed": 1000}},
+            },
+            "2001:db8:3::/48": {
+                "name": "default with metadata",
+                "region": "eu", "role": "peering", "tenant": "mine",
+                "site": "par", "group": "blue",
+                "default": {"name": "Default0", "speed": 1000},
+                "ifindexes": {
+                    10: {"name": "Gi10", "speed": 1000, "provider": "transit101",
+                         "connectivity": "transit", "boundary": "external"},
+                },
+            },
+        },
+    )
+    flows = spark.createDataFrame(
+        [
+            (1, ip_bytes("2001:db8:1::7"), 10, 11),   # both mapped
+            (2, ip_bytes("2001:db8:1::7"), 10, 12),   # out misses, no default → drop
+            (3, ip_bytes("2001:db8:2::7"), 10, 12),   # out falls to Default0
+            (4, ip_bytes("2001:db8:3::7"), 10, 10),   # exporter attrs + boundary
+            (5, ip_bytes("2001:db8:9::7"), 10, 10),   # unknown exporter → drop
+        ],
+        "flow_id long, ExporterAddress binary, InIf long, OutIf long",
+    )
+    out = {r["flow_id"]: r for r in resolve_static_metadata(flows, meta).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["ExporterName"] == "nodefault"
+    assert (out[1]["InIfName"], out[1]["OutIfName"]) == ("Gi10", "Gi11")
+    assert out[3]["OutIfName"] == "Default0"
+    assert out[3]["OutIfDescription"] == "Default interface"
+    r4 = out[4]
+    assert r4["ExporterRegion"] == "eu" and r4["ExporterRole"] == "peering"
+    assert r4["ExporterTenant"] == "mine" and r4["ExporterGroup"] == "blue"
+    assert r4["InIfProvider"] == "transit101"
+    assert r4["InIfConnectivity"] == "transit"
+    assert r4["InIfBoundary"] == "external"
+    assert r4["InIfSpeed"] == 1000
