@@ -51,6 +51,19 @@ def validate_filter(text: str, schema: FilterSchema) -> ValidationResult:
         return ValidationResult(ok=False, message=f"internal: {e}")
 
 
+# API-boundary input validation (reference console/line.go:24:
+# ``points`` is validated required,min=5,max=2000 on every graph/
+# table-interval input before any work happens)
+POINTS_MIN, POINTS_MAX = 5, 2000
+
+
+def validate_points(points: int) -> None:
+    if not (POINTS_MIN <= points <= POINTS_MAX):
+        raise ValueError(
+            f"points must be between {POINTS_MIN} and {POINTS_MAX}, got {points}"
+        )
+
+
 # -- /graph/table-interval -------------------------------------------------
 
 
@@ -65,6 +78,7 @@ def table_interval(
 ) -> dict:
     """Which table would serve this query, at which interval —
     the rollup router's decision surfaced as an endpoint."""
+    validate_points(points)
     target = max(int((end - start).total_seconds() // max(points, 1)), 1)
     require_main = False
     if filter_text and schema is not None:

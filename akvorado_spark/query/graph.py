@@ -357,7 +357,11 @@ def _req_payload(req: GraphRequest) -> dict:
 def graph_line_cached(store: FlowStore, req: GraphRequest, cache) -> list:
     """graph_line with the reference's API-layer result cache
     (console/root.go:113-117): collected rows cached 3 h keyed by the
-    request body; the engine below stays stateless."""
+    request body; the engine below stays stateless.  Input validation
+    happens here, at the API boundary (console/line.go:24)."""
+    from akvorado_spark.query.api import validate_points
+
+    validate_points(req.points)
     payload = _req_payload(req)
     hit = cache.get(payload)
     if hit is not None:

@@ -122,3 +122,28 @@ def test_queries_survive_empty_corpus(spark, tmp_path):
     ):
         df = queries[name](spark, dst)
         assert df.count() >= 0, name  # evaluates without raising
+
+
+def test_points_validated_at_api_boundary(spark, tmp_path):
+    """Reference console/line.go:24: points is min=5,max=2000 on every
+    graph / table-interval input (line_test.go 'too many points')."""
+    from akvorado_spark.plans.rollup import FlowStore
+    from akvorado_spark.query.api import validate_points
+    from akvorado_spark.schema.definition import flows_schema
+    from akvorado_spark.sources.fixtures import flows_df
+
+    validate_points(5)
+    validate_points(2000)
+    for bad in (0, 4, 86400):
+        with pytest.raises(ValueError):
+            validate_points(bad)
+
+    store = FlowStore(spark, str(tmp_path / "pv_store"))
+    store.write_main(flows_schema().ingest(flows_df(spark, n=200)))
+    with pytest.raises(ValueError):
+        table_interval(
+            store,
+            datetime(2024, 1, 2, tzinfo=timezone.utc),
+            datetime(2024, 1, 3, tzinfo=timezone.utc),
+            points=86400,
+        )
