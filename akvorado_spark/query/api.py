@@ -53,14 +53,26 @@ def validate_filter(text: str, schema: FilterSchema) -> ValidationResult:
 
 # API-boundary input validation (reference console/line.go:24:
 # ``points`` is validated required,min=5,max=2000 on every graph/
-# table-interval input before any work happens)
+# table-interval input before any work happens; ``limit`` is min=1 and
+# capped by the DimensionsLimit config, line.go:236 / sankey.go:167,
+# default 50, console/config.go)
 POINTS_MIN, POINTS_MAX = 5, 2000
+DIMENSIONS_LIMIT = 50
 
 
 def validate_points(points: int) -> None:
     if not (POINTS_MIN <= points <= POINTS_MAX):
         raise ValueError(
             f"points must be between {POINTS_MIN} and {POINTS_MAX}, got {points}"
+        )
+
+
+def validate_limit(limit: int, dimensions_limit: int = DIMENSIONS_LIMIT) -> None:
+    if limit < 1:
+        raise ValueError(f"limit must be at least 1, got {limit}")
+    if limit > dimensions_limit:
+        raise ValueError(
+            f"Limit is set beyond maximum value ({dimensions_limit})"
         )
 
 

@@ -359,9 +359,10 @@ def graph_line_cached(store: FlowStore, req: GraphRequest, cache) -> list:
     (console/root.go:113-117): collected rows cached 3 h keyed by the
     request body; the engine below stays stateless.  Input validation
     happens here, at the API boundary (console/line.go:24)."""
-    from akvorado_spark.query.api import validate_points
+    from akvorado_spark.query.api import validate_limit, validate_points
 
     validate_points(req.points)
+    validate_limit(req.limit)
     payload = _req_payload(req)
     hit = cache.get(payload)
     if hit is not None:
@@ -372,6 +373,9 @@ def graph_line_cached(store: FlowStore, req: GraphRequest, cache) -> list:
 
 
 def graph_sankey_cached(store: FlowStore, req: GraphRequest, cache) -> list:
+    from akvorado_spark.query.api import validate_limit
+
+    validate_limit(req.limit)
     payload = {"sankey": True, **_req_payload(req)}
     hit = cache.get(payload)
     if hit is not None:

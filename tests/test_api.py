@@ -147,3 +147,17 @@ def test_points_validated_at_api_boundary(spark, tmp_path):
             datetime(2024, 1, 3, tzinfo=timezone.utc),
             points=86400,
         )
+
+
+def test_limit_validated_at_api_boundary():
+    """Reference console/graph.go:22 (min=1) + line.go:236 /
+    sankey.go:167 (DimensionsLimit cap, default 50)."""
+    from akvorado_spark.query.api import validate_limit
+
+    validate_limit(1)
+    validate_limit(50)
+    with pytest.raises(ValueError):
+        validate_limit(0)
+    with pytest.raises(ValueError, match="beyond maximum"):
+        validate_limit(51)
+    validate_limit(100, dimensions_limit=200)  # config raises the cap
