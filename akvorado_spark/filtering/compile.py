@@ -27,6 +27,12 @@ from akvorado_spark.filtering.parser import And, Cond, Not, Or, parse_filter
 from akvorado_spark.functions.ip import ip_bytes, prefix_range
 
 
+_COL_OPS = {
+    "col=": "=", "col!=": "<>", "col<": "<", "col<=": "<=",
+    "col>": ">", "col>=": ">=",
+}
+
+
 def _q(s: str) -> str:
     return "'" + str(s).replace("'", "''") + "'"
 
@@ -95,8 +101,8 @@ def _emit_cond(c: Cond, dialect: str) -> str:
     if c.kind == "string":
         if op in ("=", "!="):
             return f"{col} {'<>' if op == '!=' else '='} {_q(v)}"
-        if op in ("col=", "col!="):
-            return f"{col} {'<>' if op == 'col!=' else '='} {v}"
+        if op.startswith("col"):
+            return f"{col} {_COL_OPS[op]} {v}"
         if op in ("like", "unlike"):
             neg = "NOT " if op == "unlike" else ""
             return f"{col} {neg}LIKE {_q(v)}"
@@ -113,8 +119,8 @@ def _emit_cond(c: Cond, dialect: str) -> str:
             lits = ", ".join(str(x) for x in v)
             neg = "NOT " if op == "notin" else ""
             return f"{neg}{col} IN ({lits})"
-        if op in ("col=", "col!="):
-            return f"{col} {'<>' if op == 'col!=' else '='} {v}"
+        if op.startswith("col"):
+            return f"{col} {_COL_OPS[op]} {v}"
         sql_op = {"=": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
         return f"{col} {sql_op} {v}"
 
@@ -163,7 +169,7 @@ def _walk_columns(node, out: set[str]) -> None:
         _walk_columns(node.part, out)
     elif isinstance(node, Cond):
         out.add(node.column)
-        if node.op in ("col=", "col!="):
+        if node.op.startswith("col"):
             out.add(node.value)
 
 
@@ -176,7 +182,7 @@ def _reverse_node(node, schema: FilterSchema):
         return Not(_reverse_node(node.part, schema))
     assert isinstance(node, Cond)
     value = node.value
-    if node.op in ("col=", "col!="):
+    if node.op.startswith("col"):
         value = schema.reverse_name(value)
     return Cond(schema.reverse_name(node.column), node.kind, node.op, value)
 

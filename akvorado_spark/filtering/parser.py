@@ -122,6 +122,15 @@ def _unquote(s: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _parser_type(spec) -> str:
+    """The reference's ParserType granularity: ASN columns are their
+    own type — a plain uint never pairs with one in col-col
+    comparisons (console/filter.go:584-597)."""
+    if spec.kind == "uint" and spec.name.endswith("AS"):
+        return "asn"
+    return spec.kind
+
+
 class _Parser:
     def __init__(self, tokens: list[Token], schema: FilterSchema):
         self.toks = tokens
@@ -200,18 +209,27 @@ class _Parser:
         if op_t.typ != "op":
             raise FilterError(f"expected operator at offset {op_t.pos}, got {op_t.val!r}")
         op = op_t.val
-        # column-to-column equality (P4/P5)
+        # column-to-column comparisons (P4/P5): the reference types the
+        # pairing by PARSER TYPE — plain uints compare with all six
+        # operators, ASN and string columns only with =/!=, and ASN
+        # never pairs with a plain uint (console/filter.go:580-601,
+        # parser_test.go `SrcPort < SrcAS` invalid)
         nxt = self.peek()
         if (
-            op in ("=", "!=")
-            and nxt is not None
+            nxt is not None
             and nxt.typ == "word"
             and self.schema.lookup(nxt.val) is not None
-            and spec.kind in ("string", "uint")
-            and self.schema.lookup(nxt.val).kind == spec.kind
         ):
-            other = self.schema.lookup(self.next().val)
-            return Cond(spec.name, spec.kind, "col" + op, other.name)
+            other = self.schema.lookup(nxt.val)
+            pt, po = _parser_type(spec), _parser_type(other)
+            allowed = {
+                "uint": ("=", "!=", "<", "<=", ">", ">="),
+                "asn": ("=", "!="),
+                "string": ("=", "!="),
+            }
+            if pt == po and op in allowed.get(pt, ()):
+                self.next()
+                return Cond(spec.name, spec.kind, "col" + op, other.name)
         lit = self._parse_literal()
         return self._typed(spec, op, lit)
 

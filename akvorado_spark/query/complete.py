@@ -406,3 +406,35 @@ def complete_icmp(
         .limit(limit)
         .select("label", F.lit("ICMP").alias("detail"))
     )
+
+
+def complete_comparable_columns(
+    column: str, operator: str, prefix: str, fschema
+) -> list[dict]:
+    """Value-position completion with ANOTHER COLUMN — the reference's
+    filterComparableColumns (console/filter.go:580-621): plain uint
+    columns pair under all six comparison operators, ASN and string
+    columns only under =/!=, nothing else pairs at all; candidates are
+    same-parser-type columns (ASN is its own type), excluding the
+    column itself, prefix-anchored, alphabetical."""
+    from akvorado_spark.filtering.parser import _parser_type
+
+    spec = fschema.lookup(column)
+    if spec is None:
+        return []
+    pt = _parser_type(spec)
+    allowed = {
+        "uint": ("=", "!=", "<", "<=", ">", ">="),
+        "asn": ("=", "!="),
+        "string": ("=", "!="),
+    }
+    if operator not in allowed.get(pt, ()):
+        return []
+    names = sorted(
+        s.name
+        for s in fschema.columns.values()
+        if _parser_type(s) == pt
+        and s.name.lower() != spec.name.lower()
+        and s.name.lower().startswith(prefix.lower())
+    )
+    return [{"label": n, "detail": "column name"} for n in names]

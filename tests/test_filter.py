@@ -377,3 +377,44 @@ def test_prefix_filter_main_table_follows_column_placement():
         ]
     )
     assert not compile_filter(q, flow_filter_schema(moved)).requires_main_table
+
+
+def test_comparable_column_completion_reference_cases():
+    """Reference console/filter_test.go:365-431: column-as-value
+    completion pairs by parser type and operator support."""
+    from akvorado_spark.query.complete import complete_comparable_columns
+
+    sch = flow_filter_schema()
+    got = complete_comparable_columns("InIfSpeed", ">=", "outif", sch)
+    assert [c["label"] for c in got] == ["OutIfSpeed"]
+    got = complete_comparable_columns("SrcCountry", "=", "dstc", sch)
+    assert [c["label"] for c in got] == ["DstCountry"]
+    got = complete_comparable_columns("DstAS", "!=", "srca", sch)
+    assert [c["label"] for c in got] == ["SrcAS"]
+    # another type / unsupported operator / string inequality → empty
+    assert complete_comparable_columns("SrcCountry", "=", "srcp", sch) == []
+    assert complete_comparable_columns("SrcCountry", "LIKE", "dstc", sch) == []
+    assert complete_comparable_columns("SrcCountry", "<", "dstc", sch) == []
+
+
+def test_ordered_column_comparisons(fixture_frames):
+    """Reference uint parser type: ordered col-vs-col comparisons are
+    valid for plain uints, invalid for ASN/string pairs."""
+    sdf, con = fixture_frames
+    sch = flow_filter_schema()
+    f = compile_filter("InIfSpeed >= OutIfSpeed", sch)
+    spark_n = sdf.filter(f.column()).count()
+    duck_n = con.execute(
+        f"SELECT COUNT(*) FROM flows WHERE {f.duckdb_sql}"
+    ).fetchone()[0]
+    assert spark_n == duck_n and spark_n > 0
+    # reversal swaps both sides
+    assert "OutIfSpeed" in f.reverse().spark_sql
+    # ASN pairs compare only with =/!=; ASN never pairs with plain uint
+    compile_filter("SrcAS != DstAS", sch)
+    with pytest.raises(FilterError):
+        compile_filter("SrcAS < DstAS", sch)
+    with pytest.raises(FilterError):
+        compile_filter("SrcAS = SrcPort", sch)
+    with pytest.raises(FilterError):
+        compile_filter("InIfSpeed = SrcAS", sch)
