@@ -438,3 +438,38 @@ def complete_comparable_columns(
         and s.name.lower().startswith(prefix.lower())
     )
     return [{"label": n, "detail": "column name"} for n in names]
+
+
+def complete_dimension_attribute(
+    flows: DataFrame,
+    column: str,
+    prefix: str = "",
+    limit: int = 20,
+    recent: str | None = "10 minutes",
+    time_col: str = "TimeReceived",
+) -> DataFrame:
+    """Generic dimension-attribute value completion — the reference's
+    custom-dictionary branch (console/filter.go via
+    filter_test.go TestFilterHandlersCustomDict): DISTINCT values of an
+    arbitrary string column over RECENT flows (last 10 minutes),
+    startsWith-matched, ordered, LIMIT 20.  Serves any generated
+    custom-dict attribute column (sources/custom_dict.py) the schema
+    exposes."""
+    df = flows
+    if recent is not None and time_col in flows.columns:
+        cutoff = F.max(F.col(time_col)) - F.expr(f"INTERVAL {recent}")
+        bound = flows.agg(cutoff.alias("__cut"))
+        df = flows.join(F.broadcast(bound)).filter(
+            F.col(time_col) > F.col("__cut")
+        )
+    return (
+        df.select(F.col(column).alias("label"))
+        .filter(
+            F.col("label").isNotNull()
+            & F.lower(F.col("label")).startswith(prefix.lower())
+        )
+        .distinct()
+        .orderBy("label")
+        .limit(limit)
+        .select("label", F.lit("attribute value").alias("detail"))
+    )

@@ -73,3 +73,26 @@ def test_custom_dict_joins_broadcast(spark, tmp_path):
     p = plan(d.apply(flows))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_custom_dict_attribute_completion(spark):
+    """Reference TestFilterHandlersCustomDict: DISTINCT values of a
+    generated attribute column over recent flows, startsWith-matched,
+    ordered, limited."""
+    from datetime import datetime, timezone
+
+    from akvorado_spark.query.complete import complete_dimension_attribute
+
+    old = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    now = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    flows = spark.createDataFrame(
+        [(now, "a-role"), (now, "b-role"), (now, "c-role"), (now, None),
+         (old, "stale-role")],
+        "TimeReceived timestamp, DstAddrRole string",
+    )
+    got = [r["label"] for r in
+           complete_dimension_attribute(flows, "DstAddrRole").collect()]
+    assert got == ["a-role", "b-role", "c-role"]  # stale + null excluded
+    got_a = [r["label"] for r in
+             complete_dimension_attribute(flows, "DstAddrRole", prefix="a").collect()]
+    assert got_a == ["a-role"]
