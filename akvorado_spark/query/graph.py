@@ -214,7 +214,7 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         # literal arrives as the 5-byte b'Other' (no 16-byte collision).
         for d in axis_dims:
             spec = store.schema.by_name.get(d)
-            if spec is not None and spec.truncatable_ip:
+            if spec is not None and spec.ip_addr:
                 line = line.withColumn(
                     d,
                     F.when(F.col(d) == F.lit(b"Other"), F.lit("Other")).otherwise(
@@ -312,7 +312,7 @@ def graph_sankey(store: FlowStore, req: GraphRequest) -> DataFrame:
     def render(line: DataFrame, dims: tuple[str, ...]) -> DataFrame:
         for d in dims:
             spec = store.schema.by_name.get(d)
-            if spec is not None and spec.truncatable_ip:
+            if spec is not None and spec.ip_addr:
                 line = line.withColumn(
                     d,
                     F.when(F.col(d) == F.lit(b"Other"), F.lit("Other")).otherwise(

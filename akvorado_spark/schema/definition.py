@@ -48,7 +48,8 @@ class FlowColumn:
     disabled: bool = False           # present in the registry, off by default
     materialized: bool = False       # alias flipped to computed-at-ingest + stored
     not_dimension: bool = False      # cannot be used as a console dimension
-    truncatable_ip: bool = False     # subject to IP-truncation rendering
+    truncatable_ip: bool = False     # subject to the console IP truncation
+    ip_addr: bool = False            # binary IP column (display-rendered)
 
 
 def _lc(name: str, **kw) -> FlowColumn:
@@ -90,7 +91,11 @@ def _base_columns() -> list[FlowColumn]:
         # SamplingRate is a rollup PRIMARY KEY (reference definition.go:246-257):
         # rows with different rates never merge, so SUM(counter)*rate stays exact
         FlowColumn("SamplingRate", i64, primary=True, not_dimension=True),
-        FlowColumn("ExporterAddress", B, primary=True, truncatable_ip=True),
+        # NOT truncatable: only Src/DstAddr (+ NAT clones) carry
+        # ConsoleTruncateIP in the reference (definition.go:280,442;
+        # graph_test.go "no truncatable dimensions" pins ExporterAddress
+        # passing through a truncating request untouched)
+        FlowColumn("ExporterAddress", B, primary=True, ip_addr=True),
         _lc("ExporterName"),
         _lc("ExporterGroup"),
         _lc("ExporterRole"),
@@ -98,7 +103,7 @@ def _base_columns() -> list[FlowColumn]:
         _lc("ExporterRegion"),
         _lc("ExporterTenant"),
         # --- directional block (auto-cloned Src→Dst, InIf→OutIf) ---
-        FlowColumn("SrcAddr", B, main_only=True, truncatable_ip=True),
+        FlowColumn("SrcAddr", B, main_only=True, truncatable_ip=True, ip_addr=True),
         FlowColumn("SrcNetMask", i16, main_only=True, not_dimension=True),
         FlowColumn("SrcAS", i32, primary=True),
         FlowColumn(
@@ -120,7 +125,7 @@ def _base_columns() -> list[FlowColumn]:
         # --- optional directional columns, disabled by default like the
         # reference's registry (definition.go:436-452): enable via
         # FlowSchema.configure(enable=...) ---
-        FlowColumn("SrcAddrNAT", B, disabled=True, main_only=True, truncatable_ip=True),
+        FlowColumn("SrcAddrNAT", B, disabled=True, main_only=True, truncatable_ip=True, ip_addr=True),
         FlowColumn("SrcPortNAT", i32, disabled=True, main_only=True),
         FlowColumn("SrcMAC", i64, disabled=True),
         FlowColumn("InIfName", T.StringType(), primary=True),
@@ -146,7 +151,7 @@ def _base_columns() -> list[FlowColumn]:
         FlowColumn("PacketSizeBucket", T.StringType(), alias=_packet_size_bucket_sql()),
         FlowColumn("ForwardingStatus", i32, primary=True),
         _lc("FlowDirection"),
-        FlowColumn("NextHop", T.BinaryType(), main_only=True, truncatable_ip=True),
+        FlowColumn("NextHop", T.BinaryType(), main_only=True, ip_addr=True),
         # --- optional L3/L4 + MPLS + VRF registry columns, disabled by
         # default (reference definition.go:453-537); the ICMP display
         # aliases use the type/code fallback form — dictionary-name

@@ -406,3 +406,24 @@ def test_align_range_naive_datetimes_are_utc(spark):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_truncation_skips_non_truncatable_ip_dims(store):
+    """Reference graph_test.go 'no truncatable dimensions': only
+    Src/DstAddr (+NAT) carry ConsoleTruncateIP — an ExporterAddress
+    dimension passes through a truncating request untouched (still
+    display-rendered)."""
+    out = graph_line(
+        store,
+        GraphRequest(
+            start=START, end=END, dimensions=("ExporterAddress",), units="l3bps",
+            points=24, limit=5, truncate_v4=16, truncate_v6=40,
+        ),
+    ).collect()
+    import ipaddress
+
+    addrs = {r["ExporterAddress"] for r in out if r["ExporterAddress"] != "Other"}
+    assert addrs  # rendered strings, not binary
+    for a in addrs:
+        ip = ipaddress.ip_address(a)
+        assert int(ip) % 256 != 0  # /16 truncation did NOT zero the tail
