@@ -20,6 +20,9 @@ _SCHEMA = FilterSchema(
     {
         "proto": ColumnSpec("Proto", "proto"),
         "srcas": ColumnSpec("SrcAS", "uint"),
+        "dstas": ColumnSpec("DstAS", "uint"),
+        "inifspeed": ColumnSpec("InIfSpeed", "uint"),
+        "outifspeed": ColumnSpec("OutIfSpeed", "uint"),
         "dstaspath": ColumnSpec("DstASPath", "array_uint"),
         "dstcommunities": ColumnSpec("DstCommunities", "community"),
         "dstlargecommunities": ColumnSpec("DstLargeCommunities", "large_community"),
@@ -32,7 +35,7 @@ _MAC_INT = 24 * 99991 + 17  # present wherever SrcPort % 500 == 24
 _MAC_STR = ":".join(f"{(_MAC_INT >> s) & 0xFF:02x}" for s in (40, 32, 24, 16, 8, 0))
 
 # identical derivations, dialect-specific array/struct syntax
-_SPARK_EXT = """SELECT Proto, SrcAS, Bytes, SamplingRate,
+_SPARK_EXT = """SELECT Proto, SrcAS, DstAS, InIfSpeed, OutIfSpeed, Bytes, SamplingRate,
   array(CAST(SrcAS AS BIGINT), CAST(SrcAS AS BIGINT), CAST(DstAS AS BIGINT)) AS DstASPath,
   array(CAST(SrcAS AS BIGINT) * 65536 + 100, CAST(SrcAS AS BIGINT) * 65536 + 200) AS DstCommunities,
   array(named_struct('asn', CAST(SrcAS AS BIGINT), 'local1', CAST(1 AS BIGINT), 'local2', CAST(2 AS BIGINT))) AS DstLargeCommunities,
@@ -40,7 +43,7 @@ _SPARK_EXT = """SELECT Proto, SrcAS, Bytes, SamplingRate,
   '10.' || CAST(SrcAS - 64512 AS STRING) || '.0.0/16' AS SrcNetPrefix
 FROM flows_v"""
 
-_DUCK_EXT = """SELECT Proto, SrcAS, Bytes, SamplingRate,
+_DUCK_EXT = """SELECT Proto, SrcAS, DstAS, InIfSpeed, OutIfSpeed, Bytes, SamplingRate,
   [CAST(SrcAS AS BIGINT), CAST(SrcAS AS BIGINT), CAST(DstAS AS BIGINT)] AS DstASPath,
   [CAST(SrcAS AS BIGINT) * 65536 + 100, CAST(SrcAS AS BIGINT) * 65536 + 200] AS DstCommunities,
   [{'asn': CAST(SrcAS AS BIGINT), 'local1': CAST(1 AS BIGINT), 'local2': CAST(2 AS BIGINT)}] AS DstLargeCommunities,
@@ -54,6 +57,9 @@ FILTER_CASES = {
     "flt_community_has": "DstCommunities = 64513:100 AND NOT (DstCommunities = 64513:999)",
     "flt_large_community": "DstLargeCommunities = 64514:1:2",
     "flt_mac_eq": f"SrcMAC = {_MAC_STR} AND Proto != 'icmp'",
+    # ordered col-vs-col comparison between plain uints + ASN-pair
+    # equality (the parser-type rules adopted from console/filter.go)
+    "flt_col_ordered": "InIfSpeed >= OutIfSpeed AND SrcAS != DstAS",
 }
 
 # CAST pins BIGINT on both engines (DuckDB SUM(BIGINT)→HUGEINT→float64
