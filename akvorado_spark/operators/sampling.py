@@ -96,15 +96,23 @@ def pack_documents(
         F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
-    out = (
-        df.withColumn("__cum_before", cum_before)
-        .withColumn(bin_col, F.floor(F.col("__cum_before") / budget).cast("long"))
-        .withColumn(
-            offset_col,
-            (F.col("__cum_before") - F.col(bin_col) * budget).cast("long"),
-        )
-        .drop("__cum_before")
+    out = df.withColumn("__cum_before", cum_before).withColumn(
+        "__bin_in_stream", F.floor(F.col("__cum_before") / budget).cast("long")
     )
+    if key_cols:
+        out = out.withColumn(bin_col, F.col("__bin_in_stream"))
+    else:
+        # interleave the bucket into the bin id so bins stay globally
+        # unique without the (dropped) bucket column — consumers group
+        # by bin_col alone
+        out = out.withColumn(
+            bin_col,
+            (F.col("__bin_in_stream") * 64 + F.col("__pack_bucket")).cast("long"),
+        )
+    out = out.withColumn(
+        offset_col,
+        (F.col("__cum_before") - F.col("__bin_in_stream") * budget).cast("long"),
+    ).drop("__cum_before", "__bin_in_stream")
     return out.drop("__pack_bucket") if not key_cols else out
 
 
