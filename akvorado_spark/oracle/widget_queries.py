@@ -15,18 +15,64 @@ from akvorado_spark.query.widgets import flow_rate, last_flow, top_percent
 _WINDOW_S = 90 * 86400  # trailing 90 days of shipdates ≈ "last 5 minutes"
 
 
+_GRAPH_INTERVAL_S = 7 * 86400  # weekly buckets over the shipdate span
+
+
 def _spark_flow_rate(spark, sf_dir):
+    """Two homepage widgets in one gated suite: the flow-rate scalar
+    (A10) and the dimensionless traffic graph (widget_graph,
+    console/widgets.go:250-298) — the graph rides as exact per-bucket
+    bit sums plus the derived gbps double."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.query.widgets import widget_graph
+
     register_spark_view(spark, sf_dir)
-    return flow_rate(spark.table("flows_v"), "TimeReceived", _WINDOW_S)
+    df = spark.table("flows_v")
+    rate = flow_rate(df, "TimeReceived", _WINDOW_S).select(
+        F.lit("rate").alias("variant"),
+        F.lit(0).cast("long").alias("bucket"),
+        F.col("rate").alias("xps"),
+    )
+    graph = widget_graph(df, _GRAPH_INTERVAL_S).select(
+        F.lit("graph").alias("variant"),
+        "bucket",
+        (F.col("gbps") * 1e9).alias("xps"),  # bits/s: exact int / interval
+    )
+    return rate.unionAll(graph).orderBy("variant", "bucket")
 
 
 def _oracle_flow_rate() -> str:
+    step_us = _GRAPH_INTERVAL_S * 1_000_000
     return f"""
 WITH source AS (SELECT * FROM {oracle_view_sql()}),
-b AS (SELECT MAX(epoch_us(TimeReceived)) AS max_us FROM source)
-SELECT CAST(COUNT(*) AS DOUBLE) / {_WINDOW_S} AS rate, 'second' AS period
-FROM source s CROSS JOIN b
-WHERE epoch_us(s.TimeReceived) > b.max_us - {_WINDOW_S}::BIGINT * 1000000"""
+b AS (SELECT MAX(epoch_us(TimeReceived)) AS max_us,
+             MIN(epoch_us(TimeReceived)) AS min_us FROM source),
+rate AS (
+  SELECT 'rate' AS variant, CAST(0 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS DOUBLE) / {_WINDOW_S} AS xps
+  FROM source s CROSS JOIN b
+  WHERE epoch_us(s.TimeReceived) > b.max_us - {_WINDOW_S}::BIGINT * 1000000
+),
+gagg AS (
+  SELECT CAST(b.min_us + ((epoch_us(s.TimeReceived) - b.min_us) // {step_us}) * {step_us} AS BIGINT) AS bucket,
+         CAST(SUM(Bytes * SamplingRate * 8) AS BIGINT) AS bits
+  FROM source s CROSS JOIN b GROUP BY bucket
+),
+spine AS (
+  SELECT CAST(b.min_us + t.i * {step_us} AS BIGINT) AS bucket
+  FROM b CROSS JOIN generate_series(0, 2000000) t(i)
+  WHERE t.i <= (b.max_us - b.min_us) // {step_us}
+),
+graph AS (
+  -- replay the Spark side's exact double-op sequence
+  -- (bits / (interval*1e9)) * 1e9 — same IEEE ops, same order
+  SELECT 'graph' AS variant, sp.bucket,
+         (CAST(COALESCE(g.bits, 0) AS DOUBLE) / {float(_GRAPH_INTERVAL_S) * 1e9!r}) * 1000000000.0 AS xps
+  FROM spine sp LEFT JOIN gagg g USING (bucket)
+)
+SELECT * FROM rate UNION ALL SELECT * FROM graph
+ORDER BY variant, bucket"""
 
 
 register("widget_flow_rate", _spark_flow_rate, _oracle_flow_rate())
