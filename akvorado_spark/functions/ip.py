@@ -61,10 +61,6 @@ def prefix_mapped_len(cidr: str) -> int:
     return net.prefixlen + 96 if net.version == 4 else net.prefixlen
 
 
-def ip_lit(s: str) -> Column:
-    return F.lit(ip_bytes(s))
-
-
 # ---------------------------------------------------------------------------
 # Column expressions
 # ---------------------------------------------------------------------------
@@ -90,32 +86,6 @@ def _mask_nibble(c: Column, keep_bits: int) -> Column:
     for v in range(1, 16):
         expr = F.when(c == format(v, "x"), format(v & mask, "x")).otherwise(expr)
     return expr
-
-
-def hex_prefix_key(iphex: Column, bits: int) -> Column:
-    """Join key for a prefix of ``bits`` bits over a *pre-computed*
-    32-char hex column: the full nibbles as a substring plus one
-    masked nibble when the length isn't nibble-aligned.
-
-    Used by the LPM cascade so the per-join fact-side work is one
-    substring (the hex() conversion is hoisted out and computed once
-    for all lengths) — keeps the generated code small enough for JIT.
-    """
-    bits = int(bits)
-    full_nibbles = bits // 4
-    rem = bits % 4
-    parts = [F.substring(iphex, 1, full_nibbles)] if full_nibbles else []
-    if rem:
-        parts.append(_mask_nibble(F.substring(iphex, full_nibbles + 1, 1), rem))
-    if not parts:
-        return F.lit("")
-    return parts[0] if len(parts) == 1 else F.concat(*parts)
-
-
-def hex_prefix_lit(lo: bytes, bits: int) -> str:
-    """The matching plan-time key for a prefix's network address."""
-    nibbles = (int(bits) + 3) // 4
-    return lo.hex()[:nibbles]
 
 
 def ip_truncate(ip: Column, bits: int) -> Column:

@@ -31,12 +31,3 @@ def time_bucket_us(ts: Column, interval_s: int, origin_us: Column | int = 0) -> 
 def time_bucket_ts(ts: Column, interval_s: int, origin_us: Column | int = 0) -> Column:
     """Bucket start as a timestamp (same alignment rule)."""
     return F.timestamp_micros(time_bucket_us(ts, interval_s, origin_us))
-
-
-def sql_time_bucket_us(ts_sql: str, interval_s: int, origin_us_sql: str = "0") -> str:
-    """The same formula as ANSI/DuckDB SQL, for the oracle side."""
-    step = int(interval_s) * 1_000_000
-    return (
-        f"CAST({origin_us_sql} + "
-        f"FLOOR((epoch_us({ts_sql}) - {origin_us_sql}) / {step}) * {step} AS BIGINT)"
-    )

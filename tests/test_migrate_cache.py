@@ -101,3 +101,26 @@ def test_graph_line_cached_roundtrip(spark, tmp_path):
     )
     graph_line_cached(store, req2, cache)
     assert cache.misses == 2
+
+
+def test_graph_sankey_cached_roundtrip(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from akvorado_spark.plans.rollup import FlowStore
+    from akvorado_spark.query.cache import ResultCache
+    from akvorado_spark.query.graph import GraphRequest, graph_sankey_cached
+    from akvorado_spark.schema.definition import flows_schema
+    from akvorado_spark.sources.fixtures import flows_df
+
+    store = FlowStore(spark, str(tmp_path / "skstore"))
+    store.write_main(flows_schema().ingest(flows_df(spark, n=2000)))
+    store.build_rollups()
+    req = GraphRequest(
+        start=datetime(2024, 1, 1, tzinfo=timezone.utc),
+        end=datetime(2024, 1, 1, 6, tzinfo=timezone.utc),
+        dimensions=("ExporterName",), units="l3bps", limit=3,
+    )
+    cache = ResultCache(ttl_s=60)
+    first = graph_sankey_cached(store, req, cache)
+    second = graph_sankey_cached(store, req, cache)
+    assert first == second and first and cache.hits == 1
