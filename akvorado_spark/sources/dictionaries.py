@@ -104,7 +104,11 @@ def dict_df(spark: SparkSession, pairs: list[tuple], schema: str) -> DataFrame:
 
 
 def asns_df(spark: SparkSession, extra: list[tuple[int, str]] | None = None) -> DataFrame:
-    rows = ASNS + list(extra or [])
+    """``extra`` REPLACES or adds (reference config.go:26-28: custom
+    ASNs override the embedded table — the csv writer skips a built-in
+    row whose ASN the custom map defines, http.go:85)."""
+    custom = dict(extra or [])
+    rows = list(custom.items()) + [(a, n) for a, n in ASNS if a not in custom]
     return dict_df(spark, rows, "asn long, name string")
 
 

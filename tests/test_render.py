@@ -146,3 +146,22 @@ def test_complete_network_attr_and_icmp(spark):
     bare = spark.createDataFrame([(1,)], "Proto int")
     dico_only = [r["label"] for r in complete_icmp(bare, "echo").collect()]
     assert dico_only and all("echo" in l.lower() for l in dico_only)
+
+
+def test_custom_asns_replace_builtins(spark):
+    """Reference TestAdditionalASNs + http.go:85: a config-supplied ASN
+    name replaces the embedded row for that ASN and adds new ones."""
+    from akvorado_spark.sources.dictionaries import ASNS, asns_df
+
+    builtin_asn, _ = ASNS[0]
+    got = {
+        r["asn"]: r["name"]
+        for r in asns_df(
+            spark, extra=[(1, "New network"), (builtin_asn, "Renamed")]
+        ).collect()
+    }
+    assert got[1] == "New network"
+    assert got[builtin_asn] == "Renamed"
+    # no duplicate keys survive the merge
+    df = asns_df(spark, extra=[(builtin_asn, "Renamed")])
+    assert df.count() == df.select("asn").distinct().count()
