@@ -60,16 +60,31 @@ def classify_regex_sql(subject_sql: str, pattern: str, template: str) -> str:
     non-matching subject classifies nothing (NULL → the cascade's
     coalesce skips this rule).
 
-    Rendered as ``CASE WHEN subject RLIKE p THEN
-    regexp_replace(regexp_extract(subject, p, 0), p, template) END`` —
-    extract the whole match, then rewrite it as the template.  Stays
-    inside codegen like the rest of the cascade.
+    Rendered as a single regexp_replace rewriting the WHOLE subject to
+    the template: ``(?s)^.*?(<pattern>).*$`` anchors a lazy prefix
+    before the leftmost match and swallows the rest, so the pattern is
+    matched IN CONTEXT — context assertions (lookahead/lookbehind)
+    keep seeing the full subject, unlike an extract-then-replace
+    two-step that would re-match the pattern against just the
+    extracted text.  The wrapper captures the user's match as group 1,
+    so ``$0``/``$N`` template references and ``\\N`` pattern backrefs
+    are renumbered up by one at build time.  Stays inside codegen like
+    the rest of the cascade.
     """
+    import re as _re
+
+    shifted_pattern = _re.sub(
+        r"(?<!\\)\\(\d)", lambda m: "\\" + str(int(m.group(1)) + 1), pattern
+    )
+    shifted_template = _re.sub(
+        r"(?<!\\)\$(\d)", lambda m: "$" + str(int(m.group(1)) + 1), template
+    )
     p = pattern.replace("\\", "\\\\").replace("'", "\\'")
-    t = template.replace("\\", "\\\\").replace("'", "\\'")
+    sp = shifted_pattern.replace("\\", "\\\\").replace("'", "\\'")
+    t = shifted_template.replace("\\", "\\\\").replace("'", "\\'")
     return (
         f"CASE WHEN {subject_sql} RLIKE '{p}' THEN "
-        f"regexp_replace(regexp_extract({subject_sql}, '{p}', 0), '{p}', '{t}') END"
+        f"regexp_replace({subject_sql}, '(?s)^.*?({sp}).*$', '{t}') END"
     )
 
 

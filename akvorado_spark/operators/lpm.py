@@ -167,11 +167,23 @@ def lpm_join(
             tag += 1
         if 0 in {int(L) for L in plens}:
             # default route (/0): matches everything, lowest precedence
-            # within its pass — a 1-row broadcast of resolved attrs
+            # within its pass — a 1-row broadcast of resolved attrs.
+            # Same max_by-on-rank aggregation as _resolve_blocks: honors
+            # the __prio source order on ties, skips NULL values, and
+            # accepts non-orderable attrs (the static-metadata maps)
             zero = pfx.filter(F.col(prefix_len) == 0)
+            zrank = (
+                [F.col("__prio")] if "__prio" in pfx.columns else [F.lit(0)]
+            )
+
+            def _zagg(a):
+                return F.max_by(
+                    F.col(a), F.when(F.col(a).isNotNull(), F.struct(*zrank))
+                ).alias(f"__{a}_{tag}")
+
             if keyed:
                 zblocks = zero.groupBy(F.col("__e").alias(f"__e{tag}")).agg(
-                    *[F.max(a).alias(f"__{a}_{tag}") for a in attrs]
+                    *[_zagg(a) for a in attrs]
                 )
                 out = out.join(
                     F.broadcast(zblocks),
@@ -179,9 +191,7 @@ def lpm_join(
                     "left",
                 ).drop(f"__e{tag}")
             else:
-                zblocks = zero.agg(
-                    *[F.max(a).alias(f"__{a}_{tag}") for a in attrs]
-                )
+                zblocks = zero.agg(*[_zagg(a) for a in attrs])
                 out = out.join(F.broadcast(zblocks))
             for a in attrs:
                 matched[a].append(F.col(f"__{a}_{tag}"))

@@ -88,8 +88,10 @@ def pack_documents(
     if key_cols:
         part = [F.col(k) for k in key_cols]
     else:
-        # no keys: derive bounded parallelism instead of a global window
-        df = df.withColumn("__pack_bucket", F.abs(F.hash(F.col(id_col))) % 64)
+        # no keys: derive bounded parallelism instead of a global
+        # window.  pmod, not abs(hash)%: hash() is a 32-bit int and
+        # abs(Int.MinValue) overflows under ANSI mode
+        df = df.withColumn("__pack_bucket", F.pmod(F.hash(F.col(id_col)), F.lit(64)))
         part = [F.col("__pack_bucket")]
     w = Window.partitionBy(*part).orderBy(*order)
     cum_before = F.coalesce(

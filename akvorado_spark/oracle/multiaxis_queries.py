@@ -79,7 +79,7 @@ def _spark_bidir_line(spark, sf_dir):
     rows1 = top_rows_frame(direct_df, _req("InIfName"))
     ax1 = compile_line(direct_df, _req("InIfName"), rows=rows1)
     ax2 = compile_line(
-        df.filter(reverse.column()),
+        reverse_df,
         _req("OutIfName"),
         rows=rows1.withColumnRenamed("InIfName", "OutIfName"),
     ).withColumnRenamed("OutIfName", "InIfName")

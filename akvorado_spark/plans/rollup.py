@@ -261,6 +261,11 @@ class FlowStore:
         main = self.resolutions[0]
         if require_main:
             return main, max(target_interval_s, 1)
+        # naive datetimes are UTC instants (the graph module's
+        # convention); oldest() returns tz-aware, so normalize before
+        # comparing
+        if start.tzinfo is None:
+            start = start.replace(tzinfo=timezone.utc)
         present = []
         for res in self.resolutions:
             oldest = self.oldest(res)

@@ -510,10 +510,19 @@ def demo_flows_df(spark: SparkSession, configs: list[DemoFlowConfig], **kw) -> D
     schema-projection contract as :func:`flows_df`."""
     schema = flows_schema()
     pdf = demo_flows_pdf(configs, **kw)
+    if pdf.empty:
+        # zero flows (legitimate for low rates over short windows via
+        # the trunc telescope): an empty TYPED frame, not a crash —
+        # project the same columns flows_pdf would carry
+        cols = set(flows_pdf(1).columns)
+    else:
+        cols = set(pdf.columns)
     fields = [
         T.StructField(c.name, c.dtype, True)
         for c in schema.stored()
-        if c.generated is None and c.name in pdf.columns
+        if c.generated is None and c.name in cols
     ]
     st = T.StructType(fields)
+    if pdf.empty:
+        return spark.createDataFrame([], schema=st)
     return spark.createDataFrame(pdf[[f.name for f in fields]], schema=st)

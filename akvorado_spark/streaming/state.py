@@ -231,8 +231,13 @@ def streaming_minhash_candidates(
     id list and emits (id_a, id_b) for each new member against the
     existing ones.  Identical bucketing to the batch
     ``lsh_candidate_pairs`` (shared ``band_buckets_expr``), so a
-    streamed corpus yields exactly the batch pair set (asserted in
-    tests).
+    streamed corpus yields exactly the batch pair set for buckets
+    within ``max_bucket`` (asserted in tests).  OVER the cap the two
+    paths intentionally differ in which linear pair subset they keep:
+    batch emits the sorted-id clique + a star from the bucket minimum,
+    streaming stars new arrivals to the first-ARRIVED member (it
+    cannot sort ids it hasn't seen yet) — both preserve connectivity
+    for transitive dedup, which is the property the cap guarantees.
 
     Scale shape: state is ids-only — 8 bytes per (band, doc) ever seen,
     sharded across the (band, bucket) key space.  ``max_bucket`` bounds

@@ -184,3 +184,16 @@ def test_exporter_classifier_reference_cases(spark):
     assert r["Group"] is None and r["Site"] is None  # conditions don't match
     assert r["Tenant"] == "tenant-roger"
     assert r["RegexGroup"] is None  # non-matching regex classifies nothing
+
+
+def test_classify_regex_context_assertions(spark):
+    """Template expansion must match IN CONTEXT: a lookahead pattern
+    sees the full subject, not just the extracted match (code-review
+    finding: extract-then-replace silently returned the raw match)."""
+    from akvorado_spark.operators.classify import classify_regex_sql
+
+    df = spark.createDataFrame([("core-paris",), ("core-berlin",)], "Name string")
+    expr = classify_regex_sql("Name", r"core(?=-paris)", "eu-$0")
+    got = {r["Name"]: r["g"] for r in df.selectExpr("Name", f"{expr} AS g").collect()}
+    assert got["core-paris"] == "eu-core"
+    assert got["core-berlin"] is None

@@ -173,3 +173,11 @@ def test_demo_flows_ingest_end_to_end(spark):
         ).collect()
         assert out
         assert {r["SrcAS"] for r in out} <= {"65501", "65502", "Other", 65501, 65502}
+
+
+def test_demo_flows_zero_rate_yields_empty_typed_frame(spark):
+    """Zero generated flows (low rate over a short window) must produce
+    an empty typed frame, not crash (code-review finding)."""
+    df = demo_flows_df(spark, [_cfg(per_second=0.0)], duration_s=5, seed=1)
+    assert df.count() == 0
+    assert "TimeReceived" in df.columns and "SrcAddr" in df.columns

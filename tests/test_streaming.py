@@ -456,3 +456,34 @@ def test_static_metadata_provider_reference_cases(spark):
     assert r4["InIfConnectivity"] == "transit"
     assert r4["InIfBoundary"] == "external"
     assert r4["InIfSpeed"] == 1000
+
+
+def test_static_metadata_default_route_subnet(spark):
+    """A catch-all ::/0 (or 0.0.0.0/0) exporter subnet goes through the
+    /0 default branch, which must handle the non-orderable interface
+    map and the Default fallback (code-review finding: F.max over
+    MapType raised)."""
+    from akvorado_spark.functions.ip import ip_bytes
+    from akvorado_spark.sources.static_meta import (
+        resolve_static_metadata,
+        static_metadata_frame,
+    )
+
+    meta = static_metadata_frame(
+        spark,
+        {
+            "::/0": {
+                "name": "catchall",
+                "default": {"name": "Default0", "speed": 10},
+                "ifindexes": {7: {"name": "Gi7", "speed": 100}},
+            },
+        },
+    )
+    flows = spark.createDataFrame(
+        [(1, ip_bytes("2001:db8::1"), 7, 9)],
+        "flow_id long, ExporterAddress binary, InIf long, OutIf long",
+    )
+    out = resolve_static_metadata(flows, meta).collect()
+    assert len(out) == 1
+    assert out[0]["ExporterName"] == "catchall"
+    assert out[0]["InIfName"] == "Gi7" and out[0]["OutIfName"] == "Default0"
