@@ -108,7 +108,7 @@ def _oracle_top_percent() -> str:
         return f"""
 SELECT '{variant}' AS variant, Name, Percent FROM (
   WITH base AS (
-    SELECT CASE WHEN {name_sql} = '' THEN 'Unknown' ELSE {name_sql} END AS Name,
+    SELECT CASE WHEN COALESCE({name_sql}, '') = '' THEN 'Unknown' ELSE {name_sql} END AS Name,
            CAST(Bytes * SamplingRate AS BIGINT) AS w
     FROM ({oracle_view_sql()}) WHERE InIfBoundary = 'external'
   ),

@@ -66,6 +66,9 @@ def complete_cached(cache, handler, flows: DataFrame, prefix: str = "", **kw) ->
     (handler, prefix, kwargs), collected rows cached; build the cache
     with ``ResultCache(ttl_s=60)``."""
     payload = {"complete": handler.__name__, "prefix": prefix,
+               # the frame's semantic hash: two different stores sharing
+               # one cache must not serve each other's completions
+               "frame": flows.semanticHash(),
                **{k: str(v) for k, v in kw.items() if not hasattr(v, "sparkSession")}}
     hit = cache.get(payload)
     if hit is not None:
@@ -332,6 +335,12 @@ def complete_communities(
         unrolled(f"{side}LargeCommunities", render_large_community_value, "large community"),
     ]
     parts = [p for p in parts if p is not None]
+    if not parts:
+        # neither community column exists on this frame (e.g. a rollup
+        # table — both are MainOnly): empty completion, not a crash
+        return flows.sparkSession.createDataFrame(
+            [], "label string, detail string"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -61,17 +61,21 @@ class GraphRequest:
     truncate_v4: int = 32
     truncate_v6: int = 128
     bidirectional: bool = False
-    previous_period: str | None = None  # hour|day|week|month|year
+    previous_period: str | bool | None = None  # True = derive from span (reference API); or hour|day|week|month|year
 
 
 def _shift_back(req: GraphRequest) -> timedelta:
+    from akvorado_spark.query.line import nearest_period, year_shift
+
+    if req.previous_period is True:
+        # the reference API: PreviousPeriod is a BOOLEAN and the period
+        # derives from the range span (console/line.go:57-96)
+        period_s, _ = nearest_period(int((req.end - req.start).total_seconds()))
+        if period_s:
+            return timedelta(seconds=period_s)
+        return year_shift(req.start)
     if req.previous_period == "year":
-        # calendar-aware: same instant previous year (leap-safe)
-        try:
-            prev = req.start.replace(year=req.start.year - 1)
-        except ValueError:  # Feb 29 → Mar 1, like Go AddDate (console/line.go:81-96)
-            prev = req.start.replace(year=req.start.year - 1, month=3, day=1)
-        return req.start - prev
+        return year_shift(req.start)
     return PREVIOUS_PERIODS[req.previous_period]
 
 
@@ -147,8 +151,12 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         ).drop("part_date")
         df = df.filter(
             (F.col("TimeReceived") >= F.lit(start)) & (F.col("TimeReceived") < F.lit(end))
-        ).filter(filt.column())
-        df = store.schema.view(df)
+        )
+        # alias (computed-on-read) columns must exist BEFORE the user
+        # filter runs — PacketSize/NetPrefix etc. are filterable but
+        # not stored; stored-column predicates still push through the
+        # projection
+        df = store.schema.view(df).filter(filt.column())
         # IP dimension truncation (P12, reference console/graph.go:44-88)
         if truncating:
             for d in dims:
@@ -282,8 +290,9 @@ def graph_sankey(store: FlowStore, req: GraphRequest) -> DataFrame:
         df = df.filter(
             (F.col("TimeReceived") >= F.lit(a_start))
             & (F.col("TimeReceived") < F.lit(a_end))
-        ).filter(filt.column())
-        df = store.schema.view(df)
+        )
+        # view() before the user filter: alias columns are filterable
+        df = store.schema.view(df).filter(filt.column())
         if truncating:
             for d in dims:
                 spec = store.schema.by_name.get(d)

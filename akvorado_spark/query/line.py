@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 OTHER = "Other"
@@ -348,9 +348,14 @@ def oracle_line_sql(
             f") GROUP BY {dcols}"
         )
     elif req.limit_type == "last":
+        # the FINAL bucket of the range, arithmetically from bounds —
+        # the reference ranks over `end - interval` (line_test.go
+        # "limitType by last"), NOT over the last bucket with data;
+        # with data-derived bounds the two coincide
         ranked = (
             f"SELECT {dcols}, {agg} AS tw FROM base "
-            f"WHERE bucket = (SELECT MAX(bucket) FROM base) GROUP BY {dcols}"
+            f"WHERE bucket = (SELECT CAST(start_us + FLOOR((max_us - start_us) / {step_us})"
+            f" * {step_us} AS BIGINT) FROM bounds) GROUP BY {dcols}"
         )
     else:
         ranked = f"SELECT {dcols}, {agg} AS tw FROM base GROUP BY {dcols}"
@@ -476,7 +481,7 @@ def previous_period(start_us: int, end_us: int) -> tuple[int, int, int]:
     Feb 29 minus one year to Mar 1; the ``ValueError`` fallback does
     the same.
     """
-    from datetime import datetime, timedelta, timezone
+    from datetime import datetime, timezone
 
     diff_s = (end_us - start_us) // 1_000_000
     period_s, _name = nearest_period(diff_s)
@@ -484,12 +489,19 @@ def previous_period(start_us: int, end_us: int) -> tuple[int, int, int]:
         shift_us = period_s * 1_000_000
     else:
         start = datetime.fromtimestamp(start_us // 1_000_000, tz=timezone.utc)
-        try:
-            a_year_back = start.replace(year=start.year - 1)
-        except ValueError:  # Feb 29 → normalize to Mar 1, like Go AddDate
-            a_year_back = start.replace(year=start.year - 1, month=3, day=1)
-        shift_us = int((start - a_year_back) / timedelta(microseconds=1))
+        shift_us = int(year_shift(start).total_seconds() * 1_000_000)
     return start_us - shift_us, end_us - shift_us, shift_us
+
+
+def year_shift(start):
+    """Start-measured one-year shift, Feb 29 normalized to Mar 1 like
+    Go's AddDate (the ONE definition shared by the handler and the
+    oracle helper — reference console/line.go:81-96)."""
+    try:
+        prev = start.replace(year=start.year - 1)
+    except ValueError:
+        prev = start.replace(year=start.year - 1, month=3, day=1)
+    return start - prev
 
 
 def oracle_line_rows_sql(table_sql: str, req: LineRequest) -> str:
@@ -514,9 +526,14 @@ def oracle_line_rows_sql(table_sql: str, req: LineRequest) -> str:
             f") GROUP BY {dcols}"
         )
     elif req.limit_type == "last":
+        # the FINAL bucket of the range, arithmetically from bounds —
+        # the reference ranks over `end - interval` (line_test.go
+        # "limitType by last"), NOT over the last bucket with data;
+        # with data-derived bounds the two coincide
         ranked = (
             f"SELECT {dcols}, {agg} AS tw FROM base "
-            f"WHERE bucket = (SELECT MAX(bucket) FROM base) GROUP BY {dcols}"
+            f"WHERE bucket = (SELECT CAST(start_us + FLOOR((max_us - start_us) / {step_us})"
+            f" * {step_us} AS BIGINT) FROM bounds) GROUP BY {dcols}"
         )
     else:
         ranked = f"SELECT {dcols}, {agg} AS tw FROM base GROUP BY {dcols}"
@@ -553,6 +570,8 @@ def _oracle_line_nodim_sql(table_sql: str, req: LineRequest) -> str:
         if req.agg_sql
         else f"CAST({req.weight_sql} AS BIGINT) AS w"
     )
+    # fps-style units carry no base columns — guard the dangling comma
+    base_tail = f",\n         {base_vals}" if base_vals else ""
     otype = {"long": "BIGINT", "double": "DOUBLE", "int": "INTEGER"}[req.value_type]
     if req.start_us is not None:
         bounds_sql = (
@@ -567,8 +586,7 @@ def _oracle_line_nodim_sql(table_sql: str, req: LineRequest) -> str:
 WITH source AS (SELECT * FROM {table_sql}),
 bounds AS ({bounds_sql}),
 base AS (
-  SELECT CAST(b.start_us + FLOOR((epoch_us(s.{ts}) - b.start_us) / {step_us}) * {step_us} AS BIGINT) AS bucket,
-         {base_vals}
+  SELECT CAST(b.start_us + FLOOR((epoch_us(s.{ts}) - b.start_us) / {step_us}) * {step_us} AS BIGINT) AS bucket{base_tail}
   FROM source s CROSS JOIN bounds b
 ),
 agg AS (SELECT bucket, CAST({agg} AS {otype}) AS sum_w FROM base GROUP BY bucket)"""

@@ -25,8 +25,11 @@ class UnitSpec:
     agg_sql: str
     base_cols: tuple[str, ...]
     value_type: str = "long"
-    # percentage units are already rates; don't divide by interval
-    is_rate: bool = False
+    # NOTE: the reference divides EVERY unit's aggregate by the
+    # interval when emitting xps — including the percentage units
+    # (console/line.go:153: Op(unitsSQL, "/", Interval) with no
+    # special case) — so the compilers here do too; there is no
+    # "already a rate" exemption
 
 
 def _pct(side_speed: str, side_if: str) -> str:
@@ -54,14 +57,12 @@ UNITS: dict[str, UnitSpec] = {
         _pct("InIfSpeed", "InIfName"),
         ("Bytes", "Packets", "SamplingRate", "InIfSpeed", "ExporterAddress", "InIfName"),
         value_type="double",
-        is_rate=True,
     ),
     "outl2%": UnitSpec(
         "outl2%",
         _pct("OutIfSpeed", "OutIfName"),
         ("Bytes", "Packets", "SamplingRate", "OutIfSpeed", "ExporterAddress", "OutIfName"),
         value_type="double",
-        is_rate=True,
     ),
 }
 
@@ -98,5 +99,4 @@ def approx_pct_unit(name: str, rsd: float = 0.02) -> UnitSpec:
         _pct_approx(f"{side}IfSpeed", f"{side}IfName", rsd),
         base.base_cols,
         value_type="double",
-        is_rate=True,
     )

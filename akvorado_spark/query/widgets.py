@@ -58,10 +58,9 @@ def top_percent(
     ``InIfBoundary = 'external'`` for src-* widgets) before calling.
     """
     w = F.expr(weight_sql).cast("long")
+    sel = F.coalesce(F.col(selector).cast("string"), F.lit(""))
     base = df.select(
-        F.when(F.col(selector).cast("string") == "", F.lit("Unknown"))
-        .otherwise(F.col(selector).cast("string"))
-        .alias("Name"),
+        F.when(sel == "", F.lit("Unknown")).otherwise(sel).alias("Name"),
         w.alias("__w"),
     )
     total = base.agg(F.sum("__w").alias("__total"))

@@ -161,3 +161,27 @@ def test_limit_validated_at_api_boundary():
     with pytest.raises(ValueError, match="beyond maximum"):
         validate_limit(51)
     validate_limit(100, dimensions_limit=200)  # config raises the cap
+
+
+def test_top_percent_folds_null_to_unknown(spark):
+    """NULL selector values fold into 'Unknown' like empty strings
+    (code-review finding: NULL survived as its own group)."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.query.widgets import top_percent
+
+    df = spark.createDataFrame(
+        [("a", 10), (None, 5), ("", 5)], "sel string, Bytes long"
+    ).withColumn("SamplingRate", F.lit(1).cast("long"))
+    out = {r["Name"]: r["Percent"] for r in top_percent(df, "sel").collect()}
+    assert set(out) == {"a", "Unknown"}
+    assert out["Unknown"] == pytest.approx(50.0)
+
+
+def test_complete_communities_absent_columns_graceful(spark):
+    """Neither community column on the frame (rollup tables — both are
+    MainOnly): empty completion, not IndexError."""
+    from akvorado_spark.query.complete import complete_communities
+
+    df = spark.createDataFrame([(1,)], "x long")
+    assert complete_communities(df, side="Dst").collect() == []

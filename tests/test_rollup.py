@@ -427,3 +427,57 @@ def test_truncation_skips_non_truncatable_ip_dims(store):
     for a in addrs:
         ip = ipaddress.ip_address(a)
         assert int(ip) % 256 != 0  # /16 truncation did NOT zero the tail
+
+
+def test_graph_line_filter_on_alias_column(store):
+    """Alias (computed-on-read) columns are filterable: view() must run
+    before the user filter (code-review finding — PacketSizeBucket is
+    enabled by default, not stored, and validate_filter accepts it)."""
+    out = graph_line(
+        store,
+        GraphRequest(
+            start=START, end=END, dimensions=("ExporterName",), units="l3bps",
+            points=24, limit=3, filter="PacketSize > 0 AND Proto = 'tcp'",
+        ),
+    ).collect()
+    assert out
+
+
+def test_graph_line_previous_period_bool_derives_from_span(store):
+    """previous_period=True is the reference API: the shift derives
+    from the range span (a 6h range → nearest period = day)."""
+    out = graph_line(
+        store,
+        GraphRequest(start=START, end=END, dimensions=("ExporterName",),
+                     units="pps", points=24, limit=2, previous_period=True),
+    ).collect()
+    assert {r["axis"] for r in out} == {1, 3}
+
+
+def test_last_ranking_uses_range_final_bucket(store):
+    """limit_type='last' ranks over the ARITHMETIC final interval of
+    the requested range (reference line_test.go 'limitType by last':
+    TimeReceived >= end - interval), even when that interval is empty —
+    everything folds to 'Other' then, on BOTH engines (the oracle used
+    to rank over the last bucket WITH data)."""
+    from akvorado_spark.query.line import LineRequest, compile_line, oracle_line_sql
+    import duckdb
+
+    main = store.read(store.resolutions[0]).drop("part_date")
+    df = main.select("TimeReceived", "ExporterName", "Bytes", "SamplingRate")
+    # range extends 2h past the data's end → final 30min bucket is empty
+    end = END + timedelta(hours=2)
+    req = LineRequest(
+        time_col="TimeReceived", dimensions=("ExporterName",), weight_sql=None,
+        interval_s=1800, limit=2, limit_type="last",
+        agg_sql="SUM(Bytes * SamplingRate * 8)", base_cols=("Bytes", "SamplingRate"),
+        start_us=int(START.timestamp() * 1e6), end_us=int(end.timestamp() * 1e6),
+    )
+    got = {(r["bucket"], r["ExporterName"], r["sum_w"])
+           for r in compile_line(df, req).collect()}
+    assert got and all(name == "Other" for _, name, _ in got)
+    con = duckdb.connect()
+    con.register("flows_px", df.toPandas())
+    want = {(r[0], r[1], r[2]) for r in
+            con.execute(oracle_line_sql("flows_px", req)).fetchall()}
+    assert got == want
