@@ -36,33 +36,34 @@ def asof_join(
     exactly-simultaneous right row matches (``<=`` semantics).
     """
     carried = [right_ts] + values
-    l_tag = left.withColumn("__side", F.lit(1))
-    for c in carried:
-        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    # ONE struct carries every right value: a single last() resolves a
+    # single consistent right ROW (per-column last() could mix fields
+    # from different tied rows), and the struct doubles as the
+    # deterministic tiebreaker among rights sharing (key, ts)
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__rv"),
+    )
+    rv_type = r_tag.schema["__rv"].dataType.simpleString()
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rv", F.lit(None).cast(rv_type)
     )
     l_cols = [c for c in l_tag.columns if not c.startswith("__")]
     u = l_tag.select(
-        *l_cols, F.col(left_ts).alias("__ts"), "__side", *[f"__r_{c}" for c in carried]
+        *l_cols, F.col(left_ts).alias("__ts"), "__side", "__rv"
     ).unionByName(r_tag, allowMissingColumns=True)
 
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u
-    for c in carried:
-        out = out.withColumn(
-            f"__m_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
-    out = out.filter(F.col("__side") == 1)
-    for c in carried:
-        out = out.withColumn(f"{c}{suffix}", F.col(f"__m_{c}"))
-    return out.select(
-        *l_cols, *[f"{c}{suffix}" for c in carried]
+    out = (
+        u.withColumn("__m", F.last(F.col("__rv"), ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
     )
+    for c in carried:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__m.{c}"))
+    return out.select(*l_cols, *[f"{c}{suffix}" for c in carried])

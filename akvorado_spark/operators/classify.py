@@ -74,10 +74,10 @@ def classify_regex_sql(subject_sql: str, pattern: str, template: str) -> str:
     import re as _re
 
     shifted_pattern = _re.sub(
-        r"(?<!\\)\\(\d)", lambda m: "\\" + str(int(m.group(1)) + 1), pattern
+        r"(?<!\\)\\(\d+)", lambda m: "\\" + str(int(m.group(1)) + 1), pattern
     )
     shifted_template = _re.sub(
-        r"(?<!\\)\$(\d)", lambda m: "$" + str(int(m.group(1)) + 1), template
+        r"(?<!\\)\$(\d+)", lambda m: "$" + str(int(m.group(1)) + 1), template
     )
     p = pattern.replace("\\", "\\\\").replace("'", "\\'")
     sp = shifted_pattern.replace("\\", "\\\\").replace("'", "\\'")
@@ -108,13 +108,23 @@ def classify(
         if a not in attrs:
             attrs.append(a)
 
-    reject_conds = [F.expr(r.when) for r in rules if r.reject]
+    # NULL-safe reject: a condition evaluating to NULL (e.g. a NULL
+    # column) must KEEP the flow — ~NULL is NULL and filter(NULL)
+    # would silently drop it, inverting keep-unless-rejected
+    reject_conds = [
+        F.coalesce(F.expr(r.when), F.lit(False)) for r in rules if r.reject
+    ]
     if reject_conds:
         keep = ~reject_conds[0]
         for c in reject_conds[1:]:
             keep = keep & ~c
         df = df.filter(keep)
 
+    # Two-phase assignment: every rule condition AND value expression
+    # evaluates against the ORIGINAL flow (the reference classifies
+    # from the unmutated input) — computing into temporary columns
+    # first means a rule that sets a column other rules condition on
+    # cannot poison later attributes.
     for a in attrs:
         branches = [
             F.when(F.expr(r.when), F.expr(r.sets[a])) for r in rules if a in r.sets
@@ -122,7 +132,11 @@ def classify(
         fallback = (defaults or {}).get(a)
         if fallback is not None:
             branches.append(F.expr(fallback))
-        df = df.withColumn(a, F.coalesce(*branches) if branches else F.lit(None))
+        df = df.withColumn(
+            f"__cls_{a}", F.coalesce(*branches) if branches else F.lit(None)
+        )
+    for a in attrs:
+        df = df.drop(a).withColumnRenamed(f"__cls_{a}", a)
     return df
 
 
@@ -140,6 +154,10 @@ def rate_limit(
     tick), in (time, tiebreak) order, and rescales survivors'
     sampling rate by total/kept (floor) so SUM(x*SamplingRate)
     aggregates stay unbiased within the tick.
+
+    Granularity floor: ``limit_per_s < 5`` still passes one flow per
+    tick (up to 5/s) — the 200 ms resolution cannot express a lower
+    rate, matching the reference's per-tick bucket floor.
     """
     per_tick = max(limit_per_s // 5, 1)
     tick = (F.unix_millis(F.col(time_col).cast("timestamp")) / 200).cast("long")

@@ -278,7 +278,15 @@ def lsh_candidate_pairs(
     m, and every member stays connected for transitive dedup.
     Default None = exact (every pair).
     """
-    n = n_hashes or len(signatures.select("signature").first()["signature"])
+    if n_hashes:
+        n = n_hashes
+    else:
+        probe = signatures.select("signature").first()
+        if probe is None:  # empty corpus: no candidates, not a crash
+            return signatures.sparkSession.createDataFrame(
+                [], "id_a long, id_b long"
+            )
+        n = len(probe["signature"])
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -484,6 +492,16 @@ def connected_components(
     Convergence is detected by the monotone label-sum invariant: labels
     only ever decrease, so an unchanged SUM(comp) is a fixpoint.
     """
+    for c in (id_a, id_b):
+        dtype = dict(pairs.dtypes)[c]
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            # a silent cast would throw mid-job under ANSI (or collapse
+            # to NULLs without it) — demand integral ids up front;
+            # hash string ids first (xxhash64) like the sketch pipelines
+            raise TypeError(
+                f"connected_components needs integral ids; {c} is {dtype} "
+                "(hash non-numeric ids, e.g. xxhash64, before pairing)"
+            )
     e = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )

@@ -198,6 +198,11 @@ def lpm_join(
             tag += 1
 
     for a in attrs:
-        out = out.withColumn(out_prefix + a, F.coalesce(*matched[a]))
+        # empty prefix table (nothing configured yet): an LPM miss for
+        # every row — NULL attrs, not a zero-arg coalesce crash
+        out = out.withColumn(
+            out_prefix + a,
+            F.coalesce(*matched[a]) if matched[a] else F.lit(None),
+        )
     out = out.drop(*[f"__{a}_{t}" for a in attrs for t in range(tag)])
     return out

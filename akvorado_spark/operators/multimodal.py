@@ -60,7 +60,16 @@ def decode_image(
                     "image decode needs Pillow/libvips; not in this container — "
                     "pass fake=True for the deterministic stub"
                 ) from e
-        for pdf in batches:
+        # re-chunk INSIDE the worker instead of mutating the session's
+        # arrow.maxRecordsPerBatch (a plan-build side effect that would
+        # silently change batching for every later Arrow op): media
+        # bytes dominate memory, so bound rows per processed slice here
+        def slices():
+            for whole in batches:
+                for off in range(0, len(whole), target_rows_per_batch):
+                    yield whole.iloc[off : off + target_rows_per_batch]
+
+        for pdf in slices():
             if fake:
                 media = pdf[media_col]
                 yield pd.DataFrame(
@@ -83,9 +92,6 @@ def decode_image(
                     rows.append((r[id_col], img.width, img.height, len(img.getbands()), img.format))
                 yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "channels", "format"])
 
-    # bound Arrow batch size by rows (media bytes dominate memory)
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
     return df.mapInPandas(run, schema=out_schema)
 
 
@@ -93,9 +99,11 @@ def frame_sample_plan(df: DataFrame, every_n_frames: int, id_col: str = "doc_id"
     """Video frame sampling *plan*: expands (id, n_frames) to one row
     per sampled frame index — the distribution/partitioning half of a
     frame extractor; the decode itself is stubbed as above."""
-    return df.select(
+    # zero-frame (corrupt/empty) videos plan NO samples — greatest(-1,0)
+    # would otherwise schedule frame 0 of a frameless video
+    return df.filter(F.col("n_frames") > 0).select(
         F.col(id_col),
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n_frames))
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n_frames))
         ).alias("frame_idx"),
     )

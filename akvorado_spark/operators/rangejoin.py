@@ -30,7 +30,18 @@ def range_join(
     ``|left_ts - right_ts| <= max_gap_s`` (timestamps compared at
     microsecond precision).  Columns keep their names; right's ts
     column must be named differently from left's.
+
+    Only ``how='inner'`` is supported: the exact-gap predicate runs
+    AFTER the bucket equi-join, which would silently turn any outer
+    join back into an inner one (unmatched rows carry NULL timestamps
+    that fail the filter).  Outer range semantics need an explicit
+    anti-join union — refuse rather than mis-join.
     """
+    if how != "inner":
+        raise NotImplementedError(
+            "range_join supports how='inner' only; outer variants would "
+            "drop their unmatched rows in the exact-gap filter"
+        )
     g_us = max_gap_s * 1_000_000
     l_us = F.unix_micros(F.col(left_ts))
     r_us = F.unix_micros(F.col(right_ts))

@@ -149,6 +149,8 @@ def mix_sources(
     from akvorado_spark.operators.text import portable_word_hash
 
     def spec(rate: float) -> tuple[int, int]:
+        if rate < 0:
+            raise ValueError(f"mix rate must be >= 0, got {rate}")
         copies = int(math.floor(rate))
         return copies, int(round((rate - copies) * buckets))
 
