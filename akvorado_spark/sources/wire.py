@@ -253,9 +253,17 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
     # from data.  Real templates are always wider; we stop when fewer
     # than one full record remains.
     rec_len = sum(ln for _, ln in fields if ln != 0xFFFF)
+    fixed_only = all(ln != 0xFFFF for _, ln in fields)
+    # a template whose records consume ZERO bytes (no fields, or all
+    # fields zero-length and fixed) would never advance `off` — an
+    # attacker-controlled datagram must not wedge the decode task in an
+    # unbounded loop (ValueError keeps the strict/drop-malformed
+    # contract)
+    if fixed_only and rec_len == 0:
+        raise ValueError("data template with zero-byte records")
     rows = []
     while off < end:
-        if all(ln != 0xFFFF for _, ln in fields) and off + rec_len > end:
+        if fixed_only and off + rec_len > end:
             break  # padding
         r = _row(ts, exporter, rate)
         v6 = False

@@ -229,6 +229,24 @@ class EnrichmentConfig:
         return cached
 
 
+# networks-attribute → schema column-name mapping (reference
+# enricher.go:165-182: name/role/site/region/tenant land on the
+# {side}Net* columns, the GEO attributes on {side}Country /
+# {side}GeoState / {side}GeoCity — NOT {side}NetCountry etc.; the asn
+# attribute feeds the as_number provider, exposed as {side}NetASN)
+_NETWORKS_ATTR_COLUMNS = {
+    "name": "NetName",
+    "role": "NetRole",
+    "site": "NetSite",
+    "region": "NetRegion",
+    "tenant": "NetTenant",
+    "country": "Country",
+    "state": "GeoState",
+    "city": "GeoCity",
+    "asn": "NetASN",
+}
+
+
 def _subnet_case(col, entries):
     """SubnetMap lookup as a longest-prefix-first CASE chain over
     16-byte [lo, hi] bounds — config-sized, stays in codegen (the
@@ -291,11 +309,14 @@ def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
                 plens=cfg.networks_plens(),
             )
             for a in cfg.networks_attrs:
-                target = f"{side}Net{a.capitalize()}"
-                df = df.withColumn(
-                    target,
-                    F.coalesce(F.col(a), F.col(target) if target in df.columns else F.lit("")),
-                ).drop(a)
+                target = f"{side}{_NETWORKS_ATTR_COLUMNS.get(a, 'Net' + a.capitalize())}"
+                if target in df.columns:
+                    fallback = F.col(target)
+                elif a == "asn":
+                    fallback = F.lit(None).cast("long")
+                else:
+                    fallback = F.lit("")
+                df = df.withColumn(target, F.coalesce(F.col(a), fallback)).drop(a)
     if cfg.skip_incomplete:
         # reference enricher.go:80-101: both interfaces unset, no
         # metadata-resolved name, or a zero rate after the default map
@@ -335,11 +356,16 @@ class FlowIngest:
 
         enriched = enrich(batch, self.cfg)
         enriched = self.store.schema.ingest(enriched)
+        # the exporters refresh would otherwise re-run the whole
+        # enrichment lineage (metadata join + classifiers + LPM) a
+        # second time over the batch
+        if self.exporters_path:
+            enriched = enriched.persist()
         # T5 needs the batch's oldest timestamp; observe() harvests it
         # from the write pass itself — no second job over the batch.
         obs = Observation()
-        enriched = enriched.observe(obs, F.min("TimeReceived").alias("oldest"))
-        self.store.write_main(enriched)
+        observed = enriched.observe(obs, F.min("TimeReceived").alias("oldest"))
+        self.store.write_main(observed)
 
         # T5: re-aggregate only the dates this batch touched — late rows
         # merge into their original buckets exactly like SummingMergeTree.
@@ -349,7 +375,10 @@ class FlowIngest:
             self.store.build_rollups(since=since)
 
         if self.exporters_path:
-            self._refresh_exporters(enriched)
+            try:
+                self._refresh_exporters(enriched)
+            finally:
+                enriched.unpersist()
 
     def _refresh_exporters(self, batch: DataFrame) -> None:
         """T6: replacing-merge the batch's interfaces into the table."""
@@ -358,8 +387,12 @@ class FlowIngest:
         try:
             existing = spark.read.parquet(self.exporters_path)
             fresh = existing.unionByName(fresh, allowMissingColumns=True)
-        except Exception:
-            pass  # first batch: table doesn't exist yet
+        except AnalysisException as e:
+            # ONLY a genuinely absent table reads as "first batch"; any
+            # other read failure must propagate — swallowing it would
+            # overwrite the accumulated history with one batch's rows
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
         latest = latest_exporters(fresh, ttl=None)
         latest.coalesce(1).write.mode("overwrite").parquet(self.exporters_path + "_tmp")
         spark.read.parquet(self.exporters_path + "_tmp").write.mode("overwrite").parquet(

@@ -65,8 +65,16 @@ def streaming_rate_limit(
             tick, used, total, drop_rate = -1, 0, 0, 0.0
         for pdf in pdfs:
             pdf = pdf.sort_values(time_col, kind="stable")
-            ns = pdf[time_col].astype("datetime64[ns]").astype("int64")
-            ticks = (ns // 200_000_000).to_numpy()
+            tcol = pdf[time_col]
+            if tcol.dtype.kind in "iu":
+                # integer time = epoch SECONDS (the wire schema's
+                # TimeReceived); astype(datetime64[ns]) would read the
+                # int64 as NANOSECONDS and collapse whole batches into
+                # one 200 ms tick
+                ticks = (tcol.astype("int64") * 5).to_numpy()
+            else:
+                ns = tcol.astype("datetime64[ns]").astype("int64")
+                ticks = (ns // 200_000_000).to_numpy()
             keep, factors = [], []
             for i, t in enumerate(ticks):
                 if t != tick:
