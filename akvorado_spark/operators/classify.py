@@ -76,8 +76,28 @@ def classify_regex_sql(subject_sql: str, pattern: str, template: str) -> str:
     shifted_pattern = _re.sub(
         r"(?<!\\)\\(\d+)", lambda m: "\\" + str(int(m.group(1)) + 1), pattern
     )
+    def _shift_ref(m: "_re.Match[str]") -> str:
+        # Renumber $N / ${N} group references up by one; any OTHER `$`
+        # (bare `$`, `$ rate`, `${name}`) is escaped to a literal so it
+        # never reaches Java's replacement parser as a malformed group
+        # reference (which would throw at query runtime).
+        if m.group(1) is not None:
+            return "$" + str(int(m.group(1)) + 1)
+        if m.group(2) is not None:
+            # Spark's replacement parser resolves braced refs (even
+            # numeric `${1}`) to empty — emit unbraced; the parser only
+            # consumes following digits while they still name a real
+            # group, so `${1}0` → `$20` still reads as group-2 then "0"
+            # unless the pattern really has that many groups
+            return "$" + str(int(m.group(2)) + 1)
+        if m.group(3) is not None:
+            # `${name}`: Spark treats ANY `${...}` as an (empty) group
+            # reference, even after `\$` — the brace needs escaping too
+            return "\\$\\{"
+        return "\\$"
+
     shifted_template = _re.sub(
-        r"(?<!\\)\$(\d+)", lambda m: "$" + str(int(m.group(1)) + 1), template
+        r"(?<!\\)\$(?:(\d+)|\{(\d+)\}|(\{)?)", _shift_ref, template
     )
     p = pattern.replace("\\", "\\\\").replace("'", "\\'")
     sp = shifted_pattern.replace("\\", "\\\\").replace("'", "\\'")

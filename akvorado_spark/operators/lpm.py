@@ -85,8 +85,17 @@ def _resolve_blocks(exp: DataFrame, attrs: list[str], group_keys: list[str]) -> 
     # max_by instead of max(struct(rank, value))[v]: the rank NULLs out
     # where the attribute is unset (those rows are skipped), and the
     # value never has to be orderable — maps/structs ride through
-    # (needed by the static-metadata interface maps)
-    rank = lambda a: F.when(F.col(a).isNotNull(), F.struct(*ranks))  # noqa: E731
+    # (needed by the static-metadata interface maps).  A hash of the
+    # value itself is the final tiebreaker so duplicate equal-length
+    # (and equal-priority) prefixes setting the same attribute resolve
+    # deterministically instead of by partition arrival order.
+    rank = lambda a: F.when(  # noqa: E731
+        F.col(a).isNotNull(),
+        F.struct(
+            *ranks,
+            F.xxhash64(F.to_json(F.struct(F.col(a).alias("v")))).alias("tb"),
+        ),
+    )
     aggs = [
         F.max_by(F.col(a), rank(a)).alias(a)
         for a in attrs

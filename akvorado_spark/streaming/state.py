@@ -184,6 +184,15 @@ def streaming_exact_dedup(
     bloom filter in the same state slot (accepting its false-drop
     rate).  State survives query restarts through the checkpoint's
     state store.
+
+    Caveat — "exact" is exact on the 64-bit hash, not the content: a
+    hash collision silently drops a distinct document.  By the birthday
+    bound that is ~2.7% probability of at least ONE false drop across
+    a billion distinct docs (n²/2⁶⁵), i.e. expected false drops ≪ 1;
+    callers needing literal content-exactness must verify content on a
+    hash hit (a keyed lookup against the stored corpus) — the batch
+    ``exact_dedup`` operator, which groups on full content, has no
+    such caveat.
     """
     h = F.xxhash64(F.col(content_col))
     d = df.withColumn("__h", h).withColumn("__b", F.pmod(h, F.lit(buckets)))

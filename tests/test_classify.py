@@ -197,3 +197,19 @@ def test_classify_regex_context_assertions(spark):
     got = {r["Name"]: r["g"] for r in df.selectExpr("Name", f"{expr} AS g").collect()}
     assert got["core-paris"] == "eu-core"
     assert got["core-berlin"] is None
+
+
+def test_classify_regex_literal_dollar(spark):
+    """A template `$` that is not a `$N`/`${N}` group reference must
+    come through as a literal instead of crashing Java's replacement
+    parser (review finding: 'US$ rate' threw IllegalArgumentException)."""
+    from akvorado_spark.operators.classify import classify_regex_sql
+
+    df = spark.createDataFrame([("rate-42",)], "Name string")
+    expr = classify_regex_sql("Name", r"rate-(\d+)", "US$ costs ${1}$")
+    got = df.selectExpr(f"{expr} AS g").collect()[0]["g"]
+    assert got == "US$ costs 42$"
+    # ${name} (non-numeric braced ref) degrades to a literal, documented
+    expr2 = classify_regex_sql("Name", r"rate-(\d+)", "x-${tag}-$1")
+    got2 = df.selectExpr(f"{expr2} AS g").collect()[0]["g"]
+    assert got2 == "x-${tag}-42"

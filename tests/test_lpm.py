@@ -132,3 +132,32 @@ def test_merge_networks_config_order_wins_equal_prefix(spark):
            for r in lpm_join(flows, nets, "addr", attrs=["country"]).collect()}
     assert out[bytes([10, 2, 0, 1])] == "BB"
     assert out[bytes([10, 1, 0, 1])] == "XX"
+
+
+def test_duplicate_equal_length_prefix_deterministic(spark):
+    """Two identical-length duplicate prefixes setting the same
+    attribute must resolve to the same winner regardless of row order
+    (review finding: the max_by rank tied nondeterministically when no
+    __prio column is present)."""
+    from akvorado_spark.functions.ip import prefix_mapped_len, prefix_range
+    import pyspark.sql.types as T
+
+    lo, hi = prefix_range("10.0.0.0/24")
+    plen = prefix_mapped_len("10.0.0.0/24")
+    st = T.StructType(
+        [
+            T.StructField("lo", T.BinaryType()),
+            T.StructField("plen", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    rows = [(lo, plen, "alpha"), (lo, plen, "beta")]
+    flows = spark.createDataFrame(
+        [(bytes(16 - 6) + bytes([0xFF, 0xFF, 10, 0, 0, 7]),)], "ip binary"
+    )
+    results = set()
+    for order in (rows, rows[::-1]):
+        pfx = spark.createDataFrame(order, st).repartition(2)
+        got = lpm_join(flows, pfx, "ip", attrs=["name"], plens=[plen])
+        results.add(got.collect()[0]["name"])
+    assert len(results) == 1
