@@ -226,19 +226,24 @@ register("complete_suite", _complete_suite_spark, _complete_suite_oracle())
 
 
 def _spark_widget_exporters(spark, sf_dir):
-    from akvorado_spark.plans.exporters import exporter_names
+    """Exporters-list widget (reference console/widgets.go:111-132).
 
+    The reference serves this from the T6-materialized exporters table
+    (``SELECT ExporterName .. GROUP BY .. ORDER BY``) — a trivial query
+    over a small dimension table that FlowIngest maintains
+    incrementally (plans/exporters.py).  The J8/T6 derivation pipeline
+    itself is oracle-gated by ``exporters_table``; here, widget-on-raw
+    semantics is a single-column distinct — dictionary-encoded scan,
+    partial-agg distinct, no unpivot — which also matches the DISTINCT
+    oracle exactly even if an exporter was renamed mid-window (the
+    latest-merge path would keep only the newest name)."""
     register_spark_view(spark, sf_dir)
-    df = spark.table("flows_v").select(
-        "TimeReceived",
-        "ExporterAddress",
-        "ExporterName",
-        "InIfName",
-        "OutIfName",
-        "InIfSpeed",
-        "OutIfSpeed",
+    return (
+        spark.table("flows_v")
+        .select("ExporterName")
+        .distinct()
+        .orderBy("ExporterName")
     )
-    return exporter_names(latest_exporters(exporters_frame(df), ttl=None))
 
 
 def _oracle_widget_exporters() -> str:
