@@ -55,7 +55,9 @@ def _graph_suite_spark(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    src = events_source(spark, sf_dir)
+    # five compile_line fan-outs share one materialized narrow source
+    # (same shared-CTE pattern + measurement as multiaxis_queries)
+    src = events_source(spark, sf_dir).localCheckpoint(eager=False)
     # All five members share one source and time column, so the range
     # bounds are collected ONCE (a 2-scalar min/max the parquet footer
     # stats make nearly free) and passed as literals — the per-member

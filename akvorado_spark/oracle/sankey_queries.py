@@ -72,7 +72,10 @@ _REQ_BIDIR = SankeyRequest(
 
 
 def _spark_sankey_bidir(spark, sf_dir):
-    df = _source(spark, sf_dir)
+    # four compile_sankey fan-outs share one materialized narrow source
+    # (the reference's shared CTE, console/sankey.go) — see the same
+    # pattern + measurement note in multiaxis_queries._spark_bidir_line
+    df = _source(spark, sf_dir).localCheckpoint(eager=False)
     fwd_rows = top_rows(df, _REQ_BIDIR)
     ax1 = compile_sankey(df, _REQ_BIDIR, rows=fwd_rows, rows_cols=_FWD_DIMS)
     req_rev = SankeyRequest(
