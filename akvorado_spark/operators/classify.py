@@ -52,6 +52,37 @@ class ClassifierRule:
     reject: bool = False
 
 
+def normalize_sql(expr_sql: str) -> str:
+    """The reference's classifier-output normalization
+    (outlet/core/classifier.go:266-271): lowercase, then strip every
+    character outside ``[a-z0-9.+-]``.  Applied by every
+    ``ClassifyX``/``ClassifyXRegex`` function — ``ClassifyProvider
+    ("Othello")`` stores ``othello``, a ``"P$1"`` template expanding
+    to ``P100`` stores ``p100`` (enricher_test.go:468-504).  NULL
+    rides through, so a non-matching regex still skips the rule."""
+    return f"regexp_replace(lower({expr_sql}), '[^a-z0-9.+-]+', '')"
+
+
+def classify_str_sql(expr_sql: str) -> str:
+    """``ClassifyX(string)`` parity: the value, normalized
+    (outlet/core/classifier.go:273-279).  ``SetName``/``SetDescription``
+    interface renames do NOT normalize (enricher_test.go:295-325) —
+    use the raw expression for those."""
+    return normalize_sql(expr_sql)
+
+
+def classify_regex_norm_sql(subject_sql: str, pattern: str, template: str) -> str:
+    """``ClassifyXRegex(subject, pattern, template)`` parity: template
+    expansion via :func:`classify_regex_sql`, then output
+    normalization (outlet/core/classifier.go:281-309).  A non-matching
+    subject yields NULL — the cascade's coalesce falls through to the
+    next rule, mirroring the reference's ``return false`` which also
+    short-circuits the rule's remaining ``&&`` chain; when translating
+    a reference rule where further Classify calls FOLLOW the regex,
+    condition those attributes' ``when`` on the same RLIKE."""
+    return normalize_sql(classify_regex_sql(subject_sql, pattern, template))
+
+
 def classify_regex_sql(subject_sql: str, pattern: str, template: str) -> str:
     """SQL equivalent of the reference's ``ClassifyRegex(subject,
     pattern, template)`` (outlet/core/classifier.go): when the subject

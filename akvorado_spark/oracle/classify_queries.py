@@ -7,7 +7,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from akvorado_spark.operators.classify import ClassifierRule, classify, rate_limit
+from akvorado_spark.operators.classify import (
+    ClassifierRule,
+    classify,
+    classify_regex_norm_sql,
+    classify_str_sql,
+    rate_limit,
+)
 from akvorado_spark.oracle.flows_view import oracle_view_sql, register_spark_view
 from akvorado_spark.oracle.registry import register
 
@@ -27,8 +33,18 @@ _RULES = [
         sets={"ExporterRole": "'core'"},  # loses: role already set by rule 2
     ),
     ClassifierRule(
+        # ClassifyProviderRegex + ClassifyConnectivity parity: outputs
+        # are normalized (lowercase, strip [^a-z0-9.+-]) like the
+        # reference's classifyString helpers — 'Prov 0' → 'prov0',
+        # 'Transit/IX' → 'transitix' (outlet/core/classifier.go:266,
+        # enricher_test.go:468-504)
         when="InIfName LIKE 'Gi0/0/0%'",
-        sets={"InIfProvider": "'transit-a'", "InIfConnectivity": "'transit'"},
+        sets={
+            "InIfProvider": classify_regex_norm_sql(
+                "InIfName", r"Gi0/0/(\d+)", "Prov $1"
+            ),
+            "InIfConnectivity": classify_str_sql("'Transit/IX'"),
+        },
     ),
     ClassifierRule(
         when="InIfSpeed >= 100000",
@@ -63,10 +79,12 @@ cls AS (
     CASE WHEN ExporterName IN ('router1', 'router2') THEN 'edge'
          WHEN ExporterName = 'router1' THEN 'core'
          ELSE 'unknown' END AS ExporterRole,
-    CASE WHEN InIfName LIKE 'Gi0/0/0%' THEN 'transit-a'
+    CASE WHEN InIfName LIKE 'Gi0/0/0%' THEN
+           regexp_replace(lower('Prov ' || regexp_extract(InIfName, 'Gi0/0/(\\d+)', 1)),
+                          '[^a-z0-9.+-]+', '', 'g')
          WHEN InIfSpeed >= 100000 THEN 'pni'
          ELSE '' END AS InIfProvider,
-    CASE WHEN InIfName LIKE 'Gi0/0/0%' THEN 'transit'
+    CASE WHEN InIfName LIKE 'Gi0/0/0%' THEN 'transitix'
          WHEN InIfSpeed >= 100000 THEN 'pni'
          ELSE '' END AS InIfConnectivity,
     Bytes

@@ -213,3 +213,30 @@ def test_classify_regex_literal_dollar(spark):
     expr2 = classify_regex_sql("Name", r"rate-(\d+)", "x-${tag}-$1")
     got2 = df.selectExpr(f"{expr2} AS g").collect()[0]["g"]
     assert got2 == "x-${tag}-42"
+
+
+def test_classify_output_normalization(spark):
+    """Classify* outputs are normalized — lowercase, strip
+    [^a-z0-9.+-] — mirroring outlet/core/classifier.go:266-271 and the
+    enricher cases 'Othello'→'othello', 'P$1'→'p100'
+    (enricher_test.go:433-504)."""
+    from akvorado_spark.operators.classify import (
+        classify_regex_norm_sql,
+        classify_str_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("Interface 100",), ("no match here",)], "Description string"
+    )
+    prov = classify_str_sql("'Othello'")
+    conn = classify_regex_norm_sql("Description", r" (1\d+)$", "P$1")
+    rows = {
+        r["Description"]: (r["p"], r["c"])
+        for r in df.selectExpr("Description", f"{prov} AS p", f"{conn} AS c").collect()
+    }
+    assert rows["Interface 100"] == ("othello", "p100")
+    # non-matching regex yields NULL (rule skipped), normalization rides
+    assert rows["no match here"] == ("othello", None)
+    # strip set keeps dot/plus/minus, drops slash/space/colon
+    kept = classify_str_sql("'A b/C:d.e+f-g'")
+    assert df.selectExpr(f"{kept} AS k").collect()[0]["k"] == "abcd.e+f-g"
