@@ -18,6 +18,7 @@ from akvorado_spark.query.render import (
     icmp_render,
     render_asn,
     render_communities,
+    render_communities_dim,
     render_etype,
     render_large_communities,
     render_mac,
@@ -158,10 +159,13 @@ def _spark_flags_mac_path(spark, sf_dir):
             render_as_path(compact_path(F.col("DstASPath"))).alias("as_path"),
             render_communities(F.col("SrcCommunities")).alias("communities"),
             render_large_communities(F.col("SrcLargeCommunities")).alias("large_communities"),
+            render_communities_dim(
+                F.col("SrcCommunities"), F.col("SrcLargeCommunities")
+            ).alias("communities_dim"),
             icmp_render(F.col("Proto"), F.col("IcmpType"), F.lit(0)).alias("icmp_name"),
         )
         .agg(F.count(F.lit(1)).alias("flows"))
-        .orderBy("flags", "src_mac", "as_path", "communities", "large_communities", "icmp_name")
+        .orderBy("flags", "src_mac", "as_path", "communities", "large_communities", "communities_dim", "icmp_name")
     )
 
 
@@ -198,15 +202,17 @@ base AS (
               ELSE CAST(SrcAS AS STRING) END AS as_path,
          CAST(SrcAS AS STRING) || ':100 ' || CAST(SrcAS AS STRING) || ':200' AS communities,
          CAST(SrcAS AS STRING) || ':1:2' AS large_communities,
+         CAST(SrcAS AS STRING) || ':100 ' || CAST(SrcAS AS STRING) || ':200 '
+           || CAST(SrcAS AS STRING) || ':1:2' AS communities_dim,
          COALESCE(i.name, '') AS icmp_name
   FROM derived d
   LEFT JOIN icmp i ON d.Proto = i.proto AND d.IcmpType = i.typ AND i.code = 0
 )
-SELECT flags, src_mac, as_path, communities, large_communities, icmp_name,
-       COUNT(*) AS flows
+SELECT flags, src_mac, as_path, communities, large_communities, communities_dim,
+       icmp_name, COUNT(*) AS flows
 FROM base
-GROUP BY flags, src_mac, as_path, communities, large_communities, icmp_name
-ORDER BY flags, src_mac, as_path, communities, large_communities, icmp_name"""
+GROUP BY flags, src_mac, as_path, communities, large_communities, communities_dim, icmp_name
+ORDER BY flags, src_mac, as_path, communities, large_communities, communities_dim, icmp_name"""
 
 
 register("dim_render_flags_mac_path", _spark_flags_mac_path, _oracle_flags_mac_path())

@@ -144,3 +144,18 @@ def render_communities(comm: Column) -> Column:
 def render_large_communities(comm: Column) -> Column:
     """Large communities → space-joined 'asn:l1:l2' strings."""
     return F.array_join(F.transform(comm, render_large_community_value), " ")
+
+
+def render_communities_dim(comm: Column, large: Column) -> Column:
+    """The ``Communities`` DIMENSION renders regular and large
+    communities as ONE space-joined string — ``arrayStringConcat(
+    arrayConcat(arrayMap(...,Communities), arrayMap(...,
+    LargeCommunities)), ' ')`` (console/query/column_test.go:90-96) —
+    so a flow's full community set groups as a single value."""
+    return F.array_join(
+        F.concat(
+            F.transform(comm, render_community_value),
+            F.transform(large, render_large_community_value),
+        ),
+        " ",
+    )
