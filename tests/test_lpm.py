@@ -161,3 +161,49 @@ def test_duplicate_equal_length_prefix_deterministic(spark):
         got = lpm_join(flows, pfx, "ip", attrs=["name"], plens=[plen])
         results.add(got.collect()[0]["name"])
     assert len(results) == 1
+
+
+def test_deep_hierarchical_inheritance(spark):
+    """Mirror of the reference's TestLookupDeepHierarchicalInheritance
+    (outlet/networks/root_test.go:169-229): sparse attributes at four
+    nesting levels, sibling branches inherit only common ancestors,
+    disjoint prefixes inherit nothing."""
+    from akvorado_spark.functions.ip import prefix_mapped_len, prefix_range
+    import ipaddress
+    import pyspark.sql.types as T
+
+    table = [
+        ("10.0.0.0/8", {"tenant": "corp"}),
+        ("10.1.0.0/16", {"region": "eu-west"}),
+        ("10.1.1.0/24", {"site": "paris"}),
+        ("10.1.1.128/25", {"role": "server"}),
+        ("10.2.0.0/16", {"name": "other"}),
+        ("192.0.2.0/24", {"name": "elsewhere"}),
+    ]
+    attrs = ["tenant", "region", "site", "role", "name"]
+    st = T.StructType(
+        [T.StructField("lo", T.BinaryType()), T.StructField("plen", T.IntegerType())]
+        + [T.StructField(a, T.StringType()) for a in attrs]
+    )
+    rows = []
+    for cidr, vals in table:
+        lo, _ = prefix_range(cidr)
+        rows.append((lo, prefix_mapped_len(cidr)) + tuple(vals.get(a) for a in attrs))
+    pfx = spark.createDataFrame(rows, st)
+
+    cases = {
+        "10.1.1.129": {"tenant": "corp", "region": "eu-west", "site": "paris", "role": "server"},
+        "10.1.1.1": {"tenant": "corp", "region": "eu-west", "site": "paris"},
+        "10.2.0.1": {"tenant": "corp", "name": "other"},
+        "192.0.2.1": {"name": "elsewhere"},
+        "10.3.0.1": {"tenant": "corp"},
+    }
+    flows = spark.createDataFrame(
+        [(ip, ipaddress.IPv6Address(f"::ffff:{ip}").packed) for ip in cases],
+        "ip string, addr binary",
+    )
+    got = lpm_join(flows, pfx, "addr", attrs=attrs).collect()
+    for r in got:
+        expected = cases[r["ip"]]
+        for a in attrs:
+            assert r[a] == expected.get(a), (r["ip"], a, r[a], expected)
