@@ -235,7 +235,34 @@ def geo_attrs(doc: dict) -> dict:
     return out
 
 
+def ipinfo_attrs(doc: dict) -> dict:
+    """ipinfo-format record → networks attrs (reference
+    outlet/geoip/iter_ipinfo.go:18-76): flat string keys ``country``/
+    ``region``/``city``, ASN as an ``"AS13335"`` string — records with
+    an unparseable ASN or no recognized key are skipped upstream."""
+    out = {}
+    if isinstance(doc.get("country"), str):
+        out["country"] = doc["country"]
+    if isinstance(doc.get("region"), str):
+        out["state"] = doc["region"]
+    if isinstance(doc.get("city"), str):
+        out["city"] = doc["city"]
+    asn = doc.get("asn")
+    if isinstance(asn, str) and asn[:2] == "AS" and asn[2:].isdigit():
+        out["asn"] = int(asn[2:])
+    if isinstance(doc.get("name"), str):
+        out["name"] = doc["name"]
+    return out
+
+
 def read_mmdb_networks(data: bytes) -> list[tuple[str, dict]]:
-    """MMDB bytes → [(cidr, attrs)] for ``networks_from_geoip``."""
+    """MMDB bytes → [(cidr, attrs)] for ``networks_from_geoip``.
+
+    Vendor dispatch mirrors the reference (outlet/geoip/database.go:
+    88-95): a ``database_type`` metadata starting with ``ipinfo ``
+    selects the flat ipinfo record shape, anything else the GeoLite2
+    nested shape."""
     reader = MMDBReader(data)
-    return [(cidr, geo_attrs(doc)) for cidr, doc in reader.networks() if isinstance(doc, dict)]
+    dbtype = str(reader.metadata.get("database_type", ""))
+    attrs = ipinfo_attrs if dbtype.startswith("ipinfo ") else geo_attrs
+    return [(cidr, attrs(doc)) for cidr, doc in reader.networks() if isinstance(doc, dict)]

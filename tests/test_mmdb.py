@@ -239,3 +239,22 @@ def test_fuzz_corrupt_mmdb_raises_only_valueerror():
             r.lookup(b"\x7f\x00\x00\x01")
         except ValueError:
             pass
+
+
+def test_ipinfo_db_dispatch():
+    """ipinfo-format databases (flat country/region/city strings, ASN
+    as 'ASxxxx') are detected via database_type and parsed with the
+    flat record shape (reference outlet/geoip/database.go:88-95,
+    iter_ipinfo.go:18-76)."""
+    from akvorado_spark.sources.mmdb import read_mmdb_networks
+
+    w = MMDBWriter(database_type="ipinfo standard_location")
+    w.insert("::ffff:1.0.84.0/118", {"country": "JP", "region": "Shimane", "city": "Matsue"})
+    w.insert("::ffff:2.19.4.0/120", {"country": "SG"})
+    w.insert("::ffff:67.43.156.0/120", {"asn": "AS35908", "name": "Example"})
+    w.insert("::ffff:9.9.9.0/120", {"asn": "not-an-asn"})
+    nets = dict(read_mmdb_networks(w.build()))
+    assert nets["1.0.84.0/22"] == {"country": "JP", "state": "Shimane", "city": "Matsue"}
+    assert nets["2.19.4.0/24"] == {"country": "SG"}
+    assert nets["67.43.156.0/24"] == {"asn": 35908, "name": "Example"}
+    assert nets["9.9.9.0/24"] == {}
