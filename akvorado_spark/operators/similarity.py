@@ -356,3 +356,61 @@ def kmeans_centroids(
         centroids = updated
 
     return spark.createDataFrame(centroids, "c_id int, c_vec array<double>")
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then inside each cluster
+    drop members that are cosine-similar to a better-ranked member.
+
+    Deterministic rank (mirrors the released SemDeDup recipe of
+    ordering cluster members and dropping anything within epsilon of an
+    earlier one): members order by (centroid similarity DESC, id ASC);
+    a vector is dropped iff some member ranked ahead of it in the SAME
+    cluster has ``round(cos, 6) >= threshold``.  No transitive
+    closure — the greedy prefix rule is the paper's behavior.
+
+    Returns ``vectors`` + ``__cell`` (cluster id), ``__csim`` (rounded
+    centroid cosine), ``kept`` (boolean).
+
+    Scale shape: centroids broadcast (k × dim); the only wide
+    operations are one groupBy per row for the argmax assignment and
+    one self-join ON the cluster key — pair work is cluster-bounded
+    (pick k ~ N/target so clusters stay O(target)), never all-pairs.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", F.round(cosine(F.col(vec_col), F.col("c_vec")), 6)
+    )
+    keys = list(vectors.columns)
+    assigned = scored.groupBy(*keys).agg(
+        F.expr("max_by(c_id, struct(__sim, -c_id))").alias("__cell"),
+        F.max("__sim").alias("__csim"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bvec"),
+        F.col("__cell").alias("__bcell"),
+        F.col("__csim").alias("__bcsim"),
+    )
+    outranked = (F.col("__bcsim") > F.col("__csim")) | (
+        (F.col("__bcsim") == F.col("__csim")) & (F.col("__bid") < F.col(id_col))
+    )
+    dropped = (
+        assigned.join(b, (F.col("__cell") == F.col("__bcell")) & outranked)
+        .filter(F.round(cosine(F.col(vec_col), F.col("__bvec")), 6) >= threshold)
+        .select(F.col(id_col).alias("__dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, F.col(id_col) == F.col("__dropped"), "left"
+        )
+        .withColumn("kept", F.col("__dropped").isNull())
+        .drop("__dropped")
+    )

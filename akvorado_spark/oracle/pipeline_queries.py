@@ -707,19 +707,63 @@ def _embed_neardup(spark, sf_dir):
         )
         .filter(F.col("sim") >= 0.8)
     )
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"), F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum")
+    bucketed = pairs.agg(
+        F.lit("bucketed_pairs").alias("variant"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
     )
+    # SemDeDup variant (operators/similarity.py:semdedup): cluster on
+    # 4 deterministic seed centroids, greedy-prefix drop at cos >= 0.4
+    from akvorado_spark.operators.similarity import seed_centroids, semdedup
+
+    sd = semdedup(vecs.select("vec_id", "embedding"), seed_centroids(vecs, 4), 0.4)
+    sd_rows = (
+        sd.groupBy("kept")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .select(
+            F.when(F.col("kept"), F.lit("semdedup_kept"))
+            .otherwise(F.lit("semdedup_dropped"))
+            .alias("variant"),
+            "n",
+            "id_sum",
+        )
+    )
+    return bucketed.unionByName(sd_rows).orderBy("variant")
 
 
 _NEARDUP_ORACLE = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0)
-SELECT COUNT(*) AS n_pairs, CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(a.e, b.e)
-               / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 6) AS sim
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
-) WHERE sim >= 0.8
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0),
+bucketed AS (
+  SELECT 'bucketed_pairs' AS variant, COUNT(*) AS n, CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+  ) WHERE sim >= 0.8
+),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS c_id, e AS cv
+          FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+sims AS (SELECT v.vec_id, cents.c_id,
+         ROUND(list_dot_product(v.e, cents.cv)
+               / NULLIF(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cents.cv, cents.cv)), 0), 6) AS s
+         FROM v CROSS JOIN cents),
+assigned AS (SELECT vec_id, c_id AS cell, s AS csim FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id ASC) AS rn FROM sims) WHERE rn = 1),
+drp AS (SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b ON a.cell = b.cell
+        AND (b.csim > a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+        JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE ROUND(list_dot_product(va.e, vb.e)
+                    / NULLIF(sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)), 0), 6) >= 0.4),
+sd AS (SELECT a.vec_id, a.vec_id IN (SELECT vec_id FROM drp) AS is_dropped FROM assigned a),
+sd_rows AS (
+  SELECT CASE WHEN is_dropped THEN 'semdedup_dropped' ELSE 'semdedup_kept' END AS variant,
+         COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+  FROM sd GROUP BY 1
+)
+SELECT * FROM bucketed UNION ALL SELECT * FROM sd_rows ORDER BY variant
 """
 
 register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)

@@ -164,3 +164,41 @@ def test_ann_recall_at_k_measured(spark):
         lsh_topk(vecs, queries, k=k, dim=dim, n_planes=planes, multiprobe=1)
     )
     assert r_multi >= max(2 * r_lsh, 0.2), (r_lsh, r_multi)
+
+
+def test_semdedup_greedy_prefix(spark):
+    """SemDeDup drop rule: within a cluster, a vector is dropped iff a
+    better-ranked member (higher centroid cosine, ties by lower id) is
+    similar above threshold — including when that member was itself
+    dropped (greedy prefix, no transitive closure)."""
+    from akvorado_spark.operators.similarity import semdedup
+    import pyspark.sql.types as T
+
+    st = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    # cluster around +x: v1 dead-on, v2 close to v1, v3 close to v2 but
+    # not to v1 in cos terms; far -y singleton forms the other cluster
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.95, 0.3122]),   # cos(v1,v2) ~ 0.95
+            (3, [0.6, 0.8]),       # cos(v1,v3)=0.6, cos(v2,v3)~0.82
+            (9, [0.0, -1.0]),
+        ],
+        st,
+    )
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, -1.0])], "c_id int, c_vec array<double>"
+    )
+    out = {r["vec_id"]: r["kept"] for r in semdedup(vecs, cents, 0.8).collect()}
+    # rank in cluster 1: v1 (csim 1.0) > v2 (~0.95) > v3 (0.6)
+    # v2 dropped (sim to v1 >= .8); v3 dropped via v2 even though
+    # cos(v1,v3)=0.6 < threshold and v2 itself was dropped
+    assert out == {1: True, 2: False, 3: False, 9: True}
+    # raising the threshold above the v2–v3 similarity keeps v3
+    out2 = {r["vec_id"]: r["kept"] for r in semdedup(vecs, cents, 0.9).collect()}
+    assert out2 == {1: True, 2: False, 3: True, 9: True}
