@@ -425,3 +425,79 @@ def duplicate_ngram_char_stats(
         .alias("dup_chars"),
         F.sum(F.col("__c") * F.col("__l")).cast("long").alias("total_chars"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 3,
+) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2020, §2.2 —
+    "three-sentence span" dedup, word-window form): the text is cut
+    into TUMBLING ``span_words``-word windows (partial tail kept); any
+    window text occurring more than once in the whole corpus is
+    removed everywhere except its globally FIRST occurrence (ordered
+    by (doc_id, window index)); survivors reassemble in order.
+
+    Returns ``(id_col, <text_col>_dedup, n_spans, n_spans_kept)``;
+    documents whose every window was removed keep a row with an empty
+    string (the caller decides whether to drop them).
+
+    Scale shape: windowing is a narrow projection + posexplode (no
+    shuffle); the corpus-wide duplicate test is ONE shuffle keyed by
+    window text with both the occurrence count and the first-occurrence
+    rank computed in the same sort (no self-join); reassembly is one
+    groupBy on the doc id.  The window key is the natural dedup key at
+    100 TB — same cardinality class as exact-dedup's content hash.
+    """
+    from pyspark.sql import Window
+
+    ws = words(F.col(text_col))
+    toks = df.select(F.col(id_col), ws.alias("__ws"))
+    n = F.size("__ws")
+    k = F.ceil(n / F.lit(span_words)).cast("int")
+    spans = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(
+                F.slice("__ws", i * span_words + 1, span_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = toks.select(
+        id_col, F.posexplode_outer(spans).alias("__widx", "__w")
+    )
+    per_w = Window.partitionBy("__w")
+    order_w = per_w.orderBy(F.col(id_col).asc(), F.col("__widx").asc())
+    marked = wins.withColumn("__c", F.count(F.lit(1)).over(per_w)).withColumn(
+        "__rn", F.row_number().over(order_w)
+    )
+    kept_flag = F.col("__w").isNotNull() & (
+        (F.col("__c") == 1) | (F.col("__rn") == 1)
+    )
+    return (
+        marked.withColumn("__keep", kept_flag)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__widx").alias("x"), F.col("__w").alias("w")),
+                            )
+                        )
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias(f"{text_col}_dedup"),
+            F.sum(F.when(F.col("__w").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_spans"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("int").alias("n_spans_kept"),
+        )
+    )

@@ -1150,16 +1150,35 @@ _CHUNK_W, _CHUNK_S = 50, 40
 
 
 def _doc_chunks(spark, sf_dir):
-    from akvorado_spark.operators.text import chunk_documents, portable_word_hash
+    from akvorado_spark.operators.text import (
+        chunk_documents,
+        portable_word_hash,
+        remove_duplicate_spans,
+    )
 
     docs = load_table(spark, "documents", sf_dir, spread=True).filter(_CHUNK_SAMPLE)
     out = chunk_documents(docs, "text", "doc_id", window=_CHUNK_W, stride=_CHUNK_S)
-    return out.select(
+    chunks = out.select(
+        F.lit("chunk").alias("variant"),
         "doc_id",
         "chunk_ix",
         portable_word_hash(F.col("chunk")).alias("chunk_hash"),
         "n_tokens",
-    ).orderBy("doc_id", "chunk_ix")
+    )
+    # C4 duplicated-span removal variant: one row per doc — chunk_ix
+    # carries the total span count, n_tokens the kept span count, and
+    # chunk_hash the portable hash of the REWRITTEN text, so window
+    # arithmetic, global first-occurrence choice and reassembly order
+    # are all value-gated
+    sd = remove_duplicate_spans(docs, "text", "doc_id", span_words=3)
+    spans = sd.select(
+        F.lit("span").alias("variant"),
+        "doc_id",
+        F.col("n_spans").alias("chunk_ix"),
+        portable_word_hash(F.col("text_dedup")).alias("chunk_hash"),
+        F.col("n_spans_kept").alias("n_tokens"),
+    )
+    return chunks.unionByName(spans).orderBy("variant", "doc_id", "chunk_ix")
 
 
 def _chunks_oracle() -> str:
@@ -1174,13 +1193,31 @@ meta AS (
   SELECT doc_id, ws, len(ws) AS n,
          GREATEST(CAST(CEIL(CAST(len(ws) - {w} AS DOUBLE) / {s}) AS INT) + 1, 1) AS k
   FROM toks
+),
+chunk_rows AS (
+  SELECT 'chunk' AS variant, doc_id, CAST(i AS INT) AS chunk_ix,
+         ('0x' || substr(md5(array_to_string(ws[i*{s}+1 : i*{s}+{w}], ' ')), 1, 14))::BIGINT AS chunk_hash,
+         CAST(LEAST(n - i*{s}, {w}) AS INT) AS n_tokens
+  FROM meta, generate_series(0, 100000) t(i)
+  WHERE i < k
+),
+sp_wins AS (
+  SELECT doc_id, i AS widx, array_to_string(ws[i*3+1 : i*3+3], ' ') AS w
+  FROM toks, generate_series(0, 100000) t(i) WHERE i*3 < len(ws)
+),
+sp_marked AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY w) AS c,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, widx) AS rn
+  FROM sp_wins
+),
+sp_rows AS (
+  SELECT 'span' AS variant, doc_id, CAST(COUNT(*) AS INT) AS chunk_ix,
+         ('0x' || substr(md5(COALESCE(string_agg(CASE WHEN c = 1 OR rn = 1 THEN w END, ' ' ORDER BY widx), '')), 1, 14))::BIGINT AS chunk_hash,
+         CAST(SUM(CASE WHEN c = 1 OR rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_tokens
+  FROM sp_marked GROUP BY doc_id
 )
-SELECT doc_id, CAST(i AS INT) AS chunk_ix,
-       ('0x' || substr(md5(array_to_string(ws[i*{s}+1 : i*{s}+{w}], ' ')), 1, 14))::BIGINT AS chunk_hash,
-       CAST(LEAST(n - i*{s}, {w}) AS INT) AS n_tokens
-FROM meta, generate_series(0, 100000) t(i)
-WHERE i < k
-ORDER BY doc_id, chunk_ix"""
+SELECT * FROM chunk_rows UNION ALL SELECT * FROM sp_rows
+ORDER BY variant, doc_id, chunk_ix"""
 
 
 register("docs_chunking", _doc_chunks, _chunks_oracle())

@@ -671,3 +671,28 @@ def test_duplicate_ngram_char_stats(spark):
     assert got[2] == (0, got[2][1]) and got[2][1] > 0
     assert got[3] == (27, 27)
     assert got[4] == (0, 3)
+
+
+def test_remove_duplicate_spans(spark):
+    """C4 span removal: tumbling windows, global first occurrence by
+    (doc_id, widx) survives, all later copies vanish; unique windows
+    and partial tails pass through; empty docs keep an empty row."""
+    from akvorado_spark.operators.text import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z a b c tail"),   # windows: 'a b c','x y z','a b c','tail'
+            (2, "a b c q r s"),              # 'a b c' again (later doc) -> removed
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_spans"], r["n_spans_kept"])
+        for r in remove_duplicate_spans(docs, span_words=3).collect()
+    }
+    # doc 1: first 'a b c' kept (global first), second occurrence dropped
+    assert out[1] == ("a b c x y z tail", 4, 3)
+    # doc 2: its 'a b c' is occurrence #3 -> dropped
+    assert out[2] == ("q r s", 2, 1)
+    assert out[3] == ("", 0, 0)
