@@ -215,3 +215,38 @@ def test_connected_components_round_is_one_join_one_agg(spark):
     # back to the parquet source
     assert "parquet" not in p.lower()
     assert "Scan ExistingRDD" in p
+
+
+def test_semdedup_broadcasts_centroids(spark):
+    """semdedup's centroid assignment must broadcast the centroid set
+    (k x dim — tiny), and the intra-cluster pair join keys on the
+    cluster id: no cartesian product over the corpus."""
+    from akvorado_spark.operators.similarity import semdedup
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "c_id int, c_vec array<double>"
+    )
+    p = plan(semdedup(vecs, cents, 0.8))
+    assert "BroadcastNestedLoopJoin" in p  # centroid cross join, broadcast side
+    assert "CartesianProduct" not in p
+
+
+def test_span_removal_single_window_shuffle(spark):
+    """remove_duplicate_spans computes the corpus-wide count AND the
+    global first-occurrence rank in ONE window-keyed sort — no
+    self-join of the window stream."""
+    from akvorado_spark.operators.text import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z a b") for i in range(50)], "doc_id long, text string"
+    )
+    p = plan(remove_duplicate_spans(docs))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # exactly two exchanges: one keyed by window text, one by doc id
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
