@@ -716,7 +716,16 @@ def _embed_neardup(spark, sf_dir):
     # 4 deterministic seed centroids, greedy-prefix drop at cos >= 0.4
     from akvorado_spark.operators.similarity import seed_centroids, semdedup
 
-    sd = semdedup(vecs.select("vec_id", "embedding"), seed_centroids(vecs, 4), 0.4)
+    # cluster count scales with the corpus (suggest_cells) so pair work
+    # stays bounded; the one build-time count() is the same pattern as
+    # graph_line_suite's bounds collect, and DuckDB mirrors the rule
+    # with a scalar subquery
+    from akvorado_spark.operators.similarity import suggest_cells
+
+    k_cells = suggest_cells(vecs.count())
+    sd = semdedup(
+        vecs.select("vec_id", "embedding"), seed_centroids(vecs, k_cells), 0.4
+    )
     sd_rows = (
         sd.groupBy("kept")
         .agg(
@@ -744,8 +753,9 @@ bucketed AS (
     FROM v a JOIN v b ON a.vec_id < b.vec_id
   ) WHERE sim >= 0.8
 ),
-cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS c_id, e AS cv
-          FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+cents AS (SELECT c_id, cv FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) AS c_id, e AS cv FROM v)
+          WHERE c_id <= GREATEST(4, CAST(CEIL((SELECT COUNT(*) FROM v) / 256.0) AS BIGINT))),
 sims AS (SELECT v.vec_id, cents.c_id,
          ROUND(list_dot_product(v.e, cents.cv)
                / NULLIF(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cents.cv, cents.cv)), 0), 6) AS s
