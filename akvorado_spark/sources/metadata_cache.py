@@ -108,6 +108,19 @@ def touch_from_flows(cache: DataFrame, flows: DataFrame, now: int) -> DataFrame:
     return touched
 
 
+def cache_maintain(cache: DataFrame, wire_batch: DataFrame, now: int,
+                   idle_ttl_s: int = 30 * 60) -> DataFrame:
+    """One micro-batch of cache lifecycle at the wire-decode stage
+    (where flows still carry integer InIf/OutIf): touch every
+    (exporter, ifindex) the batch referenced, then expire entries idle
+    past ``idle_ttl_s`` — after which :func:`cache_need_updates` over
+    the result is the poller's refresh plan.  This is the outlet
+    worker's per-flow Lookup + the orchestrator's periodic Expire in
+    one pass (outlet/metadata/root.go, cache_test.go:97-243)."""
+    return cache_expire(touch_from_flows(cache, wire_batch, now),
+                        now - idle_ttl_s)
+
+
 def cache_expire(cache: DataFrame, cutoff: int) -> DataFrame:
     """Drop entries whose last ACCESS predates ``cutoff`` (cache.go
     Expire; strictly-before, pinned by TestExpire's -9/-19/-29 ladder)."""

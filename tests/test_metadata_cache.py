@@ -148,6 +148,23 @@ def test_load_not_exist(spark, tmp_path):
         cache_load(spark, str(tmp_path / "does-not-exist"))
 
 
+def test_cache_maintain_touch_then_expire(spark):
+    """One micro-batch pass: referenced keys survive the idle TTL,
+    unreferenced ones expire, and the stale set is the refresh plan."""
+    from akvorado_spark.sources.metadata_cache import cache_maintain
+
+    cache = _three_entry_cache(spark)          # puts at T, T+10m, T+20m
+    now = T + 55 * MIN  # idle cutoff T+25m: outlives entry 3's T+20m access
+    wire = spark.createDataFrame(
+        [(ip("127.0.0.1"), 678, 678)],
+        "ExporterAddress binary, InIf long, OutIf long")
+    cache = cache_maintain(cache, wire, now, idle_ttl_s=30 * MIN)
+    assert keys_of(cache) == [(ip("127.0.0.1"), 678)]
+    plan = cache_need_updates(cache, now - 30 * MIN).collect()
+    assert [(bytes(r.ExporterAddress), list(r.IfIndexes)) for r in plan] == \
+        [(ip("127.0.0.1"), [678])]
+
+
 def test_touch_from_flows_keeps_hot_interfaces(spark):
     """A flow batch referencing InIf/OutIf pairs keeps exactly those
     entries alive through an expiry pass."""

@@ -42,6 +42,49 @@ def main(workdir: str | None = None) -> int:
     spark = get_spark("demo_e2e")
     exporter = bytes([192, 0, 2, 7])
 
+    # -- 0. demo exporter → NFv9 wire → decode ------------------------------
+    # the full generator loop: weighted demo flows become real NetFlow v9
+    # datagrams (templates + options + data) and come back through the
+    # same distributed decoder the Kafka path uses
+    from akvorado_spark.sources.fixtures import DemoFlowConfig, demo_flows_pdf
+    from akvorado_spark.sources.nf_encode import demo_packets
+
+    demo_pdf = demo_flows_pdf(
+        [DemoFlowConfig(per_second=1.0, src_net="192.0.2.0/24",
+                        dst_net="203.0.113.0/24", src_as=(65201,),
+                        dst_as=(65202,), size=1200)],
+        duration_s=20, seed=1, sampling_rate=1000,
+    )
+    demo_exporter = bytes([192, 0, 2, 8])
+    dpkts = demo_packets(demo_pdf, sampling=1000, start_ts=1_700_000_000)
+    raw_demo = spark.createDataFrame(
+        [(None, p, demo_exporter, "netflow", "udp", "none") for p in dpkts],
+        RAW_FLOW_SCHEMA,
+    ).coalesce(1)  # template datagram must precede data in decode order
+    wire_demo = decode_binary(raw_demo, WIRE_SCHEMA, "netflow", netflow_batch_parser())
+    n_demo = wire_demo.count()
+    assert n_demo == len(demo_pdf)
+    print(f"0. demo exporter: {len(demo_pdf)} generated flows → "
+          f"{len(dpkts)} NFv9 datagrams → {n_demo} decoded wire rows")
+
+    # the metadata-cache lifecycle at the same stage: the batch touches
+    # the interfaces it used; everything else becomes the refresh plan
+    from akvorado_spark.sources.metadata_cache import (
+        cache_maintain, cache_need_updates, cache_put, empty_cache,
+    )
+
+    t_poll = 1_700_000_000 - 3600  # the poller answered an hour ago
+    seed = spark.createDataFrame(
+        [(ip16(demo_exporter), 1, "demo1", "Gi0/0/1", "demo", 1000),
+         (ip16(demo_exporter), 2, "demo1", "Gi0/0/2", "demo", 1000)],
+        "ExporterAddress binary, IfIndex long, ExporterName string, "
+        "InterfaceName string, InterfaceDescription string, InterfaceSpeed long")
+    mcache = cache_put(empty_cache(spark), seed, t_poll)
+    mcache = cache_maintain(mcache, wire_demo, now=1_700_000_000 + 60)
+    stale = cache_need_updates(mcache, 1_700_000_000).count()
+    print(f"   metadata cache: {mcache.count()} live entries, "
+          f"{stale} exporters need a refresh poll")
+
     # -- 1. datagrams + transport ------------------------------------------
     recs = [_fields(i, i * 7 % 1000) for i in range(1, 41)]
     pkts = [_build_v9(recs[:20]), _build_v5(recs[20:])]
