@@ -231,3 +231,83 @@ def rate_limit(
         F.floor((F.col(sampling_col) * F.col("__total")) / kept).cast("long"),
     )
     return d.drop("__tick", "__rn", "__total")
+
+
+def rate_limit_token_bucket(
+    df: DataFrame,
+    limit_per_s: int,
+    key: str = "ExporterAddress",
+    time_col: str = "TimeReceived",
+    tiebreak: tuple[str, ...] = (),
+    sampling_col: str = "SamplingRate",
+) -> DataFrame:
+    """Reference-exact token-bucket rate limit (T1; rate.go:37-63,
+    worker.go:71-100, pinned by rate_test.go's burst/steady/drop-rate
+    numbers).
+
+    Semantics mirrored from golang.org/x/time/rate as the reference
+    configures it: refill ``limit_per_s`` tokens/s, burst
+    ``limit_per_s // 10`` (so a limit below 10/s admits nothing —
+    use :func:`rate_limit` for a graceful per-tick floor), a denied
+    flow does not consume or commit state, and survivors' sampling
+    rate is inflated by ``1/(1-dropRate)`` where dropRate is the
+    drop fraction of the *previous* 200 ms tick (truncating to
+    uint64, worker.go:97-100).  Two benign divergences from the Go
+    code, both documented here: the first-ever event cannot observe
+    the 0/0 NaN drop rate (we keep 0.0 — Go's ``NaN > 0`` is false
+    so compensation is identically skipped), and a previous tick
+    that dropped 100% leaves the sampling rate unchanged instead of
+    converting +Inf.
+
+    The scan is inherently sequential per exporter — the same serial
+    dependency the reference's mutex-per-exporter imposes — so this
+    runs as one ``applyInPandas`` over a single (key) shuffle; the
+    deterministic tick variant :func:`rate_limit` remains the
+    whole-stage-codegen production path.
+    """
+    burst = limit_per_s // 10
+    rate = float(limit_per_s)
+    time_is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    t_ms = (
+        F.unix_millis(F.col(time_col))
+        if time_is_ts
+        else (F.col(time_col).cast("double") * 1000).cast("long")
+    )
+    d = df.withColumn("__t_ms", t_ms)
+    schema = d.schema
+    sort_cols = ["__t_ms", *tiebreak]
+
+    def _bucket(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        t = pdf["__t_ms"].to_numpy(dtype="float64") / 1000.0
+        n = len(pdf)
+        keep = np.zeros(n, dtype=bool)
+        comp = np.ones(n, dtype="float64")
+        tokens, last = float(burst), t[0] if n else 0.0
+        cur_tick, dropped, total, drop_rate = None, 0, 0, 0.0
+        for i in range(n):
+            now = t[i]
+            tick = int(now * 5)  # 200 ms resolution (rate.go:39)
+            if cur_tick is None:
+                cur_tick = tick
+            elif tick != cur_tick:
+                drop_rate = dropped / total if total else 0.0
+                dropped = total = 0
+                cur_tick = tick
+            total += 1
+            avail = min(float(burst), tokens + rate * (now - last))
+            if avail >= 1.0:
+                tokens, last = avail - 1.0, now
+                keep[i] = True
+                if 0.0 < drop_rate < 1.0:
+                    comp[i] = 1.0 / (1.0 - drop_rate)
+            else:
+                dropped += 1
+        pdf = pdf.assign(
+            **{sampling_col: np.floor(pdf[sampling_col].to_numpy() * comp).astype("int64")}
+        )
+        return pdf[keep]
+
+    return d.groupBy(key).applyInPandas(_bucket, schema).drop("__t_ms")

@@ -240,3 +240,97 @@ def test_classify_output_normalization(spark):
     # strip set keeps dot/plus/minus, drops slash/space/colon
     kept = classify_str_sql("'A b/C:d.e+f-g'")
     assert df.selectExpr(f"{kept} AS k").collect()[0]["k"] == "abcd.e+f-g"
+
+
+# --- T1 token-bucket variant (rate.go:37-63, pinned by rate_test.go) -------
+
+
+def _tb_frame(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "ExporterAddress string, TimeReceived double, SrcPort int, SamplingRate long",
+    )
+
+
+def test_token_bucket_initial_burst_and_refill(spark):
+    """rate_test.go:15-44: limit 100/s → burst 10; 20 flows at t=0
+    admit exactly 10, and one second later 20 more admit 10 again
+    (refill capped at burst)."""
+    from akvorado_spark.operators.classify import rate_limit_token_bucket
+
+    rows = [("e1", 0.0, i, 1000) for i in range(20)]
+    rows += [("e1", 1.0, i, 1000) for i in range(20)]
+    out = rate_limit_token_bucket(
+        _tb_frame(spark, rows), 100, tiebreak=("SrcPort",)
+    ).collect()
+    by_t = {}
+    for r in out:
+        by_t.setdefault(r["TimeReceived"], []).append(r["SrcPort"])
+    assert sorted(by_t) == [0.0, 1.0]
+    assert sorted(by_t[0.0]) == list(range(10))  # first 10 in order
+    assert sorted(by_t[1.0]) == list(range(10))
+
+
+def test_token_bucket_drop_rate_compensation(spark):
+    """rate_test.go:46-66 + worker.go:97-100: 20 flows in tick 0 drop
+    50%; the first flow of the next tick observes dropRate=0.5 and its
+    survivors' sampling doubles."""
+    from akvorado_spark.operators.classify import rate_limit_token_bucket
+
+    rows = [("e1", 0.0, i, 1000) for i in range(20)]
+    rows += [("e1", 0.2, 99, 1000)]
+    out = rate_limit_token_bucket(
+        _tb_frame(spark, rows), 100, tiebreak=("SrcPort",)
+    ).collect()
+    tick0 = [r for r in out if r["TimeReceived"] == 0.0]
+    tick1 = [r for r in out if r["TimeReceived"] == 0.2]
+    assert len(tick0) == 10 and all(r["SamplingRate"] == 1000 for r in tick0)
+    assert [r["SamplingRate"] for r in tick1] == [2000]
+
+
+def test_token_bucket_per_exporter_isolation(spark):
+    """rate_test.go:68-91: exhausting exporter1's burst leaves
+    exporter2's full burst intact."""
+    from akvorado_spark.operators.classify import rate_limit_token_bucket
+
+    rows = [("e1", 0.0, i, 1000) for i in range(20)]
+    rows += [("e2", 0.0, i, 1000) for i in range(20)]
+    out = rate_limit_token_bucket(
+        _tb_frame(spark, rows), 100, tiebreak=("SrcPort",)
+    ).collect()
+    per = {}
+    for r in out:
+        per[r["ExporterAddress"]] = per.get(r["ExporterAddress"], 0) + 1
+    assert per == {"e1": 10, "e2": 10}
+
+
+def test_token_bucket_steady_state(spark):
+    """rate_test.go:93-118: after the burst drains, 10 flows/s under a
+    100/s limit are all admitted for 5 seconds.  The t=1 flows still
+    observe the burst tick's 50% drop rate (the counters only roll
+    over on the next tick *with traffic*, rate.go:48-53), so exactly
+    that second is compensated x2; afterwards dropRate is 0."""
+    from akvorado_spark.operators.classify import rate_limit_token_bucket
+
+    rows = [("e1", 0.0, i, 1000) for i in range(20)]
+    for sec in range(1, 6):
+        rows += [("e1", float(sec), i, 1000) for i in range(10)]
+    out = rate_limit_token_bucket(
+        _tb_frame(spark, rows), 100, tiebreak=("SrcPort",)
+    ).collect()
+    for sec in range(1, 6):
+        kept = [r for r in out if r["TimeReceived"] == float(sec)]
+        assert len(kept) == 10, sec
+        want = 2000 if sec == 1 else 1000
+        assert all(r["SamplingRate"] == want for r in kept), sec
+
+
+def test_token_bucket_below_ten_admits_nothing(spark):
+    """burst = limit//10 exactly as the reference constructs it
+    (rate.go:44): a limit under 10/s has burst 0 and AllowN(1) can
+    never succeed — rate_limit() is the variant with a floor."""
+    from akvorado_spark.operators.classify import rate_limit_token_bucket
+
+    rows = [("e1", float(i), i, 1000) for i in range(5)]
+    out = rate_limit_token_bucket(_tb_frame(spark, rows), 5).collect()
+    assert out == []
