@@ -189,6 +189,81 @@ class TemplateCache:
     missing: int = 0  # data flowsets dropped for want of a template
 
 
+# Bump whenever the encoding below changes (persist.go:23
+# currentStateVersionNumber): a restore from another version starts
+# empty rather than misreading state.
+TEMPLATE_STATE_VERSION = 1
+
+
+class TemplateStateError(ValueError):
+    """Unreadable or version-mismatched template state file
+    (persist.go:19 ErrStateVersion + the decode-failure path)."""
+
+
+def save_template_cache(cache: TemplateCache, path: str) -> None:
+    """Write the template + sampling state as versioned JSON, via a
+    same-directory temp file and atomic rename so a crash mid-write
+    never leaves a truncated state (persist.go:26-42, which uses
+    renameio for the same guarantee)."""
+    import json
+    import os
+    import tempfile
+
+    doc = {
+        "version": TEMPLATE_STATE_VERSION,
+        "templates": [
+            [exp.hex(), dom, tid, [[ie, ln] for ie, ln in fields]]
+            for (exp, dom, tid), fields in cache.templates.items()
+        ],
+        "sampling": [
+            [exp.hex(), dom, rate] for (exp, dom), rate in cache.sampling.items()
+        ],
+    }
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+    except BaseException:
+        os.unlink(tmp)
+        raise
+
+
+def load_template_cache(path: str) -> TemplateCache:
+    """Read back a saved state; raises :class:`TemplateStateError` on
+    corruption or version mismatch (persist.go:44-70)."""
+    import json
+
+    with open(path) as f:
+        try:
+            doc = json.load(f)
+        except ValueError as e:
+            raise TemplateStateError(f"corrupt template state: {e}") from e
+    if not isinstance(doc, dict) or doc.get("version") != TEMPLATE_STATE_VERSION:
+        raise TemplateStateError(
+            f"template state version mismatch: {doc.get('version') if isinstance(doc, dict) else doc!r}"
+        )
+    cache = TemplateCache()
+    for exp_hex, dom, tid, fields in doc["templates"]:
+        cache.templates[(bytes.fromhex(exp_hex), dom, tid)] = [
+            (ie, ln) for ie, ln in fields
+        ]
+    for exp_hex, dom, rate in doc["sampling"]:
+        cache.sampling[(bytes.fromhex(exp_hex), dom)] = rate
+    return cache
+
+
+def restore_template_cache(path: str) -> TemplateCache:
+    """The component-start behavior (outlet/flow/root.go wraps
+    RestoreState): a missing, corrupt, or version-mismatched file
+    yields an EMPTY cache — the decoder re-learns templates from the
+    stream — instead of failing startup."""
+    try:
+        return load_template_cache(path)
+    except (OSError, TemplateStateError, KeyError, TypeError):
+        return TemplateCache()
+
+
 def _u(data: bytes) -> int:
     return int.from_bytes(data, "big")
 

@@ -372,3 +372,70 @@ def test_strict_parser_raises_on_garbage(spark):
 
     with pytest.raises(Exception):
         netflow_batch_parser()([b"\x00\x09garbage"], [EXP])
+
+
+# ---- template state persistence (outlet/flow/persist_test.go) ------------
+
+
+def test_template_state_save_and_restore(tmp_path):
+    """persist_test.go:23-92 TestSaveAndRestore: decode a template
+    datagram, save state, then a FRESH cache restored from disk must
+    decode a data-only datagram."""
+    from akvorado_spark.sources.wire import (
+        restore_template_cache,
+        save_template_cache,
+    )
+
+    state = tmp_path / "state"
+    cache = TemplateCache()
+    parse_netflow(build_v9([v9_template()]), EXP, cache=cache)
+    # sampling state persists too (TestMarshalUnmarshalTemplates
+    # roundtrips SetSamplingRate alongside the templates)
+    cache.sampling[(EXP, 0)] = 1024
+    save_template_cache(cache, str(state))
+
+    cache2 = restore_template_cache(str(state))
+    assert cache2.templates == cache.templates
+    assert cache2.sampling == cache.sampling
+    rows = parse_netflow(build_v9([v9_data()]), EXP, cache=cache2)
+    assert len(rows) == 1 and rows[0]["SrcPort"] == 40000
+    assert rows[0]["SamplingRate"] == 1024
+
+
+def test_template_state_corrupted_file(tmp_path):
+    """persist_test.go:94-115: garbage on disk must not fail startup —
+    restore yields an empty cache (load raises for callers that care)."""
+    import pytest
+
+    from akvorado_spark.sources.wire import (
+        TemplateStateError,
+        load_template_cache,
+        restore_template_cache,
+    )
+
+    state = tmp_path / "state"
+    state.write_bytes(b"\x00\x01garbage")
+    with pytest.raises(TemplateStateError):
+        load_template_cache(str(state))
+    assert restore_template_cache(str(state)).templates == {}
+    assert restore_template_cache(str(tmp_path / "missing")).templates == {}
+
+
+def test_template_state_version_mismatch(tmp_path):
+    """persist_test.go:117-154: a valid file from another state
+    version restores empty instead of misreading it."""
+    import json
+
+    import pytest
+
+    from akvorado_spark.sources.wire import (
+        TemplateStateError,
+        load_template_cache,
+        restore_template_cache,
+    )
+
+    state = tmp_path / "state"
+    state.write_text(json.dumps({"version": 99, "templates": [], "sampling": []}))
+    with pytest.raises(TemplateStateError):
+        load_template_cache(str(state))
+    assert restore_template_cache(str(state)).templates == {}
