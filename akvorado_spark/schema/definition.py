@@ -140,7 +140,15 @@ def _base_columns() -> list[FlowColumn]:
                    generated="try_element_at(__compacted_path__, 1)"),
         FlowColumn("Dst2ndAS", i32, generated="try_element_at(__compacted_path__, 2)"),
         FlowColumn("Dst3rdAS", i32, generated="try_element_at(__compacted_path__, 3)"),
+        # source-side BGP communities exist in the registry but ship
+        # disabled (reference definition.go:344-366: Disabled: true on
+        # the Src pair only) — the enrichment fills them from the
+        # source-address RIB lookup when enabled (enricher.go:155-160)
+        FlowColumn("SrcCommunities", T.ArrayType(i64), main_only=True,
+                   not_dimension=True, disabled=True),
         FlowColumn("DstCommunities", T.ArrayType(i64), main_only=True, not_dimension=True),
+        FlowColumn("SrcLargeCommunities", LARGE_COMMUNITY, main_only=True,
+                   not_dimension=True, disabled=True),
         FlowColumn("DstLargeCommunities", LARGE_COMMUNITY, main_only=True, not_dimension=True),
         # --- non-directional L3/L4 ---
         FlowColumn("EType", i32, primary=True),

@@ -189,7 +189,8 @@ class RIB:
                     del self.routes[key]
 
     def snapshot_rows(self, exporter: bytes) -> list[tuple]:
-        """(exporter, dst_as, as_path, communities, next_hop, lo, hi, plen)."""
+        """(exporter, dst_as, as_path, communities, next_hop, lo, hi,
+        plen, large_communities)."""
         out = []
         for (_peer, cidr), attrs in self.routes.items():
             lo, hi = prefix_range(cidr)
@@ -204,6 +205,8 @@ class RIB:
                     lo,
                     hi,
                     prefix_mapped_len(cidr),
+                    [tuple(int(x) for x in lc)
+                     for lc in attrs.get("large_communities", [])],
                 )
             )
         return out
@@ -215,5 +218,6 @@ class RIB:
             spark,
             self.snapshot_rows(exporter),
             "exporter binary, dst_as long, as_path array<long>, "
-            "communities array<long>, next_hop binary, lo binary, hi binary, plen int",
+            "communities array<long>, next_hop binary, lo binary, hi binary, plen int, "
+            "large_communities array<struct<asn:bigint,local1:bigint,local2:bigint>>",
         )

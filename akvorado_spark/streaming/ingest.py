@@ -198,6 +198,9 @@ class EnrichmentConfig:
 
     metadata: DataFrame | None = None
     metadata_key: str = "ExporterAddress"
+    # RIB snapshot in RIB.to_frame shape → two-sided routing lookup
+    # (enrich_routing); None skips the pass
+    routing: DataFrame | None = None
     networks: DataFrame | None = None
     networks_attrs: tuple[str, ...] = ()
     classifier_rules: list[ClassifierRule] = field(default_factory=list)
@@ -264,6 +267,72 @@ def _subnet_case(col, entries):
     return out
 
 
+def enrich_routing(
+    df: DataFrame,
+    routes: DataFrame,
+    exporter_col: str = "ExporterAddress",
+    plens: list[int] | None = None,
+) -> DataFrame:
+    """Two-sided RIB lookup (T2/J4; reference enricher.go:132-163):
+    one LPM pass per address side against the BMP/BioRIS snapshot
+    (``RIB.to_frame`` shape).  The source side fills SrcCommunities /
+    SrcLargeCommunities and a ``SrcRoutingAS`` input for the
+    :func:`as_number` provider cascade; the destination side fills
+    DstASPath / DstCommunities / DstLargeCommunities plus
+    ``DstRoutingAS`` / ``DstRoutingNetMask`` / ``DstRoutingNextHop``
+    for the AS / netmask / next-hop providers.  Both passes are
+    broadcast-cascade joins (operators/lpm.py) — the flow stream never
+    shuffles."""
+    if plens is None:
+        plens = [r[0] for r in routes.select("plen").distinct().collect()]
+    # plen is also lpm_join's prefix-length key; alias it so the
+    # route's mask can ride along as a plain attribute
+    routes = routes.withColumn("route_plen", F.col("plen"))
+    has = set(routes.columns)
+    side_attrs = {
+        "Src": [a for a in ("dst_as", "communities", "large_communities") if a in has],
+        "Dst": [a for a in ("dst_as", "as_path", "communities",
+                            "large_communities", "next_hop", "route_plen") if a in has],
+    }
+    renames = {
+        ("Src", "dst_as"): "SrcRoutingAS",
+        ("Src", "communities"): "SrcCommunities",
+        ("Src", "large_communities"): "SrcLargeCommunities",
+        ("Dst", "dst_as"): "DstRoutingAS",
+        ("Dst", "as_path"): "DstASPath",
+        ("Dst", "communities"): "DstCommunities",
+        ("Dst", "large_communities"): "DstLargeCommunities",
+        ("Dst", "next_hop"): "DstRoutingNextHop",
+        ("Dst", "route_plen"): "DstRoutingNetMask",
+    }
+    for side in ("Src", "Dst"):
+        addr = f"{side}Addr"
+        if addr not in df.columns or not side_attrs[side]:
+            continue
+        df = lpm_join(
+            df,
+            routes,
+            addr,
+            attrs=side_attrs[side],
+            exporter_col=(
+                exporter_col
+                if "exporter" in has and exporter_col in df.columns
+                else None
+            ),
+            prefix_exporter="exporter",
+            plens=plens,
+            out_prefix=f"__r{side}_",
+        )
+        for a in side_attrs[side]:
+            target = renames[(side, a)]
+            got = F.col(f"__r{side}_{a}")
+            if target in df.columns:
+                # a value the flow already carries wins; routing fills
+                got = F.coalesce(F.col(target), got)
+            df = df.withColumn(target, got).drop(f"__r{side}_{a}")
+    return df
+
+
 def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
     """The per-batch enrichment chain (reference enricher.go:25-189):
     sampling maps + skip rules → metadata → classifiers → networks LPM,
@@ -318,6 +387,8 @@ def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
                 else:
                     fallback = F.lit("")
                 df = df.withColumn(target, F.coalesce(F.col(a), fallback)).drop(a)
+    if cfg.routing is not None:
+        df = enrich_routing(df, cfg.routing, exporter_col=cfg.metadata_key)
     if cfg.skip_incomplete:
         # reference enricher.go:80-101: both interfaces unset, no
         # metadata-resolved name, or a zero rate after the default map

@@ -487,3 +487,66 @@ def test_static_metadata_default_route_subnet(spark):
     assert len(out) == 1
     assert out[0]["ExporterName"] == "catchall"
     assert out[0]["InIfName"] == "Gi7" and out[0]["OutIfName"] == "Default0"
+
+
+def test_enrich_routing_two_sided(spark):
+    """enricher.go:132-163: one RIB snapshot, two LPM passes — the
+    source side fills SrcCommunities/SrcLargeCommunities (+ routing
+    AS), the destination side fills DstASPath/DstCommunities/
+    DstLargeCommunities and the provider inputs (AS, netmask, next
+    hop)."""
+    from akvorado_spark.functions.ip import ip_bytes
+    from akvorado_spark.functions.ip import prefix_mapped_len, prefix_range
+    from akvorado_spark.streaming.ingest import enrich_routing
+
+    def route(cidr, asn, path, comms, lcomms, nh):
+        lo, hi = prefix_range(cidr)
+        return (None, asn, path, comms, nh, lo, hi,
+                prefix_mapped_len(cidr), lcomms)
+
+    routes = spark.createDataFrame(
+        [
+            route("10.0.0.0/8", 65001, [65100, 65001], [100], [(65000, 1, 2)],
+                  ip_bytes("198.51.100.1")),
+            route("192.0.2.0/24", 65002, [65200, 65002], [200], [], None),
+        ],
+        "exporter binary, dst_as long, as_path array<long>, "
+        "communities array<long>, next_hop binary, lo binary, hi binary, plen int, "
+        "large_communities array<struct<asn:bigint,local1:bigint,local2:bigint>>",
+    )
+    flows = spark.createDataFrame(
+        [(ip_bytes("10.1.2.3"), ip_bytes("192.0.2.9")),
+         (ip_bytes("203.0.113.1"), ip_bytes("10.9.9.9"))],
+        "SrcAddr binary, DstAddr binary",
+    )
+    out = enrich_routing(flows, routes).collect()
+    by_src = {bytes(r["SrcAddr"])[-4:]: r for r in out}
+    hit = by_src[bytes([10, 1, 2, 3])]
+    assert hit["SrcRoutingAS"] == 65001
+    assert list(hit["SrcCommunities"]) == [100]
+    assert [tuple(x) for x in hit["SrcLargeCommunities"]] == [(65000, 1, 2)]
+    assert hit["DstRoutingAS"] == 65002
+    assert list(hit["DstASPath"]) == [65200, 65002]
+    assert list(hit["DstCommunities"]) == [200]
+    assert hit["DstRoutingNetMask"] == 96 + 24
+    miss = by_src[bytes([203, 0, 113, 1])]
+    assert miss["SrcRoutingAS"] is None and miss["SrcCommunities"] is None
+    assert miss["DstRoutingAS"] == 65001  # 10/8 matched on the dst side
+    assert bytes(miss["DstRoutingNextHop"])[-4:] == bytes([198, 51, 100, 1])
+
+
+def test_rib_snapshot_carries_large_communities(spark):
+    """The BMP RIB snapshot now exposes large communities
+    (rib.go routeAttributes; RFC 8092 parse already tested in
+    test_bmp) so enrich_routing can fill the schema columns."""
+    from akvorado_spark.sources.bmp import RIB
+
+    rib = RIB()
+    rib.routes[(b"p" * 16, "10.0.0.0/8")] = {
+        "as_path": [65100, 65001],
+        "communities": [100],
+        "large_communities": [(4200000000, 7, 8)],
+    }
+    frame = rib.to_frame(spark, bytes(16))
+    row = frame.collect()[0]
+    assert [tuple(x) for x in row["large_communities"]] == [(4200000000, 7, 8)]
