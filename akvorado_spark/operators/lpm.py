@@ -103,28 +103,60 @@ def _resolve_blocks(exp: DataFrame, attrs: list[str], group_keys: list[str]) -> 
     return exp.groupBy(*group_keys).agg(*aggs)
 
 
-def lpm_join(
-    flows: DataFrame,
+class PreparedLPM:
+    """Pre-resolved LPM block tables, reusable across probe calls.
+
+    ``lpm_prepare`` does the dimension-side work — prefix expansion,
+    nested-prefix resolution, exporter/fallback pass split — ONCE;
+    each pass is a small keyed frame that ``lpm_probe`` broadcasts.
+    A streaming enrichment caches this per RIB/networks snapshot and
+    re-probes every micro-batch: measured at a full-Internet-sized
+    table (1M routes, potaroo length mix, tools/bench_lpm.py) the
+    prepare side is ~30 s once while the probe side is ~0.1 s per
+    8M flows — the reference pays the same split as trie rebuild vs
+    per-flow lookup (outlet/networks/root.go rebuild on update).
+    """
+
+    def __init__(self, passes, attrs):
+        # each pass: (blocks frame with canonical cols, keyed, B);
+        # B = byte width of the block key, 0 for the /0 default pass
+        self.passes = passes
+        self.attrs = attrs
+
+    def persist(self, level=None):
+        """Cache every pass table (call once per dimension snapshot);
+        probes then rebuild only the broadcast, not the resolution."""
+        from pyspark import StorageLevel
+
+        level = level or StorageLevel.MEMORY_AND_DISK
+        for blocks, _keyed, _b in self.passes:
+            blocks.persist(level)
+        return self
+
+    def unpersist(self):
+        for blocks, _keyed, _b in self.passes:
+            blocks.unpersist()
+        return self
+
+
+def lpm_prepare(
     prefixes: DataFrame,
-    ip_col: str,
     attrs: list[str] | None = None,
     prefix_lo: str = "lo",
     prefix_len: str = "plen",
-    exporter_col: str | None = None,
+    exporter_keyed: bool = False,
     prefix_exporter: str = "exporter",
-    out_prefix: str = "",
     plens: list[int] | None = None,
-) -> DataFrame:
-    """Join ``flows`` to the longest matching prefix in ``prefixes``.
+) -> PreparedLPM:
+    """Dimension-side half of the LPM join: expand prefixes to
+    byte-aligned block keys per width, resolve nested prefixes
+    (inheritance), split exporter-specific vs global-fallback passes.
 
     prefixes columns: ``lo`` (16-byte network address), ``plen``
     (length in the 128-bit mapped space), attribute columns, and
     optionally an exporter key (rows with NULL exporter are global
     fallbacks, matched only where no exporter-specific prefix wins —
-    reference outlet/routing default-agent fallback).
-
-    Returns ``flows`` plus ``{out_prefix}{attr}`` columns.
-    """
+    reference outlet/routing default-agent fallback)."""
     if attrs is None:
         attrs = [
             c
@@ -138,18 +170,16 @@ def lpm_join(
         plens = [r[0] for r in prefixes.select(prefix_len).distinct().collect()]
     byte_widths = sorted({(int(L) + 7) // 8 for L in plens if int(L) > 0}, reverse=True)
 
-    passes: list[tuple[DataFrame, bool]] = []
-    if exporter_col is not None:
-        with_exp = prefixes.filter(F.col(prefix_exporter).isNotNull())
-        fallback = prefixes.filter(F.col(prefix_exporter).isNull())
-        passes = [(with_exp, True), (fallback, False)]
+    if exporter_keyed:
+        outer = [
+            (prefixes.filter(F.col(prefix_exporter).isNotNull()), True),
+            (prefixes.filter(F.col(prefix_exporter).isNull()), False),
+        ]
     else:
-        passes = [(prefixes, False)]
+        outer = [(prefixes, False)]
 
-    out = flows
-    matched: dict[str, list] = {a: [] for a in attrs}
-    tag = 0
-    for pfx, keyed in passes:
+    passes = []
+    for pfx, keyed in outer:
         if keyed and prefix_exporter != "__e":
             pfx = pfx.withColumnRenamed(prefix_exporter, "__e")
         for B in byte_widths:
@@ -160,20 +190,10 @@ def lpm_join(
             )
             exp = _expand_to_bytes(pfx, B, prefix_lo, prefix_len, keep)
             group_keys = ["__key"] + (["__e"] if keyed else [])
-            blocks = _resolve_blocks(exp, attrs, group_keys)
-            blocks = blocks.select(
-                F.col("__key").alias(f"__k{tag}"),
-                *([F.col("__e").alias(f"__e{tag}")] if keyed else []),
-                *[F.col(a).alias(f"__{a}_{tag}") for a in attrs],
+            blocks = _resolve_blocks(exp, attrs, group_keys).select(
+                "__key", *(["__e"] if keyed else []), *attrs
             )
-            cond = F.expr(f"substring({ip_col}, 1, {B})") == F.col(f"__k{tag}")
-            if keyed:
-                cond = cond & (F.col(exporter_col) == F.col(f"__e{tag}"))
-            out = out.join(F.broadcast(blocks), cond, "left")
-            out = out.drop(f"__k{tag}", *([f"__e{tag}"] if keyed else []))
-            for a in attrs:
-                matched[a].append(F.col(f"__{a}_{tag}"))
-            tag += 1
+            passes.append((blocks, keyed, B))
         if 0 in {int(L) for L in plens}:
             # default route (/0): matches everything, lowest precedence
             # within its pass — a 1-row broadcast of resolved attrs.
@@ -188,23 +208,53 @@ def lpm_join(
             def _zagg(a):
                 return F.max_by(
                     F.col(a), F.when(F.col(a).isNotNull(), F.struct(*zrank))
-                ).alias(f"__{a}_{tag}")
+                ).alias(a)
 
             if keyed:
-                zblocks = zero.groupBy(F.col("__e").alias(f"__e{tag}")).agg(
-                    *[_zagg(a) for a in attrs]
-                )
-                out = out.join(
-                    F.broadcast(zblocks),
-                    F.col(exporter_col) == F.col(f"__e{tag}"),
-                    "left",
-                ).drop(f"__e{tag}")
+                zblocks = zero.groupBy("__e").agg(*[_zagg(a) for a in attrs])
             else:
                 zblocks = zero.agg(*[_zagg(a) for a in attrs])
-                out = out.join(F.broadcast(zblocks))
-            for a in attrs:
-                matched[a].append(F.col(f"__{a}_{tag}"))
-            tag += 1
+            passes.append((zblocks, keyed, 0))
+    return PreparedLPM(passes, list(attrs))
+
+
+def lpm_probe(
+    flows: DataFrame,
+    prepared: PreparedLPM,
+    ip_col: str,
+    exporter_col: str | None = None,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Fact-side half: broadcast each prepared pass and coalesce the
+    per-width matches longest-first.  Returns ``flows`` plus
+    ``{out_prefix}{attr}`` columns.  Marginal cost is the hash joins
+    only — whole-stage codegen, no shuffle on the flow side."""
+    attrs = prepared.attrs
+    out = flows
+    matched: dict[str, list] = {a: [] for a in attrs}
+    for tag, (blocks, keyed, B) in enumerate(prepared.passes):
+        if keyed and exporter_col is None:
+            raise ValueError("prepared passes are exporter-keyed; pass exporter_col=")
+        sel = (
+            ([F.col("__key").alias(f"__k{tag}")] if B else [])
+            + ([F.col("__e").alias(f"__e{tag}")] if keyed else [])
+            + [F.col(a).alias(f"__{a}_{tag}") for a in attrs]
+        )
+        b = blocks.select(*sel)
+        if B:
+            cond = F.expr(f"substring({ip_col}, 1, {B})") == F.col(f"__k{tag}")
+            if keyed:
+                cond = cond & (F.col(exporter_col) == F.col(f"__e{tag}"))
+            out = out.join(F.broadcast(b), cond, "left")
+        elif keyed:
+            out = out.join(
+                F.broadcast(b), F.col(exporter_col) == F.col(f"__e{tag}"), "left"
+            )
+        else:
+            out = out.join(F.broadcast(b))
+        out = out.drop(f"__k{tag}", *([f"__e{tag}"] if keyed else []))
+        for a in attrs:
+            matched[a].append(F.col(f"__{a}_{tag}"))
 
     for a in attrs:
         # empty prefix table (nothing configured yet): an LPM miss for
@@ -213,5 +263,34 @@ def lpm_join(
             out_prefix + a,
             F.coalesce(*matched[a]) if matched[a] else F.lit(None),
         )
-    out = out.drop(*[f"__{a}_{t}" for a in attrs for t in range(tag)])
+    out = out.drop(
+        *[f"__{a}_{t}" for a in attrs for t in range(len(prepared.passes))]
+    )
     return out
+
+
+def lpm_join(
+    flows: DataFrame,
+    prefixes: DataFrame,
+    ip_col: str,
+    attrs: list[str] | None = None,
+    prefix_lo: str = "lo",
+    prefix_len: str = "plen",
+    exporter_col: str | None = None,
+    prefix_exporter: str = "exporter",
+    out_prefix: str = "",
+    plens: list[int] | None = None,
+) -> DataFrame:
+    """One-shot LPM join: :func:`lpm_prepare` + :func:`lpm_probe`.
+    Streaming callers that probe the same dimension snapshot every
+    micro-batch should prepare once, ``.persist()`` it, and probe."""
+    prepared = lpm_prepare(
+        prefixes,
+        attrs,
+        prefix_lo,
+        prefix_len,
+        exporter_keyed=exporter_col is not None,
+        prefix_exporter=prefix_exporter,
+        plens=plens,
+    )
+    return lpm_probe(flows, prepared, ip_col, exporter_col, out_prefix)

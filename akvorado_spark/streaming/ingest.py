@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from akvorado_spark.operators.classify import ClassifierRule, classify
-from akvorado_spark.operators.lpm import lpm_join
+from akvorado_spark.operators.lpm import lpm_prepare, lpm_probe  # noqa: F401
 from akvorado_spark.plans.exporters import exporters_frame, latest_exporters
 from akvorado_spark.plans.rollup import FlowStore
 
@@ -232,6 +232,39 @@ class EnrichmentConfig:
             object.__setattr__(self, "_plens_cache", cached)
         return cached
 
+    def networks_prepared(self):
+        """Resolved LPM block tables for the networks dimension,
+        prepared ONCE per config snapshot and persisted — per-batch
+        probes skip the expand/resolve work (lpm.PreparedLPM)."""
+        if self.networks is None or not self.networks_attrs:
+            return None
+        cached = getattr(self, "_networks_prepared", None)
+        if cached is None:
+            from akvorado_spark.operators.lpm import lpm_prepare
+
+            cached = lpm_prepare(
+                self.networks,
+                attrs=list(self.networks_attrs),
+                plens=self.networks_plens(),
+            ).persist()
+            object.__setattr__(self, "_networks_prepared", cached)
+        return cached
+
+    def routing_prepared(self):
+        """Per-side resolved RIB block tables (enrich_routing), one
+        prepare per snapshot.  Returns (src_prepared, dst_prepared,
+        keyed) or None."""
+        if self.routing is None:
+            return None
+        cached = getattr(self, "_routing_prepared", None)
+        if cached is None:
+            cached = _prepare_routing(self.routing)
+            for p in cached[:2]:
+                if p is not None:
+                    p.persist()
+            object.__setattr__(self, "_routing_prepared", cached)
+        return cached
+
 
 # networks-attribute → schema column-name mapping (reference
 # enricher.go:165-182: name/role/site/region/tenant land on the
@@ -267,11 +300,47 @@ def _subnet_case(col, entries):
     return out
 
 
+_ROUTING_SIDE_ATTRS = {
+    "Src": ("dst_as", "communities", "large_communities"),
+    "Dst": ("dst_as", "as_path", "communities",
+            "large_communities", "next_hop", "route_plen"),
+}
+
+
+def _prepare_routing(
+    routes: DataFrame,
+    plens: list[int] | None = None,
+    exporter_keyed: bool | None = None,
+):
+    """Split the RIB snapshot into the two per-side PreparedLPM
+    tables (src needs fewer attributes than dst).  Returns
+    (src_prepared, dst_prepared, keyed)."""
+    from akvorado_spark.operators.lpm import lpm_prepare
+
+    if plens is None:
+        plens = [r[0] for r in routes.select("plen").distinct().collect()]
+    # plen is also lpm_join's prefix-length key; alias it so the
+    # route's mask can ride along as a plain attribute
+    routes = routes.withColumn("route_plen", F.col("plen"))
+    has = set(routes.columns)
+    keyed = "exporter" in has if exporter_keyed is None else exporter_keyed
+    prepared = {}
+    for side, wanted in _ROUTING_SIDE_ATTRS.items():
+        attrs = [a for a in wanted if a in has]
+        prepared[side] = (
+            lpm_prepare(routes, attrs=attrs, exporter_keyed=keyed, plens=plens)
+            if attrs
+            else None
+        )
+    return prepared["Src"], prepared["Dst"], keyed
+
+
 def enrich_routing(
     df: DataFrame,
-    routes: DataFrame,
+    routes: DataFrame | None = None,
     exporter_col: str = "ExporterAddress",
     plens: list[int] | None = None,
+    prepared=None,
 ) -> DataFrame:
     """Two-sided RIB lookup (T2/J4; reference enricher.go:132-163):
     one LPM pass per address side against the BMP/BioRIS snapshot
@@ -282,18 +351,19 @@ def enrich_routing(
     ``DstRoutingAS`` / ``DstRoutingNetMask`` / ``DstRoutingNextHop``
     for the AS / netmask / next-hop providers.  Both passes are
     broadcast-cascade joins (operators/lpm.py) — the flow stream never
-    shuffles."""
-    if plens is None:
-        plens = [r[0] for r in routes.select("plen").distinct().collect()]
-    # plen is also lpm_join's prefix-length key; alias it so the
-    # route's mask can ride along as a plain attribute
-    routes = routes.withColumn("route_plen", F.col("plen"))
-    has = set(routes.columns)
-    side_attrs = {
-        "Src": [a for a in ("dst_as", "communities", "large_communities") if a in has],
-        "Dst": [a for a in ("dst_as", "as_path", "communities",
-                            "large_communities", "next_hop", "route_plen") if a in has],
-    }
+    shuffles.  Pass ``prepared`` (from :func:`_prepare_routing`, as
+    ``EnrichmentConfig.routing_prepared`` caches it) to skip the
+    dimension-side resolution on every micro-batch."""
+    from akvorado_spark.operators.lpm import lpm_probe
+
+    if prepared is None:
+        prepared = _prepare_routing(
+            routes,
+            plens,
+            exporter_keyed="exporter" in routes.columns
+            and exporter_col in df.columns,
+        )
+    src_prep, dst_prep, keyed = prepared
     renames = {
         ("Src", "dst_as"): "SrcRoutingAS",
         ("Src", "communities"): "SrcCommunities",
@@ -305,25 +375,20 @@ def enrich_routing(
         ("Dst", "next_hop"): "DstRoutingNextHop",
         ("Dst", "route_plen"): "DstRoutingNetMask",
     }
-    for side in ("Src", "Dst"):
+    for side, side_prep in (("Src", src_prep), ("Dst", dst_prep)):
         addr = f"{side}Addr"
-        if addr not in df.columns or not side_attrs[side]:
+        if addr not in df.columns or side_prep is None:
             continue
-        df = lpm_join(
+        df = lpm_probe(
             df,
-            routes,
+            side_prep,
             addr,
-            attrs=side_attrs[side],
             exporter_col=(
-                exporter_col
-                if "exporter" in has and exporter_col in df.columns
-                else None
+                exporter_col if keyed and exporter_col in df.columns else None
             ),
-            prefix_exporter="exporter",
-            plens=plens,
             out_prefix=f"__r{side}_",
         )
-        for a in side_attrs[side]:
+        for a in side_prep.attrs:
             target = renames[(side, a)]
             got = F.col(f"__r{side}_{a}")
             if target in df.columns:
@@ -367,17 +432,14 @@ def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
     if cfg.classifier_rules:
         df = classify(df, cfg.classifier_rules, cfg.classifier_defaults)
     if cfg.networks is not None and cfg.networks_attrs:
+        from akvorado_spark.operators.lpm import lpm_probe
+
+        prepared_networks = cfg.networks_prepared()
         for side in ("Src", "Dst"):
             side_addr = f"{side}Addr"
             if side_addr not in df.columns:
                 continue
-            df = lpm_join(
-                df,
-                cfg.networks,
-                side_addr,
-                attrs=list(cfg.networks_attrs),
-                plens=cfg.networks_plens(),
-            )
+            df = lpm_probe(df, prepared_networks, side_addr)
             for a in cfg.networks_attrs:
                 target = f"{side}{_NETWORKS_ATTR_COLUMNS.get(a, 'Net' + a.capitalize())}"
                 if target in df.columns:
@@ -388,7 +450,11 @@ def enrich(df: DataFrame, cfg: EnrichmentConfig) -> DataFrame:
                     fallback = F.lit("")
                 df = df.withColumn(target, F.coalesce(F.col(a), fallback)).drop(a)
     if cfg.routing is not None:
-        df = enrich_routing(df, cfg.routing, exporter_col=cfg.metadata_key)
+        df = enrich_routing(
+            df,
+            exporter_col=cfg.metadata_key,
+            prepared=cfg.routing_prepared(),
+        )
     if cfg.skip_incomplete:
         # reference enricher.go:80-101: both interfaces unset, no
         # metadata-resolved name, or a zero rate after the default map
