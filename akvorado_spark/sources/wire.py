@@ -80,6 +80,26 @@ WIRE_SCHEMA = T.StructType(
         T.StructField("Packets", T.LongType()),
         T.StructField("DstASPath", T.ArrayType(T.LongType())),
         T.StructField("DstCommunities", T.ArrayType(T.LongType())),
+        # optional registry columns (decode.go:296-381): NAT, L2, misc
+        # L3/L4, ICMP, MPLS, VRF — carried when the datagram has them
+        T.StructField("SrcAddrNAT", T.BinaryType()),
+        T.StructField("DstAddrNAT", T.BinaryType()),
+        T.StructField("SrcPortNAT", T.IntegerType()),
+        T.StructField("DstPortNAT", T.IntegerType()),
+        T.StructField("SrcMAC", T.LongType()),
+        T.StructField("DstMAC", T.LongType()),
+        T.StructField("IPTTL", T.IntegerType()),
+        T.StructField("IPTos", T.IntegerType()),
+        T.StructField("IPv6FlowLabel", T.LongType()),
+        T.StructField("IPFragmentID", T.LongType()),
+        T.StructField("IPFragmentOffset", T.IntegerType()),
+        T.StructField("ICMPv4Type", T.IntegerType()),
+        T.StructField("ICMPv4Code", T.IntegerType()),
+        T.StructField("ICMPv6Type", T.IntegerType()),
+        T.StructField("ICMPv6Code", T.IntegerType()),
+        T.StructField("MPLSLabels", T.ArrayType(T.LongType())),
+        T.StructField("IngressVRFID", T.LongType()),
+        T.StructField("EgressVRFID", T.LongType()),
     ]
 )
 
@@ -111,8 +131,9 @@ _V5_HEADER = struct.Struct(">HHIIIIBBH")
 _V5_RECORD = struct.Struct(">4s4s4sHHIIIIHHBBBBHHBBH")
 
 
-def parse_netflow_v5(payload: bytes, exporter: bytes, ts: int) -> list[dict]:
-    ver, count, _up, unix_secs, _ns, _seq, _et, _eid, sampling = _V5_HEADER.unpack_from(payload, 0)
+def parse_netflow_v5(payload: bytes, exporter: bytes, ts: int,
+                     ts_source: str = "input") -> list[dict]:
+    ver, count, sysuptime_ms, unix_secs, _ns, _seq, _et, _eid, sampling = _V5_HEADER.unpack_from(payload, 0)
     if ver != 5:
         raise ValueError(f"not a NetFlow v5 packet (version={ver})")
     # low 14 bits = interval, top 2 bits = mode (0: none)
@@ -120,16 +141,20 @@ def parse_netflow_v5(payload: bytes, exporter: bytes, ts: int) -> list[dict]:
     rows = []
     off = _V5_HEADER.size
     for _ in range(count):
-        (src, dst, nh, inif, outif, pkts, octets, _first, _last, sp, dp,
-         _pad, flags, proto, _tos, sas, das, smask, dmask, _pad2) = _V5_RECORD.unpack_from(payload, off)
+        (src, dst, nh, inif, outif, pkts, octets, first, _last, sp, dp,
+         _pad, flags, proto, tos, sas, das, smask, dmask, _pad2) = _V5_RECORD.unpack_from(payload, off)
         off += _V5_RECORD.size
-        r = _row(ts or unix_secs, exporter, rate)
+        t = ts or unix_secs
+        if ts_source == "first_switched":
+            # decode.go:60-62, ms deltas converted to seconds
+            t = (ts or unix_secs) + (first - sysuptime_ms) // 1000
+        r = _row(t, exporter, rate)
         r.update(
             SrcAddr=ip16(src), DstAddr=ip16(dst), NextHop=ip16(nh),
             InIf=inif, OutIf=outif, Packets=pkts, Bytes=octets,
             SrcPort=sp, DstPort=dp, TCPFlags=flags, Proto=proto,
             SrcAS=sas, DstAS=das, SrcNetMask=smask, DstNetMask=dmask,
-            EType=ETYPE_IPV4,
+            EType=ETYPE_IPV4, IPTos=tos,
         )
         rows.append(r)
     return rows
@@ -158,12 +183,14 @@ _IE_MAP = {
     16: ("SrcAS", "u"),           # bgpSourceAsNumber
     17: ("DstAS", "u"),           # bgpDestinationAsNumber
     18: ("NextHop", "ip"),        # bgpNextHopIPv4Address
+    23: ("Bytes", "u"),           # postOctetDeltaCount
+    24: ("Packets", "u"),         # postPacketDeltaCount
+    231: ("Bytes", "u"),          # initiatorOctets
+    232: ("Bytes", "u"),          # responderOctets
     27: ("SrcAddr", "ip"),        # sourceIPv6Address
     28: ("DstAddr", "ip"),        # destinationIPv6Address
     29: ("SrcNetMask", "u"),      # sourceIPv6PrefixLength
     30: ("DstNetMask", "u"),      # destinationIPv6PrefixLength
-    58: ("SrcVlan", "u"),         # vlanId
-    59: ("DstVlan", "u"),         # postVlanId
     61: ("FlowDirection", "u"),   # flowDirection
     62: ("NextHop", "ip"),        # ipNextHopIPv6Address
     63: ("NextHop", "ip"),        # bgpNextHopIPv6Address
@@ -171,9 +198,46 @@ _IE_MAP = {
     34: ("SamplingRate", "u"),    # samplingInterval (v9)
     50: ("SamplingRate", "u"),    # samplerRandomInterval
     305: ("SamplingRate", "u"),   # samplingPacketInterval
+    # NAT (decode.go:296-306)
+    225: ("SrcAddrNAT", "ip"),    # postNATSourceIPv4Address
+    226: ("DstAddrNAT", "ip"),    # postNATDestinationIPv4Address
+    227: ("SrcPortNAT", "u"),     # postNAPTSourceTransportPort
+    228: ("DstPortNAT", "u"),     # postNAPTDestinationTransportPort
+    # L2 (decode.go:310-325): source/post-source MAC land on SrcMAC,
+    # destination/post-destination on DstMAC
+    56: ("SrcMAC", "u"),          # sourceMacAddress
+    81: ("SrcMAC", "u"),          # postSourceMacAddress
+    80: ("DstMAC", "u"),          # destinationMacAddress
+    57: ("DstMAC", "u"),          # postDestinationMacAddress
+    # misc L3/L4 (decode.go:328-341)
+    5: ("IPTos", "u"),            # ipClassOfService
+    192: ("IPTTL", "u"),          # ipTTL
+    52: ("IPTTL", "u"),           # minimumTTL
+    31: ("IPv6FlowLabel", "u"),   # flowLabelIPv6
+    54: ("IPFragmentID", "u"),    # fragmentIdentification
+    88: ("IPFragmentOffset", "u"),
+    # VRF (decode.go:263-267)
+    234: ("IngressVRFID", "u"),
+    235: ("EgressVRFID", "u"),
 }
 
 _SAMPLING_IES = (34, 50, 305)
+_SAMPLER_ID_IES = (48, 302)       # FLOW_SAMPLER_ID (v9) / selectorId (IPFIX)
+# vlanId/dot1qVlanId + ingress/egressPhysicalInterface fill their
+# column only when it is still unset (decode.go:239-247, 310-319)
+_FILL_IF_UNSET = {
+    58: "SrcVlan", 243: "SrcVlan", 59: "DstVlan", 254: "DstVlan",
+    252: "InIf", 253: "OutIf",
+}
+_MPLS_IES = frozenset(range(70, 80))  # mplsTopLabelStackSection..10
+_ICMP_BOTH = {32: 4, 139: 6}          # icmpTypeCode (type<<8 | code)
+_ICMP_TYPE = (176, 178)               # icmpTypeIPv4 / icmpTypeIPv6
+_ICMP_CODE = (177, 179)
+_ADDR_IES = (8, 12, 27, 28)           # all-zero guard (decode.go:190-209)
+# template-field flag encodings (negative/offset IEs in TemplateCache):
+_SCOPE_BASE = -0x10000                # scope field: stored as ie + _SCOPE_BASE
+_REVERSE_BASE = 0x20000               # RFC 5103 PEN 29305: ie + _REVERSE_BASE
+_REVERSE_PEN = 29305
 
 
 @dataclass
@@ -191,8 +255,9 @@ class TemplateCache:
 
 # Bump whenever the encoding below changes (persist.go:23
 # currentStateVersionNumber): a restore from another version starts
-# empty rather than misreading state.
-TEMPLATE_STATE_VERSION = 1
+# empty rather than misreading state.  v2: scope/reverse field flags
+# in template IEs, per-sampler-id sampling keys.
+TEMPLATE_STATE_VERSION = 2
 
 
 class TemplateStateError(ValueError):
@@ -216,7 +281,7 @@ def save_template_cache(cache: TemplateCache, path: str) -> None:
             for (exp, dom, tid), fields in cache.templates.items()
         ],
         "sampling": [
-            [exp.hex(), dom, rate] for (exp, dom), rate in cache.sampling.items()
+            [key[0].hex(), *key[1:], rate] for key, rate in cache.sampling.items()
         ],
     }
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)))
@@ -248,8 +313,9 @@ def load_template_cache(path: str) -> TemplateCache:
         cache.templates[(bytes.fromhex(exp_hex), dom, tid)] = [
             (ie, ln) for ie, ln in fields
         ]
-    for exp_hex, dom, rate in doc["sampling"]:
-        cache.sampling[(bytes.fromhex(exp_hex), dom)] = rate
+    for exp_hex, *rest in doc["sampling"]:
+        # [exp, dom, rate] or [exp, dom, sampler_id, rate]
+        cache.sampling[(bytes.fromhex(exp_hex), *rest[:-1])] = rest[-1]
     return cache
 
 
@@ -286,9 +352,9 @@ def _parse_v9_options_template(payload: bytes, off: int, end: int, key, cache: T
     off += 6
     fields = []
     for _ in range(scope_bytes // 4):
-        _ie, ln = struct.unpack_from(">HH", payload, off)
+        ie, ln = struct.unpack_from(">HH", payload, off)
         off += 4
-        fields.append((-1, ln))  # scope field: decoded but unmapped
+        fields.append((_SCOPE_BASE + (ie & 0x7FFF), ln))
     for _ in range(option_bytes // 4):
         ie, ln = struct.unpack_from(">HH", payload, off)
         off += 4
@@ -313,16 +379,24 @@ def _parse_ipfix_templates(payload: bytes, off: int, end: int, key, cache: Templ
             ie, ln = struct.unpack_from(">HH", payload, off)
             off += 4
             if ie & 0x8000:  # enterprise bit → 4-byte PEN follows (RFC 7011 §3.2)
+                pen = struct.unpack_from(">I", payload, off)[0]
                 off += 4
-                ie = -2  # enterprise IE: skip its bytes
+                if pen == _REVERSE_PEN:
+                    # RFC 5103 biflow: the reverse-direction twin of
+                    # the base IE (decoder helpers_test.go RFC5103)
+                    ie = _REVERSE_BASE + (ie & 0x7FFF)
+                else:
+                    ie = -2  # unknown enterprise IE: skip its bytes
             else:
                 ie &= 0x7FFF
-            fields.append((-1 if i < nscope else ie, ln))
+            fields.append((_SCOPE_BASE + ie if i < nscope else ie, ln))
         cache.templates[(*key, tid)] = fields
 
 
 def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
-                         exporter: bytes, rate: int, key, cache: TemplateCache) -> list[dict]:
+                         exporter: bytes, rate: int, key, cache: TemplateCache,
+                         sysuptime_ms: int = 0,
+                         ts_source: str = "input") -> list[dict]:
     # Records shorter than the residual padding (< 4 bytes total) are
     # ambiguous on the wire — RFC 3954 padding cannot be told apart
     # from data.  Real templates are always wider; we stop when fewer
@@ -341,9 +415,13 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
         if fixed_only and off + rec_len > end:
             break  # padding
         r = _row(ts, exporter, rate)
+        rr: dict = {}  # RFC 5103 reverse-direction overrides
         v6 = False
         v4 = False
         sampling_seen = None
+        sid_seen = None
+        icmp_type = icmp_code = 0
+        icmp_found = False
         for ie, ln in fields:
             if ln == 0xFFFF:  # variable length (RFC 7011 §7)
                 ln = payload[off]
@@ -353,39 +431,125 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
                     off += 2
             data = payload[off:off + ln]
             off += ln
-            m = _IE_MAP.get(ie)
-            if m is None:
+            target = r
+            if ie < 0:  # scope field (options templates)
+                sie = ie - _SCOPE_BASE
+                if sie in _SAMPLER_ID_IES:
+                    sid_seen = _u(data)
                 continue
-            col, kind = m
-            if kind == "ip":
-                if len(data) == 16:
-                    v6 = v6 or col in ("SrcAddr", "DstAddr")
+            if ie >= _REVERSE_BASE:  # RFC 5103 reverse twin
+                ie -= _REVERSE_BASE
+                target = rr
+            if ie in _ADDR_IES and not any(data):
+                continue  # all-zero address: leave unset (decode.go:190-209)
+            m = _IE_MAP.get(ie)
+            if m is not None:
+                col, kind = m
+                if kind == "ip":
+                    if col in ("SrcAddr", "DstAddr") and target is r:
+                        if len(data) == 16:
+                            v6 = True
+                        else:
+                            v4 = True
+                    target[col] = ip16(data)
                 else:
-                    v4 = v4 or col in ("SrcAddr", "DstAddr")
-                r[col] = ip16(data)
-            else:
-                val = _u(data)
-                if ie in _SAMPLING_IES:
-                    sampling_seen = val
-                    if val:
-                        r[col] = val
-                else:
-                    r[col] = val
+                    val = _u(data)
+                    if ie in _SAMPLING_IES:
+                        sampling_seen = val
+                        if val:
+                            target[col] = val
+                    else:
+                        target[col] = val
+                continue
+            # unmapped specials
+            if ie in _FILL_IF_UNSET:
+                col = _FILL_IF_UNSET[ie]
+                if not target.get(col):
+                    target[col] = _u(data)
+            elif ie in _SAMPLER_ID_IES:
+                sid_seen = _u(data)
+            elif ie in _MPLS_IES:
+                label = _u(data) >> 4
+                if label:
+                    if target.get("MPLSLabels") is None:
+                        target["MPLSLabels"] = []
+                    target["MPLSLabels"].append(label)
+            elif ie in _ICMP_BOTH:
+                tc = _u(data)
+                icmp_type, icmp_code, icmp_found = tc >> 8, tc & 0xFF, True
+            elif ie in _ICMP_TYPE:
+                icmp_type, icmp_found = _u(data), True
+            elif ie in _ICMP_CODE:
+                icmp_code, icmp_found = _u(data), True
+            elif ts_source == "first_switched":
+                # decode.go:281-292 TS_NETFLOW_FIRST_SWITCHED; the
+                # sysuptime/first deltas are milliseconds, converted to
+                # seconds here (the reference subtracts raw ms from an
+                # epoch-seconds clock — we keep the units coherent)
+                if ie == 22:  # FIRST_SWITCHED (v9, ms of sysuptime)
+                    r["TimeReceived"] = ts + (_u(data) - sysuptime_ms) // 1000
+                elif ie == 150:  # flowStartSeconds
+                    r["TimeReceived"] = _u(data)
+                elif ie == 152:  # flowStartMilliseconds
+                    r["TimeReceived"] = _u(data) // 1000
+                elif ie == 154:  # flowStartMicroseconds
+                    r["TimeReceived"] = _u(data) // 1_000_000
         r["EType"] = ETYPE_IPV6 if v6 and not v4 else ETYPE_IPV4
         if sampling_seen and r["SrcAddr"] is None and r["DstAddr"] is None:
-            # options data record carrying the exporter's sampling rate
-            cache.sampling[key] = sampling_seen
-        else:
-            rows.append(r)
+            # options data record carrying the exporter's sampling rate,
+            # keyed per sampler/selector id when the record scopes one
+            # (decode.go:87-93 + GetSamplingRate)
+            if sid_seen is not None:
+                cache.sampling[(*key, sid_seen)] = sampling_seen
+            else:
+                cache.sampling[key] = sampling_seen
+            continue
+        if sampling_seen is None and sid_seen is not None:
+            # data record referencing a sampler id (decode.go:186-188)
+            r["SamplingRate"] = cache.sampling.get(
+                (*key, sid_seen), r["SamplingRate"]
+            )
+        if r["Proto"] in (1, 58):
+            # ICMP type/code columns (decode.go:360-380), with the
+            # v5-era dst-port fallback heuristic
+            if not icmp_found and not r.get("SrcPort"):
+                dp = r.get("DstPort") or 0
+                icmp_type, icmp_code = dp >> 8, dp & 0xFF
+            side = "ICMPv4" if r["Proto"] == 1 else "ICMPv6"
+            r[f"{side}Type"] = icmp_type
+            r[f"{side}Code"] = icmp_code
+        rows.append(r)
+        if rr:
+            if rr.get("Packets") == 0:
+                continue  # empty reverse flow (decode.go:176-182)
+            rev = dict(r)
+            for a, b in (
+                ("SrcAddr", "DstAddr"), ("SrcPort", "DstPort"),
+                ("SrcAS", "DstAS"), ("SrcNetMask", "DstNetMask"),
+                ("SrcVlan", "DstVlan"), ("SrcMAC", "DstMAC"),
+                ("InIf", "OutIf"), ("SrcAddrNAT", "DstAddrNAT"),
+                ("SrcPortNAT", "DstPortNAT"),
+            ):
+                rev[a], rev[b] = rev[b], rev[a]
+            rev.update(rr)
+            rows.append(rev)
     return rows
 
 
 def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
-                            cache: TemplateCache) -> list[dict]:
-    """NetFlow v9 / IPFIX datagram → wire rows (template-stateful)."""
+                            cache: TemplateCache,
+                            ts_source: str = "input") -> list[dict]:
+    """NetFlow v9 / IPFIX datagram → wire rows (template-stateful).
+
+    ``ts_source``: "input" stamps every flow with the datagram time;
+    "first_switched" uses the flow's own start time (NFv9
+    FIRST_SWITCHED against the header sysuptime, IPFIX
+    flowStartSeconds/Milliseconds/Microseconds — decode.go:281-292,
+    root_test.go TestDecodeTimestampFromFirstSwitched)."""
     version = _u(payload[0:2])
+    sysuptime_ms = 0
     if version == 9:
-        _v, count, _up, unix_secs, _seq, domain = struct.unpack_from(">HHIIII", payload, 0)
+        _v, count, sysuptime_ms, unix_secs, _seq, domain = struct.unpack_from(">HHIIII", payload, 0)
         off, total = 20, len(payload)
         tset, oset = 0, 1
     elif version == 10:
@@ -427,7 +591,10 @@ def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
             else:
                 rate = cache.sampling.get(key, 1)
                 rows.extend(
-                    _decode_data_records(payload, body, end, fields, ts, exporter, rate, key, cache)
+                    _decode_data_records(payload, body, end, fields, ts, exporter,
+                                         rate, key, cache,
+                                         sysuptime_ms=sysuptime_ms,
+                                         ts_source=ts_source)
                 )
         off = end
     # data records decoded before the sampling option arrived keep rate 1;
@@ -436,15 +603,18 @@ def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
 
 
 def parse_netflow(payload: bytes, exporter: bytes, ts: int = 0,
-                  cache: TemplateCache | None = None) -> list[dict]:
+                  cache: TemplateCache | None = None,
+                  ts_source: str = "input") -> list[dict]:
     """Public entry point.  Error contract: malformed or truncated
     datagrams raise ``ValueError`` — never a bare ``struct.error`` /
     ``IndexError`` from an out-of-bounds read (fuzz-asserted)."""
     try:
         version = _u(payload[0:2])
         if version == 5:
-            return parse_netflow_v5(payload, exporter, ts)
-        return parse_netflow_templated(payload, exporter, ts, cache or TemplateCache())
+            return parse_netflow_v5(payload, exporter, ts, ts_source=ts_source)
+        return parse_netflow_templated(payload, exporter, ts,
+                                       cache or TemplateCache(),
+                                       ts_source=ts_source)
     except ValueError:
         raise
     except (struct.error, IndexError) as e:
@@ -661,7 +831,8 @@ class DecodeErrors:
 
 
 def netflow_batch_parser(cache: TemplateCache | None = None, strict: bool = True,
-                         errors: DecodeErrors | None = None):
+                         errors: DecodeErrors | None = None,
+                         ts_source: str = "input"):
     """``parse_batch`` for ``decode_binary(..., kind="netflow")``.
 
     One TemplateCache per task closure; pass a shared cache for
@@ -676,7 +847,8 @@ def netflow_batch_parser(cache: TemplateCache | None = None, strict: bool = True
         rows: list[dict] = []
         for p, a in zip(payloads, source_addresses):
             try:
-                rows.extend(parse_netflow(bytes(p), bytes(a), cache=state))
+                rows.extend(parse_netflow(bytes(p), bytes(a), cache=state,
+                                          ts_source=ts_source))
             except Exception as e:  # truncated/garbage datagram
                 if strict:
                     raise

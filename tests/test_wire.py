@@ -439,3 +439,182 @@ def test_template_state_version_mismatch(tmp_path):
     with pytest.raises(TemplateStateError):
         load_template_cache(str(state))
     assert restore_template_cache(str(state)).templates == {}
+
+
+# ---- extended field decode parity (outlet/flow/decoder/netflow/root_test.go)
+
+
+def ipfix_template(tid, fields, options=False, nscope=0):
+    """fields: list of (ie, len) — ie may be ("pen", pen, base_ie)."""
+    body = struct.pack(">HHH" if options else ">HH", tid, len(fields), nscope) \
+        if options else struct.pack(">HH", tid, len(fields))
+    for f in fields:
+        if isinstance(f[0], tuple):
+            _tag, pen, ie = f[0]
+            body += struct.pack(">HHI", 0x8000 | ie, f[1], pen)
+        else:
+            body += struct.pack(">HH", f[0], f[1])
+    pad = (-len(body)) % 4
+    return struct.pack(">HH", 3 if options else 2, 4 + len(body) + pad) + body + b"\0" * pad
+
+
+def ipfix_data(tid, body):
+    pad = (-len(body)) % 4
+    return struct.pack(">HH", tid, 4 + len(body) + pad) + body + b"\0" * pad
+
+
+def test_decode_icmp_fields_and_heuristic():
+    """root_test.go:423-503 TestDecodeICMP: explicit icmpTypeCode IEs
+    win; without them, an ICMP flow with srcPort=0 decodes dstPort as
+    type<<8|code (the Cisco NFv5-era encoding)."""
+    cache = TemplateCache()
+    # template: proto, srcport, dstport, icmpTypeCodeIPv4
+    tpl = v9_flowset(0, struct.pack(">HH", 260, 4)
+                     + struct.pack(">HHHHHHHH", 4, 1, 7, 2, 11, 2, 32, 2))
+    data = v9_flowset(260, bytes([1]) + struct.pack(">HHH", 0, 0, 0x0B00))
+    rows = parse_netflow(build_v9([tpl, data]), EXP, cache=cache)
+    assert rows[0]["ICMPv4Type"] == 11 and rows[0]["ICMPv4Code"] == 0
+
+    # heuristic: no ICMP IE, srcPort 0, dstPort 0x0303 → type 3 code 3
+    tpl2 = v9_flowset(0, struct.pack(">HH", 261, 3)
+                      + struct.pack(">HHHHHH", 4, 1, 7, 2, 11, 2))
+    data2 = v9_flowset(261, bytes([1]) + struct.pack(">HH", 0, 0x0303))
+    rows = parse_netflow(build_v9([tpl2, data2]), EXP, cache=cache)
+    assert rows[0]["ICMPv4Type"] == 3 and rows[0]["ICMPv4Code"] == 3
+    # ICMPv6 (proto 58) lands on the v6 columns
+    data3 = v9_flowset(261, bytes([58]) + struct.pack(">HH", 0, 0x8000))
+    rows = parse_netflow(build_v9([data3]), EXP, cache=cache)
+    assert rows[0]["ICMPv6Type"] == 128 and rows[0]["ICMPv4Type"] is None
+
+
+def test_decode_mpls_labels():
+    """root_test.go:572-631 TestDecodeMPLS: label stack sections,
+    bottom 4 bits stripped, zero labels skipped."""
+    cache = TemplateCache()
+    tpl = v9_flowset(0, struct.pack(">HH", 262, 4)
+                     + struct.pack(">HHHHHHHH", 70, 3, 71, 3, 72, 3, 73, 3))
+    lbl = lambda v: (v << 4).to_bytes(3, "big")  # noqa: E731
+    data = v9_flowset(262, lbl(1000) + lbl(2000) + lbl(0) + lbl(3000))
+    rows = parse_netflow(build_v9([tpl, data]), EXP, cache=cache)
+    assert rows[0]["MPLSLabels"] == [1000, 2000, 3000]
+
+
+def test_decode_nat_and_l2_and_misc():
+    """root_test.go:759-837 TestDecodeNAT + L2/misc branches
+    (decode.go:296-341): post-NAT addresses/ports, MACs, VLAN
+    fill-if-unset, TTL/ToS/fragment fields."""
+    cache = TemplateCache()
+    fields = [(225, 4), (226, 4), (227, 2), (228, 2),   # NAT
+              (56, 6), (80, 6),                          # MACs
+              (58, 2), (243, 2),                         # vlan + dot1q
+              (192, 1), (5, 1), (54, 4), (88, 2)]        # ttl/tos/frag
+    tpl = v9_flowset(0, struct.pack(">HH", 263, len(fields))
+                     + b"".join(struct.pack(">HH", ie, ln) for ie, ln in fields))
+    body = (bytes([192, 0, 2, 1]) + bytes([203, 0, 113, 9])
+            + struct.pack(">HH", 4096, 8080)
+            + bytes.fromhex("00e01c3c17c2") + bytes.fromhex("001f33d98160")
+            + struct.pack(">HH", 7, 99)   # vlan 7 then dot1q 99 → keeps 7
+            + bytes([63]) + bytes([0xB8]) + struct.pack(">IH", 12345, 185))
+    rows = parse_netflow(build_v9([tpl, v9_flowset(263, body)]), EXP, cache=cache)
+    r = rows[0]
+    assert bytes(r["SrcAddrNAT"])[-4:] == bytes([192, 0, 2, 1])
+    assert bytes(r["DstAddrNAT"])[-4:] == bytes([203, 0, 113, 9])
+    assert (r["SrcPortNAT"], r["DstPortNAT"]) == (4096, 8080)
+    assert r["SrcMAC"] == 0x00E01C3C17C2 and r["DstMAC"] == 0x001F33D98160
+    assert r["SrcVlan"] == 7  # dot1qVlanId only fills when unset
+    assert (r["IPTTL"], r["IPTos"]) == (63, 0xB8)
+    assert (r["IPFragmentID"], r["IPFragmentOffset"]) == (12345, 185)
+
+
+def test_decode_physical_interfaces_fill():
+    """root_test.go:796-837 TestDecodePhysicalInterfaces: ingress/
+    egressPhysicalInterface fill InIf/OutIf only when the logical
+    interface is absent or zero."""
+    cache = TemplateCache()
+    tpl = v9_flowset(0, struct.pack(">HH", 264, 4)
+                     + struct.pack(">HHHHHHHH", 10, 4, 252, 4, 14, 4, 253, 4))
+    data = v9_flowset(264, struct.pack(">IIII", 0, 17, 5, 99))
+    rows = parse_netflow(build_v9([tpl, data]), EXP, cache=cache)
+    assert rows[0]["InIf"] == 17   # logical 0 → physical fills
+    assert rows[0]["OutIf"] == 5   # logical set → physical ignored
+
+
+def test_decode_zero_ip_not_set():
+    """decode.go:190-209: an all-zero IPv4 source/destination leaves
+    the address unset instead of recording 0.0.0.0."""
+    cache = TemplateCache()
+    tpl = v9_flowset(0, struct.pack(">HH", 265, 2) + struct.pack(">HHHH", 8, 4, 12, 4))
+    data = v9_flowset(265, bytes(4) + bytes([198, 51, 100, 1]))
+    rows = parse_netflow(build_v9([tpl, data]), EXP, cache=cache)
+    assert rows[0]["SrcAddr"] is None
+    assert bytes(rows[0]["DstAddr"])[-4:] == bytes([198, 51, 100, 1])
+
+
+def test_decode_multiple_sampling_rates():
+    """root_test.go:329-421 TestDecodeMultipleSamplingRates: options
+    records scoped by sampler id feed per-sampler rates; data records
+    select theirs via FLOW_SAMPLER_ID."""
+    cache = TemplateCache()
+    # v9 options template: scope system (1,4); options samplerId (48,1),
+    # samplerRandomInterval (50,4)
+    obody = struct.pack(">HHH", 300, 4, 8) + struct.pack(">HHHHHH", 1, 4, 48, 1, 50, 4)
+    otpl = v9_flowset(1, obody)
+    odata1 = v9_flowset(300, struct.pack(">IBI", 0, 1, 1024) + b"\0")
+    odata2 = v9_flowset(300, struct.pack(">IBI", 0, 2, 2048) + b"\0")
+    tpl = v9_flowset(0, struct.pack(">HH", 266, 3)
+                     + struct.pack(">HHHHHH", 8, 4, 12, 4, 48, 1))
+    d1 = v9_flowset(266, bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2]) + bytes([1]))
+    d2 = v9_flowset(266, bytes([10, 0, 0, 3]) + bytes([10, 0, 0, 4]) + bytes([2]))
+    rows = parse_netflow(build_v9([otpl, odata1, odata2, tpl, d1, d2]), EXP, cache=cache)
+    assert [r["SamplingRate"] for r in rows] == [1024, 2048]
+
+
+def test_decode_timestamp_first_switched():
+    """root_test.go:688-757: ts_source="first_switched" stamps flows
+    with their own start time — v9 FIRST_SWITCHED against header
+    sysuptime, IPFIX flowStartSeconds/Milliseconds."""
+    cache = TemplateCache()
+    # v9: header sysuptime=60000ms, export=1700000100; flow first=30000ms
+    tpl = v9_flowset(0, struct.pack(">HH", 267, 2) + struct.pack(">HHHH", 8, 4, 22, 4))
+    data = v9_flowset(267, bytes([10, 0, 0, 1]) + struct.pack(">I", 30_000))
+    hdr = struct.pack(">HHIIII", 9, 2, 60_000, 1_700_000_100, 7, 0)
+    rows = parse_netflow(hdr + tpl + data, EXP, cache=cache, ts_source="first_switched")
+    assert rows[0]["TimeReceived"] == 1_700_000_100 + (30_000 - 60_000) // 1000
+
+    # IPFIX flowStartMilliseconds
+    itpl = ipfix_template(268, [(8, 4), (152, 8)])
+    idata = ipfix_data(268, bytes([10, 0, 0, 2]) + struct.pack(">Q", 1_700_000_042_500))
+    body = itpl + idata
+    ihdr = struct.pack(">HHIII", 10, 16 + len(body), 1_700_000_200, 7, 0)
+    rows = parse_netflow(ihdr + body, EXP, cache=cache, ts_source="first_switched")
+    assert rows[0]["TimeReceived"] == 1_700_000_042
+
+
+def test_decode_rfc5103_biflow():
+    """root_test.go:839-977 TestDecodeRFC5103: PEN 29305 reverse
+    fields emit a second, reversed flow with the reverse counters; a
+    reverse with zero packets is dropped."""
+    cache = TemplateCache()
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 4), (2, 4),
+              (("pen", 29305, 1), 4), (("pen", 29305, 2), 4)]
+    tpl = ipfix_template(270, fields)
+    rec = (bytes([10, 10, 1, 4]) + bytes([10, 10, 1, 1])
+           + struct.pack(">HHB", 56166, 53, 17)
+           + struct.pack(">II", 62, 1)      # forward bytes/packets
+           + struct.pack(">II", 128, 1))    # reverse bytes/packets
+    rec2 = (bytes([10, 10, 1, 20]) + bytes([10, 10, 1, 255])
+            + struct.pack(">HHB", 138, 138, 17)
+            + struct.pack(">II", 229, 1)
+            + struct.pack(">II", 0, 0))     # no reverse traffic
+    body = tpl + ipfix_data(270, rec + rec2)
+    hdr = struct.pack(">HHIII", 10, 16 + len(body), 1_700_000_300, 7, 0)
+    rows = parse_netflow(hdr + body, EXP, cache=cache)
+    assert len(rows) == 3  # fwd + rev, then fwd only
+    fwd, rev, only = rows
+    assert bytes(fwd["SrcAddr"])[-4:] == bytes([10, 10, 1, 4])
+    assert (fwd["Bytes"], fwd["Packets"]) == (62, 1)
+    assert bytes(rev["SrcAddr"])[-4:] == bytes([10, 10, 1, 1])
+    assert bytes(rev["DstAddr"])[-4:] == bytes([10, 10, 1, 4])
+    assert (rev["SrcPort"], rev["DstPort"]) == (53, 56166)
+    assert (rev["Bytes"], rev["Packets"]) == (128, 1)
+    assert bytes(only["SrcAddr"])[-4:] == bytes([10, 10, 1, 20])
