@@ -197,7 +197,6 @@ _IE_MAP = {
     89: ("ForwardingStatus", "u"),
     34: ("SamplingRate", "u"),    # samplingInterval (v9)
     50: ("SamplingRate", "u"),    # samplerRandomInterval
-    305: ("SamplingRate", "u"),   # samplingPacketInterval
     # NAT (decode.go:296-306)
     225: ("SrcAddrNAT", "ip"),    # postNATSourceIPv4Address
     226: ("DstAddrNAT", "ip"),    # postNATDestinationIPv4Address
@@ -221,7 +220,9 @@ _IE_MAP = {
     235: ("EgressVRFID", "u"),
 }
 
-_SAMPLING_IES = (34, 50, 305)
+_SAMPLING_IES = (34, 50)
+# samplingPacketInterval/-Space combine into one rate (decode.go:91-99)
+_PKT_INTERVAL_IE, _PKT_SPACE_IE = 305, 306
 _SAMPLER_ID_IES = (48, 302)       # FLOW_SAMPLER_ID (v9) / selectorId (IPFIX)
 # vlanId/dot1qVlanId + ingress/egressPhysicalInterface fill their
 # column only when it is still unset (decode.go:239-247, 310-319)
@@ -420,6 +421,7 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
         v4 = False
         sampling_seen = None
         sid_seen = None
+        pkt_interval = pkt_space = 0
         icmp_type = icmp_code = 0
         icmp_found = False
         for ie, ln in fields:
@@ -468,6 +470,10 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
                     target[col] = _u(data)
             elif ie in _SAMPLER_ID_IES:
                 sid_seen = _u(data)
+            elif ie == _PKT_INTERVAL_IE:
+                pkt_interval = _u(data)
+            elif ie == _PKT_SPACE_IE:
+                pkt_space = _u(data)
             elif ie in _MPLS_IES:
                 label = _u(data) >> 4
                 if label:
@@ -495,6 +501,9 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
                 elif ie == 154:  # flowStartMicroseconds
                     r["TimeReceived"] = _u(data) // 1_000_000
         r["EType"] = ETYPE_IPV6 if v6 and not v4 else ETYPE_IPV4
+        if pkt_interval > 0:
+            # 1-in-N random sampling: N = (interval + space) / interval
+            sampling_seen = (pkt_interval + pkt_space) // pkt_interval
         if sampling_seen and r["SrcAddr"] is None and r["DstAddr"] is None:
             # options data record carrying the exporter's sampling rate,
             # keyed per sampler/selector id when the record scopes one
@@ -569,6 +578,13 @@ def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
     ts = ts or unix_secs
     key = (bytes(exporter), domain)
     rows: list[dict] = []
+    # Three passes over the datagram's sets, so ordering within one
+    # datagram never matters (goflow2 parses all templates up front —
+    # root_test.go TestTemplatesMixedWithData — and the reference
+    # applies options sampling before decoding any data,
+    # decode.go:71-103): 1. templates, 2. options data (sampling),
+    # 3. data records.
+    data_sets: list[tuple[int, int, int]] = []
     while off + 4 <= total:
         set_id, set_len = struct.unpack_from(">HH", payload, off)
         if set_len < 4:
@@ -585,20 +601,26 @@ def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
             else:
                 _parse_ipfix_templates(payload, body, end, key, cache, options=True)
         elif set_id >= 256:
+            data_sets.append((set_id, body, end))
+        off = end
+    # options data first: a template with scope fields is an options
+    # template, its records carry sampling state, not flows
+    for opts in (True, False):
+        for set_id, body, end in data_sets:
             fields = cache.templates.get((*key, set_id))
             if fields is None:
-                cache.missing += 1
-            else:
-                rate = cache.sampling.get(key, 1)
-                rows.extend(
-                    _decode_data_records(payload, body, end, fields, ts, exporter,
-                                         rate, key, cache,
-                                         sysuptime_ms=sysuptime_ms,
-                                         ts_source=ts_source)
-                )
-        off = end
-    # data records decoded before the sampling option arrived keep rate 1;
-    # the reference has the same ordering dependence (templates.go).
+                if not opts:
+                    cache.missing += 1
+                continue
+            if any(ie < -2 for ie, _ in fields) != opts:
+                continue
+            rate = cache.sampling.get(key, 1)
+            rows.extend(
+                _decode_data_records(payload, body, end, fields, ts, exporter,
+                                     rate, key, cache,
+                                     sysuptime_ms=sysuptime_ms,
+                                     ts_source=ts_source)
+            )
     return rows
 
 

@@ -618,3 +618,33 @@ def test_decode_rfc5103_biflow():
     assert (rev["SrcPort"], rev["DstPort"]) == (53, 56166)
     assert (rev["Bytes"], rev["Packets"]) == (128, 1)
     assert bytes(only["SrcAddr"])[-4:] == bytes([10, 10, 1, 20])
+
+
+def test_templates_and_options_after_data_same_datagram():
+    """root_test.go:258-281 TestTemplatesMixedWithData + the
+    options-first pass (decode.go:71-103): templates and sampling
+    options apply to the WHOLE datagram regardless of set order."""
+    cache = TemplateCache()
+    obody = struct.pack(">HHH", 301, 4, 8) + struct.pack(">HHHHHH", 1, 4, 48, 1, 50, 4)
+    odata = v9_flowset(301, struct.pack(">IBI", 0, 3, 512) + b"\0")
+    tpl = v9_flowset(0, struct.pack(">HH", 280, 3)
+                     + struct.pack(">HHHHHH", 8, 4, 12, 4, 48, 1))
+    data = v9_flowset(280, bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2]) + bytes([3]))
+    # data FIRST, then its template, then the options that price it
+    pkt = build_v9([data, tpl, v9_flowset(1, obody), odata])
+    rows = parse_netflow(pkt, EXP, cache=cache)
+    assert len(rows) == 1 and rows[0]["SamplingRate"] == 512
+    assert cache.missing == 0
+
+
+def test_sampling_packet_interval_space():
+    """decode.go:91-99: samplingPacketInterval/-Space combine into a
+    1-in-N rate, N = (interval + space) / interval."""
+    cache = TemplateCache()
+    obody = struct.pack(">HHH", 302, 4, 8) + struct.pack(">HH", 1, 4) \
+        + struct.pack(">HHHH", 305, 4, 306, 4)
+    odata = v9_flowset(302, struct.pack(">III", 0, 1, 999))
+    tpl = v9_flowset(0, struct.pack(">HH", 281, 2) + struct.pack(">HHHH", 8, 4, 12, 4))
+    data = v9_flowset(281, bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2]))
+    rows = parse_netflow(build_v9([v9_flowset(1, obody), odata, tpl, data]), EXP, cache=cache)
+    assert rows[0]["SamplingRate"] == 1000
