@@ -111,11 +111,13 @@ def _build_sflow(recs: list[dict]) -> bytes:
     samples = []
     for f in recs:
         eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", 0x0800)
-        ip = bytes([0x45, 0]) + struct.pack(">H", f["bytes"] - 14) + b"\0\0\0\0" \
+        # decoded Bytes = the IP total-length field (reference
+        # helpers.go ParseIPv4), so the oracle's f["bytes"] goes there
+        ip = bytes([0x45, 0]) + struct.pack(">H", f["bytes"]) + b"\0\0\0\0" \
             + bytes([64, f["proto"]]) + b"\0\0" + f["src"] + f["dst"]
         l4 = struct.pack(">HH", f["sp"], f["dp"]) + b"\0" * 12 + b"\0\0\0\0"
         hdr = eth + ip + l4
-        raw = struct.pack(">IIII", 1, f["bytes"], 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+        raw = struct.pack(">IIII", 1, f["bytes"] + 18, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
         rec1 = struct.pack(">II", 1, len(raw)) + raw
         gw = (
             struct.pack(">I", 1) + f["src"]            # next-hop (v4 form)

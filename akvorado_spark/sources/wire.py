@@ -651,86 +651,195 @@ def parse_netflow(payload: bytes, exporter: bytes, ts: int = 0,
 _VXLAN_PORT = 4789
 
 
-def _parse_sampled_header(data: bytes, r: dict, decap: bool = False) -> None:
-    """Raw packet header record (format 1): Ethernet → VLAN → IP → L4,
-    optionally decapsulating IPIP / IPv6-in-IP / GRE / VXLAN tunnels
-    first (S8; reference outlet/flow/decoder/helpers.go — applied when
-    the RawFlow's decapsulation flag asks for it)."""
-    protocol, frame_len, _stripped, hdr_len = struct.unpack_from(">IIII", data, 0)
-    r["Bytes"] = frame_len
+# sFlow interface-format constants + the published discard-reason →
+# IPFIX ForwardingStatus mapping (sflow/decode.go:20-60; codes from
+# sflow.org/sflow_drops.txt, statuses from RFC 7270 §4.12)
+_SFLOW_LOCAL_IF = 0x3FFFFFFF
+_SFLOW_DISCARD_STATUS = {
+    0: 131, 1: 131, 2: 131, 3: 131, 4: 133, 5: 131, 6: 131, 7: 131,
+    8: 132, 9: 129, 10: 129, 257: 137, 258: 130, 259: 143, 260: 139,
+    261: 138, 262: 135, 263: 131, 269: 130, 302: 140,
+}
+_ETYPE_MPLS = 0x8847
+
+
+def _mac(b: bytes) -> int:
+    return int.from_bytes(b, "big")
+
+
+def _ph_eth(data: bytes, r: dict, decap: bool) -> int:
+    """Ethernet layer → L3 length (helpers.go ParseEthernet).  With
+    ``decap`` the outer layers set no fields; the first decapsulated
+    inner layer is parsed with ``decap=False`` and wins."""
+    if len(data) < 14:
+        return 0
+    if not decap:
+        r["DstMAC"] = _mac(data[0:6])
+        r["SrcMAC"] = _mac(data[6:12])
+    etype = _u(data[12:14])
+    data = data[14:]
+    vlan = 0
+    while etype in (0x8100, 0x88A8):  # 802.1Q / 802.1ad outer tag
+        if len(data) < 4:
+            return 0
+        if not decap:
+            vlan = _u(data[0:2]) & 0x0FFF
+        etype = _u(data[2:4])
+        data = data[4:]
+    if vlan and not decap:
+        if not r.get("SrcVlan"):
+            r["SrcVlan"] = vlan
+        if not r.get("DstVlan"):
+            r["DstVlan"] = vlan
+    if etype == _ETYPE_MPLS:
+        # label stack walk + payload heuristic (helpers.go:228-295)
+        labels: list[int] = []
+        while True:
+            if len(data) < 5:
+                return 0
+            label = (_u(data[0:3])) >> 4
+            bottom = data[2] & 1
+            data = data[4:]
+            labels.append(label)
+            if not bottom:
+                continue
+            if label == 0:
+                etype = ETYPE_IPV4
+            elif label == 2:
+                etype = ETYPE_IPV6
+            else:
+                nibble = data[0] >> 4
+                if nibble == 4:
+                    etype = ETYPE_IPV4
+                elif nibble == 6:
+                    etype = ETYPE_IPV6
+                elif nibble == 0:
+                    if len(data) < 4 or _u(data[0:4]) != 0:
+                        return 0
+                    if labels and not decap:
+                        r["MPLSLabels"] = labels
+                    return _ph_eth(data[4:], r, decap)
+                else:
+                    return 0
+            break
+        if labels and not decap:
+            r["MPLSLabels"] = labels
+    if etype == ETYPE_IPV4:
+        return _ph_ip4(data, r, decap)
+    if etype == ETYPE_IPV6:
+        return _ph_ip6(data, r, decap)
+    return 0
+
+
+def _ph_ip4(data: bytes, r: dict, decap: bool) -> int:
+    """IPv4 layer → L3 length = the header's total-length field
+    (helpers.go ParseIPv4 — NOT the sampled frame length)."""
+    if len(data) < 20:
+        return 0
+    l3 = _u(data[2:4])
+    fragoff = _u(data[6:8]) & 0x1FFF
+    proto = data[9]
+    if not decap:
+        r["EType"] = ETYPE_IPV4
+        r["SrcAddr"] = ip16(data[12:16])
+        r["DstAddr"] = ip16(data[16:20])
+        r["IPTos"] = data[1]
+        r["IPTTL"] = data[8]
+        r["IPFragmentID"] = _u(data[4:6])
+        r["IPFragmentOffset"] = fragoff
+        r["Proto"] = proto
+    ihl = (data[0] & 0x0F) * 4
+    data = data[ihl:] if len(data) >= ihl else b""
+    if fragoff == 0:
+        inner = _ph_l4(data, r, decap, proto)
+        if decap:
+            return inner
+        return l3
+    return 0 if decap else l3
+
+
+def _ph_ip6(data: bytes, r: dict, decap: bool) -> int:
+    if len(data) < 40:
+        return 0
+    l3 = _u(data[4:6]) + 40
+    proto = data[6]
+    if not decap:
+        r["EType"] = ETYPE_IPV6
+        r["SrcAddr"] = data[8:24]
+        r["DstAddr"] = data[24:40]
+        r["Proto"] = proto
+        r["IPTos"] = (_u(data[0:2]) & 0x0FF0) >> 4
+        r["IPTTL"] = data[7]
+        r["IPv6FlowLabel"] = _u(data[0:4]) & 0xFFFFF
+    inner = _ph_l4(data[40:], r, decap, proto)
+    return inner if decap else l3
+
+
+def _ph_l4(data: bytes, r: dict, decap: bool, proto: int) -> int:
+    """L4 / tunnel layer (helpers.go ParseL4).  The reference
+    decapsulates only the configured protocol; here ``decap`` hunts
+    every supported tunnel kind (VXLAN, RFC 2890 GRE, IPIP, SRv6) —
+    the union of the reference's per-config behaviors."""
+    if decap:
+        if proto == 17 and len(data) > 16 and _u(data[2:4]) == _VXLAN_PORT:
+            return _ph_eth(data[16:], r, False)
+        if proto == 47 and len(data) > 4:
+            flags = _u(data[0:2])
+            inner = _u(data[2:4])
+            if flags & 0x4FFF:
+                return 0  # only RFC 2890
+            skip = 4 + bin(flags).count("1") * 4
+            if len(data) >= skip:
+                if inner == ETYPE_IPV4:
+                    return _ph_ip4(data[skip:], r, False)
+                if inner == ETYPE_IPV6:
+                    return _ph_ip6(data[skip:], r, False)
+            return 0
+        if proto == 4:
+            return _ph_ip4(data, r, False)
+        if proto == 41:
+            return _ph_ip6(data, r, False)
+        while proto == 43:  # SRv6 routing headers
+            if len(data) < 8 or data[2] != 4:
+                return 0
+            skip = 8 + data[1] * 8
+            if len(data) < skip:
+                return 0
+            proto = data[0]
+            data = data[skip:]
+            if proto == 4:
+                return _ph_ip4(data, r, False)
+            if proto == 41:
+                return _ph_ip6(data, r, False)
+        return 0
+    if proto in (6, 17) and len(data) > 4:
+        r["SrcPort"] = _u(data[0:2])
+        r["DstPort"] = _u(data[2:4])
+    if proto == 6 and len(data) > 13:
+        r["TCPFlags"] = data[13]
+    elif proto == 1 and len(data) > 2:
+        r["ICMPv4Type"] = data[0]
+        r["ICMPv4Code"] = data[1]
+    elif proto == 58 and len(data) > 2:
+        r["ICMPv6Type"] = data[0]
+        r["ICMPv6Code"] = data[1]
+    return 0
+
+
+def _parse_sampled_header(data: bytes, r: dict, decap: bool = False) -> int:
+    """Raw packet header record (format 1) → L3 length.  Mirrors the
+    reference's header-protocol dispatch (sflow/decode.go:232-245):
+    Ethernet (1), raw IPv4 (11), raw IPv6 (12)."""
+    protocol, _frame_len, _stripped, hdr_len = struct.unpack_from(">IIII", data, 0)
     r["Packets"] = 1
-    if protocol != 1:  # 1 = ETHERNET-ISO8023
-        return
     h = data[16:16 + hdr_len]
-    if len(h) < 14:
-        return
-    etype = _u(h[12:14])
-    off = 14
-    while etype == 0x8100 and len(h) >= off + 4:  # 802.1Q tag(s)
-        if r.get("SrcVlan") is None:
-            r["SrcVlan"] = _u(h[off:off + 2]) & 0x0FFF
-        etype = _u(h[off + 2:off + 4])
-        off += 4
-    for _hop in range(4):  # bounded decap depth
-        if etype == ETYPE_IPV4 and len(h) >= off + 20:
-            ihl = (h[off] & 0x0F) * 4
-            proto = h[off + 9]
-            src, dst = h[off + 12:off + 16], h[off + 16:off + 20]
-            l4 = off + ihl
-        elif etype == ETYPE_IPV6 and len(h) >= off + 40:
-            proto = h[off + 6]
-            src, dst = h[off + 8:off + 24], h[off + 24:off + 40]
-            l4 = off + 40
-        else:
-            return
-        if decap and proto == 4 and len(h) >= l4 + 20:      # IPIP
-            etype, off = ETYPE_IPV4, l4
-            continue
-        if decap and proto == 41 and len(h) >= l4 + 40:     # IPv6-in-IP
-            etype, off = ETYPE_IPV6, l4
-            continue
-        if decap and proto == 43 and len(h) >= l4 + 8:      # v6 routing hdr (SRv6)
-            nxt, ext_len = h[l4], h[l4 + 1]
-            srh_end = l4 + 8 + ext_len * 8
-            if nxt in (4, 41) and len(h) >= srh_end + 20:
-                etype = ETYPE_IPV4 if nxt == 4 else ETYPE_IPV6
-                off = srh_end
-                continue
-        if decap and proto == 47 and len(h) >= l4 + 4:      # GRE
-            flags = _u(h[l4:l4 + 2])
-            inner = _u(h[l4 + 2:l4 + 4])
-            skip = 4
-            if flags & 0x8000 or flags & 0x4000:  # checksum/routing
-                skip += 4
-            if flags & 0x2000:  # key
-                skip += 4
-            if flags & 0x1000:  # sequence
-                skip += 4
-            if inner in (ETYPE_IPV4, ETYPE_IPV6):
-                etype, off = inner, l4 + skip
-                continue
-            if inner == 0x6558 and len(h) >= l4 + skip + 14:  # transparent eth
-                etype = _u(h[l4 + skip + 12:l4 + skip + 14])
-                off = l4 + skip + 14
-                continue
-        if decap and proto == 17 and len(h) >= l4 + 8:
-            dp = _u(h[l4 + 2:l4 + 4])
-            if dp == _VXLAN_PORT and len(h) >= l4 + 8 + 8 + 14:
-                # UDP(8) + VXLAN(8) + inner Ethernet
-                inner_eth = l4 + 16
-                etype = _u(h[inner_eth + 12:inner_eth + 14])
-                off = inner_eth + 14
-                continue
-        break
-    r["EType"] = etype
-    r["Proto"] = proto
-    r["SrcAddr"] = ip16(src)
-    r["DstAddr"] = ip16(dst)
-    if proto in (6, 17) and len(h) >= l4 + 4:
-        r["SrcPort"] = _u(h[l4:l4 + 2])
-        r["DstPort"] = _u(h[l4 + 2:l4 + 4])
-        if proto == 6 and len(h) >= l4 + 14:
-            r["TCPFlags"] = h[l4 + 13]
+    if protocol == 1:
+        return _ph_eth(h, r, decap)
+    if protocol == 11:
+        return _ph_ip4(h, r, decap)
+    if protocol == 12:
+        return _ph_ip6(h, r, decap)
+    return 0
 
 
 def _read_addr(data: bytes, off: int) -> tuple[bytes | None, int]:
@@ -774,13 +883,32 @@ def _parse_sflow5(payload: bytes, exporter: bytes, ts: int,
             p += 8 if fmt == 3 else 4  # source id (type+index when expanded)
             rate = _u(payload[p:p + 4]); p += 4
             p += 8  # sample_pool, drops
+            # interface formats (sflow/decode.go:66-103): only format 0
+            # is an ifindex; format 1 on the output is a discard whose
+            # reason maps to ForwardingStatus; format 2 means multiple
+            fwd_status = 0
             if fmt == 3:
-                inif = _u(payload[p + 4:p + 8]); outif = _u(payload[p + 12:p + 16]); p += 16
+                in_fmt, in_val, out_fmt, out_val = struct.unpack_from(
+                    ">IIII", payload, p)
+                p += 16
             else:
-                inif = _u(payload[p:p + 4]); outif = _u(payload[p + 4:p + 8]); p += 8
+                in_raw = _u(payload[p:p + 4])
+                out_raw = _u(payload[p + 4:p + 8])
+                p += 8
+                in_fmt, in_val = in_raw >> 30, in_raw & 0x3FFFFFFF
+                out_fmt, out_val = out_raw >> 30, out_raw & 0x3FFFFFFF
+            inif = in_val if in_fmt == 0 else 0
+            outif = out_val if out_fmt == 0 else 0
+            if out_fmt == 1:
+                fwd_status = _SFLOW_DISCARD_STATUS.get(out_val, 128)
+            if inif == _SFLOW_LOCAL_IF:
+                inif = 0
+            if outif == _SFLOW_LOCAL_IF:
+                outif = 0
             nrec = _u(payload[p:p + 4]); p += 4
             r = _row(ts, exporter, rate or 1)
-            r.update(InIf=inif, OutIf=outif)
+            r.update(InIf=inif, OutIf=outif, ForwardingStatus=fwd_status)
+            l3len = 0
             for _ in range(nrec):
                 rfmt, rlen = struct.unpack_from(">II", payload, p)
                 rdata = payload[p + 8:p + 8 + rlen]
@@ -789,10 +917,43 @@ def _parse_sflow5(payload: bytes, exporter: bytes, ts: int,
                 if (rfmt >> 12) != 0:
                     continue
                 if code == 1:
-                    _parse_sampled_header(rdata, r, decap=decapsulate)
+                    l3 = _parse_sampled_header(rdata, r, decap=decapsulate)
+                    if l3:
+                        l3len = l3
+                elif decapsulate:
+                    # tunnel mode only trusts the raw header
+                    # (sflow/decode.go: every other record `continue`s
+                    # under needDecap)
+                    continue
+                elif code == 2:  # sampled ethernet (XDR-padded MACs)
+                    if l3len == 0 and len(rdata) >= 4:
+                        # best guess per the sFlow spec note
+                        l3len = max(_u(rdata[0:4]) - 16, 0)
+                    if len(rdata) >= 20:
+                        r["SrcMAC"] = _mac(rdata[4:10])
+                        r["DstMAC"] = _mac(rdata[12:18])
+                elif code == 3 and len(rdata) >= 32:  # sampled IPv4
+                    l3len = _u(rdata[0:4])
+                    r.update(
+                        Proto=rdata[7], SrcAddr=ip16(rdata[8:12]),
+                        DstAddr=ip16(rdata[12:16]),
+                        SrcPort=_u(rdata[16:20]), DstPort=_u(rdata[20:24]),
+                        EType=ETYPE_IPV4, IPTos=_u(rdata[28:32]),
+                    )
+                elif code == 4 and len(rdata) >= 56:  # sampled IPv6
+                    l3len = _u(rdata[0:4])
+                    r.update(
+                        Proto=rdata[7], SrcAddr=bytes(rdata[8:24]),
+                        DstAddr=bytes(rdata[24:40]),
+                        SrcPort=_u(rdata[40:44]), DstPort=_u(rdata[44:48]),
+                        EType=ETYPE_IPV6, IPTos=_u(rdata[52:56]),
+                    )
                 elif code == 1001:  # extended switch
-                    r["SrcVlan"] = _u(rdata[0:4])
-                    r["DstVlan"] = _u(rdata[8:12])
+                    src_vlan, dst_vlan = _u(rdata[0:4]), _u(rdata[8:12])
+                    if src_vlan < 4096:
+                        r["SrcVlan"] = src_vlan
+                    if dst_vlan < 4096:
+                        r["DstVlan"] = dst_vlan
                 elif code == 1002:  # extended router
                     nh, q = _read_addr(rdata, 0)
                     r["NextHop"] = nh
@@ -800,10 +961,13 @@ def _parse_sflow5(payload: bytes, exporter: bytes, ts: int,
                     r["DstNetMask"] = _u(rdata[q + 4:q + 8])
                 elif code == 1003:  # extended gateway
                     nh, q = _read_addr(rdata, 0)
-                    if r.get("NextHop") is None:
-                        r["NextHop"] = nh
-                    _ras = _u(rdata[q:q + 4])
-                    r["SrcAS"] = _u(rdata[q + 4:q + 8])
+                    r["NextHop"] = nh
+                    ras = _u(rdata[q:q + 4])
+                    src_as = _u(rdata[q + 4:q + 8])
+                    # AS fallbacks (sflow/decode.go:198-213): the
+                    # router's AS backstops both directions
+                    r["SrcAS"] = src_as or ras
+                    r["DstAS"] = ras
                     q += 12  # as, src_as, src_peer_as
                     nseg = _u(rdata[q:q + 4]); q += 4
                     path: list[int] = []
@@ -821,7 +985,12 @@ def _parse_sflow5(payload: bytes, exporter: bytes, ts: int,
                         r["DstAS"] = path[-1]
                     if coms:
                         r["DstCommunities"] = coms
-            if r["Bytes"]:
+            if l3len:
+                r["Bytes"] = l3len
+                rows.append(r)
+            elif not decapsulate:
+                # a non-IP frame still reports (Bytes 0); in decap mode
+                # a non-encapsulated sample is dropped
                 rows.append(r)
         off = send
     return rows

@@ -225,7 +225,9 @@ def test_sflow_raw_header_and_gateway():
     assert r["ExporterAddress"] == ip16(EXP)  # agent address wins
     assert r["SrcAddr"] == ip16(b"\x0a\x01\x02\x03")
     assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (40001, 443, 6)
-    assert (r["Bytes"], r["Packets"], r["SamplingRate"]) == (1518, 1, 512)
+    # Bytes = the IP header total length (helpers.go ParseIPv4),
+    # not the sampled frame length
+    assert (r["Bytes"], r["Packets"], r["SamplingRate"]) == (1480, 1, 512)
     assert (r["InIf"], r["OutIf"]) == (5, 7)
     assert (r["SrcVlan"], r["DstVlan"]) == (120, 130)
     assert r["EType"] == ETYPE_IPV4 and r["TCPFlags"] == 0x10
@@ -348,7 +350,7 @@ def test_decode_binary_sflow_end_to_end(spark):
     pkt = build_sflow([sflow_sample([sflow_record(1, raw_rec)])])
     raw = spark.createDataFrame([(None, pkt, EXP, "sflow", "udp", "none")], RAW_FLOW_SCHEMA)
     rows = decode_binary(raw, WIRE_SCHEMA, "sflow", sflow_batch_parser()).collect()
-    assert len(rows) == 1 and rows[0]["Bytes"] == 999 and rows[0]["SamplingRate"] == 512
+    assert len(rows) == 1 and rows[0]["Bytes"] == 1480 and rows[0]["SamplingRate"] == 512
 
 
 def test_nonstrict_parser_survives_garbage():
@@ -648,3 +650,105 @@ def test_sampling_packet_interval_space():
     data = v9_flowset(281, bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2]))
     rows = parse_netflow(build_v9([v9_flowset(1, obody), odata, tpl, data]), EXP, cache=cache)
     assert rows[0]["SamplingRate"] == 1000
+
+
+# ---- sFlow parity extensions (sflow/root_test.go, sflow/decode.go) -------
+
+
+def test_sflow_interface_formats():
+    """sflow/decode.go:20-103 + root_test.go local/discard/multiple:
+    format 1 output = discard (reason → ForwardingStatus), format 2 =
+    multiple (OutIf 0), value 0x3fffffff = local (→ 0)."""
+    hdr = eth_ipv4_tcp(b"\x0a\x00\x00\x01", b"\x0a\x00\x00\x02", 1, 2)
+    raw = struct.pack(">IIII", 1, 1518, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+
+    def sample(inif, outif):
+        return build_sflow([sflow_sample([sflow_record(1, raw)],
+                                         inif=inif, outif=outif)])
+
+    # discard, reason 3 (icmp_port_unreachable) → Unroutable (131)
+    r = parse_sflow(sample(27, (1 << 30) | 3), b"\0" * 4)[0]
+    assert (r["InIf"], r["OutIf"], r["ForwardingStatus"]) == (27, 0, 131)
+    # unknown discard reason → generic dropped (128)
+    r = parse_sflow(sample(27, (1 << 30) | 9999), b"\0" * 4)[0]
+    assert r["ForwardingStatus"] == 128
+    # multiple output interfaces → 0
+    r = parse_sflow(sample(27, (2 << 30) | 5), b"\0" * 4)[0]
+    assert (r["OutIf"], r["ForwardingStatus"]) == (0, 0)
+    # local interface → 0
+    r = parse_sflow(sample(0x3FFFFFFF, 0x3FFFFFFF), b"\0" * 4)[0]
+    assert (r["InIf"], r["OutIf"]) == (0, 0)
+
+
+def test_sflow_raw_header_l2_l3_details():
+    """Raw-header parse now yields MACs, TTL, ToS and TCP flags for
+    IPv4 and the traffic-class/flow-label pair for IPv6
+    (helpers.go ParseEthernet/ParseIPv4/ParseIPv6)."""
+    hdr = eth_ipv4_tcp(b"\x0a\x00\x00\x01", b"\x0a\x00\x00\x02", 1, 2, vlan=100)
+    raw = struct.pack(">IIII", 1, 1518, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+    r = parse_sflow(build_sflow([sflow_sample([sflow_record(1, raw)])]), b"\0" * 4)[0]
+    assert r["DstMAC"] == 0xAAAAAAAAAAAA and r["SrcMAC"] == 0xBBBBBBBBBBBB
+    assert (r["IPTTL"], r["IPTos"]) == (64, 0)
+    # the raw-header VLAN fills BOTH directions when unset
+    assert (r["SrcVlan"], r["DstVlan"]) == (100, 100)
+
+    src = bytes.fromhex("2a0c8880000200000185002101300038")
+    dst = bytes.fromhex("2a0c8880000200000185002101300039")
+    eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", ETYPE_IPV6)
+    # version 6, traffic class 8, flow label 426132
+    first = (6 << 28) | (8 << 20) | 426132
+    ip6 = struct.pack(">I", first) + struct.pack(">HBB", 40, 6, 64) + src + dst
+    tcp = struct.pack(">HH", 46026, 22) + b"\0" * 9 + bytes([16]) + b"\0\0"
+    raw = struct.pack(">IIII", 1, 1518, 4, len(eth + ip6 + tcp)) + eth + ip6 + tcp \
+        + b"\0" * ((-len(eth + ip6 + tcp)) % 4)
+    r = parse_sflow(build_sflow([sflow_sample([sflow_record(1, raw)])]), b"\0" * 4)[0]
+    assert (r["IPTos"], r["IPTTL"], r["IPv6FlowLabel"]) == (8, 64, 426132)
+    assert (r["TCPFlags"], r["Bytes"]) == (16, 80)
+
+
+def test_sflow_icmp_from_header():
+    """root_test.go ICMPv4/ICMPv6 cases: type/code read from the L4
+    bytes of the sampled header."""
+    eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", ETYPE_IPV4)
+    ip = bytes([0x45, 0]) + struct.pack(">H", 84) + b"\0\0\0\0" + bytes([64, 1]) \
+        + b"\0\0" + bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2])
+    icmp = bytes([8, 0]) + b"\0\0"  # echo request
+    hdr = eth + ip + icmp
+    raw = struct.pack(">IIII", 1, 98, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+    r = parse_sflow(build_sflow([sflow_sample([sflow_record(1, raw)])]), b"\0" * 4)[0]
+    assert (r["ICMPv4Type"], r["ICMPv4Code"]) == (8, 0)
+
+
+def test_sflow_sampled_ipv4_and_ethernet_records():
+    """root_test.go "flow sample with IPv4 data" / "sampled ethernet":
+    pre-parsed record types carry addresses/MACs without a raw
+    header (sflow/decode.go:138-180)."""
+    ip4 = (struct.pack(">I", 1400) + struct.pack(">I", 6)
+           + bytes([10, 1, 1, 1]) + bytes([10, 1, 1, 2])
+           + struct.pack(">II", 8080, 443) + struct.pack(">II", 0x10, 0xB8))
+    eth = (struct.pack(">I", 1416)
+           + bytes.fromhex("00e01c3c17c2") + b"\0\0"
+           + bytes.fromhex("001f33d98160") + b"\0\0" + struct.pack(">I", 0x0800))
+    pkt = build_sflow([sflow_sample([sflow_record(2, eth), sflow_record(3, ip4)])])
+    r = parse_sflow(pkt, b"\0" * 4)[0]
+    assert bytes(r["SrcAddr"])[-4:] == bytes([10, 1, 1, 1])
+    assert (r["SrcPort"], r["DstPort"], r["Proto"]) == (8080, 443, 6)
+    assert (r["Bytes"], r["IPTos"], r["EType"]) == (1400, 0xB8, ETYPE_IPV4)
+    assert r["SrcMAC"] == 0x00E01C3C17C2 and r["DstMAC"] == 0x001F33D98160
+
+
+def test_sflow_mpls_header():
+    """helpers.go:228-295: MPLS label stack in the sampled header —
+    labels collected (>>4 of the 20-bit label), payload found via the
+    bottom-of-stack nibble heuristic."""
+    eth = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", 0x8847)
+    mpls = (100 << 12 | 0).to_bytes(4, "big") + (200 << 12 | 0x100).to_bytes(4, "big")
+    ip = bytes([0x45, 0]) + struct.pack(">H", 120) + b"\0\0\0\0" + bytes([64, 17]) \
+        + b"\0\0" + bytes([10, 2, 2, 1]) + bytes([10, 2, 2, 2])
+    udp = struct.pack(">HH", 53, 5353) + b"\0\0\0\0"
+    hdr = eth + mpls + ip + udp
+    raw = struct.pack(">IIII", 1, 200, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
+    r = parse_sflow(build_sflow([sflow_sample([sflow_record(1, raw)])]), b"\0" * 4)[0]
+    assert r["MPLSLabels"] == [100, 200]
+    assert bytes(r["SrcAddr"])[-4:] == bytes([10, 2, 2, 1])
+    assert (r["Proto"], r["Bytes"]) == (17, 120)
