@@ -397,13 +397,18 @@ def _parse_ipfix_templates(payload: bytes, off: int, end: int, key, cache: Templ
 def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
                          exporter: bytes, rate: int, key, cache: TemplateCache,
                          sysuptime_ms: int = 0,
-                         ts_source: str = "input") -> list[dict]:
+                         ts_source: str = "input",
+                         decapsulate: bool = False) -> list[dict]:
     # Records shorter than the residual padding (< 4 bytes total) are
     # ambiguous on the wire — RFC 3954 padding cannot be told apart
     # from data.  Real templates are always wider; we stop when fewer
     # than one full record remains.
     rec_len = sum(ln for _, ln in fields if ln != 0xFFFF)
     fixed_only = all(ln != 0xFFFF for _, ln in fields)
+    # smallest possible record: fixed widths + 1 length byte per
+    # variable-length field; RFC 7011 set padding is shorter than this
+    # (floor of 4 guards the all-varlen case against 0x00 pad bytes)
+    min_rec = max(rec_len + sum(1 for _, ln in fields if ln == 0xFFFF), 4)
     # a template whose records consume ZERO bytes (no fields, or all
     # fields zero-length and fixed) would never advance `off` — an
     # attacker-controlled datagram must not wedge the decode task in an
@@ -413,7 +418,7 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
         raise ValueError("data template with zero-byte records")
     rows = []
     while off < end:
-        if fixed_only and off + rec_len > end:
+        if off + min_rec > end:
             break  # padding
         r = _row(ts, exporter, rate)
         rr: dict = {}  # RFC 5103 reverse-direction overrides
@@ -424,6 +429,7 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
         pkt_interval = pkt_space = 0
         icmp_type = icmp_code = 0
         icmp_found = False
+        frame_seen = decap_ok = False
         for ie, ln in fields:
             if ln == 0xFFFF:  # variable length (RFC 7011 §7)
                 ln = payload[off]
@@ -474,6 +480,16 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
                 pkt_interval = _u(data)
             elif ie == _PKT_SPACE_IE:
                 pkt_space = _u(data)
+            elif ie == 315:
+                # RFC 7133 dataLinkFrameSection: a raw Ethernet frame
+                # inside the record, optionally decapsulated
+                # (decode.go:249-255 → decoder.ParseEthernet)
+                frame_seen = True
+                l3 = _ph_eth(bytes(data), r, decapsulate)
+                if l3 > 0:
+                    r["Bytes"] = l3
+                    r["Packets"] = 1
+                    decap_ok = True
             elif ie in _MPLS_IES:
                 label = _u(data) >> 4
                 if label:
@@ -518,6 +534,8 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
             r["SamplingRate"] = cache.sampling.get(
                 (*key, sid_seen), r["SamplingRate"]
             )
+        if decapsulate and frame_seen and not decap_ok:
+            continue  # non-encapsulated packet under decap (decode.go:394-400)
         if r["Proto"] in (1, 58):
             # ICMP type/code columns (decode.go:360-380), with the
             # v5-era dst-port fallback heuristic
@@ -547,7 +565,8 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
 
 def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
                             cache: TemplateCache,
-                            ts_source: str = "input") -> list[dict]:
+                            ts_source: str = "input",
+                            decapsulate: bool = False) -> list[dict]:
     """NetFlow v9 / IPFIX datagram → wire rows (template-stateful).
 
     ``ts_source``: "input" stamps every flow with the datagram time;
@@ -619,14 +638,16 @@ def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
                 _decode_data_records(payload, body, end, fields, ts, exporter,
                                      rate, key, cache,
                                      sysuptime_ms=sysuptime_ms,
-                                     ts_source=ts_source)
+                                     ts_source=ts_source,
+                                     decapsulate=decapsulate)
             )
     return rows
 
 
 def parse_netflow(payload: bytes, exporter: bytes, ts: int = 0,
                   cache: TemplateCache | None = None,
-                  ts_source: str = "input") -> list[dict]:
+                  ts_source: str = "input",
+                  decapsulate: bool = False) -> list[dict]:
     """Public entry point.  Error contract: malformed or truncated
     datagrams raise ``ValueError`` — never a bare ``struct.error`` /
     ``IndexError`` from an out-of-bounds read (fuzz-asserted)."""
@@ -636,7 +657,8 @@ def parse_netflow(payload: bytes, exporter: bytes, ts: int = 0,
             return parse_netflow_v5(payload, exporter, ts, ts_source=ts_source)
         return parse_netflow_templated(payload, exporter, ts,
                                        cache or TemplateCache(),
-                                       ts_source=ts_source)
+                                       ts_source=ts_source,
+                                       decapsulate=decapsulate)
     except ValueError:
         raise
     except (struct.error, IndexError) as e:

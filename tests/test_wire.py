@@ -752,3 +752,42 @@ def test_sflow_mpls_header():
     assert r["MPLSLabels"] == [100, 200]
     assert bytes(r["SrcAddr"])[-4:] == bytes([10, 2, 2, 1])
     assert (r["Proto"], r["Bytes"]) == (17, 120)
+
+
+def test_ipfix_datalink_frame_section():
+    """RFC 7133 / root_test.go:505-552 TestDecodeDataLink + the
+    EVPN/VXLAN tests: IE 315 carries a raw Ethernet frame that
+    decodes like a sampled sFlow header — and under decapsulation a
+    non-encapsulated frame drops the record."""
+    cache = TemplateCache()
+    tpl = ipfix_template(290, [(315, 0xFFFF)])
+    frame = eth_ipv4_tcp(b"\x0a\x05\x05\x01", b"\x0a\x05\x05\x02", 4000, 443)
+    rec = bytes([len(frame)]) + frame  # varlen, short form
+    body = tpl + ipfix_data(290, rec)
+    hdr = struct.pack(">HHIII", 10, 16 + len(body), 1_700_000_400, 7, 0)
+    rows = parse_netflow(hdr + body, EXP, cache=cache)
+    r = rows[0]
+    assert bytes(r["SrcAddr"])[-4:] == bytes([10, 5, 5, 1])
+    assert (r["SrcPort"], r["DstPort"], r["Bytes"], r["Packets"]) == (4000, 443, 1480, 1)
+    assert r["SrcMAC"] == 0xBBBBBBBBBBBB
+    # decap requested but the frame holds a plain TCP flow → dropped
+    assert parse_netflow(hdr + body, EXP, cache=cache, decapsulate=True) == []
+
+    # VXLAN-encapsulated frame under decap yields the inner flow
+    src6 = bytes.fromhex("20010db8000000000000000000000041")
+    dst6 = bytes.fromhex("20010db8000000000000000000000042")
+    inner_ip6 = struct.pack(">I", 0x60000000) + struct.pack(">HBB", 20, 17, 64) + src6 + dst6
+    inner_udp = struct.pack(">HH", 1111, 2222) + b"\0\0\0\0"
+    inner_eth = b"\xcc" * 6 + b"\xdd" * 6 + struct.pack(">H", ETYPE_IPV6) + inner_ip6 + inner_udp
+    vxlan = struct.pack(">II", 0x08000000, 42 << 8)
+    udp = struct.pack(">HHHH", 55555, 4789, 0, 0)
+    outer_ip = bytes([0x45, 0]) + struct.pack(">H", 200) + b"\0\0\0\0" + bytes([64, 17]) \
+        + b"\0\0" + bytes([192, 0, 2, 1]) + bytes([192, 0, 2, 2])
+    outer = b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", ETYPE_IPV4) + outer_ip + udp + vxlan + inner_eth
+    rec = bytes([len(outer)]) + outer
+    body = tpl + ipfix_data(290, rec)
+    hdr = struct.pack(">HHIII", 10, 16 + len(body), 1_700_000_401, 7, 0)
+    rows = parse_netflow(hdr + body, EXP, cache=cache, decapsulate=True)
+    r = rows[0]
+    assert r["SrcAddr"] == src6 and (r["SrcPort"], r["DstPort"]) == (1111, 2222)
+    assert r["Bytes"] == 60  # inner v6 payload 20 + 40 header
