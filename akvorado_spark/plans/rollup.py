@@ -64,9 +64,14 @@ class FlowStore:
     """A directory of flow tables at multiple resolutions."""
 
     # Bloom filters on the point-lookup columns the time-sort order
-    # can't serve — the analog of the reference's bloom/set skip
-    # indexes (common/schema/config.go:122-139).
-    BLOOM_COLUMNS = ("SrcAddr", "DstAddr", "SrcAS", "DstAS")
+    # can't serve — the FULL bloom set of the reference's default skip
+    # indexes (common/schema/config.go:122-139).  Its minmax index
+    # (ExporterName) is parquet row-group min/max statistics, free on
+    # every column; its set(0) indexes (If Provider/Connectivity/
+    # Boundary) are low-cardinality dictionary-encoded columns whose
+    # row-group stats already prune equality filters.
+    BLOOM_COLUMNS = ("SrcAddr", "DstAddr", "SrcAS", "DstAS",
+                     "SrcPort", "DstPort", "SrcCountry", "DstCountry")
     # Cap per-column-chunk bloom size: parquet-mr's 1 MiB default is
     # sized for ~1M-NDV row groups (about right for full 128 MB row
     # groups at cluster scale); small local writes would pay it per
