@@ -239,6 +239,8 @@ _ADDR_IES = (8, 12, 27, 28)           # all-zero guard (decode.go:190-209)
 _SCOPE_BASE = -0x10000                # scope field: stored as ie + _SCOPE_BASE
 _REVERSE_BASE = 0x20000               # RFC 5103 PEN 29305: ie + _REVERSE_BASE
 _REVERSE_PEN = 29305
+_JUNIPER_BASE = 0x40000               # Juniper PEN 2636: ie + _JUNIPER_BASE
+_JUNIPER_PEN = 2636
 
 
 @dataclass
@@ -386,6 +388,8 @@ def _parse_ipfix_templates(payload: bytes, off: int, end: int, key, cache: Templ
                     # RFC 5103 biflow: the reverse-direction twin of
                     # the base IE (decoder helpers_test.go RFC5103)
                     ie = _REVERSE_BASE + (ie & 0x7FFF)
+                elif pen == _JUNIPER_PEN:
+                    ie = _JUNIPER_BASE + (ie & 0x7FFF)
                 else:
                     ie = -2  # unknown enterprise IE: skip its bytes
             else:
@@ -444,6 +448,15 @@ def _decode_data_records(payload: bytes, off: int, end: int, fields, ts: int,
                 sie = ie - _SCOPE_BASE
                 if sie in _SAMPLER_ID_IES:
                     sid_seen = _u(data)
+                continue
+            if ie >= _JUNIPER_BASE:
+                # Juniper commonPropertiesId (decode.go:145-162): a
+                # forwardingExceptionCode property (type 2) reports
+                # whether the platform dropped the packet
+                if ie - _JUNIPER_BASE == 137 and len(data) == 2 \
+                        and (data[0] & 0xFC) >> 2 == 0x02:
+                    code = _u(data) & 0x03FF
+                    r["ForwardingStatus"] = 64 if code == 0 else 128
                 continue
             if ie >= _REVERSE_BASE:  # RFC 5103 reverse twin
                 ie -= _REVERSE_BASE

@@ -791,3 +791,24 @@ def test_ipfix_datalink_frame_section():
     r = rows[0]
     assert r["SrcAddr"] == src6 and (r["SrcPort"], r["DstPort"]) == (1111, 2222)
     assert r["Bytes"] == 60  # inner v6 payload 20 + 40 header
+
+
+def test_juniper_cpid_forwarding_status():
+    """root_test.go:1116-1160 TestJuniperCPIDDrop: a Juniper
+    commonPropertiesId (PEN 2636) whose property type is
+    forwardingExceptionCode maps to ForwardingStatus — 64 when the
+    code is 0 (forwarded), 128 otherwise (platform drop)."""
+    cache = TemplateCache()
+    tpl = ipfix_template(295, [(8, 4), (("pen", 2636, 137), 2)])
+    def pkt(cpid):
+        body = tpl + ipfix_data(295, bytes([10, 0, 0, 1]) + struct.pack(">H", cpid))
+        return struct.pack(">HHIII", 10, 16 + len(body), 1_700_000_500, 7, 0) + body
+    # type 2 (forwardingException), code 5 → dropped
+    r = parse_netflow(pkt((0x02 << 10) | 5), EXP, cache=cache)[0]
+    assert r["ForwardingStatus"] == 128
+    # type 2, code 0 → forwarded
+    r = parse_netflow(pkt(0x02 << 10), EXP, cache=cache)[0]
+    assert r["ForwardingStatus"] == 64
+    # another property type → untouched
+    r = parse_netflow(pkt((0x01 << 10) | 5), EXP, cache=cache)[0]
+    assert r["ForwardingStatus"] is None
