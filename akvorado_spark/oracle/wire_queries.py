@@ -145,7 +145,7 @@ def _build_sflow(recs: list[dict]) -> bytes:
 _SAMPLE = "o_orderkey % 5 = 0"
 
 
-def _decode_run(spark, sf_dir, build_packets, parse):
+def _decode_run(spark, sf_dir, build_packets, parse, extra_aggs=None):
     orders = (
         load_table(spark, "orders", sf_dir, spread=True)
         .filter(_SAMPLE)
@@ -166,16 +166,17 @@ def _decode_run(spark, sf_dir, build_packets, parse):
             yield pd.DataFrame(rows, columns=[f.name for f in WIRE_SCHEMA.fields])
 
     wire = orders.mapInPandas(run, WIRE_SCHEMA)
+    aggs = [
+        F.count(F.lit(1)).alias("n_flows"),
+        F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("est_bytes"),
+        F.sum("Packets").alias("sum_pkts"),
+        F.countDistinct("SrcAddr").alias("n_src"),
+        F.sum("SrcAS").alias("sum_src_as"),
+        F.sum("DstAS").alias("sum_dst_as"),
+    ] + (extra_aggs or [])
     return (
         wire.groupBy(F.col("DstPort").alias("dst_port"))
-        .agg(
-            F.count(F.lit(1)).alias("n_flows"),
-            F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("est_bytes"),
-            F.sum("Packets").alias("sum_pkts"),
-            F.countDistinct("SrcAddr").alias("n_src"),
-            F.sum("SrcAS").alias("sum_src_as"),
-            F.sum("DstAS").alias("sum_dst_as"),
-        )
+        .agg(*aggs)
         .orderBy("dst_port")
     )
 
@@ -201,6 +202,85 @@ def _decode_sflow(spark, sf_dir):
         spark, sf_dir,
         lambda recs: [_build_sflow(recs[i:i + 8]) for i in range(0, len(recs), 8)],
         lambda pkt: parse_sflow(pkt, b"\0" * 4),
+    )
+
+
+# Extended-template v9 family: exercises the round-5 decode surface —
+# per-sampler-id rates learned from options records, icmpTypeCode,
+# MPLS label sections, post-NAT ports, MACs, TTL — all predicted by
+# the same integer arithmetic.
+_V9E_RATE1, _V9E_RATE2 = 1000, 3000
+_V9E_FIELDS = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 4), (2, 4),
+               (16, 4), (17, 4), (32, 2), (70, 3), (227, 2), (56, 6),
+               (192, 1), (48, 1)]
+
+
+def _ext_values(f: dict) -> dict:
+    ok = f["ok"]
+    return dict(
+        proto=1 if ok % 3 == 0 else 6,
+        icmp=((ok % 200) << 8) | (ok % 11),
+        mpls=1 + ok % 999999,
+        natp=(ok * 7) % 65536,
+        mac=ok,
+        ttl=1 + ok % 255,
+        sid=1 if ok % 10 < 5 else 2,
+    )
+
+
+def _build_v9_ext(recs: list[dict]) -> bytes:
+    tpl_body = struct.pack(">HH", 257, len(_V9E_FIELDS))
+    for ie, ln in _V9E_FIELDS:
+        tpl_body += struct.pack(">HH", ie, ln)
+    tpl = struct.pack(">HH", 0, 4 + len(tpl_body)) + tpl_body
+    # options: scope System + samplerId + samplerRandomInterval,
+    # two sampler records with distinct rates
+    opt_tpl_body = struct.pack(">HHH", 301, 4, 8) \
+        + struct.pack(">HHHHHH", 1, 4, 48, 1, 50, 4)
+    opt_tpl = struct.pack(">HH", 1, 4 + len(opt_tpl_body)) + opt_tpl_body
+    od = struct.pack(">IBI", 0, 1, _V9E_RATE1) + struct.pack(">IBI", 0, 2, _V9E_RATE2)
+    od += b"\0" * ((-len(od)) % 4)
+    opt_data = struct.pack(">HH", 301, 4 + len(od)) + od
+    data_body = b""
+    for f in recs:
+        e = _ext_values(f)
+        data_body += (
+            f["src"] + f["dst"]
+            + struct.pack(">HHB", f["sp"], f["dp"], e["proto"])
+            + struct.pack(">IIII", f["bytes"], f["pkts"], f["sas"], f["das"])
+            + struct.pack(">H", e["icmp"])
+            + (e["mpls"] << 4).to_bytes(3, "big")
+            + struct.pack(">H", e["natp"])
+            + e["mac"].to_bytes(6, "big")
+            + bytes([e["ttl"], e["sid"]])
+        )
+    pad = (-len(data_body)) % 4
+    data = struct.pack(">HH", 257, 4 + len(data_body) + pad) + data_body + b"\0" * pad
+    body = tpl + opt_tpl + opt_data + data
+    return struct.pack(">HHIIII", 9, 4, 0, 1700000100, 0, 1) + body
+
+
+_EXT_AGGS_SQL = """
+       CAST(SUM(CASE WHEN ok % 3 = 0 THEN (ok % 200) * 997 + (ok % 11) END) AS BIGINT) AS sum_icmp,
+       CAST(SUM(1 + ok % 999999) AS BIGINT) AS sum_mpls,
+       CAST(SUM((ok * 7) % 65536) AS BIGINT) AS sum_nat,
+       CAST(SUM(ok) AS BIGINT) AS sum_mac,
+       CAST(SUM(1 + ok % 255) AS BIGINT) AS sum_ttl"""
+
+
+def _decode_netflow_ext(spark, sf_dir):
+    cache = TemplateCache()
+    return _decode_run(
+        spark, sf_dir,
+        lambda recs: [_build_v9_ext(recs[i:i + 50]) for i in range(0, len(recs), 50)],
+        lambda pkt: parse_netflow(pkt, _EXP, cache=cache),
+        extra_aggs=[
+            F.sum(F.col("ICMPv4Type") * 997 + F.col("ICMPv4Code")).alias("sum_icmp"),
+            F.sum(F.element_at("MPLSLabels", 1)).alias("sum_mpls"),
+            F.sum("SrcPortNAT").alias("sum_nat"),
+            F.sum("SrcMAC").alias("sum_mac"),
+            F.sum("IPTTL").alias("sum_ttl"),
+        ],
     )
 
 
@@ -245,17 +325,39 @@ _NETFLOW_ORACLE = _roundtrip_oracle(
 _SFLOW_ORACLE = _roundtrip_oracle(str(_SFLOW_RATE)).replace(
     "CAST(SUM(pkts) AS BIGINT) AS sum_pkts", "COUNT(*) AS sum_pkts"
 )
+_NULL_EXTRAS = """
+       CAST(NULL AS BIGINT) AS sum_icmp, CAST(NULL AS BIGINT) AS sum_mpls,
+       CAST(NULL AS BIGINT) AS sum_nat, CAST(NULL AS BIGINT) AS sum_mac,
+       CAST(NULL AS BIGINT) AS sum_ttl"""
+_V9EXT_ORACLE = f"""
+WITH f AS ({_COMMON_FIELDS})
+SELECT dp AS dst_port,
+       COUNT(*) AS n_flows,
+       CAST(SUM(bytes * (CASE WHEN ok % 10 < 5 THEN {_V9E_RATE1} ELSE {_V9E_RATE2} END)) AS BIGINT) AS est_bytes,
+       CAST(SUM(pkts) AS BIGINT) AS sum_pkts,
+       COUNT(DISTINCT src_key) AS n_src,
+       CAST(SUM(sas) AS BIGINT) AS sum_src_as,
+       CAST(SUM(das) AS BIGINT) AS sum_dst_as,{_EXT_AGGS_SQL}
+FROM f GROUP BY dp ORDER BY dp
+"""
 
 
 def _decode_suite_spark(spark, sf_dir):
-    nf = _decode_netflow(spark, sf_dir).select(F.lit("netflow").alias("variant"), "*")
-    sf = _decode_sflow(spark, sf_dir).select(F.lit("sflow").alias("variant"), "*")
-    return nf.unionByName(sf)
+    nulls = [F.lit(None).cast("long").alias(c)
+             for c in ("sum_icmp", "sum_mpls", "sum_nat", "sum_mac", "sum_ttl")]
+    nf = _decode_netflow(spark, sf_dir).select(
+        F.lit("netflow").alias("variant"), "*", *nulls)
+    sf = _decode_sflow(spark, sf_dir).select(
+        F.lit("sflow").alias("variant"), "*", *nulls)
+    ext = _decode_netflow_ext(spark, sf_dir).select(
+        F.lit("netflow_ext").alias("variant"), "*")
+    return nf.unionByName(sf).unionByName(ext)
 
 
 register(
     "decode_roundtrip_suite",
     _decode_suite_spark,
-    f"SELECT 'netflow' AS variant, * FROM ({_NETFLOW_ORACLE}) "
-    f"UNION ALL SELECT 'sflow' AS variant, * FROM ({_SFLOW_ORACLE})",
+    f"SELECT 'netflow' AS variant, *,{_NULL_EXTRAS} FROM ({_NETFLOW_ORACLE}) "
+    f"UNION ALL SELECT 'sflow' AS variant, *,{_NULL_EXTRAS} FROM ({_SFLOW_ORACLE}) "
+    f"UNION ALL SELECT 'netflow_ext' AS variant, * FROM ({_V9EXT_ORACLE})",
 )
