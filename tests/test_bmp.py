@@ -141,3 +141,47 @@ def test_rib_snapshot_feeds_lpm_join(spark):
     by_ip = {bytes(row["DstAddr"])[-4:]: row["dst_as"] for row in got}
     assert by_ip[bytes([10, 65, 0, 1])] == 64602  # /10 beats /8
     assert by_ip[bytes([10, 1, 0, 1])] == 64601
+
+
+def test_demo_bmp_stream_roundtrip():
+    """demoexporter/bmp/client_test.go:30-114: the demo client's exact
+    route table, encoded to a BMP byte stream and replayed through the
+    production parser + RIB — announcements per family, communities,
+    large communities, per-family next hops, and later updates for the
+    same prefix replacing earlier ones."""
+    from akvorado_spark.sources.bmp import RIB, parse_bmp
+    from akvorado_spark.sources.bmp_encode import BMPRouteConfig, demo_bmp_stream
+
+    routes = [
+        BMPRouteConfig(prefixes=("2001:db8::/64",),
+                       as_path=(65001, 65002, 65002),
+                       communities=(500, 600, 700)),
+        BMPRouteConfig(prefixes=("192.0.2.0/24", "203.0.113.0/24"),
+                       as_path=(12322, 1299)),
+        BMPRouteConfig(prefixes=("192.0.2.0/24", "2001:db8::/64"),
+                       as_path=(65001, 65002),
+                       large_communities=((65000, 100, 200), (65000, 300, 2000))),
+    ]
+    stream = demo_bmp_stream(routes)
+    events = parse_bmp(stream)
+    kinds = [e.kind for e in events]
+    assert kinds[0] == "init" and kinds[1] == "peer_up"
+    assert kinds.count("update") == 4  # v4: cfg2, cfg3; v6: cfg1, cfg3
+    rib = RIB()
+    rib.apply(stream)
+    by_cidr = {cidr: attrs for (_peer, cidr), attrs in rib.routes.items()}
+    assert set(by_cidr) == {"2001:db8::/64", "192.0.2.0/24", "203.0.113.0/24"}
+    # 192.0.2.0/24: config 3 (sent later) replaced config 2
+    r = by_cidr["192.0.2.0/24"]
+    assert r["as_path"] == [65001, 65002]
+    assert r["large_communities"] == [(65000, 100, 200), (65000, 300, 2000)]
+    assert bytes(r["next_hop"])[-4:] == bytes([192, 0, 2, 1])
+    # 203.0.113.0/24 keeps config 2's path
+    assert by_cidr["203.0.113.0/24"]["as_path"] == [12322, 1299]
+    # v6 route: config 3 replaced config 1 (communities gone, lc present)
+    r6 = by_cidr["2001:db8::/64"]
+    assert r6["as_path"] == [65001, 65002]
+    assert "communities" not in r6
+    assert r6["next_hop"] == bytes(
+        __import__("ipaddress").ip_address("fe80::1").packed
+    )
