@@ -14,6 +14,7 @@ def test_demo_e2e_runs(spark, tmp_path, capsys):
     assert demo_e2e.main(str(tmp_path)) == 0
     out = capsys.readouterr().out
     assert "0. demo exporter:" in out and "decoded wire rows" in out
+    assert "demo BMP session:" in out and "flows routed" in out
     assert "decoded 40 flows" in out
     assert "flows_300s" in out  # rollups built
     assert "router:" in out and "@ 300s" in out  # routed to a rollup

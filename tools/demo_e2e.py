@@ -85,6 +85,26 @@ def main(workdir: str | None = None) -> int:
     print(f"   metadata cache: {mcache.count()} live entries, "
           f"{stale} exporters need a refresh poll")
 
+    # the demo BMP session: the fake exporter's route table becomes a
+    # RIB snapshot, and the decoded demo flows get the two-sided
+    # routing enrichment (communities + routing-AS inputs)
+    from akvorado_spark.sources.bmp import RIB
+    from akvorado_spark.sources.bmp_encode import BMPRouteConfig, demo_bmp_stream
+    from akvorado_spark.streaming.ingest import enrich_routing
+
+    rib = RIB()
+    rib.apply(demo_bmp_stream([
+        BMPRouteConfig(prefixes=("192.0.2.0/24",), as_path=(65201,),
+                       communities=(65000 << 16 | 1,)),
+        BMPRouteConfig(prefixes=("203.0.113.0/24",), as_path=(65202,),
+                       large_communities=((65000, 7, 8),)),
+    ]))
+    routed = enrich_routing(wire_demo, rib.to_frame(spark, demo_exporter).drop("exporter"))
+    n_routed = routed.filter("SrcCommunities IS NOT NULL AND DstRoutingAS = 65202").count()
+    assert n_routed == n_demo
+    print(f"   demo BMP session: {len(rib.routes)} routes in the RIB; "
+          f"{n_routed} flows routed (src communities + dst AS filled)")
+
     # -- 1. datagrams + transport ------------------------------------------
     recs = [_fields(i, i * 7 % 1000) for i in range(1, 41)]
     pkts = [_build_v9(recs[:20]), _build_v5(recs[20:])]
