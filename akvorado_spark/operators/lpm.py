@@ -269,6 +269,66 @@ def lpm_probe(
     return out
 
 
+def rib_lookup_join(
+    flows: DataFrame,
+    routes: DataFrame,
+    ip_col: str,
+    nh_col: str,
+    attrs: list[str],
+    prefix_lo: str = "lo",
+    prefix_len: str = "plen",
+    route_nh: str = "next_hop",
+    route_seq: str = "seq",
+    out_prefix: str = "",
+    plens: list[int] | None = None,
+) -> DataFrame:
+    """Next-hop-preferred RIB lookup: the reference's
+    rib.go LookupRoute picks the longest-matching prefix, then among
+    its routes prefers the one whose next hop equals the flow's next
+    hop, defaulting to the first-inserted route.
+
+    Spark shape: the multi-route dimension table is pre-aggregated per
+    prefix into one struct — the first-inserted route's attributes plus
+    a next-hop → attributes map — so the per-flow work stays the same
+    broadcast LPM cascade plus one ``element_at``/``coalesce``; no
+    extra join, no shuffle on the fact side. ``routes`` columns:
+    ``lo``/``plen``/``next_hop``/``seq`` + the attribute columns;
+    ``seq`` is the RIB insertion order (rib.go route key order)."""
+    attr_struct = F.struct(*[F.col(a) for a in attrs])
+    per_nh = routes.groupBy(prefix_lo, prefix_len, route_nh).agg(
+        F.min_by(attr_struct, F.col(route_seq)).alias("__attrs"),
+        F.min(route_seq).alias("__seq"),
+    )
+    packed = per_nh.groupBy(prefix_lo, prefix_len).agg(
+        F.min_by(F.col("__attrs"), F.col("__seq")).alias("__default"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col(route_nh).isNotNull(),
+                    F.struct(F.col(route_nh), F.col("__attrs")),
+                )
+            )
+        ).alias("__by_nh"),
+    ).withColumn("__route", F.struct("__default", "__by_nh"))
+    out = lpm_join(
+        flows,
+        packed.select(prefix_lo, prefix_len, "__route"),
+        ip_col,
+        attrs=["__route"],
+        prefix_lo=prefix_lo,
+        prefix_len=prefix_len,
+        plens=plens,
+    )
+    chosen = F.coalesce(
+        F.element_at(F.col("__route.__by_nh"), F.col(nh_col)),
+        F.col("__route.__default"),
+    )
+    out = out.withColumn("__chosen", chosen)
+    for a in attrs:
+        out = out.withColumn(out_prefix + a, F.col(f"__chosen.{a}"))
+    return out.drop("__route", "__chosen")
+
+
 def lpm_join(
     flows: DataFrame,
     prefixes: DataFrame,

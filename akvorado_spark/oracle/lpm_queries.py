@@ -118,10 +118,80 @@ def _route_rows():
     return out
 
 
+# --- NH-preference block: the Juniper vMX RIB from the reference's
+# BMP pcap fixtures, replayed through BMPProvider (real ADD-PATH /
+# L3VPN / EVPN data in the gate). The embedded literal is the
+# standalone fallback when the fixtures are absent; when present, the
+# replay is asserted equal (tests/test_bmp_provider.py), so a parser
+# regression breaks this oracle query.
+
+JUNIPER_RIB_SNAPSHOT = [
+    # (lo_hex, hi_hex, plen, nh_hex, seq, dst_as)
+    ("00000000000000000000ffffc0000200", "00000000000000000000ffffc0000201", 127, "00000000000000000000ffffc0000201", 1, 65011),
+    ("00000000000000000000ffffc6336480", "00000000000000000000ffffc63364ff", 121, "00000000000000000000ffffc0000201", 2, 396919),
+    ("00000000000000000000ffffc6336400", "00000000000000000000ffffc633647f", 121, "00000000000000000000ffffc0000201", 3, 64476),
+    ("00000000000000000000ffffc0000206", "00000000000000000000ffffc0000207", 127, "00000000000000000000ffffc0000207", 4, 65017),
+    ("20010db8000200000000000000000000", "20010db800020000ffffffffffffffff", 64, "20010db8000000000000000000000007", 5, 12322),
+    ("20010db8000100000000000000000000", "20010db800010000ffffffffffffffff", 64, "20010db8000000000000000000000007", 6, 174),
+    ("20010db8000000000000000000000006", "20010db8000000000000000000000007", 127, "20010db8000000000000000000000007", 7, 65017),
+    ("00000000000000000000ffffc6336400", "00000000000000000000ffffc633643f", 122, "20010db8000000000000000000000007", 8, 64476),
+    ("20010db8000200000000000000000000", "20010db800020000ffffffffffffffff", 64, "20010db8000000000000000000000003", 9, 12322),
+    ("20010db8000000000000000000000002", "20010db8000000000000000000000003", 127, "20010db8000000000000000000000003", 10, 65013),
+    ("20010db8000100000000000000000000", "20010db800010000ffffffffffffffff", 64, "20010db8000000000000000000000003", 11, 174),
+    ("00000000000000000000ffffc6336480", "00000000000000000000ffffc63364ff", 121, "00000000000000000000ffffc0000207", 12, 396919),
+    ("00000000000000000000ffffc6336400", "00000000000000000000ffffc633643f", 122, "00000000000000000000ffffc0000207", 13, 64476),
+    ("00000000000000000000ffffc6336400", "00000000000000000000ffffc633647f", 121, "00000000000000000000ffffc0000207", 14, 64476),
+    ("00000000000000000000ffffc6336480", "00000000000000000000ffffc63364ff", 121, "00000000000000000000ffffc0000207", 15, 396919),
+    ("00000000000000000000ffffc6336400", "00000000000000000000ffffc633647f", 121, "00000000000000000000ffffc0000207", 16, 64476),
+    ("20010db8000400000000000000000000", "20010db800040000ffffffffffffffff", 64, "20010db8000000000000000000000007", 17, 29447),
+    ("00000000000000000000ffffc0000204", "00000000000000000000ffffc0000205", 127, "00000000000000000000ffffc0000205", 18, 65500),
+    ("00000000000000000000ffffc0000208", "00000000000000000000ffffc0000209", 127, "00000000000000000000ffffc0000209", 19, 65019),
+    ("00000000000000000000ffffc6336400", "00000000000000000000ffffc6336407", 125, "00000000000000000000ffffc0000209", 20, 64476),
+]
+
+JUNIPER_PCAPS = ["bmp-init.pcap", "bmp-peers-up.pcap", "bmp-eor.pcap",
+                 "bmp-reach.pcap", "bmp-reach-addpath.pcap", "bmp-l3vpn.pcap"]
+_JUNIPER_PCAP_DIR = "/root/reference/outlet/routing/provider/bmp/testdata"
+
+
+def juniper_rib_rows() -> list[tuple]:
+    """(lo, hi, plen, nh, seq, dst_as) bytes rows — live BMPProvider
+    replay of the pcap fixtures when available, embedded snapshot
+    otherwise."""
+    import os
+
+    rows = None
+    if os.path.isdir(_JUNIPER_PCAP_DIR):
+        from akvorado_spark.sources.bmp import BMPProvider
+        from akvorado_spark.sources.pcap import read_pcap_l4
+
+        p = BMPProvider()
+        for f in JUNIPER_PCAPS:
+            p.feed(read_pcap_l4(os.path.join(_JUNIPER_PCAP_DIR, f)))
+        rows = [(lo, hi, plen, nh, seq, asn)
+                for (_e, asn, _path, _comm, nh, lo, hi, plen, _lc, seq)
+                in p.snapshot_rows(bytes(16))]
+    if rows is None:
+        rows = [
+            (bytes.fromhex(lo), bytes.fromhex(hi), plen, bytes.fromhex(nh),
+             seq, asn)
+            for (lo, hi, plen, nh, seq, asn) in JUNIPER_RIB_SNAPSHOT
+        ]
+    return rows
+
+
+_JUNIPER_ROWS = juniper_rib_rows()
+
+# The flow's "observed next hop" derived from existing columns,
+# identically in both engines: parity of SrcPort picks 192.0.2.1 vs
+# 192.0.2.7 so both map-hit and default paths are exercised.
+_NH_HEX_PREFIX = "00000000000000000000ffffc00002"
+
+
 def _spark_lpm_rib(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from akvorado_spark.operators.lpm import lpm_join
+    from akvorado_spark.operators.lpm import lpm_join, rib_lookup_join
     from akvorado_spark.sources.tables import local_df
 
     register_spark_view(spark, sf_dir)
@@ -138,13 +208,41 @@ def _spark_lpm_rib(spark, sf_dir):
         exporter_col="ExporterAddress",
         plens=[r[4] for r in rows],
     )
-    return (
-        out.groupBy(
-            "ExporterName", F.coalesce(F.col("dst_as"), F.lit(0)).alias("route_as")
-        )
-        .agg(F.count(F.lit(1)).alias("flows"))
-        .orderBy("ExporterName", "route_as")
+    fallback = out.groupBy(
+        "ExporterName", F.coalesce(F.col("dst_as"), F.lit(0)).alias("route_as")
+    ).agg(F.count(F.lit(1)).alias("flows")).select(
+        F.lit("fallback").alias("variant"), "ExporterName", "route_as",
+        F.lit("").alias("sel_nh"), "flows",
     )
+
+    rib = local_df(
+        spark,
+        [(lo, hi, plen, nh, seq, asn, nh) for (lo, hi, plen, nh, seq, asn)
+         in _JUNIPER_ROWS],
+        "lo binary, hi binary, plen int, next_hop binary, seq long, "
+        "dst_as long, rnh binary",
+    )
+    flows2 = spark.table("flows_v").select(
+        "ExporterName", "DstAddr",
+        F.unhex(F.concat(
+            F.lit(_NH_HEX_PREFIX),
+            F.when(F.col("SrcPort") % 2 == 0, F.lit("01")).otherwise(F.lit("07")),
+        )).alias("__nh"),
+    )
+    probed = rib_lookup_join(
+        flows2, rib, "DstAddr", "__nh", attrs=["dst_as", "rnh"],
+        plens=sorted({r[2] for r in _JUNIPER_ROWS}),
+    )
+    nh_pref = probed.groupBy(
+        "ExporterName",
+        F.coalesce(F.col("dst_as"), F.lit(0)).alias("route_as"),
+        F.coalesce(F.lower(F.hex(F.col("rnh"))), F.lit("")).alias("sel_nh"),
+    ).agg(F.count(F.lit(1)).alias("flows")).select(
+        F.lit("nh_pref").alias("variant"), "ExporterName", "route_as",
+        "sel_nh", "flows",
+    )
+    return fallback.unionByName(nh_pref).orderBy(
+        "variant", "ExporterName", "route_as", "sel_nh")
 
 
 def _oracle_lpm_rib() -> str:
@@ -153,6 +251,11 @@ def _oracle_lpm_rib() -> str:
         + (f"unhex('{e.hex()}')" if e is not None else "CAST(NULL AS BLOB)")
         + f", {asn}, unhex('{lo.hex()}'), unhex('{hi.hex()}'), {plen})"
         for (e, asn, lo, hi, plen) in _route_rows()
+    )
+    rib_vals = ", ".join(
+        f"(unhex('{lo.hex()}'), unhex('{hi.hex()}'), {plen}, "
+        f"unhex('{nh.hex()}'), {seq}, {asn})"
+        for (lo, hi, plen, nh, seq, asn) in _JUNIPER_ROWS
     )
     return f"""
 WITH fl AS (
@@ -176,10 +279,45 @@ resolved AS (
            arg_max(fb_as, plen) FILTER (WHERE fb_as IS NOT NULL),
            0) AS route_as
   FROM m GROUP BY rid, ExporterName
+),
+fallback AS (
+  SELECT 'fallback' AS variant, ExporterName, route_as, '' AS sel_nh,
+         COUNT(*) AS flows
+  FROM resolved GROUP BY ExporterName, route_as
+),
+fl2 AS (
+  SELECT row_number() OVER () AS rid, ExporterName, DstAddr,
+         unhex(concat('{_NH_HEX_PREFIX}',
+                      CASE WHEN SrcPort % 2 = 0 THEN '01' ELSE '07' END)) AS fnh
+  FROM {oracle_view_sql()}
+),
+rib(lo, hi, plen, nh, seq, dst_as) AS (SELECT * FROM (VALUES {rib_vals})),
+m2 AS (
+  SELECT f.rid, f.fnh, r.plen, r.nh, r.seq, r.dst_as
+  FROM fl2 f JOIN rib r ON f.DstAddr BETWEEN r.lo AND r.hi
+),
+best AS (SELECT rid, MAX(plen) AS bp FROM m2 GROUP BY rid),
+sel AS (
+  SELECT m2.rid,
+         COALESCE(arg_min(m2.dst_as, m2.seq) FILTER (WHERE m2.nh = m2.fnh),
+                  arg_min(m2.dst_as, m2.seq)) AS route_as,
+         COALESCE(arg_min(m2.nh, m2.seq) FILTER (WHERE m2.nh = m2.fnh),
+                  arg_min(m2.nh, m2.seq)) AS sel_nh
+  FROM m2 JOIN best ON m2.rid = best.rid AND m2.plen = best.bp
+  GROUP BY m2.rid
+),
+nh_pref AS (
+  SELECT 'nh_pref' AS variant, f.ExporterName,
+         COALESCE(s.route_as, 0) AS route_as,
+         COALESCE(lower(hex(s.sel_nh)), '') AS sel_nh,
+         COUNT(*) AS flows
+  FROM fl2 f LEFT JOIN sel s ON f.rid = s.rid
+  GROUP BY f.ExporterName, s.route_as, s.sel_nh
 )
-SELECT ExporterName, route_as, COUNT(*) AS flows
-FROM resolved GROUP BY ExporterName, route_as
-ORDER BY ExporterName, route_as"""
+SELECT * FROM fallback
+UNION ALL
+SELECT * FROM nh_pref
+ORDER BY variant, ExporterName, route_as, sel_nh"""
 
 
 register("lpm_rib", _spark_lpm_rib, _oracle_lpm_rib())

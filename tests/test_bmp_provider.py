@@ -20,49 +20,12 @@ from akvorado_spark.sources.bmp import (
     parse_rd,
     rt_from_extended_community,
 )
+from akvorado_spark.sources.pcap import read_pcap_l4
 
 PCAP_DIR = "/root/reference/outlet/routing/provider/bmp/testdata"
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(PCAP_DIR), reason="reference pcap fixtures not available")
-
-
-def read_pcap_l4(path: str) -> bytes:
-    """Concatenated TCP payloads of a classic pcap (the reference's
-    helpers.ReadPcapL4)."""
-    data = open(path, "rb").read()
-    magic = data[:4]
-    assert magic == b"\xd4\xc3\xb2\xa1", "expected little-endian classic pcap"
-    linktype = struct.unpack_from("<I", data, 20)[0]
-    assert linktype == 1  # Ethernet
-    off = 24
-    payload = b""
-    while off + 16 <= len(data):
-        _ts, _tus, incl, _orig = struct.unpack_from("<IIII", data, off)
-        off += 16
-        pkt = data[off: off + incl]
-        off += incl
-        ethertype = struct.unpack_from(">H", pkt, 12)[0]
-        p = 14
-        if ethertype == 0x8100:  # 802.1Q
-            ethertype = struct.unpack_from(">H", pkt, 16)[0]
-            p = 18
-        if ethertype == 0x0800:
-            ihl = (pkt[p] & 0x0F) * 4
-            proto = pkt[p + 9]
-            total = struct.unpack_from(">H", pkt, p + 2)[0]
-            l4 = pkt[p + ihl: p + total]
-        elif ethertype == 0x86DD:
-            proto = pkt[p + 6]
-            plen = struct.unpack_from(">H", pkt, p + 4)[0]
-            l4 = pkt[p + 40: p + 40 + plen]
-        else:
-            continue
-        if proto != 6:  # TCP only
-            continue
-        doff = (l4[12] >> 4) * 4
-        payload += l4[doff:]
-    return payload
 
 
 def send(p: BMPProvider, name: str, conn=("127.0.0.1", 0)) -> None:
@@ -601,6 +564,54 @@ def test_lookup_prefers_next_hop():
     # /26 is more specific than /25 for the low quarter
     _route2, prefix2 = p.lookup("198.51.100.40")
     assert prefix2 == "198.51.100.0/26"
+
+
+def test_juniper_snapshot_literal_matches_replay():
+    """The embedded Juniper RIB snapshot in lpm_queries (the
+    no-reference fallback feeding the lpm_rib oracle) equals the live
+    BMPProvider replay — a parser regression shifts the replay and
+    breaks this pin before it can silently change the oracle."""
+    from akvorado_spark.oracle.lpm_queries import (
+        JUNIPER_RIB_SNAPSHOT, juniper_rib_rows)
+
+    replayed = [(lo.hex(), hi.hex(), plen, nh.hex(), seq, asn)
+                for (lo, hi, plen, nh, seq, asn) in juniper_rib_rows()]
+    assert replayed == list(JUNIPER_RIB_SNAPSHOT)
+
+
+def test_rib_lookup_join_nh_preference(spark):
+    """rib_lookup_join mirrors rib.go LookupRoute on the Spark side:
+    longest prefix, then the route matching the flow's next hop,
+    defaulting to first-inserted — and the fact side stays a broadcast
+    cascade (no shuffle, no cartesian)."""
+    from akvorado_spark.functions.ip import ip_bytes
+    from akvorado_spark.operators.lpm import rib_lookup_join
+    from akvorado_spark.sources.tables import local_df
+
+    def route(cidr, nh, seq, asn):
+        from akvorado_spark.functions.ip import (
+            prefix_mapped_len, prefix_range)
+        lo, hi = prefix_range(cidr)
+        return (lo, hi, prefix_mapped_len(cidr), ip_bytes(nh), seq, asn)
+
+    routes = local_df(spark, [
+        route("10.0.0.0/8", "192.0.2.1", 1, 100),
+        route("10.0.0.0/8", "192.0.2.2", 2, 200),
+        route("10.1.0.0/16", "192.0.2.3", 3, 300),
+    ], "lo binary, hi binary, plen int, next_hop binary, seq long, dst_as long")
+    flows = local_df(spark, [
+        (ip_bytes("10.2.0.0"), ip_bytes("192.0.2.2")),   # /8, NH match → 200
+        (ip_bytes("10.2.0.0"), ip_bytes("192.0.2.9")),   # /8, no match → first (100)
+        (ip_bytes("10.1.0.1"), ip_bytes("192.0.2.1")),   # /16 wins → 300
+        (ip_bytes("11.0.0.1"), ip_bytes("192.0.2.1")),   # miss → NULL
+    ], "ip binary, nh binary")
+    out = rib_lookup_join(flows, routes, "ip", "nh", attrs=["dst_as"],
+                          plens=[104, 112])
+    got = [r["dst_as"] for r in out.collect()]
+    assert got == [200, 100, 300, None]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_snapshot_frame_schema(spark):
