@@ -121,17 +121,22 @@ def test_enrich_chain(spark):
 def test_streaming_rollup_watermark_drops_too_late_rows(spark, tmp_path):
     """The watermarked T5 variant: in-watermark rows aggregate into
     their window; a row arriving behind the watermark is DROPPED (the
-    documented semantic delta vs the batch late-merge path)."""
-    import time as _time
+    documented semantic delta vs the batch late-merge path).
 
-    from pyspark.sql import types as T
-
+    Determinism: the watermark is persisted in the checkpoint's offset
+    log at batch commit, so a RESTARTED query's first batch starts with
+    exactly the last committed watermark — no dependence on whether a
+    live query's next batch has picked the new watermark up yet (the
+    r5 flake: ``q.lastProgress`` can report a watermark that is not yet
+    the batch-start filter of the following micro-batch under load).
+    """
     from akvorado_spark.schema.definition import flows_schema
     from akvorado_spark.streaming.ingest import streaming_rollup
 
     sch = flows_schema()
     src = tmp_path / "src"
     src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
 
     base = flows_df(spark, n=40)
     ingested = sch.ingest(base).limit(0)  # schema template
@@ -145,53 +150,50 @@ def test_streaming_rollup_watermark_drops_too_late_rows(spark, tmp_path):
         tsdf = spark.createDataFrame(
             [(t,) for t in ts_list], "TimeReceived timestamp"
         )
-        return template.crossJoin(tsdf).select(*stream_schema.fieldNames())
+        df = template.crossJoin(tsdf).select(*stream_schema.fieldNames())
+        df.coalesce(1).write.mode("append").parquet(str(src))
 
     from datetime import datetime, timezone
 
     def ts(minute, sec=0):
         return datetime(2024, 1, 1, 10, minute, sec, tzinfo=timezone.utc)
 
-    stream = (
-        spark.readStream.schema(stream_schema).parquet(str(src))
-    )
-    agg = streaming_rollup(stream, sch, interval_s=60, watermark="2 minutes")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("wm_rollup")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
-    try:
-        # batch 1: two rows in window 10:00 + one row far ahead at 10:10
-        mk_rows([ts(0, 10), ts(0, 40), ts(10, 0)]).write.mode("append").parquet(
-            str(src)
+    def run():
+        emissions = []
+        stream = spark.readStream.schema(stream_schema).parquet(str(src))
+        agg = streaming_rollup(stream, sch, interval_s=60, watermark="2 minutes")
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _bid: emissions.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        q.processAllAvailable()
-        # the watermark only advances at a batch commit; read back what
-        # the engine actually reports instead of assuming scheduling —
-        # if batch 1 hasn't committed its event-time stats yet the
-        # late-drop below wouldn't be triggered and the test would
-        # assert a behavior the engine never promised for this run
-        wm = (q.lastProgress or {}).get("eventTime", {}).get("watermark", "")
-        if not wm or wm < "2024-01-01T10:08":
-            pytest.skip(f"watermark did not advance past the window ({wm!r})")
-        # watermark is now 10:08 — window 10:00 is behind it
-        # batch 2: a too-late row for window 10:00 + a fresh row at 10:10
-        mk_rows([ts(0, 50), ts(10, 30)]).write.mode("append").parquet(str(src))
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        q.awaitTermination(120)
+        return emissions
 
-    out = spark.table("wm_rollup").collect()
-    win0 = [r for r in out if r["TimeReceived"] == ts(0, 0).replace(tzinfo=None)]
-    # window 10:00 was emitted once (batch 1) and NEVER updated by the
-    # late row — every emission for it counts exactly the 2 on-time rows
+    # run 1: two rows in window 10:00 + one far ahead at 10:10.  At
+    # commit the offset log records watermark = 10:10 - 2min = 10:08.
+    mk_rows([ts(0, 10), ts(0, 40), ts(10, 0)])
+    out1 = run()
+    win0 = [r for r in out1 if r["TimeReceived"] == ts(0, 0).replace(tzinfo=None)]
     assert win0 and all(r["Flows"] == 2 for r in win0)
-    win10 = [r for r in out if r["TimeReceived"] == ts(10, 0).replace(tzinfo=None)]
-    # the fresh row DID update its window: latest emission counts 2
-    assert max(r["Flows"] for r in win10) == 2
+
+    # run 2 (same checkpoint): first batch deterministically starts at
+    # watermark 10:08 → the 10:00:50 row is too late and DROPPED, while
+    # the fresh 10:10:30 row merges into its (checkpoint-restored) state.
+    mk_rows([ts(0, 50), ts(10, 30)])
+    out2 = run()
+    win0_late = [
+        r for r in out2 if r["TimeReceived"] == ts(0, 0).replace(tzinfo=None)
+    ]
+    # the dropped row produced NO update emission for window 10:00
+    assert win0_late == []
+    win10 = [r for r in out2 if r["TimeReceived"] == ts(10, 0).replace(tzinfo=None)]
+    # the fresh row DID update its window: 10:00 + 10:30 rows = 2 flows
+    assert win10 and max(r["Flows"] for r in win10) == 2
 
 
 def test_process_batch_observes_oldest_without_extra_job(spark, tmp_path):
