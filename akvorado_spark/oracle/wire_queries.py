@@ -166,6 +166,10 @@ def _decode_run(spark, sf_dir, build_packets, parse, extra_aggs=None):
             yield pd.DataFrame(rows, columns=[f.name for f in WIRE_SCHEMA.fields])
 
     wire = orders.mapInPandas(run, WIRE_SCHEMA)
+    return _wire_aggregate(wire, extra_aggs)
+
+
+def _wire_aggregate(wire, extra_aggs=None):
     aggs = [
         F.count(F.lit(1)).alias("n_flows"),
         F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("est_bytes"),
@@ -173,6 +177,9 @@ def _decode_run(spark, sf_dir, build_packets, parse, extra_aggs=None):
         F.countDistinct("SrcAddr").alias("n_src"),
         F.sum("SrcAS").alias("sum_src_as"),
         F.sum("DstAS").alias("sum_dst_as"),
+        # gates the decoded TimeReceived per record — the per-message
+        # timestamp_source threading (pb.RawFlow field 6) shows up here
+        F.sum("TimeReceived").alias("sum_time"),
     ] + (extra_aggs or [])
     return (
         wire.groupBy(F.col("DstPort").alias("dst_port"))
@@ -284,6 +291,117 @@ def _decode_netflow_ext(spark, sf_dir):
     )
 
 
+# Per-message RawFlow-options family: one single-record v9 datagram per
+# order row, each RawFlow carrying its OWN timestamp_source /
+# decapsulation (pb.RawFlow fields 6/7, applied per message at
+# outlet/core/worker.go → outlet/flow/decoder.go:40-44).  A mixed batch
+# must decode every record under its own settings — batch-wide defaults
+# hash-mismatch on sum_time / the 4789 group split.
+_MIX_HDR_TIME = 1_750_000_000     # v9 header export clock base
+_MIX_IN_TIME = 1_800_000_000      # RawFlow time_received base
+_MIX_SYSUP_MS = 10_000
+
+_V9M_FIELDS = _V9_FIELDS + [(22, 4)]  # + FIRST_SWITCHED (ms sysuptime)
+
+
+def _build_v9_single(f: dict) -> bytes:
+    """One v9 datagram: template 258 + a single data record."""
+    ok = f["ok"]
+    tpl_body = struct.pack(">HH", 258, len(_V9M_FIELDS))
+    for ie, ln in _V9M_FIELDS:
+        tpl_body += struct.pack(">HH", ie, ln)
+    tpl = struct.pack(">HH", 0, 4 + len(tpl_body)) + tpl_body
+    first_ms = _MIX_SYSUP_MS + (ok % 3600) * 1000
+    rec = (
+        f["src"] + f["dst"]
+        + struct.pack(">HHB", f["sp"], f["dp"], f["proto"])
+        + struct.pack(">IIIII", f["bytes"], f["pkts"], f["sas"], f["das"], first_ms)
+    )
+    pad = (-len(rec)) % 4
+    data = struct.pack(">HH", 258, 4 + len(rec) + pad) + rec + b"\0" * pad
+    hdr = struct.pack(
+        ">HHIIII", 9, 2, _MIX_SYSUP_MS, _MIX_HDR_TIME + ok % 1000, 0, 0
+    )
+    return hdr + tpl + data
+
+
+def _ipv4(total_len: int, proto: int, src: bytes, dst: bytes) -> bytes:
+    return (
+        bytes([0x45, 0]) + struct.pack(">H", total_len) + b"\0\0\0\0"
+        + bytes([64, proto]) + b"\0\0" + src + dst
+    )
+
+
+def _build_v9_frame(f: dict) -> bytes:
+    """One v9 datagram whose record is sas/das IEs + an IE315 datalink
+    frame: outer IPv4/UDP:4789 + VXLAN wrapping an inner IPv4/UDP flow.
+    Under decapsulation the inner flow wins (ports/addr/Bytes); without
+    it the outer headers decode (dst port 4789)."""
+    ok = f["ok"]
+    fields = [(16, 4), (17, 4), (315, 0xFFFF)]
+    tpl_body = struct.pack(">HH", 259, len(fields))
+    for ie, ln in fields:
+        tpl_body += struct.pack(">HH", ie, ln)
+    tpl = struct.pack(">HH", 0, 4 + len(tpl_body)) + tpl_body
+    inner_len = 50 + ok % 4000
+    inner_udp = struct.pack(">HHHH", f["sp"], f["dp"], 0, 0)
+    inner = (
+        b"\xcc" * 6 + b"\xdd" * 6 + struct.pack(">H", 0x0800)
+        + _ipv4(inner_len, 17, f["src"], f["dst"]) + inner_udp
+    )
+    vxlan = struct.pack(">II", 0x08000000, 42 << 8)
+    outer_udp = struct.pack(">HHHH", 55555, 4789, 0, 0)
+    frame = (
+        b"\xaa" * 6 + b"\xbb" * 6 + struct.pack(">H", 0x0800)
+        + _ipv4(f["bytes"], 17, bytes([192, 0, 2, 1]), bytes([192, 0, 2, 2]))
+        + outer_udp + vxlan + inner
+    )
+    rec = struct.pack(">II", f["sas"], f["das"]) + bytes([len(frame)]) + frame
+    pad = (-len(rec)) % 4
+    data = struct.pack(">HH", 259, 4 + len(rec) + pad) + rec + b"\0" * pad
+    hdr = struct.pack(">HHIIII", 9, 2, 0, _MIX_HDR_TIME, 0, 0)
+    return hdr + tpl + data
+
+
+def _decode_netflow_mixed(spark, sf_dir):
+    """The decode_binary path end-to-end with per-message options."""
+    from akvorado_spark.sources.decode import RAW_FLOW_SCHEMA, decode_binary
+    from akvorado_spark.sources.wire import netflow_batch_parser
+
+    orders = (
+        load_table(spark, "orders", sf_dir, spread=True)
+        .filter(_SAMPLE)
+        .select("o_orderkey", "o_custkey")
+    )
+    raw_names = [f.name for f in RAW_FLOW_SCHEMA.fields]
+    ts_names = ("input", "netflow-packet", "netflow-first-switched")
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for ok, ck in zip(pdf["o_orderkey"], pdf["o_custkey"]):
+                f = _fields(int(ok), int(ck))
+                g = f["ok"] % 4
+                if g < 3:
+                    payload = _build_v9_single(f)
+                    tsrc, decap = ts_names[g], "none"
+                else:
+                    payload = _build_v9_frame(f)
+                    tsrc = "input"
+                    decap = "vxlan" if f["ok"] % 8 == 3 else "none"
+                rows.append((
+                    pd.Timestamp(_MIX_IN_TIME + f["ok"] % 86400, unit="s"),
+                    payload, _EXP, "netflow", tsrc, decap, False, 0,
+                ))
+            yield pd.DataFrame(rows, columns=raw_names)
+
+    raw = orders.mapInPandas(build, RAW_FLOW_SCHEMA)
+    wire = decode_binary(raw, WIRE_SCHEMA, "netflow", netflow_batch_parser())
+    return _wire_aggregate(wire)
+
+
 # The oracle re-derives the wire fields with the same arithmetic.  The
 # even/odd v5-vs-v9 split matters only through the sampling rate and is
 # keyed on o_orderkey parity in both engines, so it is stable under any
@@ -302,7 +420,7 @@ WHERE o_orderkey % 5 = 0
 """
 
 
-def _roundtrip_oracle(rate_expr: str) -> str:
+def _roundtrip_oracle(rate_expr: str, time_expr: str = "0") -> str:
     return f"""
 WITH f AS ({_COMMON_FIELDS})
 SELECT dp AS dst_port,
@@ -311,7 +429,8 @@ SELECT dp AS dst_port,
        CAST(SUM(pkts) AS BIGINT) AS sum_pkts,
        COUNT(DISTINCT src_key) AS n_src,
        CAST(SUM(sas) AS BIGINT) AS sum_src_as,
-       CAST(SUM(das) AS BIGINT) AS sum_dst_as
+       CAST(SUM(das) AS BIGINT) AS sum_dst_as,
+       CAST(SUM({time_expr}) AS BIGINT) AS sum_time
 FROM f GROUP BY dp ORDER BY dp
 """
 
@@ -319,8 +438,11 @@ FROM f GROUP BY dp ORDER BY dp
 # Tagged UNION of both decoder round-trips — one correctness slot; the
 # NetFlow (v5 + templated v9) and sFlow (raw-header walk) parsers each
 # stay fully hash-gated against DuckDB's arithmetic prediction.
+# sum_time: no RawFlow time is supplied, so the decoders fall back to
+# the datagram header clocks (v5: 1700000000, v9: 1700000100, sFlow: 0).
 _NETFLOW_ORACLE = _roundtrip_oracle(
-    f"CASE WHEN ok % 2 = 0 THEN {_V5_RATE} ELSE {_V9_RATE} END"
+    f"CASE WHEN ok % 2 = 0 THEN {_V5_RATE} ELSE {_V9_RATE} END",
+    "CASE WHEN ok % 2 = 0 THEN 1700000000 ELSE 1700000100 END",
 )
 _SFLOW_ORACLE = _roundtrip_oracle(str(_SFLOW_RATE)).replace(
     "CAST(SUM(pkts) AS BIGINT) AS sum_pkts", "COUNT(*) AS sum_pkts"
@@ -337,8 +459,35 @@ SELECT dp AS dst_port,
        CAST(SUM(pkts) AS BIGINT) AS sum_pkts,
        COUNT(DISTINCT src_key) AS n_src,
        CAST(SUM(sas) AS BIGINT) AS sum_src_as,
-       CAST(SUM(das) AS BIGINT) AS sum_dst_as,{_EXT_AGGS_SQL}
+       CAST(SUM(das) AS BIGINT) AS sum_dst_as,
+       CAST(SUM(1700000100) AS BIGINT) AS sum_time,{_EXT_AGGS_SQL}
 FROM f GROUP BY dp ORDER BY dp
+"""
+
+
+_MIXED_ORACLE = f"""
+WITH f AS ({_COMMON_FIELDS}),
+r AS (
+  SELECT CASE WHEN ok % 4 < 3 OR ok % 8 = 3 THEN dp ELSE 4789 END AS dst_port,
+         CASE WHEN ok % 4 < 3 THEN bytes
+              WHEN ok % 8 = 3 THEN 50 + ok % 4000 ELSE bytes END AS b,
+         CASE WHEN ok % 4 < 3 THEN pkts ELSE 1 END AS p,
+         CASE WHEN ok % 8 = 7 THEN -1 ELSE src_key END AS sk,
+         sas, das,
+         CASE WHEN ok % 4 = 0 OR ok % 4 = 3 THEN {_MIX_IN_TIME} + ok % 86400
+              WHEN ok % 4 = 1 THEN {_MIX_HDR_TIME} + ok % 1000
+              ELSE {_MIX_HDR_TIME} + ok % 1000 + ok % 3600 END AS t
+  FROM f
+)
+SELECT dst_port,
+       COUNT(*) AS n_flows,
+       CAST(SUM(b) AS BIGINT) AS est_bytes,
+       CAST(SUM(p) AS BIGINT) AS sum_pkts,
+       COUNT(DISTINCT sk) AS n_src,
+       CAST(SUM(sas) AS BIGINT) AS sum_src_as,
+       CAST(SUM(das) AS BIGINT) AS sum_dst_as,
+       CAST(SUM(t) AS BIGINT) AS sum_time
+FROM r GROUP BY dst_port ORDER BY dst_port
 """
 
 
@@ -351,7 +500,9 @@ def _decode_suite_spark(spark, sf_dir):
         F.lit("sflow").alias("variant"), "*", *nulls)
     ext = _decode_netflow_ext(spark, sf_dir).select(
         F.lit("netflow_ext").alias("variant"), "*")
-    return nf.unionByName(sf).unionByName(ext)
+    mixed = _decode_netflow_mixed(spark, sf_dir).select(
+        F.lit("netflow_mixed").alias("variant"), "*", *nulls)
+    return nf.unionByName(sf).unionByName(ext).unionByName(mixed)
 
 
 register(
@@ -359,5 +510,6 @@ register(
     _decode_suite_spark,
     f"SELECT 'netflow' AS variant, *,{_NULL_EXTRAS} FROM ({_NETFLOW_ORACLE}) "
     f"UNION ALL SELECT 'sflow' AS variant, *,{_NULL_EXTRAS} FROM ({_SFLOW_ORACLE}) "
-    f"UNION ALL SELECT 'netflow_ext' AS variant, * FROM ({_V9EXT_ORACLE})",
+    f"UNION ALL SELECT 'netflow_ext' AS variant, * FROM ({_V9EXT_ORACLE}) "
+    f"UNION ALL SELECT 'netflow_mixed' AS variant, *,{_NULL_EXTRAS} FROM ({_MIXED_ORACLE})",
 )

@@ -40,6 +40,8 @@ RAW_FLOW_SCHEMA = T.StructType(
         T.StructField("decoder", T.StringType()),  # netflow | sflow | json
         T.StructField("timestamp_source", T.StringType()),
         T.StructField("decapsulation", T.StringType()),
+        T.StructField("use_source_address", T.BooleanType()),
+        T.StructField("rate_limit", T.LongType()),
     ]
 )
 
@@ -68,6 +70,20 @@ def _stub_parser(kind: str) -> Callable:
     return parse_batch
 
 
+# RAW_FLOW column → parse_batch keyword, applied PER MESSAGE (the
+# reference threads pb.RawFlow fields 1/6/7/4 through decoder.Options /
+# post-decode override for every RawFlow independently,
+# outlet/flow/decoder.go:34-52) — a mixed batch where exporters request
+# different timestamp sources or decapsulation decodes each record with
+# its own settings.
+_OPTION_COLS = {
+    "time_received": "times",
+    "timestamp_source": "ts_sources",
+    "decapsulation": "decaps",
+    "use_source_address": "use_src",
+}
+
+
 def decode_binary(
     raw: DataFrame,
     flow_schema: T.StructType,
@@ -77,16 +93,36 @@ def decode_binary(
     """S5/S6/S8 plumbing: mapInPandas over RawFlow batches.
 
     ``parse_batch(payloads: pd.Series[bytes], source_addresses:
-    pd.Series[bytes]) -> pd.DataFrame`` must return rows matching
-    ``flow_schema``.  Template state (NetFlow v9/IPFIX) belongs in the
-    parser closure keyed by source_address.
+    pd.Series[bytes], **options) -> pd.DataFrame`` must return rows
+    matching ``flow_schema``.  Template state (NetFlow v9/IPFIX)
+    belongs in the parser closure keyed by source_address.
+
+    Per-message options: every RAW_FLOW_SCHEMA option column present in
+    ``raw`` that the parser's signature accepts (``times``,
+    ``ts_sources``, ``decaps``, ``use_src``) is forwarded as a Series
+    aligned with ``payloads`` — per-record fidelity to
+    outlet/core/worker.go applying RawFlow options one message at a
+    time.  Legacy two-argument parsers keep working.
     """
+    import inspect
+
     parser = parse_batch or _stub_parser(kind)
     names = [f.name for f in flow_schema.fields]
+    try:
+        accepted = set(inspect.signature(parser).parameters)
+    except (TypeError, ValueError):  # builtins / C callables
+        accepted = set()
+    raw_cols = set(raw.columns)
+    forward = {
+        col: kw
+        for col, kw in _OPTION_COLS.items()
+        if kw in accepted and col in raw_cols
+    }
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
-            out = parser(pdf["payload"], pdf["source_address"])
+            kwargs = {kw: pdf[col] for col, kw in forward.items()}
+            out = parser(pdf["payload"], pdf["source_address"], **kwargs)
             yield out[names]
 
     return raw.filter(F.col("decoder") == kind).mapInPandas(run, flow_schema)

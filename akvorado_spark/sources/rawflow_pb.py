@@ -161,6 +161,8 @@ def raw_flows_from_kafka(kafka_df: DataFrame, value_col: str = "value") -> DataF
                         m["decoder"],
                         m["timestamp_source"],
                         m["decapsulation"],
+                        m["use_source_address"],
+                        m["rate_limit"],
                     )
                 )
             yield pd.DataFrame(

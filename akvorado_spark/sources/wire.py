@@ -113,6 +113,21 @@ def ip16(raw: bytes) -> bytes:
     return _V4MAP + raw if len(raw) == 4 else raw
 
 
+# Canonical timestamp-source names (pb.RawFlow.TimestampSource,
+# common/pb/rawflow.proto:22-26).  The transport codec emits the
+# proto-style dashed names; the parsers historically took
+# "first_switched" — accept both spellings.
+_TS_CANON = {
+    "input": "input",
+    "netflow-packet": "packet",
+    "netflow_packet": "packet",
+    "packet": "packet",
+    "netflow-first-switched": "first_switched",
+    "netflow_first_switched": "first_switched",
+    "first_switched": "first_switched",
+}
+
+
 def _row(ts: int, exporter: bytes, rate: int) -> dict:
     r = dict.fromkeys(_WIRE_NAMES)
     r["TimeReceived"] = ts
@@ -138,16 +153,20 @@ def parse_netflow_v5(payload: bytes, exporter: bytes, ts: int,
         raise ValueError(f"not a NetFlow v5 packet (version={ver})")
     # low 14 bits = interval, top 2 bits = mode (0: none)
     rate = sampling & 0x3FFF or 1
+    ts_source = _TS_CANON.get(ts_source, "input")
+    # TS_NETFLOW_PACKET and TS_NETFLOW_FIRST_SWITCHED both rebase onto
+    # the datagram header's own clock (root.go:133-136: ts = UnixSecs)
+    base = unix_secs if ts_source in ("packet", "first_switched") else (ts or unix_secs)
     rows = []
     off = _V5_HEADER.size
     for _ in range(count):
         (src, dst, nh, inif, outif, pkts, octets, first, _last, sp, dp,
          _pad, flags, proto, tos, sas, das, smask, dmask, _pad2) = _V5_RECORD.unpack_from(payload, off)
         off += _V5_RECORD.size
-        t = ts or unix_secs
+        t = base
         if ts_source == "first_switched":
             # decode.go:60-62, ms deltas converted to seconds
-            t = (ts or unix_secs) + (first - sysuptime_ms) // 1000
+            t = base + (first - sysuptime_ms) // 1000
         r = _row(t, exporter, rate)
         r.update(
             SrcAddr=ip16(src), DstAddr=ip16(dst), NextHop=ip16(nh),
@@ -607,7 +626,15 @@ def parse_netflow_templated(payload: bytes, exporter: bytes, ts: int,
         tset, oset = 2, 3
     else:
         raise ValueError(f"unsupported NetFlow version {version}")
-    ts = ts or unix_secs
+    ts_source = _TS_CANON.get(ts_source, "input")
+    # TS_NETFLOW_PACKET uses the datagram header's export clock; for v9
+    # TS_NETFLOW_FIRST_SWITCHED also rebases ts/sysuptime onto the
+    # header (root.go:152-155); IPFIX has no sysuptime so only PACKET
+    # overrides there (root.go:171-173) — flowStart* IEs are absolute.
+    if ts_source == "packet" or (ts_source == "first_switched" and version == 9):
+        ts = unix_secs
+    else:
+        ts = ts or unix_secs
     key = (bytes(exporter), domain)
     rows: list[dict] = []
     # Three passes over the datagram's sets, so ordering within one
@@ -888,10 +915,16 @@ def _read_addr(data: bytes, off: int) -> tuple[bytes | None, int]:
 
 
 def parse_sflow(payload: bytes, exporter: bytes, ts: int = 0,
-                decapsulate: bool = False) -> list[dict]:
-    """Same ValueError-only error contract as :func:`parse_netflow`."""
+                decapsulate: bool = False,
+                use_source_address: bool = False) -> list[dict]:
+    """Same ValueError-only error contract as :func:`parse_netflow`.
+
+    ``use_source_address`` (pb.RawFlow field 4, applied at
+    outlet/flow/decoder.go:47): the transport source address wins over
+    the in-payload sFlow agent address as ExporterAddress."""
     try:
-        return _parse_sflow5(payload, exporter, ts, decapsulate)
+        return _parse_sflow5(payload, exporter, ts, decapsulate,
+                             use_source_address)
     except ValueError:
         raise
     except (struct.error, IndexError) as e:
@@ -899,14 +932,16 @@ def parse_sflow(payload: bytes, exporter: bytes, ts: int = 0,
 
 
 def _parse_sflow5(payload: bytes, exporter: bytes, ts: int,
-                  decapsulate: bool) -> list[dict]:
+                  decapsulate: bool,
+                  use_source_address: bool = False) -> list[dict]:
     version = _u(payload[0:4])
     if version != 5:
         raise ValueError(f"unsupported sFlow version {version}")
     agent, off = _read_addr(payload, 4)
     _sub, _seq, _uptime, nsamples = struct.unpack_from(">IIII", payload, off)
     off += 16
-    exporter = agent or exporter  # agent address identifies the exporter
+    if not use_source_address:
+        exporter = agent or exporter  # agent address identifies the exporter
     rows: list[dict] = []
     for _ in range(nsamples):
         stype, slen = struct.unpack_from(">II", payload, off)
@@ -1056,6 +1091,29 @@ class DecodeErrors:
         self.last = f"{type(exc).__name__}: {exc}"
 
 
+def _per_message(series, default, n):
+    """Repeat ``default`` when a per-row option column is absent."""
+    import itertools
+
+    return itertools.repeat(default, n) if series is None else series
+
+
+def _epoch(value) -> int:
+    """time_received cell (pd.Timestamp | epoch int | None) → epoch s."""
+    if value is None:
+        return 0
+    try:  # pandas Timestamp / NaT
+        import pandas as pd
+
+        if value is pd.NaT:
+            return 0
+        if isinstance(value, pd.Timestamp):
+            return int(value.value // 1_000_000_000)
+    except Exception:  # pragma: no cover - pandas always present
+        pass
+    return int(value)
+
+
 def netflow_batch_parser(cache: TemplateCache | None = None, strict: bool = True,
                          errors: DecodeErrors | None = None,
                          ts_source: str = "input"):
@@ -1065,16 +1123,31 @@ def netflow_batch_parser(cache: TemplateCache | None = None, strict: bool = True
     driver-side (foreachBatch) decoding to persist templates across
     batches.  ``strict=False`` drops malformed datagrams (counted in
     ``errors``) instead of failing the task — the production-stream
-    setting: one corrupt packet must not kill the micro-batch."""
+    setting: one corrupt packet must not kill the micro-batch.
+
+    Per-message options: the optional Series mirror pb.RawFlow fields
+    1/6/7 (outlet/core/worker.go applies them per RawFlow, not per
+    batch, via decoder.Options — outlet/flow/decoder.go:40-44); a null
+    cell falls back to the factory-level default."""
     state = cache or TemplateCache()
     errs = errors or DecodeErrors()
 
-    def parse_batch(payloads, source_addresses):
+    def parse_batch(payloads, source_addresses, times=None, ts_sources=None,
+                    decaps=None):
         rows: list[dict] = []
-        for p, a in zip(payloads, source_addresses):
+        n = len(payloads)
+        for p, a, t, tsrc, dec in zip(
+            payloads, source_addresses,
+            _per_message(times, None, n),
+            _per_message(ts_sources, None, n),
+            _per_message(decaps, None, n),
+        ):
             try:
-                rows.extend(parse_netflow(bytes(p), bytes(a), cache=state,
-                                          ts_source=ts_source))
+                rows.extend(parse_netflow(
+                    bytes(p), bytes(a), ts=_epoch(t), cache=state,
+                    ts_source=(tsrc if tsrc in _TS_CANON else ts_source),
+                    decapsulate=bool(dec) and dec != "none",
+                ))
             except Exception as e:  # truncated/garbage datagram
                 if strict:
                     raise
@@ -1088,11 +1161,23 @@ def sflow_batch_parser(decapsulate: bool = False, strict: bool = True,
                        errors: DecodeErrors | None = None):
     errs = errors or DecodeErrors()
 
-    def parse_batch(payloads, source_addresses):
+    def parse_batch(payloads, source_addresses, times=None, ts_sources=None,
+                    decaps=None, use_src=None):
         rows: list[dict] = []
-        for p, a in zip(payloads, source_addresses):
+        n = len(payloads)
+        for p, a, t, dec, u in zip(
+            payloads, source_addresses,
+            _per_message(times, None, n),
+            _per_message(decaps, None, n),
+            _per_message(use_src, None, n),
+        ):
             try:
-                rows.extend(parse_sflow(bytes(p), bytes(a), decapsulate=decapsulate))
+                rows.extend(parse_sflow(
+                    bytes(p), bytes(a), ts=_epoch(t),
+                    decapsulate=(bool(dec) and dec != "none") if dec is not None
+                    else decapsulate,
+                    use_source_address=bool(u),
+                ))
             except Exception as e:
                 if strict:
                     raise

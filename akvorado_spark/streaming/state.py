@@ -127,7 +127,11 @@ def streaming_netflow_decode(raw: DataFrame, time_col: str = "time_received") ->
     end-to-end)."""
     import pickle
 
-    from akvorado_spark.sources.wire import WIRE_SCHEMA, TemplateCache, parse_netflow
+    from akvorado_spark.sources.wire import (
+        WIRE_SCHEMA,
+        TemplateCache,
+        netflow_batch_parser,
+    )
 
     names = [f.name for f in WIRE_SCHEMA.fields]
 
@@ -137,13 +141,21 @@ def streaming_netflow_decode(raw: DataFrame, time_col: str = "time_received") ->
         cache = TemplateCache()
         if state.exists and state.get[0] is not None:
             cache.templates, cache.sampling = pickle.loads(bytes(state.get[0]))
+        parse = netflow_batch_parser(cache=cache)
         for pdf in pdfs:
             if time_col in pdf.columns:
                 pdf = pdf.sort_values(time_col, kind="stable")
-            rows: list[dict] = []
-            for payload, addr in zip(pdf["payload"], pdf["source_address"]):
-                rows.extend(parse_netflow(bytes(payload), bytes(addr), cache=cache))
-            yield pd.DataFrame(rows, columns=names)
+            # per-message RawFlow options (proto fields 1/6/7), applied
+            # per record like outlet/core/worker.go — absent columns
+            # fall back to batch-wide defaults
+            out = parse(
+                pdf["payload"],
+                pdf["source_address"],
+                times=pdf.get(time_col),
+                ts_sources=pdf.get("timestamp_source"),
+                decaps=pdf.get("decapsulation"),
+            )
+            yield out[names]
         state.update((pickle.dumps((cache.templates, cache.sampling)),))
 
     return raw.groupBy("source_address").applyInPandasWithState(

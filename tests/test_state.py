@@ -83,10 +83,10 @@ def test_streaming_netflow_decode_templates_survive_batches(spark, tmp_path):
     src = str(tmp_path / "nf_in")
     os.makedirs(src)
     b1 = spark.createDataFrame(
-        [(None, build_v9([v9_template()]), EXP, "netflow", "udp", "none")], RAW_FLOW_SCHEMA
+        [(None, build_v9([v9_template()]), EXP, "netflow", "udp", "none", False, 0)], RAW_FLOW_SCHEMA
     )
     b2 = spark.createDataFrame(
-        [(None, build_v9([v9_data()]), EXP, "netflow", "udp", "none")], RAW_FLOW_SCHEMA
+        [(None, build_v9([v9_data()]), EXP, "netflow", "udp", "none", False, 0)], RAW_FLOW_SCHEMA
     )
     b1.coalesce(1).write.parquet(src + "/f1")
     b2.coalesce(1).write.parquet(src + "/f2")
@@ -109,3 +109,46 @@ def test_streaming_netflow_decode_templates_survive_batches(spark, tmp_path):
     got = spark.read.parquet(out_dir).collect()
     assert len(got) == 1
     assert got[0]["DstPort"] == 443 and got[0]["Bytes"] == 1500
+
+def test_streaming_netflow_decode_per_message_options(spark, tmp_path):
+    """The stateful streaming decode threads each RawFlow's own
+    timestamp_source / time_received through to the parser (worker.go
+    applies pb.RawFlow options per message): one micro-batch mixing
+    TS_INPUT and TS_NETFLOW_PACKET yields two different timestamps."""
+    import datetime
+
+    from akvorado_spark.oracle.wire_queries import (
+        _EXP,
+        _build_v9_single,
+        _fields,
+        _MIX_HDR_TIME,
+    )
+    from akvorado_spark.sources.decode import RAW_FLOW_SCHEMA
+    from akvorado_spark.streaming.state import streaming_netflow_decode
+
+    src = str(tmp_path / "nf_opt_in")
+    os.makedirs(src)
+    f = _fields(40, 7)
+    pkt = _build_v9_single(f)
+    t_in = datetime.datetime(2027, 1, 1, tzinfo=datetime.timezone.utc)
+    spark.createDataFrame(
+        [
+            (t_in, pkt, _EXP, "netflow", "input", "none", False, 0),
+            (t_in, pkt, _EXP, "netflow", "netflow-packet", "none", False, 0),
+        ],
+        RAW_FLOW_SCHEMA,
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    stream = spark.readStream.schema(RAW_FLOW_SCHEMA).parquet(src + "/*")
+    wire = streaming_netflow_decode(stream)
+    out_dir, ckpt = str(tmp_path / "nf_opt_out"), str(tmp_path / "nf_opt_ckpt")
+    q = (
+        wire.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["TimeReceived"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [_MIX_HDR_TIME + 40, int(t_in.timestamp())]

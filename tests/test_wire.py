@@ -332,7 +332,7 @@ def test_decode_binary_netflow_end_to_end(spark):
                        bytes=555, pkts=5)]),
     ]
     raw = spark.createDataFrame(
-        [(None, p, EXP, "netflow", "udp", "none") for p in pkts], RAW_FLOW_SCHEMA
+        [(None, p, EXP, "netflow", "udp", "none", False, 0) for p in pkts], RAW_FLOW_SCHEMA
     ).repartition(1)  # template must precede data within a task
     out = decode_binary(raw, WIRE_SCHEMA, "netflow", netflow_batch_parser())
     rows = {r["Bytes"]: r for r in out.collect()}
@@ -348,7 +348,7 @@ def test_decode_binary_sflow_end_to_end(spark):
     hdr = eth_ipv4_tcp(b"\x0a\x00\x00\x01", b"\x0a\x00\x00\x02", 1, 2)
     raw_rec = struct.pack(">IIII", 1, 999, 4, len(hdr)) + hdr + b"\0" * ((-len(hdr)) % 4)
     pkt = build_sflow([sflow_sample([sflow_record(1, raw_rec)])])
-    raw = spark.createDataFrame([(None, pkt, EXP, "sflow", "udp", "none")], RAW_FLOW_SCHEMA)
+    raw = spark.createDataFrame([(None, pkt, EXP, "sflow", "udp", "none", False, 0)], RAW_FLOW_SCHEMA)
     rows = decode_binary(raw, WIRE_SCHEMA, "sflow", sflow_batch_parser()).collect()
     assert len(rows) == 1 and rows[0]["Bytes"] == 1480 and rows[0]["SamplingRate"] == 512
 

@@ -45,7 +45,7 @@ def test_datagrams_to_graph_query(spark, tmp_path):
         ),
     ]
     raw = spark.createDataFrame(
-        [(None, p, EXP, "netflow", "udp", "none") for p in pkts], RAW_FLOW_SCHEMA
+        [(None, p, EXP, "netflow", "udp", "none", False, 0) for p in pkts], RAW_FLOW_SCHEMA
     ).repartition(1)
 
     wire = decode_binary(raw, WIRE_SCHEMA, "netflow", netflow_batch_parser())
@@ -84,7 +84,7 @@ def test_wire_bridge_types_match_schema(spark):
     from akvorado_spark.schema.definition import flows_schema
 
     pkt = build_v5([dict(src=b"\x0a\x00\x00\x01", dst=b"\x0a\x00\x00\x02")])
-    raw = spark.createDataFrame([(None, pkt, EXP, "netflow", "udp", "none")], RAW_FLOW_SCHEMA)
+    raw = spark.createDataFrame([(None, pkt, EXP, "netflow", "udp", "none", False, 0)], RAW_FLOW_SCHEMA)
     wire = decode_binary(raw, WIRE_SCHEMA, "netflow", netflow_batch_parser())
     flows = wire_to_flows(wire)
     schema = flows_schema()

@@ -58,7 +58,7 @@ def main(workdir: str | None = None) -> int:
     demo_exporter = bytes([192, 0, 2, 8])
     dpkts = demo_packets(demo_pdf, sampling=1000, start_ts=1_700_000_000)
     raw_demo = spark.createDataFrame(
-        [(None, p, demo_exporter, "netflow", "udp", "none") for p in dpkts],
+        [(None, p, demo_exporter, "netflow", "udp", "none", False, 0) for p in dpkts],
         RAW_FLOW_SCHEMA,
     ).coalesce(1)  # template datagram must precede data in decode order
     wire_demo = decode_binary(raw_demo, WIRE_SCHEMA, "netflow", netflow_batch_parser())
@@ -123,7 +123,7 @@ def main(workdir: str | None = None) -> int:
 
     # -- 2. decode + enrich -------------------------------------------------
     raw = spark.createDataFrame(
-        [(None, p, exporter, "netflow", "udp", "none") for p in pkts],
+        [(None, p, exporter, "netflow", "udp", "none", False, 0) for p in pkts],
         RAW_FLOW_SCHEMA,
     ).repartition(2)
     wire = decode_binary(raw, WIRE_SCHEMA, "netflow", netflow_batch_parser())
