@@ -38,7 +38,7 @@ import akvorado_spark.oracle.alias_queries  # noqa: F401
 import akvorado_spark.oracle.wire_queries  # noqa: F401
 import akvorado_spark.oracle.rollup_queries  # noqa: F401
 import akvorado_spark.oracle.setops_queries  # noqa: F401
-from akvorado_spark.oracle.registry import QUERIES
+from akvorado_spark.oracle.registry import QUERIES, resolve_oracle
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -51,4 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: resolve_oracle(q)
+        for name, q in QUERIES.items()
+        if q.oracle is not None
+    }

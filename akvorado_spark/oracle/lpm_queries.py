@@ -157,9 +157,13 @@ _JUNIPER_PCAP_DIR = "/root/reference/outlet/routing/provider/bmp/testdata"
 def juniper_rib_rows() -> list[tuple]:
     """(lo, hi, plen, nh, seq, dst_as) bytes rows — live BMPProvider
     replay of the pcap fixtures when available, embedded snapshot
-    otherwise."""
+    otherwise.  Lazy + memoized: the replay is I/O against the fixture
+    pcaps and must not tax every import of the entry module (VERDICT r5
+    item 3) — it runs at most once, on first lpm_rib use."""
     import os
 
+    if "rows" in _JUNIPER_CACHE:
+        return _JUNIPER_CACHE["rows"]
     rows = None
     if os.path.isdir(_JUNIPER_PCAP_DIR):
         from akvorado_spark.sources.bmp import BMPProvider
@@ -177,10 +181,11 @@ def juniper_rib_rows() -> list[tuple]:
              seq, asn)
             for (lo, hi, plen, nh, seq, asn) in JUNIPER_RIB_SNAPSHOT
         ]
+    _JUNIPER_CACHE["rows"] = rows
     return rows
 
 
-_JUNIPER_ROWS = juniper_rib_rows()
+_JUNIPER_CACHE: dict[str, list[tuple]] = {}
 
 # The flow's "observed next hop" derived from existing columns,
 # identically in both engines: parity of SrcPort picks 192.0.2.1 vs
@@ -199,7 +204,14 @@ def _spark_lpm_rib(spark, sf_dir):
     routes = local_df(
         spark, rows, "exporter binary, dst_as long, lo binary, hi binary, plen int"
     )
-    flows = spark.table("flows_v").select("ExporterName", "ExporterAddress", "SrcAddr")
+    juniper = juniper_rib_rows()
+    # both variants probe the same fact table — materialize ONE narrow
+    # projection (lazy localCheckpoint, same shared-CTE pattern +
+    # measurement as multiaxis_queries) instead of two parquet scans
+    src = spark.table("flows_v").select(
+        "ExporterName", "ExporterAddress", "SrcAddr", "DstAddr", "SrcPort"
+    ).localCheckpoint(eager=False)
+    flows = src.select("ExporterName", "ExporterAddress", "SrcAddr")
     out = lpm_join(
         flows,
         routes,
@@ -218,11 +230,11 @@ def _spark_lpm_rib(spark, sf_dir):
     rib = local_df(
         spark,
         [(lo, hi, plen, nh, seq, asn, nh) for (lo, hi, plen, nh, seq, asn)
-         in _JUNIPER_ROWS],
+         in juniper],
         "lo binary, hi binary, plen int, next_hop binary, seq long, "
         "dst_as long, rnh binary",
     )
-    flows2 = spark.table("flows_v").select(
+    flows2 = src.select(
         "ExporterName", "DstAddr",
         F.unhex(F.concat(
             F.lit(_NH_HEX_PREFIX),
@@ -231,7 +243,7 @@ def _spark_lpm_rib(spark, sf_dir):
     )
     probed = rib_lookup_join(
         flows2, rib, "DstAddr", "__nh", attrs=["dst_as", "rnh"],
-        plens=sorted({r[2] for r in _JUNIPER_ROWS}),
+        plens=sorted({r[2] for r in juniper}),
     )
     nh_pref = probed.groupBy(
         "ExporterName",
@@ -255,7 +267,7 @@ def _oracle_lpm_rib() -> str:
     rib_vals = ", ".join(
         f"(unhex('{lo.hex()}'), unhex('{hi.hex()}'), {plen}, "
         f"unhex('{nh.hex()}'), {seq}, {asn})"
-        for (lo, hi, plen, nh, seq, asn) in _JUNIPER_ROWS
+        for (lo, hi, plen, nh, seq, asn) in juniper_rib_rows()
     )
     return f"""
 WITH fl AS (
@@ -320,4 +332,6 @@ SELECT * FROM nh_pref
 ORDER BY variant, ExporterName, route_as, sel_nh"""
 
 
-register("lpm_rib", _spark_lpm_rib, _oracle_lpm_rib())
+# oracle passed as a CALLABLE: building the SQL replays the BMP pcaps,
+# which must stay off the module-import path
+register("lpm_rib", _spark_lpm_rib, _oracle_lpm_rib)
