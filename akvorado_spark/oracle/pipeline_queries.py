@@ -688,7 +688,14 @@ register("ann_ivf_topk", _ann_ivf, _ANN_ORACLE)
 def _embed_neardup(spark, sf_dir):
     from akvorado_spark.operators.similarity import dot, norm
 
-    vecs = load_table(spark, "embeddings", sf_dir, spread=True).filter("vec_id % 5 = 0")
+    # three fan-outs (pair scan, semdedup, semdedup2) share one
+    # materialized narrow source (same pattern as the multi-axis suites)
+    vecs = (
+        load_table(spark, "embeddings", sf_dir, spread=True)
+        .filter("vec_id % 5 = 0")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
     # norms are per-vector: compute once before the self-join instead of
     # per pair (same fold expression → bit-identical doubles, 1/3 the
     # float work across O(n²) pairs)
@@ -723,24 +730,31 @@ def _embed_neardup(spark, sf_dir):
     from akvorado_spark.operators.similarity import suggest_cells
 
     k_cells = suggest_cells(vecs.count())
-    sd = semdedup(
-        vecs.select("vec_id", "embedding"), seed_centroids(vecs, k_cells), 0.4
-    )
-    sd_rows = (
-        sd.groupBy("kept")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("vec_id").alias("id_sum"),
+    cents = seed_centroids(vecs, k_cells)
+
+    def sd_variants(prefix, **kw):
+        sd = semdedup(vecs.select("vec_id", "embedding"), cents, 0.4, **kw)
+        return (
+            sd.groupBy("kept")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("vec_id").alias("id_sum"),
+            )
+            .select(
+                F.when(F.col("kept"), F.lit(f"{prefix}_kept"))
+                .otherwise(F.lit(f"{prefix}_dropped"))
+                .alias("variant"),
+                "n",
+                "id_sum",
+            )
         )
-        .select(
-            F.when(F.col("kept"), F.lit("semdedup_kept"))
-            .otherwise(F.lit("semdedup_dropped"))
-            .alias("variant"),
-            "n",
-            "id_sum",
-        )
-    )
-    return bucketed.unionByName(sd_rows).orderBy("variant")
+
+    sd_rows = sd_variants("semdedup")
+    # two-level coarse quantizer (√k supers broadcast → children via a
+    # keyed join): the 100×-scale assignment path, hash-gated against a
+    # DuckDB replay of both argmax stages
+    sd2_rows = sd_variants("semdedup2", two_level=True)
+    return bucketed.unionByName(sd_rows).unionByName(sd2_rows).orderBy("variant")
 
 
 _NEARDUP_ORACLE = """
@@ -772,8 +786,51 @@ sd_rows AS (
   SELECT CASE WHEN is_dropped THEN 'semdedup_dropped' ELSE 'semdedup_kept' END AS variant,
          COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum
   FROM sd GROUP BY 1
+),
+-- two-level quantizer replay (operators/similarity.py:
+-- split_centroids + assign_cells_two_level): supers = the
+-- floor(sqrt(k)) lowest-id centroids (min 2); each centroid joins its
+-- best super; each vector probes its best LIVE super, then arg-maxes
+-- within that super's children.  All decision cosines rounded to 6.
+supers AS (
+  SELECT c_id AS s_id, cv AS sv FROM cents
+  WHERE c_id <= (SELECT GREATEST(2, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM cents)),
+children AS (
+  SELECT c_id, cv, s_id AS sup FROM (
+    SELECT c.c_id, c.cv, s.s_id,
+           ROUND(list_dot_product(c.cv, s.sv)
+                 / NULLIF(sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(s.sv, s.sv)), 0), 6) AS ss,
+           row_number() OVER (PARTITION BY c.c_id ORDER BY ROUND(list_dot_product(c.cv, s.sv)
+                 / NULLIF(sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(s.sv, s.sv)), 0), 6) DESC, s.s_id ASC) AS rn
+    FROM cents c CROSS JOIN supers s) WHERE rn = 1),
+probe AS (
+  SELECT vec_id, e, s_id AS sup FROM (
+    SELECT v.vec_id, v.e, s.s_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY ROUND(list_dot_product(v.e, s.sv)
+                 / NULLIF(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(s.sv, s.sv)), 0), 6) DESC, s.s_id ASC) AS rn
+    FROM v CROSS JOIN supers s
+    WHERE s.s_id IN (SELECT DISTINCT sup FROM children)) WHERE rn = 1),
+assigned2 AS (
+  SELECT vec_id, c_id AS cell, cs AS csim FROM (
+    SELECT p.vec_id, c.c_id,
+           ROUND(list_dot_product(p.e, c.cv)
+                 / NULLIF(sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.cv, c.cv)), 0), 6) AS cs,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY ROUND(list_dot_product(p.e, c.cv)
+                 / NULLIF(sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.cv, c.cv)), 0), 6) DESC, c.c_id ASC) AS rn
+    FROM probe p JOIN children c ON c.sup = p.sup) WHERE rn = 1),
+drp2 AS (SELECT DISTINCT a.vec_id FROM assigned2 a JOIN assigned2 b ON a.cell = b.cell
+        AND (b.csim > a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+        JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE ROUND(list_dot_product(va.e, vb.e)
+                    / NULLIF(sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)), 0), 6) >= 0.4),
+sd2 AS (SELECT a.vec_id, a.vec_id IN (SELECT vec_id FROM drp2) AS is_dropped FROM assigned2 a),
+sd2_rows AS (
+  SELECT CASE WHEN is_dropped THEN 'semdedup2_dropped' ELSE 'semdedup2_kept' END AS variant,
+         COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+  FROM sd2 GROUP BY 1
 )
-SELECT * FROM bucketed UNION ALL SELECT * FROM sd_rows ORDER BY variant
+SELECT * FROM bucketed UNION ALL SELECT * FROM sd_rows
+UNION ALL SELECT * FROM sd2_rows ORDER BY variant
 """
 
 register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)

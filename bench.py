@@ -102,6 +102,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # provenance: per-query values are min-of-N warm runs; loadavg
+        # lets a single driver run be adjudicated against the quiet-host
+        # discipline (BENCH_NOTES.md: concurrent load inflates ~3x)
+        "repeat": repeat,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     if errors:
         out["errors"] = errors

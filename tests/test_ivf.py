@@ -202,3 +202,71 @@ def test_semdedup_greedy_prefix(spark):
     # raising the threshold above the v2–v3 similarity keeps v3
     out2 = {r["vec_id"]: r["kept"] for r in semdedup(vecs, cents, 0.9).collect()}
     assert out2 == {1: True, 2: False, 3: True, 9: True}
+
+
+def test_two_level_assign_no_vector_lost(spark):
+    """Every vector gets a cell under the default √k supers — a
+    childless super can never win a probe (split_centroids restricts
+    stage 1 to live supers)."""
+    from akvorado_spark.operators.similarity import (
+        assign_cells_two_level,
+        seed_centroids,
+        split_centroids,
+    )
+
+    vecs = load_table(spark, "embeddings", SF_DIR).limit(400).select(
+        "vec_id", "embedding"
+    )
+    cents = seed_centroids(vecs, 16)
+    supers, children = split_centroids(cents)
+    out = assign_cells_two_level(vecs, supers, children)
+    assert out.count() == vecs.count()
+    assert out.filter(F.col("__cell").isNull()).count() == 0
+    # supers really are ~sqrt(k): the broadcast side shrank
+    assert supers.count() <= 4
+
+
+def test_two_level_assign_exact_when_supers_equal_centroids(spark):
+    """With n_super = k each centroid supers ITSELF (cos=1 to itself
+    wins), so stage 2 degenerates to the single-level argmax — the
+    two-level machinery reproduces single-level assignment exactly."""
+    from akvorado_spark.operators.similarity import (
+        assign_cells_two_level,
+        cosine,
+        seed_centroids,
+        split_centroids,
+    )
+
+    vecs = load_table(spark, "embeddings", SF_DIR).limit(300).select(
+        "vec_id", "embedding"
+    )
+    k = 12
+    cents = seed_centroids(vecs, k)
+    supers, children = split_centroids(cents, n_super=k)
+    two = assign_cells_two_level(vecs, supers, children)
+
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", F.round(cosine(F.col("embedding"), F.col("c_vec")), 6)
+    )
+    one = scored.groupBy("vec_id").agg(
+        F.expr("max_by(c_id, struct(__sim, -c_id))").alias("__cell"),
+        F.max("__sim").alias("__csim"),
+    )
+    got = {r["vec_id"]: (r["__cell"], r["__csim"]) for r in two.collect()}
+    want = {r["vec_id"]: (r["__cell"], r["__csim"]) for r in one.collect()}
+    assert got == want
+
+
+def test_semdedup_two_level_drops_subset_sanity(spark):
+    """two_level=True produces a valid kept/dropped partition over the
+    same input (every row classified exactly once)."""
+    from akvorado_spark.operators.similarity import seed_centroids, semdedup
+
+    vecs = load_table(spark, "embeddings", SF_DIR).limit(400).select(
+        "vec_id", "embedding"
+    )
+    cents = seed_centroids(vecs, 9)
+    sd = semdedup(vecs, cents, 0.4, two_level=True)
+    assert sd.count() == vecs.count()
+    assert sd.select("vec_id").distinct().count() == vecs.count()
+    assert set(sd.select("kept").distinct().toPandas()["kept"]) <= {True, False}

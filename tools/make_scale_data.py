@@ -55,14 +55,14 @@ def main() -> int:
 
     emit(
         "lineitem",
-        "SELECT l_orderkey + {k} * 100000000 AS l_orderkey, l_partkey, l_suppkey,"
+        "SELECT l_orderkey + CAST({k} AS BIGINT) * 100000000 AS l_orderkey, l_partkey, l_suppkey,"
         " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
         " l_returnflag, l_linestatus, l_shipdate FROM {src}",
     )
     emit(
         "documents",
         """
-        SELECT doc_id + {k} * 100000000 AS doc_id,
+        SELECT doc_id + CAST({k} AS BIGINT) * 100000000 AS doc_id,
                CASE WHEN {k} = 0 THEN text ELSE array_to_string(
                  list_concat(ws[1 + ((7 * {k}) % GREATEST(len(ws), 1)):],
                              ws[1:(7 * {k}) % GREATEST(len(ws), 1)]), ' ')
@@ -74,7 +74,7 @@ def main() -> int:
     emit(
         "embeddings",
         """
-        SELECT vec_id + {k} * 10000000 AS vec_id,
+        SELECT vec_id + CAST({k} AS BIGINT) * 10000000 AS vec_id,
                CASE WHEN {k} = 0 THEN embedding ELSE
                  CAST(list_concat(embedding[1 + ({k} % len(embedding)):],
                                   embedding[1:{k} % len(embedding)]) AS FLOAT[])
@@ -86,7 +86,7 @@ def main() -> int:
     emit(
         "events",
         "SELECT event_id + CAST({k} AS BIGINT) * 1000000000 AS event_id, ts,"
-        " user_id + {k} * 10000000 AS user_id, event_type, value, props FROM {src}",
+        " user_id + CAST({k} AS BIGINT) * 10000000 AS user_id, event_type, value, props FROM {src}",
     )
     for t in ("region", "nation", "customer", "supplier", "part", "orders"):
         con.execute(
