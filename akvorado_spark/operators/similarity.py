@@ -358,6 +358,108 @@ def kmeans_centroids(
     return spark.createDataFrame(centroids, "c_id int, c_vec array<double>")
 
 
+def kmeans_centroids_hierarchical(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 4,
+    n_super: int | None = None,
+) -> DataFrame:
+    """Fully distributed two-stage k-means trainer — the 100×-scale
+    companion to :func:`kmeans_centroids`, which collects k×dim floats
+    to the driver every round (fine while k is thousands; at k ≈ N/256
+    over 10⁹ vectors that is gigabytes per iteration).
+
+    Stage 1 trains √k super-centroids with the driver-loop trainer —
+    its collect is √k×dim, bounded.  Stage 2 assigns every vector to
+    its super (broadcast of √k supers only), then runs Lloyd's on ALL
+    supers' children in parallel WITHOUT any driver collect: child
+    centroids live in a (super, child, pos)-keyed DataFrame; each
+    iteration is one join (vector→its super's children), one argmax
+    groupBy, and one mean aggregate keyed by (super, child, pos) —
+    cardinality k×dim, never row count.  Lineage is truncated per round
+    with a lazy localCheckpoint.
+
+    Children are initialized per super as its ``ceil(k/n_super)``
+    lowest-md5 members (same deterministic hash-order rule as
+    :func:`kmeans_centroids`).  Returns (c_id, c_vec) with global ids
+    ``super_rank * per_super + child_rank``; feed the result to
+    :func:`split_centroids`/:func:`assign_cells_two_level`, which
+    re-derives the grouping for two-level assignment.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if n_super is None:
+        n_super = max(2, math.isqrt(n_cells))
+    per_super = max(1, math.ceil(n_cells / n_super))
+    supers = kmeans_centroids(vectors, n_super, id_col, vec_col).select(
+        F.col("c_id").alias("s_id"), F.col("c_vec").alias("s_vec")
+    )
+    # one-time assignment of every vector to its super (√k broadcast)
+    scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(supers))
+    scored = scored.withColumn("__dot", dot(F.col(vec_col), F.col("s_vec")))
+    members = scored.groupBy(id_col, vec_col).agg(
+        F.expr("max_by(s_id, struct(__dot, -s_id))").alias("__super")
+    ).localCheckpoint(eager=False)
+
+    # deterministic init: per super, the per_super lowest-md5 members
+    hash_order = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy("__super").orderBy(hash_order, F.col(id_col))
+    cents = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_super)
+        .select(
+            "__super",
+            F.col("__rk").alias("__child"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(iters):
+        # vectors join ONLY their super's children (k rows total, ~√k
+        # per super) — never a full N×k crossJoin
+        cand = members.join(cents, "__super").withColumn(
+            "__dot", dot(F.col(vec_col), F.col("c_vec"))
+        )
+        assigned = cand.groupBy(id_col, vec_col, "__super").agg(
+            F.expr("max_by(__child, struct(__dot, -__child))").alias("__child")
+        )
+        # elementwise means keyed by (super, child, pos): k×dim groups
+        means = (
+            assigned.select("__super", "__child", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("__super", "__child", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("__super", "__child")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "__super", "__child",
+                F.transform("pm", lambda s: s["m"]).alias("c_vec"),
+            )
+        )
+        # empty children keep their previous centroid (Lloyd's fallback)
+        kept = cents.alias("old").join(
+            means.select("__super", "__child").alias("new"),
+            ["__super", "__child"], "left_anti",
+        )
+        cents = means.unionByName(kept).localCheckpoint(eager=False)
+
+    ws = Window.orderBy("s_id")
+    super_rank = supers.select(
+        "s_id", (F.row_number().over(ws) - 1).alias("__srank")
+    )
+    return (
+        cents.join(super_rank, cents["__super"] == super_rank["s_id"])
+        .select(
+            (F.col("__srank") * per_super + F.col("__child")).cast("int").alias("c_id"),
+            "c_vec",
+        )
+    )
+
+
 def split_centroids(
     centroids: DataFrame,
     n_super: int | None = None,

@@ -71,10 +71,17 @@ def main() -> None:
         print(f"# warmup error: {warmup_error}", file=sys.stderr)
 
     repeat = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")), 1)
+    # optional comma-separated subset for scale-exponent runs (the
+    # driver never sets this; default is the full registry)
+    only = {
+        q for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q
+    }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         best = None
         n = 0
         try:

@@ -270,3 +270,36 @@ def test_semdedup_two_level_drops_subset_sanity(spark):
     assert sd.count() == vecs.count()
     assert sd.select("vec_id").distinct().count() == vecs.count()
     assert set(sd.select("kept").distinct().toPandas()["kept"]) <= {True, False}
+
+
+def test_kmeans_hierarchical_trains_usable_centroids(spark):
+    """The fully distributed two-stage trainer returns k' centroids
+    (k' <= requested, >= n_super) with distinct ids that separate the
+    corpus at least as well as the seed pick: mean best-cosine over a
+    sample is no worse."""
+    from akvorado_spark.operators.similarity import (
+        cosine,
+        kmeans_centroids_hierarchical,
+        seed_centroids,
+    )
+
+    vecs = load_table(spark, "embeddings", SF_DIR).limit(600).select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids_hierarchical(vecs, 16, iters=2)
+    rows = cents.collect()
+    assert 4 <= len(rows) <= 16
+    assert len({r["c_id"] for r in rows}) == len(rows)
+    dim = len(vecs.first()["embedding"])
+    assert all(len(r["c_vec"]) == dim for r in rows)
+
+    def mean_best(cdf):
+        scored = vecs.crossJoin(F.broadcast(cdf)).withColumn(
+            "__s", cosine(F.col("embedding"), F.col("c_vec"))
+        )
+        best = scored.groupBy("vec_id").agg(F.max("__s").alias("b"))
+        return best.agg(F.avg("b")).collect()[0][0]
+
+    trained = mean_best(cents)
+    seeded = mean_best(seed_centroids(vecs, len(rows)))
+    assert trained >= seeded - 1e-9
