@@ -2,10 +2,12 @@
 typed metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing)
-is real and tested; the actual media decode is STUBBED behind
-``import``-guards because the image/audio libraries are not in this
-container — ``decode_image(..., fake=True)`` substitutes a
-deterministic synthetic decode so the pipeline shape is executable.
+is real and tested.  Image decode is REAL for PNG via the pure-stdlib
+codec in ``operators/png.py`` (no Pillow in this container); other
+formats fall back to PIL when present, else raise — and
+``decode_image(..., fake=True)`` substitutes a deterministic synthetic
+decode so the pipeline shape stays executable anywhere.  Audio/video
+decode remain stubbed (no codecs in the container).
 
 At 100 TB: media bytes dominate row size, so these operators
 repartition by byte budget (``target_rows_per_batch``) before the
@@ -45,21 +47,15 @@ def decode_image(
 ) -> DataFrame:
     """media binary → (id, width, height, channels, format).
 
-    Real decode requires PIL/libvips (absent here): raises unless
-    ``fake=True``, which derives deterministic dimensions from the
-    first bytes — keeping schema, batching, and partition shape real.
+    Real decode: PNG via the pure-stdlib codec (``operators/png.py``);
+    other formats via PIL when importable, else ``NotImplementedError``.
+    ``fake=True`` derives deterministic dimensions from the first bytes
+    — keeping schema, batching, and partition shape real without any
+    decodable media.
     """
     out_schema = IMAGE_META_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            try:
-                import PIL.Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover
-                raise NotImplementedError(
-                    "image decode needs Pillow/libvips; not in this container — "
-                    "pass fake=True for the deterministic stub"
-                ) from e
         # re-chunk INSIDE the worker instead of mutating the session's
         # arrow.maxRecordsPerBatch (a plan-build side effect that would
         # silently change batching for every later Arrow op): media
@@ -81,18 +77,81 @@ def decode_image(
                         "format": "fake/rgb8",
                     }
                 )
-            else:  # pragma: no cover - real decode path
-                import io
-
-                import PIL.Image
+            else:
+                from akvorado_spark.operators.png import is_png, png_decode
 
                 rows = []
                 for _, r in pdf.iterrows():
-                    img = PIL.Image.open(io.BytesIO(r[media_col]))
-                    rows.append((r[id_col], img.width, img.height, len(img.getbands()), img.format))
+                    blob = bytes(r[media_col])
+                    if is_png(blob):
+                        w, h, ch, _px = png_decode(blob)
+                        rows.append((r[id_col], w, h, ch, "PNG"))
+                        continue
+                    try:  # pragma: no cover - PIL absent in container
+                        import io
+
+                        import PIL.Image
+
+                        img = PIL.Image.open(io.BytesIO(blob))
+                        rows.append((r[id_col], img.width, img.height,
+                                     len(img.getbands()), img.format))
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "non-PNG image decode needs Pillow/libvips; "
+                            "not in this container — PNG decodes natively, "
+                            "or pass fake=True for the deterministic stub"
+                        ) from e
                 yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "channels", "format"])
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "mean array<double>, std array<double>"
+)
+
+
+def image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    resize_to: tuple[int, int] | None = None,
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """PNG media → per-channel mean/std feature rows (the
+    feature-extract stage of a multimodal pipeline), optionally after a
+    deterministic nearest-neighbor resize.  Pure stdlib+numpy; runs in
+    Arrow-batched workers, binaries never reach the driver."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from akvorado_spark.operators.png import png_decode, resize_nearest
+
+        def slices():
+            for whole in batches:
+                for off in range(0, len(whole), target_rows_per_batch):
+                    yield whole.iloc[off : off + target_rows_per_batch]
+
+        for pdf in slices():
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, ch, px = png_decode(bytes(r[media_col]))
+                if resize_to is not None:
+                    px = resize_nearest(px, *resize_to)
+                    h, w = px.shape[0], px.shape[1]
+                flat = px.reshape(-1, ch).astype(np.float64)
+                rows.append((
+                    r[id_col], w, h, ch,
+                    [float(x) for x in flat.mean(axis=0)],
+                    [float(x) for x in flat.std(axis=0)],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "mean", "std"],
+            )
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n_frames: int, id_col: str = "doc_id") -> DataFrame:

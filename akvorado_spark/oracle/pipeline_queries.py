@@ -1298,6 +1298,8 @@ _MM_SAMPLE = "doc_id % 11 = 0"
 
 
 def _multimodal_meta(spark, sf_dir):
+    from collections.abc import Iterator
+
     from akvorado_spark.operators.multimodal import decode_image
 
     # no spread: the fake decode is cheap per row, so fanning the
@@ -1308,15 +1310,73 @@ def _multimodal_meta(spark, sf_dir):
         "doc_id", F.unhex(F.md5(F.col("text").cast("binary"))).alias("media")
     )
     out = decode_image(with_media, media_col="media", id_col="doc_id", fake=True)
-    return out.orderBy("doc_id")
+    fake = out.select(
+        F.lit("fake").alias("variant"), "*",
+        F.lit(None).cast("long").alias("pix_sum"),
+    )
 
+    # REAL decode variant: deterministic pixels per doc, encoded with a
+    # per-row filter sweep (every unfilter path: (doc_id+y)%5), decoded
+    # by the pure-stdlib codec — pix_sum gates the reconstructed bytes
+    # against DuckDB's integer replay of the pixel formula.
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from akvorado_spark.operators.png import png_decode, png_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 5 + 2, d % 3 + 2
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((d * 7 + 13 * yy + 17 * xx + 19 * cc) % 256).astype(np.uint8)
+                blob = png_encode(px, filters=[(d + y) % 5 for y in range(h)])
+                ww, hh, ch, got = png_decode(blob)
+                rows.append((
+                    "png", d, ww, hh, ch, "PNG",
+                    int(got.astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "doc_id", "width", "height",
+                         "channels", "format", "pix_sum"],
+            )
+
+    png = docs.select("doc_id").mapInPandas(
+        run, "variant string, " + IMAGE_META_SCHEMA_SQL + ", pix_sum long"
+    )
+    return fake.unionByName(png).orderBy("variant", "doc_id")
+
+
+IMAGE_META_SCHEMA_SQL = (
+    "doc_id long, width int, height int, channels int, format string"
+)
 
 _MM_ORACLE = f"""
-SELECT doc_id,
+SELECT 'fake' AS variant, doc_id,
        CAST(('0x' || substr(md5(text), 1, 2))::INT % 16 + 1 AS INT) AS width,
        CAST(('0x' || substr(md5(text), 3, 2))::INT % 8 + 1 AS INT) AS height,
        CAST(3 AS INT) AS channels,
-       'fake/rgb8' AS format
-FROM documents WHERE {_MM_SAMPLE} ORDER BY doc_id"""
+       'fake/rgb8' AS format,
+       CAST(NULL AS BIGINT) AS pix_sum
+FROM documents WHERE {_MM_SAMPLE}
+UNION ALL
+SELECT 'png' AS variant, d.doc_id,
+       CAST(d.doc_id % 5 + 2 AS INT) AS width,
+       CAST(d.doc_id % 3 + 2 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'PNG' AS format,
+       CAST(SUM((d.doc_id * 7 + 13 * y.i + 17 * x.i + 19 * c.i) % 256) AS BIGINT) AS pix_sum
+FROM documents d,
+     generate_series(0, 4) y(i), generate_series(0, 6) x(i),
+     generate_series(0, 2) c(i)
+WHERE {_MM_SAMPLE}
+  AND y.i < d.doc_id % 3 + 2 AND x.i < d.doc_id % 5 + 2
+GROUP BY d.doc_id
+ORDER BY variant, doc_id"""
 
 register("multimodal_decode_meta", _multimodal_meta, _MM_ORACLE)

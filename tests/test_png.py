@@ -1,0 +1,171 @@
+"""Pure-stdlib PNG codec goldens + the real (non-fake) multimodal
+decode/feature path running without Pillow."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from akvorado_spark.operators.png import (
+    PNG_MAGIC,
+    is_png,
+    png_decode,
+    png_encode,
+    resize_nearest,
+)
+
+
+def chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def build_png(width, height, color_type, scanlines: bytes, plte=None) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+
+
+def test_roundtrip_rgb():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    w, h, ch, got = png_decode(png_encode(px))
+    assert (w, h, ch) == (9, 5, 3)
+    assert np.array_equal(got, px)
+
+
+def test_roundtrip_gray_and_rgba():
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    w, h, ch, got = png_decode(png_encode(g))
+    assert (w, h, ch) == (6, 4, 1) and np.array_equal(got[:, :, 0], g)
+    a = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    w, h, ch, got = png_decode(png_encode(a))
+    assert (w, h, ch) == (3, 3, 4) and np.array_equal(got, a)
+
+
+def test_all_filters_golden():
+    """One scanline per filter type over a known 4x5 gray image; the
+    filtered bytes are hand-derived per the PNG spec, so the unfilter
+    math (Sub prefix-sum, Up, Average floor, Paeth predictor) is pinned
+    byte-for-byte."""
+    want = np.array(
+        [
+            [10, 20, 30, 40],
+            [15, 25, 35, 45],
+            [12, 22, 40, 50],
+            [13, 27, 45, 55],
+            [20, 30, 50, 60],
+        ],
+        dtype=np.uint8,
+    )
+
+    def sub(row):  # filter 1: raw[i] - raw[i-1]
+        out = [row[0]] + [(int(row[i]) - int(row[i - 1])) & 0xFF for i in range(1, len(row))]
+        return bytes([1] + out)
+
+    def up(row, prev):  # filter 2
+        return bytes([2] + [(int(a) - int(b)) & 0xFF for a, b in zip(row, prev)])
+
+    def avg(row, prev):  # filter 3: left uses the RECONSTRUCTED row
+        out, rec = [], []
+        for i, v in enumerate(row):
+            left = rec[i - 1] if i else 0
+            out.append((int(v) - (left + int(prev[i])) // 2) & 0xFF)
+            rec.append(int(v))
+        return bytes([3] + out)
+
+    def paeth(row, prev):  # filter 4
+        def predict(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        out, rec = [], []
+        for i, v in enumerate(row):
+            left = rec[i - 1] if i else 0
+            ul = int(prev[i - 1]) if i else 0
+            out.append((int(v) - predict(left, int(prev[i]), ul)) & 0xFF)
+            rec.append(int(v))
+        return bytes([4] + out)
+
+    lines = (
+        bytes([0]) + want[0].tobytes()
+        + sub(want[1])
+        + up(want[2], want[1])
+        + avg(want[3], want[2])
+        + paeth(want[4], want[3])
+    )
+    w, h, ch, got = png_decode(build_png(4, 5, 0, lines))
+    assert (w, h, ch) == (4, 5, 1)
+    assert np.array_equal(got[:, :, 0], want)
+
+
+def test_palette_expands_to_rgb():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    lines = bytes([0, 0, 1, 2, 1])  # one row: R G B G
+    w, h, ch, got = png_decode(build_png(4, 1, 3, lines, plte=plte))
+    assert (w, h, ch) == (4, 1, 3)
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[0, 3].tolist() == [0, 255, 0]
+
+
+def test_malformed_rejected():
+    assert not is_png(b"JFIF....")
+    with pytest.raises(ValueError):
+        png_decode(b"JFIF" + bytes(16))
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = png_encode(px)
+    with pytest.raises((ValueError, zlib.error)):
+        png_decode(good[:-20])  # truncated inside the IDAT chunk
+    # 16-bit depth: declared unsupported, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        png_decode(deep)
+
+
+def test_resize_nearest_golden():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = resize_nearest(px, 2, 2)
+    assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
+
+
+def test_decode_image_real_png_path(spark):
+    """The REAL decode branch runs PNG natively (no Pillow in this
+    container) through the Arrow-batched operator."""
+    from akvorado_spark.operators.multimodal import decode_image, image_features
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        w, h = 3 + i, 2 + (i % 3)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, bytearray(png_encode(px)), int(px.mean())))
+    df = spark.createDataFrame(
+        [(i, bytes(b)) for i, b, _m in rows], "doc_id long, media binary"
+    )
+    meta = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert len(meta) == 6
+    for i in range(6):
+        assert (meta[i]["width"], meta[i]["height"]) == (3 + i, 2 + (i % 3))
+        assert meta[i]["channels"] == 3 and meta[i]["format"] == "PNG"
+
+    feats = {r["doc_id"]: r for r in image_features(df, resize_to=(2, 2)).collect()}
+    assert all(feats[i]["width"] == 2 and feats[i]["height"] == 2 for i in range(6))
+    assert all(len(feats[i]["mean"]) == 3 for i in range(6))
+
+
+def test_roundtrip_every_filter_combo():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        w, h, ch, got = png_decode(png_encode(px, filters=filters))
+        assert np.array_equal(got, px), f"filters={filters}"
