@@ -193,7 +193,7 @@ def classify(
 
 def rate_limit(
     df: DataFrame,
-    limit_per_s: int,
+    limit_per_s,
     key: str = "ExporterAddress",
     time_col: str = "TimeReceived",
     tiebreak: tuple[str, ...] = (),
@@ -206,11 +206,26 @@ def rate_limit(
     sampling rate by total/kept (floor) so SUM(x*SamplingRate)
     aggregates stay unbiased within the tick.
 
+    ``limit_per_s`` may be an int (one limit for every key) or a
+    column/column-name carrying the limit PER ROW — the RawFlow
+    transport form, where each message brings its exporter's limit
+    (common/pb/rawflow.proto field 8; outlet/core/worker.go:71 applies
+    ``rawFlow.RateLimit`` per message).  A zero or NULL per-row limit
+    means no limit, matching the proto's "0 means no limit".  The limit
+    is expected constant within one (key, tick) group, as it is on the
+    wire (one exporter → one configured rate).
+
     Granularity floor: ``limit_per_s < 5`` still passes one flow per
     tick (up to 5/s) — the 200 ms resolution cannot express a lower
     rate, matching the reference's per-tick bucket floor.
     """
-    per_tick = max(limit_per_s // 5, 1)
+    if isinstance(limit_per_s, int):
+        unlimited = F.lit(False)
+        per_tick = F.lit(max(limit_per_s // 5, 1))
+    else:
+        lim = F.col(limit_per_s) if isinstance(limit_per_s, str) else limit_per_s
+        unlimited = lim.isNull() | (lim <= 0)
+        per_tick = F.greatest(F.floor(lim / 5).cast("long"), F.lit(1))
     tick = (F.unix_millis(F.col(time_col).cast("timestamp")) / 200).cast("long")
     d = df.withColumn("__tick", tick)
     w = Window.partitionBy(key, "__tick").orderBy(
@@ -223,12 +238,14 @@ def rate_limit(
     d = (
         d.withColumn("__rn", F.row_number().over(w))
         .withColumn("__total", F.count(F.lit(1)).over(wall))
-        .filter(F.col("__rn") <= per_tick)
+        .filter(unlimited | (F.col("__rn") <= per_tick))
     )
-    kept = F.least(F.col("__total"), F.lit(per_tick))
+    kept = F.least(F.col("__total"), per_tick)
     d = d.withColumn(
         sampling_col,
-        F.floor((F.col(sampling_col) * F.col("__total")) / kept).cast("long"),
+        F.when(unlimited, F.col(sampling_col)).otherwise(
+            F.floor((F.col(sampling_col) * F.col("__total")) / kept).cast("long")
+        ),
     )
     return d.drop("__tick", "__rn", "__total")
 

@@ -110,30 +110,51 @@ _LIMIT_S = 50  # → 10 flows per tick
 _TIE = ("SrcPort", "DstPort", "Bytes")
 
 
+# per-message limit expression (RawFlow field 8 shape: each message
+# carries its exporter's configured rate; 0 = no limit) — derived from
+# a column both engines compute identically
+_PM_LIMIT = (
+    "CASE (length(ExporterName) % 4) WHEN 0 THEN 25 WHEN 1 THEN 50 "
+    "WHEN 2 THEN 75 ELSE 0 END"
+)
+
+
 def _spark_rate_limit(spark, sf_dir):
     register_spark_view(spark, sf_dir)
     # project before the window: the shuffle then moves 7 columns, not
-    # the whole row with its derived 16-byte addresses
+    # the whole row with its derived 16-byte addresses; the two
+    # variants share the materialized projection
     flows = spark.table("flows_v").select(
         "ExporterAddress", "ExporterName", "TimeReceived",
         "SrcPort", "DstPort", "Bytes", "SamplingRate",
-    )
-    out = rate_limit(
-        flows,
-        _LIMIT_S,
-        key="ExporterAddress",
-        time_col="TimeReceived",
-        tiebreak=_TIE,
-    )
-    return (
-        out.groupBy("ExporterName")
-        .agg(
-            F.count(F.lit(1)).alias("kept"),
-            F.sum("SamplingRate").alias("sampling_sum"),
-            F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("bytes_est"),
+    ).localCheckpoint(eager=False)
+
+    def agg(out, tag):
+        return (
+            out.groupBy("ExporterName")
+            .agg(
+                F.count(F.lit(1)).alias("kept"),
+                F.sum("SamplingRate").alias("sampling_sum"),
+                F.sum(F.col("Bytes") * F.col("SamplingRate")).alias("bytes_est"),
+            )
+            .select(F.lit(tag).alias("variant"), "*")
         )
-        .orderBy("ExporterName")
+
+    glob = agg(
+        rate_limit(flows, _LIMIT_S, key="ExporterAddress",
+                   time_col="TimeReceived", tiebreak=_TIE),
+        "global",
     )
+    # per-message limits incl. the 0-means-unlimited class
+    per_msg = agg(
+        rate_limit(
+            flows.withColumn("__lim", F.expr(_PM_LIMIT)),
+            "__lim", key="ExporterAddress",
+            time_col="TimeReceived", tiebreak=_TIE,
+        ).drop("__lim"),
+        "per_msg",
+    )
+    return glob.unionByName(per_msg).orderBy("variant", "ExporterName")
 
 
 def _oracle_rate_limit() -> str:
@@ -153,10 +174,32 @@ numbered AS (
 kept AS (
   SELECT *, CAST(FLOOR(SamplingRate * total / LEAST(total, 10)) AS BIGINT) AS sr
   FROM numbered WHERE rn <= 10
+),
+g_rows AS (
+  SELECT 'global' AS variant, ExporterName, COUNT(*) AS kept,
+         CAST(SUM(sr) AS BIGINT) AS sampling_sum,
+         CAST(SUM(Bytes * sr) AS BIGINT) AS bytes_est
+  FROM kept GROUP BY ExporterName
+),
+pm_lim AS (
+  SELECT *, {_PM_LIMIT} AS lim,
+         GREATEST(CAST(FLOOR(({_PM_LIMIT}) / 5) AS BIGINT), 1) AS per_tick
+  FROM numbered
+),
+pm_kept AS (
+  SELECT *, CASE WHEN lim <= 0 THEN SamplingRate
+                 ELSE CAST(FLOOR(SamplingRate * total / LEAST(total, per_tick)) AS BIGINT)
+            END AS sr
+  FROM pm_lim WHERE lim <= 0 OR rn <= per_tick
+),
+pm AS (
+  SELECT 'per_msg' AS variant, ExporterName, COUNT(*) AS kept,
+         CAST(SUM(sr) AS BIGINT) AS sampling_sum,
+         CAST(SUM(Bytes * sr) AS BIGINT) AS bytes_est
+  FROM pm_kept GROUP BY ExporterName
 )
-SELECT ExporterName, COUNT(*) AS kept, CAST(SUM(sr) AS BIGINT) AS sampling_sum,
-       CAST(SUM(Bytes * sr) AS BIGINT) AS bytes_est
-FROM kept GROUP BY ExporterName ORDER BY ExporterName"""
+SELECT * FROM g_rows UNION ALL SELECT * FROM pm
+ORDER BY variant, ExporterName"""
 
 
 register("rate_limit_compensated", _spark_rate_limit, _oracle_rate_limit())

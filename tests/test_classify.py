@@ -51,6 +51,32 @@ def test_rate_limit_under_limit_untouched(spark):
     assert all(r["SamplingRate"] == 10 for r in out)
 
 
+def test_rate_limit_per_message_column(spark):
+    """RawFlow field 8 shape: each row carries its exporter's limit;
+    0 means no limit (common/pb/rawflow.proto:14, worker.go:71)."""
+    rows = (
+        [("e1", "2024-01-01 00:00:00", i, 100, 10, 25) for i in range(25)]
+        + [("e2", "2024-01-01 00:00:00", i, 100, 10, 0) for i in range(25)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "ExporterAddress string, TimeReceived string, SrcPort int, "
+        "Bytes long, SamplingRate long, rate_limit long",
+    ).withColumn("TimeReceived", F.col("TimeReceived").cast("timestamp"))
+    out = rate_limit(
+        df, "rate_limit", key="ExporterAddress", tiebreak=("SrcPort",)
+    )
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["ExporterAddress"], []).append(r)
+    # e1: limit 25/s -> 5 per tick, compensation 25/5 = 5x
+    assert len(by["e1"]) == 5
+    assert all(r["SamplingRate"] == 50 for r in by["e1"])
+    # e2: limit 0 = unlimited, untouched
+    assert len(by["e2"]) == 25
+    assert all(r["SamplingRate"] == 10 for r in by["e2"])
+
+
 # --- T2 provider precedence (reference enricher.go:202-249, 389-398) -------
 
 def test_as_number_provider_precedence(spark):
