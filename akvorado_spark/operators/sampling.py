@@ -118,6 +118,53 @@ def pack_documents(
     return out.drop("__pack_bucket") if not key_cols else out
 
 
+def split_dataset(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    split_col: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test split with a LEAKAGE GUARD.
+
+    Every row gets ``split_col`` from hash-bucketing — no RNG, no
+    shuffle, reproducible across runs/engines/partitionings.  When
+    ``group_col`` is given (a dedup cluster id, domain, URL host...)
+    the bucket is computed from the GROUP, so all members of a
+    near-duplicate cluster land in the SAME split — the guard against
+    train/test contamination that a row-wise random split cannot give
+    (a near-dup of a test document in train is leakage even after
+    dedup keeps one representative per split).
+
+    ``fractions`` maps split name → fraction; they must sum to ≤ 1
+    (any remainder falls into the LAST split, so {"train": .9,
+    "val": .05, "test": .05} is exact).  Thresholds are exact integer
+    bucket counts — an oracle replays the boundaries with no
+    floating-point hazards.  Zero-shuffle: one md5 + one CASE chain,
+    whole-stage codegen.
+    """
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    key = F.col(group_col if group_col is not None else id_col)
+    bucket = F.conv(
+        F.substring(portable_order_hash(key), 1, 8), 16, 10
+    ).cast("long") % buckets
+    names = list(fractions)
+    bounds = []
+    acc = 0
+    for name in names[:-1]:
+        acc += int(round(fractions[name] * buckets))
+        bounds.append((name, acc))
+    expr = F.lit(names[-1])
+    for name, hi in reversed(bounds):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def mix_sources(
     df: DataFrame,
     rates: dict[str, float],

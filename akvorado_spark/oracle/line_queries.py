@@ -348,7 +348,43 @@ def _spark_hash_sample(spark, sf_dir):
             "n", "id_sum", "epoch_sum",
         )
     )
-    return uniform.unionByName(mixed).orderBy("variant", "grp")
+    # train/val/test split variants (operators/sampling.split_dataset):
+    # 'split_group' buckets by SOURCE — the leakage guard (a near-dup
+    # group never straddles splits; epoch_sum carries distinct sources
+    # per split); 'split_row' buckets by doc_id for contrast.
+    from akvorado_spark.operators.sampling import split_dataset
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    sp_group = (
+        split_dataset(docs, fr, id_col="doc_id", group_col="source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.countDistinct("source").cast("long").alias("epoch_sum"),
+        )
+        .select(
+            F.lit("split_group").alias("variant"), F.col("split").alias("grp"),
+            "n", "id_sum", "epoch_sum",
+        )
+    )
+    sp_row = (
+        split_dataset(docs, fr, id_col="doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.lit(0).cast("long").alias("epoch_sum"),
+        )
+        .select(
+            F.lit("split_row").alias("variant"), F.col("split").alias("grp"),
+            "n", "id_sum", "epoch_sum",
+        )
+    )
+    return (
+        uniform.unionByName(mixed).unionByName(sp_group).unionByName(sp_row)
+        .orderBy("variant", "grp")
+    )
 
 
 _SAMPLE_ORACLE = """
@@ -375,6 +411,21 @@ GROUP BY lang
 UNION ALL
 SELECT 'mixed', source, COUNT(*), CAST(SUM(doc_id) AS BIGINT), CAST(SUM(epoch) AS BIGINT)
 FROM mixed GROUP BY source
+UNION ALL
+SELECT 'split_group', split, COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT)
+FROM (
+  SELECT *, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        FROM documents)
+) GROUP BY split
+UNION ALL
+SELECT 'split_row', split, COUNT(*), CAST(SUM(doc_id) AS BIGINT), CAST(0 AS BIGINT)
+FROM (
+  SELECT *, CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        FROM documents)
+) GROUP BY split
 ORDER BY variant, grp"""
 
 register("docs_hash_sample", _spark_hash_sample, _SAMPLE_ORACLE)

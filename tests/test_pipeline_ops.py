@@ -696,3 +696,46 @@ def test_remove_duplicate_spans(spark):
     # doc 2: its 'a b c' is occurrence #3 -> dropped
     assert out[2] == ("q r s", 2, 1)
     assert out[3] == ("", 0, 0)
+
+
+def test_split_dataset_leakage_guard(spark):
+    """Group-keyed splitting: every group lands in exactly ONE split
+    (the train/test contamination guard); fractions land near target;
+    assignment is deterministic across invocations."""
+    from akvorado_spark.operators.sampling import split_dataset
+    from akvorado_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "source")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_dataset(docs, fr, id_col="doc_id", group_col="source")
+    # leakage guard: one split per source
+    straddlers = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert straddlers == 0
+    # row-wise split approximates fractions on the full corpus
+    row = split_dataset(docs, fr, id_col="doc_id")
+    n = docs.count()
+    got = {r["split"]: r["cnt"] for r in row.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert abs(got.get("train", 0) / n - 0.8) < 0.05
+    assert set(got) == {"train", "val", "test"}
+    # deterministic: re-invocation yields identical assignment
+    again = split_dataset(docs, fr, id_col="doc_id")
+    assert row.exceptAll(again).count() == 0
+
+
+def test_split_dataset_validates_fractions(spark):
+    import pytest as _pytest
+
+    from akvorado_spark.operators.sampling import split_dataset
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        split_dataset(df, {})
+    with _pytest.raises(ValueError):
+        split_dataset(df, {"a": 0.9, "b": 0.3})
