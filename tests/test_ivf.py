@@ -303,3 +303,60 @@ def test_kmeans_hierarchical_trains_usable_centroids(spark):
     trained = mean_best(cents)
     seeded = mean_best(seed_centroids(vecs, len(rows)))
     assert trained >= seeded - 1e-9
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """int8 codes reconstruct within scale/2 per element; quantized_dot
+    approximates the exact dot; all-zero vectors quantize cleanly."""
+    from akvorado_spark.operators.similarity import (
+        dequantize_embeddings,
+        dot,
+        quantize_embeddings,
+        quantized_dot,
+    )
+
+    vecs = load_table(spark, "embeddings", SF_DIR).limit(200).select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * len(vecs.first()["embedding"]))],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(vecs.unionByName(zero))
+    # codes in int8 range; zero vector → scale 0, codes 0
+    rng = q.select(
+        F.max(F.array_max("q_code")).alias("hi"),
+        F.min(F.array_min("q_code")).alias("lo"),
+    ).collect()[0]
+    assert rng["hi"] <= 127 and rng["lo"] >= -127
+    zrow = q.filter("vec_id = 10000000").collect()[0]
+    assert zrow["q_scale"] == 0.0 and set(zrow["q_code"]) == {0}
+    # max reconstruction error <= scale/2 (+eps)
+    err = q.withColumn("recon", dequantize_embeddings("q_code", "q_scale")).select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "recon", lambda a, b: F.abs(a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            - F.col("q_scale") / 2
+        ).alias("worst")
+    ).collect()[0]["worst"]
+    assert err <= 1e-9
+    # quantized dot tracks the exact dot within the linearized bound
+    a = q.alias("a").filter("vec_id % 7 = 0")
+    b = q.alias("b").filter("vec_id % 7 = 1")
+    pairs = a.crossJoin(b).limit(300).select(
+        dot(F.col("a.embedding"), F.col("b.embedding")).alias("exact"),
+        quantized_dot(
+            F.col("a.q_code"), F.col("b.q_code"),
+            F.col("a.q_scale"), F.col("b.q_scale"),
+        ).alias("approx"),
+    )
+    worst = pairs.select(
+        F.max(F.abs(F.col("exact") - F.col("approx"))).alias("w"),
+        F.max(F.abs("exact")).alias("m"),
+    ).collect()[0]
+    assert worst["w"] <= max(0.02 * worst["m"], 1e-6)
