@@ -250,3 +250,51 @@ def test_span_removal_single_window_shuffle(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_split_dataset_zero_shuffle_codegen(spark):
+    """The split is one md5 + CASE chain — no exchange, no join, and
+    the projection stays inside whole-stage codegen."""
+    from akvorado_spark.operators.sampling import split_dataset
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(100)], "doc_id long, source string"
+    )
+    p = plan(split_dataset(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                           group_col="source"))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    # the formatted plan marks codegen stages with "[codegen id : N]"
+    assert "codegen id" in p
+
+
+def test_quantize_embeddings_zero_shuffle(spark):
+    from akvorado_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.1, -0.5, 0.9]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    p = plan(quantize_embeddings(df))
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_two_level_assign_broadcasts_only_supers(spark):
+    """Stage 1 of the two-level quantizer broadcasts the SUPER frame;
+    the children reach the rows via a join, never a cartesian product."""
+    from akvorado_spark.operators.similarity import (
+        assign_cells_two_level,
+        seed_centroids,
+        split_centroids,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = seed_centroids(vecs, 9)
+    supers, children = split_centroids(cents)
+    p = plan(assign_cells_two_level(vecs, supers, children))
+    assert "CartesianProduct" not in p
+    # the only nested-loop join is the 1-row-side broadcast of supers
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
