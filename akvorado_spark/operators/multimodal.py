@@ -78,7 +78,12 @@ def decode_image(
                     }
                 )
             else:
-                from akvorado_spark.operators.png import is_png, png_decode
+                from akvorado_spark.operators.png import (
+                    is_jpeg,
+                    is_png,
+                    jpeg_meta,
+                    png_decode,
+                )
 
                 rows = []
                 for _, r in pdf.iterrows():
@@ -86,6 +91,11 @@ def decode_image(
                     if is_png(blob):
                         w, h, ch, _px = png_decode(blob)
                         rows.append((r[id_col], w, h, ch, "PNG"))
+                        continue
+                    if is_jpeg(blob):
+                        # header-only: SOF dims/channels need no codec
+                        w, h, ch = jpeg_meta(blob)
+                        rows.append((r[id_col], w, h, ch, "JPEG"))
                         continue
                     try:  # pragma: no cover - PIL absent in container
                         import io

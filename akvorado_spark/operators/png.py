@@ -185,6 +185,47 @@ def png_encode(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     )
 
 
+JPEG_MAGIC = b"\xff\xd8"
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:2] == JPEG_MAGIC
+
+
+def jpeg_meta(data: bytes) -> tuple[int, int, int]:
+    """JPEG bytes → (width, height, channels) from the SOF marker —
+    header-only metadata, no entropy decode (full JPEG decode needs a
+    DCT codec the container lacks; dimensions/channels do not).
+
+    Walks the marker stream (ITU-T T.81 §B): segments are
+    ``FF mm len16 payload``; SOF0-SOF15 (minus DHT/JPG/DAC which share
+    the range) carry precision, height, width, component count.
+    """
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad signature)")
+    off = 2
+    n = len(data)
+    while off + 4 <= n:
+        if data[off] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = data[off + 1]
+        off += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue  # standalone markers carry no length
+        if off + 2 > n:
+            break
+        seg_len = struct.unpack_from(">H", data, off)[0]
+        if seg_len < 2 or off + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", data, off + 2)
+            return w, h, ncomp
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before any SOF
+            break
+        off += seg_len
+    raise ValueError("JPEG without SOF marker")
+
+
 def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize (the deterministic, dependency-free
     resizer for thumbnailing/normalization stages)."""

@@ -169,3 +169,38 @@ def test_roundtrip_every_filter_combo():
     for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
         w, h, ch, got = png_decode(png_encode(px, filters=filters))
         assert np.array_equal(got, px), f"filters={filters}"
+
+
+def jpeg_fixture(w, h, ncomp=3):
+    """Minimal valid-marker-stream JPEG header: SOI, APP0, DQT stub,
+    SOF0, EOI — enough for metadata, not decodable."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + ncomp * 3, 8, h, w, ncomp)
+    sof += bytes([1, 0x11, 0] * ncomp)
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
+def test_jpeg_meta_golden():
+    from akvorado_spark.operators.png import is_jpeg, jpeg_meta
+
+    data = jpeg_fixture(640, 480, 3)
+    assert is_jpeg(data)
+    assert jpeg_meta(data) == (640, 480, 3)
+    assert jpeg_meta(jpeg_fixture(17, 9, 1)) == (17, 9, 1)
+    with pytest.raises(ValueError):
+        jpeg_meta(b"\xff\xd8\xff\xd9")  # no SOF
+    with pytest.raises(ValueError):
+        jpeg_meta(b"PNG...")
+
+
+def test_decode_image_jpeg_metadata_path(spark):
+    from akvorado_spark.operators.multimodal import decode_image
+
+    df = spark.createDataFrame(
+        [(1, jpeg_fixture(320, 200, 3)), (2, jpeg_fixture(64, 64, 1))],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (320, 200, 3)
+    assert got[2]["format"] == "JPEG" and got[2]["channels"] == 1
