@@ -119,8 +119,13 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        px = pal[px[:, :, 0]]
+        pal = np.frombuffer(plte, dtype=np.uint8)[: (len(plte) // 3) * 3]
+        pal = pal.reshape(-1, 3)
+        idx = px[:, :, 0]
+        if len(pal) == 0 or int(idx.max(initial=0)) >= len(pal):
+            # malformed input must raise the typed error, not IndexError
+            raise ValueError("palette index out of PLTE range")
+        px = pal[idx]
         ch = 3
     return width, height, ch, px
 
@@ -209,6 +214,9 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
         if data[off] != 0xFF:
             raise ValueError("JPEG marker stream desynchronized")
         marker = data[off + 1]
+        if marker == 0xFF:  # fill byte (T.81 §B.1.1.2): FF FF ... FF mm
+            off += 1
+            continue
         off += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue  # standalone markers carry no length

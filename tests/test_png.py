@@ -204,3 +204,20 @@ def test_decode_image_jpeg_metadata_path(spark):
     got = {r["doc_id"]: r for r in decode_image(df).collect()}
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (320, 200, 3)
     assert got[2]["format"] == "JPEG" and got[2]["channels"] == 1
+
+
+def test_palette_out_of_range_rejected():
+    plte = bytes([255, 0, 0])  # one entry
+    lines = bytes([0, 0, 1])  # index 1 out of range
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode(build_png(2, 1, 3, lines, plte=plte))
+
+
+def test_jpeg_fill_bytes_tolerated():
+    from akvorado_spark.operators.png import jpeg_meta
+
+    base = jpeg_fixture(11, 7, 3)
+    # inject legal FF fill padding before the SOF marker
+    sof_at = base.index(b"\xff\xc0")
+    padded = base[:sof_at] + b"\xff\xff\xff" + base[sof_at:]
+    assert jpeg_meta(padded) == (11, 7, 3)
