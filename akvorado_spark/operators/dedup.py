@@ -613,3 +613,227 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("overlap"))
         .filter(F.col("overlap") >= min_overlap)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact-substring deduplication
+# ---------------------------------------------------------------------------
+
+
+def _anchor_pred(text_col: str, stride: int):
+    """Content-defined anchor predicate over candidate start ``i``
+    (0-based): a tiny 4-gram hash of the chars at i+1..i+4 ≡ 0 mod
+    ``stride``.  Identical runs anchor at identical run-relative
+    positions REGARDLESS of each document's alignment — the property a
+    fixed grid lacks and the reason CDC/winnowing underpins every
+    distributed exact-substring scheme.  Expected anchor spacing =
+    ``stride``.  Engine-portable: plain ascii codepoints and modular
+    arithmetic, no platform hash."""
+
+    def pred(i):
+        h = sum(
+            F.ascii(F.col(text_col).substr(i + F.lit(off), F.lit(1))) * F.lit(mul)
+            for off, mul in ((1, 3), (2, 5), (3, 7), (4, 11))
+        )
+        return h % stride == 0
+
+    return pred
+
+
+def substring_window_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 40,
+    stride: int = 10,
+    anchored: bool = True,
+) -> DataFrame:
+    """Emit ``window``-char windows over each document at content-
+    defined anchors (expected every ``stride`` chars); one output row
+    per (doc, start, window-text).
+
+    The window decomposition is how exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better")
+    distributes: a suffix array is a single-machine structure, but a
+    duplicated run of ≥ window + anchor-gap chars contains the SAME
+    anchored window on every side (anchors are functions of local
+    content, not of document offset), so grouping window occurrences
+    by content finds long duplicated spans with one shuffle.
+    ``anchored=False`` falls back to a fixed 0, stride, 2·stride grid —
+    cheaper to enumerate but blind to unaligned duplicates; only for
+    corpora where duplicates are known shard-aligned.  Narrow stage:
+    candidate filtering and the windows are built with
+    filter/transform+explode inside codegen (no Python, the document
+    string is not replicated per window).
+    """
+    if anchored:
+        starts = F.when(
+            F.length(F.col(text_col)) >= window,
+            F.filter(
+                F.sequence(F.lit(0), F.length(F.col(text_col)) - window),
+                _anchor_pred(text_col, stride),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+    else:
+        starts = F.when(
+            F.length(F.col(text_col)) >= window,
+            F.sequence(
+                F.lit(0),
+                F.length(F.col(text_col)) - window,
+                F.lit(stride),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("long").alias("s"),
+            F.col(text_col).substr(s + 1, F.lit(window)).alias("w"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(wins).alias("x")).select(
+        id_col, F.col("x.s").alias("s"), F.col("x.w").alias("w")
+    )
+
+
+def duplicate_window_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 40,
+    stride: int = 10,
+    key_fn=None,
+    anchored: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-span table for cross-doc exact-substring
+    dedup: (id, sorted window starts, n_dup_windows).
+
+    A window is duplicated when its content occurs in ≥ 2 distinct
+    documents; the lowest ``id_col`` owning a content keeps ALL its
+    occurrences (the canonical copy survives), every other document
+    gets the span removed.  ``key_fn`` maps the window text to the
+    grouping key — xxhash64 in production (8-byte shuffle rows instead
+    of ``window``-char strings), identity for the string-exact oracle
+    gate.
+
+    Scale shape: ONE shuffle keyed by window content (volume =
+    corpus_chars/stride rows of 8-byte keys), an aggregate that only
+    keeps duplicated keys, and a join back that AQE serves from the
+    same exchange.  No self-join of documents, no suffix array.
+    """
+    key = key_fn if key_fn is not None else (lambda c: c)
+    occ = substring_window_occurrences(
+        df, text_col, id_col, window, stride, anchored
+    )
+    occ = occ.select(id_col, "s", key(F.col("w")).alias("k"))
+    owners = (
+        occ.groupBy("k")
+        .agg(
+            F.min(id_col).alias("__owner"),
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("k", "__owner")
+    )
+    dup = (
+        occ.join(owners, "k")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(id_col, "s")
+    )
+    return dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("s")).alias("starts"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    )
+
+
+def excise_spans(
+    spans: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 40,
+) -> DataFrame:
+    """Merge each document's duplicated windows into maximal spans and
+    excise them from the text.
+
+    Fold-free interval merge: with fixed-width windows, a sorted start
+    list splits into maximal spans exactly at gaps > window, so the
+    span boundaries are two indexed ``filter`` calls over the sorted
+    array — whole-stage codegen, no UDF, no per-row loop (the same
+    trick an oracle engine can replay with list lambdas).  Returns
+    (id, n_dup_windows, n_spans, chars_removed, cleaned).
+    """
+    joined = spans.join(docs.select(id_col, text_col), id_col)
+    ss = F.col("starts")
+    w = F.lit(window).cast("long")
+    # filter-lambda indices are 0-based, element_at is 1-based; the
+    # greatest/least clamps keep the (eagerly evaluated) lookups in
+    # bounds at both edges where the other disjunct already decides
+    lo = F.filter(
+        ss,
+        lambda x, i: (i == 0)
+        | ((x - F.element_at(ss, F.greatest(i, F.lit(1)))) > w),
+    )
+    hi = F.transform(
+        F.filter(
+            ss,
+            lambda x, i: (i == F.size(ss) - 1)
+            | ((F.element_at(ss, F.least(i + 2, F.size(ss))) - x) > w),
+        ),
+        lambda x: x + w,
+    )
+    kept_lo = F.concat(F.array(F.lit(0).cast("long")), F.col("__hi"))
+    kept_hi = F.concat(
+        F.col("__lo"), F.array(F.length(F.col(text_col)).cast("long"))
+    )
+    cleaned = F.concat_ws(
+        "",
+        F.zip_with(
+            kept_lo,
+            kept_hi,
+            lambda a, b: F.col(text_col).substr(
+                a.cast("int") + 1, F.greatest(b - a, F.lit(0).cast("long")).cast("int")
+            ),
+        ),
+    )
+    return (
+        joined.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .withColumn("n_spans", F.size(F.col("__lo")))
+        .withColumn(
+            "chars_removed",
+            F.aggregate(
+                F.zip_with(F.col("__lo"), F.col("__hi"), lambda a, b: b - a),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("cleaned", cleaned)
+        .select(
+            id_col, "n_dup_windows", "n_spans", "chars_removed", "cleaned"
+        )
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 40,
+    stride: int = 10,
+    key_fn=None,
+    anchored: bool = True,
+) -> DataFrame:
+    """Cross-document exact-substring dedup (distributed Lee et al.
+    2021): remove every duplicated ≥ window-char run from all but the
+    lowest-id document containing it.
+
+    Returns (id, n_dup_windows, n_spans, chars_removed, cleaned) for
+    the documents that lost at least one span; the cleaned corpus is
+    ``docs`` left-joined to this frame with ``coalesce(cleaned,
+    text)``.  Two shuffles end-to-end (window-content group, per-doc
+    span group) regardless of corpus size.
+    """
+    spans = duplicate_window_spans(
+        df, text_col, id_col, window, stride, key_fn, anchored
+    )
+    return excise_spans(spans, df, text_col, id_col, window)

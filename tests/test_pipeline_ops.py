@@ -739,3 +739,72 @@ def test_split_dataset_validates_fractions(spark):
         split_dataset(df, {})
     with _pytest.raises(ValueError):
         split_dataset(df, {"a": 0.9, "b": 0.3})
+
+
+def test_exact_substring_dedup_hash_and_string_paths_agree(spark):
+    """The xxhash64 production keying and the string-exact gate keying
+    must excise identical spans (collisions aside, which this corpus
+    certifies against)."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.dedup import exact_substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = exact_substring_dedup(docs, "text", "doc_id").orderBy("doc_id")
+    b = exact_substring_dedup(
+        docs, "text", "doc_id", key_fn=F.xxhash64
+    ).orderBy("doc_id")
+    assert a.collect() == b.collect()
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """Hand-built corpus: a 200-char run shared by three docs AT
+    DIFFERENT OFFSETS is removed from all but the lowest doc_id
+    (content-defined anchors make detection alignment-independent);
+    short docs and unique docs are untouched."""
+    shared = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "band plays on and the river keeps rolling to the sea; "
+        "every duplicated training span like this one should be "
+        "excised from all but one canonical document copy."
+    )
+    rows = [
+        (1, "AAAA " + shared + " unique tail one " + "z" * 40),
+        (2, "totally different prefix!! " + shared + " other tail"),
+        (3, shared),
+        (4, "short"),
+        (5, "nothing in common with anything else here at all......." * 2),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in __import__(
+            "akvorado_spark.operators.dedup", fromlist=["exact_substring_dedup"]
+        )
+        .exact_substring_dedup(docs, "text", "doc_id", window=40, stride=10)
+        .collect()
+    }
+    # doc 1 owns the shared run (lowest id) → absent from the result
+    assert 1 not in out and 4 not in out and 5 not in out
+    for d in (2, 3):
+        assert out[d]["n_spans"] == 1
+        assert shared not in out[d]["cleaned"]
+    # doc 3 is entirely the shared run: every window dupes, the whole
+    # text collapses to the unaligned tail remainder
+    assert out[3]["chars_removed"] >= 40
+    # removing never destroys non-duplicated unique markers
+    assert "different prefix" in out[2]["cleaned"]
+
+
+def test_exact_substring_dedup_adjacent_spans_merge(spark):
+    """Starts exactly window apart (gap == 0) merge into ONE span."""
+    from akvorado_spark.operators.dedup import excise_spans
+
+    docs = spark.createDataFrame([(1, "a" * 100)], ["doc_id", "text"])
+    spans = spark.createDataFrame(
+        [(1, [0, 40], 2)], ["doc_id", "starts", "n_dup_windows"]
+    )
+    row = excise_spans(spans, docs, "text", "doc_id", window=40).collect()[0]
+    assert row["n_spans"] == 1
+    assert row["chars_removed"] == 80
+    assert row["cleaned"] == "a" * 20
