@@ -1,0 +1,126 @@
+"""N-gram language-model perplexity scoring and CCNet-style quality
+bucketing.
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") ranks web documents by the perplexity of
+a language model trained on a trusted corpus and keeps the low-
+perplexity "head" of the distribution.  This module is the distributed
+equivalent with an add-one-smoothed word-bigram model:
+
+- **training** is two count aggregations (bigram and context counts) —
+  the classic map-side-combine shape, output bounded by vocabulary
+  size, not corpus size;
+- **scoring** re-streams the corpus bigrams through two joins against
+  the count tables and one per-document sum;
+- **bucketing** splits the scored corpus into head/middle/tail.
+
+Numeric discipline: each bigram's log-probability is rounded to
+micro-nats (``round(ln(p)·1e6)`` as BIGINT) *before* the per-document
+sum, so the gated score is an order-independent integer — no float
+summation-order hazards between engines, partitionings, or retries.
+All hot paths are built-in expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from akvorado_spark.operators.text import words
+
+
+def doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Explode each document into (id, w1, w2) word-bigram rows.
+
+    zip_with over two shifted slices — no element_at, no per-index
+    rewalk, safe for 0/1-token documents (they produce no rows).
+    """
+    ws = words(F.col(text_col))
+    m = F.greatest(F.size(ws) - 1, F.lit(1))
+    pairs = F.zip_with(
+        F.slice(ws, 1, m),
+        F.slice(ws, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    grams = F.when(F.size(ws) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("b")).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+
+
+def train_bigram_lm(bigrams: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count tables of an add-one-smoothed bigram LM from an exploded
+    (w1, w2) frame: (bigram counts, context counts, 1-row vocab size).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V) with V = |distinct w2|.
+    Train on a TRUSTED corpus and score a crawl against it (the CCNet
+    setup), or self-train for in-corpus outlier scoring.
+    """
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bigrams.agg(F.count_distinct("w2").alias("v"))
+    return c12, c1, v
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document LM score: (id, n_bigrams, lp_micro) where lp_micro
+    is the sum of per-bigram ``round(ln(P(w2|w1))·1e6)`` micro-nat
+    BIGINTs (≤ 0; closer to 0 = more probable = lower perplexity).
+
+    Perplexity in nats is ``exp(-lp_micro / 1e6 / n_bigrams)`` — kept
+    out of the frame so every gated column stays integer-exact.
+
+    ``lm=None`` self-trains on ``df``.  Scale shape: two shuffles build
+    the count tables (vocabulary-bounded output), the scoring re-stream
+    shuffles bigram keys once per join side, and the final sum is a
+    per-document partial aggregate.  Unknown contexts cannot occur in
+    the self-trained setup; under a foreign LM the joins are left joins
+    with c→0 fallbacks so OOV bigrams get the smoothed floor.
+    """
+    bg = doc_bigrams(df, text_col, id_col)
+    c12, c1, v = lm if lm is not None else train_bigram_lm(bg)
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    )
+    term = F.round(F.log(p) * F.lit(1e6), 0).cast("long")
+    return (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).alias("lp_micro"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    id_col: str,
+    names: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet bucketing: rank documents by mean per-bigram log-prob
+    (highest = most LM-like first) and ntile into ``names``.
+
+    The global ntile is the exact, oracle-replayable form used at test
+    scale; a 100 TB run swaps the single-ordering window for
+    ``approxQuantile`` threshold literals on ``lp_micro/n_bigrams``
+    (one pass, no global sort) — same buckets up to quantile-sketch
+    error at the boundaries.
+    """
+    avg = F.col("lp_micro") / F.col("n_bigrams")
+    tile = F.ntile(len(names)).over(
+        Window.orderBy(avg.desc(), F.col(id_col))
+    )
+    bucket = F.lit(names[-1])
+    for i in range(len(names) - 1, 0, -1):
+        bucket = F.when(tile == i, F.lit(names[i - 1])).otherwise(bucket)
+    return scored.withColumn("bucket", bucket)

@@ -113,3 +113,52 @@ ORDER BY member, doc_id
 """
 
 register("dedup_substring", _dedup_substring, _ES_ORACLE)
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity + CCNet head/middle/tail bucketing
+# ---------------------------------------------------------------------------
+
+
+def _text_perplexity(spark, sf_dir):
+    from akvorado_spark.operators.lm import bigram_lm_scores, perplexity_buckets
+
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    scored = bigram_lm_scores(docs, "text", "doc_id")
+    return perplexity_buckets(scored, "doc_id").select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("lp_micro").cast("long").alias("lp_micro"),
+        "bucket",
+    ).orderBy("doc_id")
+
+
+_PPL_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[CAST(t.i AS INT)] AS w1, ws[CAST(t.i AS INT) + 1] AS w2
+  FROM d, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM bg),
+terms AS (
+  SELECT bg.doc_id,
+         CAST(round(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1e6) AS BIGINT) AS t
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, CAST(sum(t) AS BIGINT) AS lp_micro
+  FROM terms GROUP BY 1
+)
+SELECT doc_id, n_bigrams, lp_micro,
+  CASE ntile(3) OVER (ORDER BY lp_micro * 1.0 / n_bigrams DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored ORDER BY doc_id
+"""
+
+register("text_perplexity", _text_perplexity, _PPL_ORACLE)

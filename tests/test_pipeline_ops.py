@@ -808,3 +808,81 @@ def test_exact_substring_dedup_adjacent_spans_merge(spark):
     assert row["n_spans"] == 1
     assert row["chars_removed"] == 80
     assert row["cleaned"] == "a" * 20
+
+
+def test_bigram_lm_scores_match_python(spark):
+    import math
+
+    from akvorado_spark.operators.lm import bigram_lm_scores
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b"),
+        (3, "c c c"),
+        (4, "single"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs, "text", "doc_id").collect()}
+
+    # reference model in plain python
+    bigrams = {}
+    contexts = {}
+    vocab = set()
+    per_doc = {}
+    for doc_id, text in rows:
+        ws = text.split()
+        bgs = list(zip(ws, ws[1:]))
+        per_doc[doc_id] = bgs
+        for w1, w2 in bgs:
+            bigrams[(w1, w2)] = bigrams.get((w1, w2), 0) + 1
+            contexts[w1] = contexts.get(w1, 0) + 1
+            vocab.add(w2)
+    v = len(vocab)
+    for doc_id, bgs in per_doc.items():
+        if not bgs:
+            assert doc_id not in got
+            continue
+        lp = sum(
+            round(math.log((bigrams[b] + 1.0) / (contexts[b[0]] + v)) * 1e6)
+            for b in bgs
+        )
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert got[doc_id]["lp_micro"] == lp
+
+
+def test_bigram_lm_foreign_corpus_oov_floor(spark):
+    """Scoring under an LM trained elsewhere: unseen bigrams get the
+    add-one floor via the left-join c→0 fallbacks, never a null."""
+    from akvorado_spark.operators.lm import (
+        bigram_lm_scores,
+        doc_bigrams,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    lm = train_bigram_lm(doc_bigrams(train, "text", "doc_id"))
+    out = bigram_lm_scores(
+        spark.createDataFrame([(9, "x y")], ["doc_id", "text"]),
+        "text",
+        "doc_id",
+        lm=lm,
+    ).collect()
+    assert len(out) == 1
+    import math
+
+    # V = 2 ({a, b} as successors); unseen (x,y) → ln(1/2)
+    assert out[0]["lp_micro"] == round(math.log(1.0 / 2.0) * 1e6)
+
+
+def test_perplexity_buckets_order_and_sizes(spark):
+    from akvorado_spark.operators.lm import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(i, 10, -1000 * i) for i in range(1, 7)],
+        ["doc_id", "n_bigrams", "lp_micro"],
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(scored, "doc_id").collect()
+    }
+    assert got == {1: "head", 2: "head", 3: "middle", 4: "middle", 5: "tail", 6: "tail"}
