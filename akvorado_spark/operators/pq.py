@@ -1,0 +1,247 @@
+"""Product quantization (PQ) for approximate nearest-neighbor search.
+
+PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+Search") is the memory-scale path for billion-vector ANN: split each
+vector into ``m`` subspaces, quantize every subvector to one of ``ks``
+codebook entries, and rank candidates with asymmetric distance
+computation (ADC) — per query, one ``m × ks`` lookup table, then each
+candidate costs ``m`` table lookups instead of a ``dim``-wide float
+dot.  A 64-dim float32 vector becomes ``m`` single-byte codes (32×
+smaller), which is the term that bounds shuffle and broadcast volume
+at 100 TB.
+
+Everything here is INTEGER-exact: vectors are first quantized to int8
+on a single corpus-wide scale (one max aggregation), codebook
+assignment is an integer argmin (ties to the lowest code index), and
+ADC scores are BIGINT sums of int products — an oracle engine replays
+every value bit-for-bit, and results are independent of partitioning
+and summation order.
+
+Codebooks: :func:`pq_codebooks_from_seeds` (deterministic low-id
+seeds, the oracle-gated variant — same convention as
+``seed_centroids``) or :func:`pq_train_codebooks` (per-subspace
+k-means on the quantized corpus, the production variant, pytest-gated
+on recall).  Both return plain Python lists, embedded as literals so
+encoding runs zero-shuffle inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_scale(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row frame: the corpus-wide max |element| (the shared int8
+    quantization denominator).  Broadcast-joined, never collected, so
+    quantization stays one distributed plan."""
+    amax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    return df.agg(F.max(amax).alias("gmax"))
+
+
+def quantize_global(
+    df: DataFrame,
+    scale: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qv",
+) -> DataFrame:
+    """Symmetric int8 quantization on ONE corpus-wide scale:
+    ``q[i] = round(x[i] * 127 / gmax)``.
+
+    Unlike the per-vector scale of ``quantize_embeddings`` (optimal
+    for storage), a shared scale keeps integer distances comparable
+    ACROSS vectors — the property PQ assignment and ADC ranking need.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("gmax") == 0.0, F.lit(0))
+        .otherwise(F.round(x.cast("double") * F.lit(127.0) / F.col("gmax"), 0))
+        .cast("int"),
+    )
+    return df.crossJoin(F.broadcast(scale)).withColumn(out_col, q).drop("gmax")
+
+
+def _subslice(col, j: int, sub: int):
+    return F.slice(col, j * sub + 1, sub)
+
+
+def pq_codebooks_from_seeds(
+    quantized: DataFrame,
+    m: int,
+    ks: int,
+    id_col: str = "vec_id",
+    q_col: str = "qv",
+) -> list[list[list[int]]]:
+    """Deterministic codebooks: subvector ``j`` of the ``ks`` lowest-id
+    quantized vectors (the ``seed_centroids`` convention — seedless,
+    oracle-replayable; production trains with
+    :func:`pq_train_codebooks`).  Tiny driver collect: m·ks·(dim/m)
+    ints total = ks·dim, independent of corpus size."""
+    rows = quantized.orderBy(id_col).limit(ks).select(q_col).collect()
+    dim = len(rows[0][q_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [list(r[q_col][j * sub : (j + 1) * sub]) for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    quantized: DataFrame,
+    m: int,
+    ks: int,
+    q_col: str = "qv",
+    iters: int = 5,
+) -> list[list[list[int]]]:
+    """Production codebooks: independent k-means per subspace over the
+    quantized corpus (Lloyd iterations on int vectors, centroids
+    re-rounded to ints each round so assignment stays integer-exact).
+
+    Each iteration is one crossJoin against ≤ ks broadcast centroids +
+    one (cell)-keyed aggregate per subspace — the same bounded shape as
+    the IVF trainer; nothing scales with corpus size except the scans.
+    """
+    dim = len(quantized.select(q_col).first()[q_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sl = quantized.select(_subslice(F.col(q_col), j, sub).alias("sv"))
+        cents = [
+            list(r["sv"])
+            for r in quantized.orderBy("vec_id").limit(ks).select(
+                _subslice(F.col(q_col), j, sub).alias("sv")
+            ).collect()
+        ]
+        for _ in range(iters):
+            cb_lit = _codebook_literal(cents)
+            assigned = sl.withColumn("c", _assign_expr(F.col("sv"), cb_lit))
+            means = (
+                assigned.groupBy("c")
+                .agg(
+                    *[
+                        F.round(F.avg(F.element_at(F.col("sv"), i + 1)), 0)
+                        .cast("int")
+                        .alias(f"e{i}")
+                        for i in range(sub)
+                    ]
+                )
+                .collect()
+            )
+            new = {r["c"]: [r[f"e{i}"] for i in range(sub)] for r in means}
+            cents = [new.get(c, cents[c]) for c in range(ks)]
+        books.append(cents)
+    return books
+
+
+def _codebook_literal(book: list[list[int]]):
+    return F.array(
+        *[F.array(*[F.lit(int(v)) for v in code]) for code in book]
+    )
+
+
+def _int_sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_expr(subvec, cb_lit):
+    """argmin over the codebook literal; (dist, idx) struct min ties to
+    the lowest code index.  Pure codegen — no shuffle, no UDF."""
+    scored = F.transform(
+        cb_lit,
+        lambda cb, c: F.struct(
+            _int_sqdist(subvec, cb).alias("d"), c.alias("c")
+        ),
+    )
+    return F.array_min(scored)["c"]
+
+
+def pq_encode(
+    quantized: DataFrame,
+    codebooks: list[list[list[int]]],
+    q_col: str = "qv",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector to ``m`` codebook indices (array<int>).
+    Zero-shuffle: codebooks are literals, assignment is an integer
+    argmin inside whole-stage codegen."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _assign_expr(
+                _subslice(F.col(q_col), j, sub), _codebook_literal(codebooks[j])
+            )
+            for j in range(m)
+        ]
+    )
+    return quantized.withColumn(code_col, codes).drop(q_col)
+
+
+def pq_adc_topk(
+    base_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_col: str = "q_qv",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric distance computation: per query, one ``m × ks``
+    integer dot-product table against the codebooks; each candidate is
+    then scored with ``m`` table lookups on its codes and ranked.
+
+    Output: (q_id, rank, vec_id, adc_score) — adc_score is the exact
+    BIGINT ⟨q, reconstruction(v)⟩ in quantized units.  The join ships
+    only ``m`` ints per candidate (never the vectors); the query side
+    broadcasts.  The rank window partitions by query — no global sort.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qt = queries.select(
+        q_id_col,
+        *[
+            F.transform(
+                _codebook_literal(codebooks[j]),
+                lambda cb: _int_dot(_subslice(F.col(q_col), j, sub), cb),
+            ).alias(f"__t{j}")
+            for j in range(m)
+        ],
+    )
+    score = sum(
+        F.element_at(
+            F.col(f"__t{j}"), F.element_at(F.col(code_col), j + 1) + 1
+        )
+        for j in range(m)
+    )
+    scored = base_codes.crossJoin(F.broadcast(qt)).select(
+        q_id_col, id_col, score.alias("adc_score")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "adc_score")
+    )

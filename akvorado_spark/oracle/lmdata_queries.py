@@ -162,3 +162,86 @@ FROM scored ORDER BY doc_id
 """
 
 register("text_perplexity", _text_perplexity, _PPL_ORACLE)
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (integer-exact ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_KS = 8
+_PQ_SUB = 16  # dim 64 / m
+
+
+def _ann_pq(spark, sf_dir):
+    from akvorado_spark.operators.pq import (
+        global_scale,
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+        pq_encode,
+        quantize_global,
+    )
+
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
+    qall = quantize_global(vecs, global_scale(vecs))
+    base_q = qall.filter(F.col("vec_id") >= 3).select("vec_id", "qv")
+    books = pq_codebooks_from_seeds(base_q, _PQ_M, _PQ_KS)
+    enc = pq_encode(base_q, books)
+    queries = qall.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    return pq_adc_topk(enc, queries, books, k=5).orderBy("q_id", "rank")
+
+
+_PQ_ORACLE = f"""
+WITH g AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+         AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / gmax) AS INT)) AS qv
+  FROM embeddings, g
+),
+base AS (SELECT vec_id, qv FROM q WHERE vec_id >= 3),
+qry AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id < 3),
+cb AS (
+  SELECT tj.j, s.c, list_slice(s.qv, tj.j * {_PQ_SUB} + 1, (tj.j + 1) * {_PQ_SUB}) AS sv
+  FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_PQ_KS})) s,
+       unnest(range(0, {_PQ_M})) AS tj(j)
+),
+dists AS (
+  SELECT b.vec_id, cb.j, cb.c,
+    list_sum(list_transform(range(1, {_PQ_SUB} + 1), i ->
+      CAST(b.qv[i + cb.j * {_PQ_SUB}] - cb.sv[i] AS BIGINT)
+      * CAST(b.qv[i + cb.j * {_PQ_SUB}] - cb.sv[i] AS BIGINT))) AS d
+  FROM base b CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+terms AS (
+  SELECT qry.q_id, codes.vec_id,
+    list_sum(list_transform(range(1, {_PQ_SUB} + 1), i ->
+      CAST(qry.q_qv[i + cb.j * {_PQ_SUB}] AS BIGINT) * CAST(cb.sv[i] AS BIGINT))) AS t
+  FROM codes JOIN cb USING (j, c) CROSS JOIN qry
+),
+scores AS (
+  SELECT q_id, vec_id, CAST(sum(t) AS BIGINT) AS adc_score
+  FROM terms GROUP BY 1, 2
+)
+SELECT q_id, rank, vec_id, adc_score FROM (
+  SELECT q_id, vec_id, adc_score,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_score DESC, vec_id)
+           AS rank
+  FROM scores
+) WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+register("ann_pq_topk", _ann_pq, _PQ_ORACLE)
