@@ -233,3 +233,36 @@ def mix_sources(
     return out.filter(
         (F.col(epoch_col) < F.col("__mx_copies")) | (h < F.col("__mx_thr"))
     ).drop("__mx_copies", "__mx_thr")
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    tau: float,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixing rates for :func:`mix_sources`.
+
+    Standard multilingual/multi-source pretraining reweighting
+    (e.g. multilingual LM sampling): sample source ``i`` with
+    probability ``p_i ∝ n_i^tau``; the per-source resample *rate* that
+    realizes it over ``target_total`` emitted rows is
+    ``rate_i = p_i · N / n_i``.  ``tau=1`` reproduces natural
+    proportions (all rates equal), ``tau=0`` equalizes sources
+    (upsampling small ones), ``0<tau<1`` interpolates.
+
+    Driver-side arithmetic on a per-SOURCE dict (statistics, not data
+    — sources number in the dozens); the heavy lifting stays in
+    :func:`mix_sources`, which turns these floats into exact integer
+    bucket thresholds.
+    """
+    if tau < 0:
+        raise ValueError(f"temperature must be >= 0, got {tau}")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("source counts must be positive")
+    if not counts:
+        return {}
+    n_total = sum(counts.values())
+    target = n_total if target_total is None else target_total
+    weights = {s: float(n) ** tau for s, n in counts.items()}
+    z = sum(weights.values())
+    return {s: (weights[s] / z) * target / counts[s] for s in counts}

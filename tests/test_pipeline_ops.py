@@ -886,3 +886,43 @@ def test_perplexity_buckets_order_and_sizes(spark):
         for r in perplexity_buckets(scored, "doc_id").collect()
     }
     assert got == {1: "head", 2: "head", 3: "middle", 4: "middle", 5: "tail", 6: "tail"}
+
+
+def test_temperature_rates_properties(spark):
+    import pytest as _pytest
+
+    from akvorado_spark.operators.sampling import mix_sources, temperature_rates
+
+    counts = {"web": 8000, "wiki": 1000, "code": 1000}
+    # tau=1 → natural mix: every rate 1.0
+    assert all(abs(r - 1.0) < 1e-12 for r in temperature_rates(counts, 1.0).values())
+    # tau=0 → equalized: every source emits the same expected rows
+    r0 = temperature_rates(counts, 0.0)
+    emitted = {s: r0[s] * counts[s] for s in counts}
+    vals = list(emitted.values())
+    assert max(vals) - min(vals) < 1e-6
+    # interpolation upsamples small sources monotonically as tau drops
+    r_half = temperature_rates(counts, 0.5)
+    assert r_half["wiki"] > 1.0 > r_half["web"]
+    # expected emitted total ≈ target_total at any tau
+    rt = temperature_rates(counts, 0.3, target_total=5000)
+    assert abs(sum(rt[s] * counts[s] for s in counts) - 5000) < 1e-6
+    with _pytest.raises(ValueError):
+        temperature_rates(counts, -0.1)
+    with _pytest.raises(ValueError):
+        temperature_rates({"a": 0}, 0.5)
+
+    # end-to-end through mix_sources: realized counts track expectation
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 800 else ("wiki" if i < 900 else "code"))
+         for i in range(1000)],
+        ["doc_id", "source"],
+    )
+    got = (
+        mix_sources(docs, temperature_rates(
+            {"web": 800, "wiki": 100, "code": 100}, 0.0))
+        .groupBy("source").count().collect()
+    )
+    by_src = {r["source"]: r["count"] for r in got}
+    for s in by_src:
+        assert abs(by_src[s] - 1000 / 3) / (1000 / 3) < 0.25, by_src
