@@ -298,3 +298,60 @@ def test_two_level_assign_broadcasts_only_supers(spark):
     assert "CartesianProduct" not in p
     # the only nested-loop join is the 1-row-side broadcast of supers
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_pq_encode_zero_shuffle_and_adc_broadcast(spark):
+    """PQ: codebooks are plan literals → encode has no exchange/join;
+    the ADC scoring join broadcasts the (tiny) query-table side."""
+    import re
+
+    from akvorado_spark.operators.pq import (
+        global_scale,
+        pq_adc_topk,
+        pq_codebooks_from_seeds,
+        pq_encode,
+        quantize_global,
+    )
+
+    vecs = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    q = quantize_global(vecs, global_scale(vecs))
+    books = pq_codebooks_from_seeds(q, m=4, ks=4)
+    # quantize_global's scale crossJoin broadcasts a 1-row aggregate;
+    # beyond it the encode path must add NO exchange and NO further join
+    enc = pq_encode(q, books)
+    p = plan(enc)
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    queries = q.limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    p2 = plan(pq_adc_topk(enc, queries, books, k=3))
+    assert "BroadcastNestedLoopJoin" in p2
+    # the only hash exchange is the per-query rank window, and the
+    # partial WindowGroupLimit prunes to k rows per task BEFORE it
+    assert len(re.findall(r"hashpartitioning\(q_id", p2)) >= 1
+    assert "SortMergeJoin" not in p2 and "ShuffledHashJoin" not in p2
+    assert p2.count("WindowGroupLimit") >= 2
+
+
+def test_substring_dedup_no_cartesian_and_hash_keys(spark):
+    """Exact-substring dedup: window ownership joins on the window key,
+    never a cartesian product; production keying shuffles 8-byte
+    hashes, not window strings."""
+    from akvorado_spark.operators.dedup import duplicate_window_spans
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    p = plan(duplicate_window_spans(docs, "text", "doc_id", key_fn=F.xxhash64))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "xxhash64" in p
+
+
+def test_perplexity_vocab_size_is_broadcast(spark):
+    """The 1-row vocab-size frame joins as a broadcast, never a
+    shuffled join side."""
+    from akvorado_spark.operators.lm import bigram_lm_scores
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    p = plan(bigram_lm_scores(docs, "text", "doc_id"))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
