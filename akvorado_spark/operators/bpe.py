@@ -1,0 +1,157 @@
+"""Byte-pair-encoding tokenizer training and application.
+
+Classic BPE (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units") learned the Spark-shaped way: the corpus is
+scanned ONCE into a word-frequency table (vocabulary-bounded, not
+corpus-bounded), and every merge iteration runs on that table — one
+pair-count aggregate + a 1-row argmax collect + a narrow symbol
+rewrite.  At 100 TB the iteration cost is a function of vocabulary
+size only; the corpus-sized work is the single word count up front
+and the final (broadcast-joined) application pass.
+
+Determinism: ties in pair counts break lexicographically on the pair,
+so training is reproducible across partitionings and engines — the
+pytest gate replays the whole trainer against a pure-Python reference.
+All per-row work is built-in higher-order functions (no Python UDFs);
+the greedy left-to-right merge inside a word is an ``aggregate`` fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker, merged like any other symbol
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) frequency table — the one corpus-sized aggregation."""
+    from akvorado_spark.operators.text import words
+
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _char_symbols(word):
+    """word → [c1, c2, ..., END] as array<string> (codegen, no UDF)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(END)))
+
+
+def _merge_expr(syms, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a+b — an
+    aggregate fold; ``get`` (not element_at) keeps the empty-accumulator
+    probe null-safe under ANSI."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == a) & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    m = F.greatest(F.size(F.col("syms")) - 1, F.lit(1))
+    pairs = F.when(
+        F.size(F.col("syms")) >= 2,
+        F.zip_with(
+            F.slice(F.col("syms"), 1, m),
+            F.slice(F.col("syms"), 2, m),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        vocab.select(F.col("n"), F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    counts: DataFrame | None = None,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges; returns them in rank order.
+
+    Each iteration: pair-count aggregate over the word table (weighted
+    by word frequency), argmax with a lexicographic tie-break, then a
+    narrow rewrite of the symbol arrays.  The table is locally
+    checkpointed per round so plans stay flat across iterations.
+    Stops early when no adjacent pair remains.
+    """
+    wc = counts if counts is not None else word_counts(df, text_col)
+    vocab = wc.select(
+        "n", _char_symbols(F.col("word")).alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "n", _merge_expr(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+def segment_words(
+    words_df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "tokens",
+    chunk: int = 8,
+) -> DataFrame:
+    """Apply learned merges (in rank order) to a word table →
+    ``out_col`` array<string> of BPE tokens.  Merges nest as folds;
+    local checkpoints every ``chunk`` merges keep the expression tree
+    bounded.  Run on DISTINCT words and broadcast-join the result back
+    to the corpus — application cost is vocabulary-sized."""
+    out = words_df.withColumn(out_col, _char_symbols(F.col(word_col)))
+    for i, (a, b) in enumerate(merges):
+        out = out.withColumn(out_col, _merge_expr(F.col(out_col), a, b))
+        if (i + 1) % chunk == 0:
+            out = out.localCheckpoint()
+    return out
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Per-document BPE token count under a learned merge list:
+    segment the DISTINCT words once, broadcast the (word → token
+    count) map, and sum over each document's words — the corpus is
+    never re-segmented row by row."""
+    from akvorado_spark.operators.text import words
+
+    toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+    seg = segment_words(toks.select("word").distinct(), merges).select(
+        "word", F.size("tokens").alias("__nt")
+    )
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(F.sum("__nt").alias("n_bpe_tokens"))
+    )

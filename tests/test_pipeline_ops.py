@@ -926,3 +926,87 @@ def test_temperature_rates_properties(spark):
     by_src = {r["source"]: r["count"] for r in got}
     for s in by_src:
         assert abs(by_src[s] - 1000 / 3) / (1000 / 3) < 0.25, by_src
+
+
+def _py_bpe(corpus_words: dict[str, int], n_merges: int):
+    """Pure-Python BPE reference (Sennrich), lexicographic tie-break."""
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in corpus_words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, n in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + n
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p[0], p[1]))
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_train_bpe_matches_python_reference(spark):
+    from akvorado_spark.operators.bpe import bpe_token_counts, train_bpe
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "newer newest new new newer"),
+        (3, "wider wide widest low"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus_words: dict[str, int] = {}
+    for _, t in rows:
+        for w in t.split():
+            corpus_words[w] = corpus_words.get(w, 0) + 1
+
+    merges = train_bpe(docs, "text", n_merges=12)
+    ref_merges, ref_vocab = _py_bpe(corpus_words, 12)
+    assert merges == ref_merges
+
+    # re-derive per-word token counts under the reference merges
+    word_tokens = {}
+    for w in corpus_words:
+        syms = list(w) + ["</w>"]
+        for a, b in ref_merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        word_tokens[w] = len(syms)
+    want = {
+        doc_id: sum(word_tokens[w] for w in t.split())
+        for doc_id, t in rows
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, "text", "doc_id", merges).collect()
+    }
+    assert got == want
+
+
+def test_train_bpe_greedy_overlap_and_early_stop(spark):
+    from akvorado_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame([(1, "aaa aaa")], ["doc_id", "text"])
+    merges = train_bpe(docs, "text", n_merges=50)
+    # 'aaa</w>' collapses to one symbol in ≤ 3 merges, then training
+    # stops early (no pairs left) instead of spinning
+    assert len(merges) <= 4
+    assert merges[0] == ("a", "a")
