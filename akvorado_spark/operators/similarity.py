@@ -683,3 +683,37 @@ def semdedup(
         .withColumn("kept", F.col("__dropped").isNull())
         .drop("__dropped")
     )
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    dim: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-
+    Lindenstrauss): ``y = P·x / sqrt(out_dim)`` against a seeded
+    Gaussian plane matrix embedded as plan literals.
+
+    The cheap, data-independent alternative to PCA for shrinking the
+    embedding column before ANN/near-dup stages: pairwise distances
+    are preserved within (1±ε) for out_dim = O(ln N / ε²), and the
+    operator is a zero-shuffle codegen projection — out_dim folds per
+    row, no training pass, no driver state beyond the seed.  The same
+    ``_hyperplanes(seed)`` matrix regenerates everywhere (workers,
+    retries, other engines), so projections are reproducible.
+    """
+    planes = _hyperplanes(dim, out_dim, seed=seed)  # (out_dim, dim)
+    inv = 1.0 / float(np.sqrt(out_dim))
+    comps = []
+    for plane in planes:
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(d * F.lit(inv))
+    return df.withColumn(out_col, F.array(*comps))

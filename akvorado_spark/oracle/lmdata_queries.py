@@ -245,3 +245,45 @@ SELECT q_id, rank, vec_id, adc_score FROM (
 """
 
 register("ann_pq_topk", _ann_pq, _PQ_ORACLE)
+
+# ---------------------------------------------------------------------------
+# random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+_RP_OUT = 8
+_RP_DIM = 64
+_RP_SAMPLE = "vec_id % 7 = 0"
+
+
+def _embed_project(spark, sf_dir):
+    from akvorado_spark.operators.similarity import project_embeddings
+
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True).filter(_RP_SAMPLE)
+    out = project_embeddings(vecs, _RP_OUT, _RP_DIM)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("proj"), lambda x: F.round(x, 6)).alias("proj"),
+    ).orderBy("vec_id")
+
+
+def _project_oracle() -> str:
+    import numpy as np
+
+    from akvorado_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_RP_DIM, _RP_OUT, seed=42)
+    inv = repr(1.0 / float(np.sqrt(_RP_OUT)))
+    comps = []
+    for plane in planes:
+        lits = ", ".join(repr(float(x)) for x in plane)
+        comps.append(
+            f"round(list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}])"
+            f" * {inv}, 6)"
+        )
+    return f"""
+SELECT vec_id, [{", ".join(comps)}] AS proj
+FROM embeddings WHERE {_RP_SAMPLE} ORDER BY vec_id
+"""
+
+
+register("embed_project", _embed_project, _project_oracle)

@@ -444,3 +444,29 @@ def test_pq_adc_approximates_exact_ranking(spark):
     assert {r["q_id"] for r in got} == {0, 1, 2}
     for r in got:
         assert isinstance(r["adc_score"], int)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: per-pair squared-distance ratios are chi²_d/d
+    distributed (std ≈ sqrt(2/d)); with out_dim=32 and ~190 pairs the
+    extremes sit within ±4σ of 1 and the median is tight."""
+    import itertools
+
+    import numpy as np
+
+    from akvorado_spark.operators.similarity import project_embeddings
+
+    vecs = _vecs(spark).filter("vec_id < 20")
+    rows = project_embeddings(vecs, 32, 64).select(
+        "vec_id", "embedding", "proj"
+    ).collect()
+    by_id = {r["vec_id"]: (np.array(r["embedding"]), np.array(r["proj"])) for r in rows}
+    ratios = []
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        dx = float(np.sum((by_id[a][0] - by_id[b][0]) ** 2))
+        dy = float(np.sum((by_id[a][1] - by_id[b][1]) ** 2))
+        if dx > 0:
+            ratios.append(dy / dx)
+    assert 0.2 < min(ratios) and max(ratios) < 2.2, (min(ratios), max(ratios))
+    # median ratio ≈ 1 (unbiased)
+    assert abs(sorted(ratios)[len(ratios) // 2] - 1.0) < 0.2
