@@ -199,7 +199,6 @@ SELECT event_type, COUNT(*) AS n,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type"""
 
-register("events_json_props", _spark_json_props, _JSON_ORACLE)
 
 
 # As-of join (no Spark native; DuckDB's built-in ASOF JOIN is the
@@ -254,7 +253,6 @@ FROM errors e ASOF LEFT JOIN clicks c
   ON e.user_id = c.user_id AND c.ts <= e.ts
 ORDER BY e.event_id"""
 
-register("events_asof_join", _spark_asof, _ASOF_ORACLE)
 
 
 # Bucketed range join (interval join without the nested loop): clicks
@@ -302,7 +300,60 @@ FROM errors e JOIN clicks c
          - epoch_us(CAST(e.err_ts AS TIMESTAMP))) <= CAST({_RANGE_GAP_S} AS BIGINT) * 1000000
 ORDER BY err_id, click_id"""
 
-register("events_range_join", _spark_range_join, _RANGE_ORACLE)
+# json/asof/range fold into ONE gated suite (driver budget: ≤50 queries
+# per round; every member stays individually hash-gated via its tag)
+def _events_ops_suite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+
+    jp = _spark_json_props(spark, sf_dir).select(
+        F.lit("json").alias("member"),
+        F.col("event_type").alias("s"),
+        z.alias("k1"),
+        z.alias("k2"),
+        F.col("n").cast("long").alias("v1"),
+        F.col("k_sum").cast("long").alias("v2"),
+        F.col("k_min").cast("long").alias("v3"),
+        F.col("k_max").cast("long").alias("v4"),
+    )
+    asof = _spark_asof(spark, sf_dir).select(
+        F.lit("asof").alias("member"),
+        F.lit("").alias("s"),
+        F.col("event_id").cast("long").alias("k1"),
+        F.col("user_id").cast("long").alias("k2"),
+        F.col("ts_us").cast("long").alias("v1"),
+        F.col("click_us").cast("long").alias("v2"),
+        F.col("click_cents").cast("long").alias("v3"),
+        z.alias("v4"),
+    )
+    rng = _spark_range_join(spark, sf_dir).select(
+        F.lit("range").alias("member"),
+        F.lit("").alias("s"),
+        F.col("err_id").cast("long").alias("k1"),
+        F.col("click_id").cast("long").alias("k2"),
+        F.col("user_id").cast("long").alias("v1"),
+        F.col("delta_us").cast("long").alias("v2"),
+        z.alias("v3"),
+        z.alias("v4"),
+    )
+    return jp.unionByName(asof).unionByName(rng).orderBy("member", "s", "k1", "k2")
+
+
+_EVENTS_OPS_ORACLE = f"""
+SELECT 'json' AS member, event_type AS s, CAST(0 AS BIGINT) AS k1,
+       CAST(0 AS BIGINT) AS k2, n AS v1, k_sum AS v2, k_min AS v3, k_max AS v4
+FROM ({_JSON_ORACLE})
+UNION ALL
+SELECT 'asof', '', event_id, user_id, ts_us, click_us, click_cents, CAST(0 AS BIGINT)
+FROM ({_ASOF_ORACLE})
+UNION ALL
+SELECT 'range', '', err_id, click_id, user_id, delta_us, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({_RANGE_ORACLE})
+ORDER BY member, s, k1, k2
+"""
+
+register("events_ops_suite", _events_ops_suite, _EVENTS_OPS_ORACLE)
 
 
 # Deterministic hash sampling: portable md5-prefix hash of the id

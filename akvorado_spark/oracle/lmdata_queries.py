@@ -112,7 +112,6 @@ FROM docrows
 ORDER BY member, doc_id
 """
 
-register("dedup_substring", _dedup_substring, _ES_ORACLE)
 
 # ---------------------------------------------------------------------------
 # bigram-LM perplexity + CCNet head/middle/tail bucketing
@@ -161,7 +160,6 @@ SELECT doc_id, n_bigrams, lp_micro,
 FROM scored ORDER BY doc_id
 """
 
-register("text_perplexity", _text_perplexity, _PPL_ORACLE)
 
 # ---------------------------------------------------------------------------
 # product-quantization ANN (integer-exact ADC)
@@ -244,7 +242,6 @@ SELECT q_id, rank, vec_id, adc_score FROM (
 ) WHERE rank <= 5 ORDER BY q_id, rank
 """
 
-register("ann_pq_topk", _ann_pq, _PQ_ORACLE)
 
 # ---------------------------------------------------------------------------
 # random-projection dimensionality reduction (Johnson-Lindenstrauss)
@@ -286,4 +283,86 @@ FROM embeddings WHERE {_RP_SAMPLE} ORDER BY vec_id
 """
 
 
-register("embed_project", _embed_project, _project_oracle)
+# the four round-7 queries fold into ONE gated suite (driver budget:
+# ≤50 queries per round; every member stays individually hash-gated
+# via its member tag) — the standalone spark fns/oracles above remain
+# importable for tests and tools/check subsets
+def _lmdata_suite(spark, sf_dir):
+    zl = F.lit(0).cast("long")
+    zd = F.lit(0.0)
+
+    es = _dedup_substring(spark, sf_dir).select(
+        F.concat(F.lit("es_"), F.col("member")).alias("member"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_dup_windows").alias("k2"),
+        F.col("n_spans").alias("v1"),
+        F.col("chars_removed").alias("v2"),
+        F.col("clean_len").alias("v3"),
+        zd.alias("vd"),
+        F.col("clean_md5p").alias("s"),
+    )
+    ppl = _text_perplexity(spark, sf_dir).select(
+        F.lit("ppl").alias("member"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_bigrams").alias("k2"),
+        F.col("lp_micro").alias("v1"),
+        zl.alias("v2"),
+        zl.alias("v3"),
+        zd.alias("vd"),
+        F.col("bucket").alias("s"),
+    )
+    pq = _ann_pq(spark, sf_dir).select(
+        F.lit("pq").alias("member"),
+        F.col("q_id").cast("long").alias("k1"),
+        F.col("rank").cast("long").alias("k2"),
+        F.col("vec_id").cast("long").alias("v1"),
+        F.col("adc_score").alias("v2"),
+        zl.alias("v3"),
+        zd.alias("vd"),
+        F.lit("").alias("s"),
+    )
+    pr = (
+        _embed_project(spark, sf_dir)
+        .select("vec_id", F.posexplode("proj").alias("j0", "comp"))
+        .select(
+            F.lit("proj").alias("member"),
+            F.col("vec_id").cast("long").alias("k1"),
+            (F.col("j0") + 1).cast("long").alias("k2"),
+            zl.alias("v1"),
+            zl.alias("v2"),
+            zl.alias("v3"),
+            F.col("comp").alias("vd"),
+            F.lit("").alias("s"),
+        )
+    )
+    return (
+        es.unionByName(ppl)
+        .unionByName(pq)
+        .unionByName(pr)
+        .orderBy("member", "k1", "k2")
+    )
+
+
+def _lmdata_suite_oracle() -> str:
+    return f"""
+SELECT 'es_' || member AS member, doc_id AS k1, n_dup_windows AS k2,
+       n_spans AS v1, chars_removed AS v2, clean_len AS v3,
+       CAST(0 AS DOUBLE) AS vd, clean_md5p AS s
+FROM ({_ES_ORACLE})
+UNION ALL
+SELECT 'ppl', doc_id, n_bigrams, lp_micro, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS DOUBLE), bucket
+FROM ({_PPL_ORACLE})
+UNION ALL
+SELECT 'pq', q_id, rank, vec_id, adc_score, CAST(0 AS BIGINT),
+       CAST(0 AS DOUBLE), ''
+FROM ({_PQ_ORACLE})
+UNION ALL
+SELECT 'proj', p.vec_id, t.j, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), p.proj[t.j], ''
+FROM ({_project_oracle()}) p, unnest(range(1, {_RP_OUT} + 1)) AS t(j)
+ORDER BY member, k1, k2
+"""
+
+
+register("lmdata_suite", _lmdata_suite, _lmdata_suite_oracle)

@@ -35,8 +35,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "embed_neardup_pairs",
     "events_sessionize",
-    "events_asof_join",
-    "events_range_join",
+    "events_ops_suite",
+    "lmdata_suite",
     "rate_limit_compensated",
     "text_stats",
     "docs_chunking",
