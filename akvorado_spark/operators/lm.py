@@ -124,3 +124,33 @@ def perplexity_buckets(
     for i in range(len(names) - 1, 0, -1):
         bucket = F.when(tile == i, F.lit(names[i - 1])).otherwise(bucket)
     return scored.withColumn("bucket", bucket)
+
+
+def perplexity_buckets_approx(
+    scored: DataFrame,
+    id_col: str,
+    names: tuple[str, ...] = ("head", "middle", "tail"),
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The 100 TB form of :func:`perplexity_buckets`: bucket thresholds
+    come from ``approxQuantile`` (one distributed sketch pass, no
+    global sort, driver gets len(names)-1 doubles), then bucketing is
+    a codegen CASE chain.  ``rel_err=0`` computes exact quantiles —
+    identical buckets to the ntile form up to tied scores.
+
+    The exact window variant stays the oracle-gated twin; this is the
+    one to run when `scored` has 10^10 rows.
+    """
+    n = len(names)
+    scored = scored.withColumn(
+        "__avg", F.col("lp_micro") / F.col("n_bigrams")
+    )
+    # descending score = ascending perplexity = head first; quantiles
+    # are ascending, so cut from the top
+    probs = [1.0 - (i + 1) / n for i in range(n - 1)]
+    cuts = scored.approxQuantile("__avg", probs, rel_err)
+    bucket = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        # reversed: tightest (head) threshold applied last → wins
+        bucket = F.when(F.col("__avg") >= cut, F.lit(name)).otherwise(bucket)
+    return scored.withColumn("bucket", bucket).drop("__avg")

@@ -79,6 +79,10 @@ def decode_image(
                 )
             else:
                 from akvorado_spark.operators.png import (
+                    bmp_meta,
+                    gif_meta,
+                    is_bmp,
+                    is_gif,
                     is_jpeg,
                     is_png,
                     jpeg_meta,
@@ -96,6 +100,14 @@ def decode_image(
                         # header-only: SOF dims/channels need no codec
                         w, h, ch = jpeg_meta(blob)
                         rows.append((r[id_col], w, h, ch, "JPEG"))
+                        continue
+                    if is_gif(blob):
+                        w, h, ch = gif_meta(blob)
+                        rows.append((r[id_col], w, h, ch, "GIF"))
+                        continue
+                    if is_bmp(blob):
+                        w, h, ch = bmp_meta(blob)
+                        rows.append((r[id_col], w, h, ch, "BMP"))
                         continue
                     try:  # pragma: no cover - PIL absent in container
                         import io

@@ -241,3 +241,35 @@ def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return px[ys][:, xs]
+
+
+def is_gif(data: bytes) -> bool:
+    return data[:6] in (b"GIF87a", b"GIF89a")
+
+
+def gif_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the GIF logical screen descriptor
+    (GIF89a spec §18: bytes 6-9 are little-endian u16 w/h).  GIF pixels
+    index a palette → report 3 channels (RGB)."""
+    if len(data) < 10:
+        raise ValueError("truncated GIF header")
+    w = data[6] | (data[7] << 8)
+    h = data[8] | (data[9] << 8)
+    return w, h, 3
+
+
+def is_bmp(data: bytes) -> bool:
+    return data[:2] == b"BM"
+
+
+def bmp_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the BITMAPINFOHEADER (Windows BMP:
+    little-endian i32 w/h at offsets 18/22, u16 bit-depth at 28; height
+    may be negative for top-down rows)."""
+    import struct
+
+    if len(data) < 30:
+        raise ValueError("truncated BMP header")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bits = struct.unpack_from("<H", data, 28)[0]
+    return w, abs(h), max(1, bits // 8)

@@ -1010,3 +1010,29 @@ def test_train_bpe_greedy_overlap_and_early_stop(spark):
     # stops early (no pairs left) instead of spinning
     assert len(merges) <= 4
     assert merges[0] == ("a", "a")
+
+
+def test_perplexity_buckets_approx_matches_exact(spark):
+    """The approxQuantile (scale) bucketing agrees with the exact ntile
+    form away from boundaries: >= 95% identical labels, and bucket
+    ordering is consistent (every head score >= every tail score)."""
+    from akvorado_spark.operators.lm import (
+        bigram_lm_scores,
+        perplexity_buckets,
+        perplexity_buckets_approx,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    scored = bigram_lm_scores(docs, "text", "doc_id").localCheckpoint()
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(scored, "doc_id").collect()
+    }
+    approx_rows = perplexity_buckets_approx(scored, "doc_id", rel_err=0.0).collect()
+    approx = {r["doc_id"]: r["bucket"] for r in approx_rows}
+    same = sum(exact[d] == approx[d] for d in exact)
+    assert same / len(exact) >= 0.95, same / len(exact)
+    avg = {r["doc_id"]: r["lp_micro"] / r["n_bigrams"] for r in approx_rows}
+    heads = [avg[d] for d, b in approx.items() if b == "head"]
+    tails = [avg[d] for d, b in approx.items() if b == "tail"]
+    assert min(heads) >= max(tails)

@@ -221,3 +221,53 @@ def test_jpeg_fill_bytes_tolerated():
     sof_at = base.index(b"\xff\xc0")
     padded = base[:sof_at] + b"\xff\xff\xff" + base[sof_at:]
     assert jpeg_meta(padded) == (11, 7, 3)
+
+
+def test_gif_and_bmp_header_metadata():
+    import struct
+
+    from akvorado_spark.operators.png import bmp_meta, gif_meta, is_bmp, is_gif
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    assert is_gif(gif)
+    assert gif_meta(gif) == (320, 200, 3)
+
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + struct.pack("<ii", 640, -480)  # top-down height is negative
+        + b"\x00" * 2
+        + struct.pack("<H", 24)
+        + b"\x00" * 10
+    )
+    assert is_bmp(bmp)
+    assert bmp_meta(bmp) == (640, 480, 3)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gif_meta(b"GIF89a\x01")
+    with _pytest.raises(ValueError):
+        bmp_meta(b"BM\x00")
+
+
+def test_decode_image_gif_bmp_dispatch(spark):
+    import struct
+
+    rows = [
+        (1, bytearray(b"GIF89a" + struct.pack("<HH", 12, 7) + b"\x00" * 10)),
+        (
+            2,
+            bytearray(
+                b"BM" + b"\x00" * 16 + struct.pack("<ii", 9, 4)
+                + b"\x00" * 2 + struct.pack("<H", 32) + b"\x00" * 10
+            ),
+        ),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    from akvorado_spark.operators.multimodal import decode_image
+
+    got = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (12, 7, "GIF")
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"], got[2]["format"]) == (
+        9, 4, 4, "BMP",
+    )
