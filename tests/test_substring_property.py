@@ -1,0 +1,129 @@
+"""Randomized cross-checks of exact-substring dedup against a pure-
+Python reimplementation of the same anchored-window semantics —
+coverage beyond the single-corpus oracle gate."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+W = 24
+S = 5
+
+
+def _anchors(text: str) -> list[int]:
+    out = []
+    for i in range(0, len(text) - W + 1):
+        h = (
+            ord(text[i]) * 3
+            + ord(text[i + 1]) * 5
+            + ord(text[i + 2]) * 7
+            + ord(text[i + 3]) * 11
+        )
+        if h % S == 0:
+            out.append(i)
+    return out
+
+
+def _py_substring_dedup(docs: dict[int, str]):
+    occ = []  # (doc, start, window)
+    for d, t in docs.items():
+        for s in _anchors(t):
+            occ.append((d, s, t[s : s + W]))
+    owners: dict[str, int] = {}
+    ndocs: dict[str, set] = {}
+    for d, s, w in occ:
+        owners[w] = min(owners.get(w, d), d)
+        ndocs.setdefault(w, set()).add(d)
+    per_doc: dict[int, set] = {}
+    for d, s, w in occ:
+        if len(ndocs[w]) >= 2 and d != owners[w]:
+            per_doc.setdefault(d, set()).add(s)
+    out = {}
+    for d, starts in per_doc.items():
+        ss = sorted(starts)
+        spans = []
+        lo, hi = ss[0], ss[0] + W
+        for s in ss[1:]:
+            if s - (hi - W) > W and s > hi:
+                spans.append((lo, hi))
+                lo, hi = s, s + W
+            else:
+                hi = max(hi, s + W)
+        spans.append((lo, hi))
+        t = docs[d]
+        kept = []
+        pos = 0
+        for a, b in spans:
+            kept.append(t[pos:a])
+            pos = b
+        kept.append(t[pos:])
+        cleaned = "".join(kept)
+        out[d] = (
+            len(per_doc[d]),
+            len(spans),
+            sum(b - a for a, b in spans),
+            cleaned,
+        )
+    return out
+
+
+def _random_corpus(rng: random.Random, n_docs: int):
+    alpha = "abcdefgh "
+    snippets = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(30, 90)))
+        for _ in range(4)
+    ]
+    docs = {}
+    for d in range(n_docs):
+        parts = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(snippets))
+            else:
+                parts.append(
+                    "".join(rng.choice(alpha) for _ in range(rng.randint(5, 60)))
+                )
+        docs[d] = "".join(parts)
+    return docs
+
+
+def test_exact_substring_dedup_random_corpora(spark):
+    from akvorado_spark.operators.dedup import exact_substring_dedup
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        docs = _random_corpus(rng, n_docs=rng.randint(4, 10))
+        df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (
+                r["n_dup_windows"],
+                r["n_spans"],
+                r["chars_removed"],
+                r["cleaned"],
+            )
+            for r in exact_substring_dedup(
+                df, "text", "doc_id", window=W, stride=S
+            ).collect()
+        }
+        want = _py_substring_dedup(docs)
+        assert got == want, f"trial {trial}"
+
+
+def test_bpe_random_corpora_match_reference(spark):
+    from akvorado_spark.operators.bpe import train_bpe
+    from tests.test_pipeline_ops import _py_bpe
+
+    rng = random.Random(77)
+    for trial in range(3):
+        vocab = ["ab", "abc", "bca", "aabb", "cab", "bb", "a"]
+        rows = []
+        words = {}
+        for d in range(rng.randint(2, 5)):
+            ws = [rng.choice(vocab) for _ in range(rng.randint(3, 12))]
+            for w in ws:
+                words[w] = words.get(w, 0) + 1
+            rows.append((d, " ".join(ws)))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        n = rng.randint(2, 8)
+        assert train_bpe(df, "text", n) == _py_bpe(words, n)[0], f"trial {trial}"
