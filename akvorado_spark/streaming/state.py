@@ -320,3 +320,63 @@ def streaming_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_duplicate_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Cross-micro-batch exact-substring duplicate detection: each
+    arriving document's content-anchored windows are checked against
+    every window content EVER seen, emitting (doc_id, s) for each
+    duplicated occurrence — the streaming feed for the batch span
+    merge/excision (``operators.dedup.excise_spans``).
+
+    Window extraction is the stateless batch expression
+    (``substring_window_occurrences`` — append mode, no aggregation
+    state); only content ownership is stateful: 16 bytes per distinct
+    window content (xxhash64 key → first-owner id).  Ownership
+    divergence from batch mode mirrors the streaming-minhash contract:
+    batch crowns the globally-lowest doc id, streaming crowns the
+    lowest id among the FIRST micro-batch to present the content (it
+    cannot see the future); when ids arrive in order the two coincide
+    (asserted in tests).  The owner never emits — its copy is the one
+    that survives excision.
+    """
+    from akvorado_spark.operators.dedup import substring_window_occurrences
+
+    occ = substring_window_occurrences(df, text_col, id_col, window, stride)
+    keyed = occ.select(
+        F.xxhash64("w").alias("__k"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col("s").cast("long").alias("__s"),
+    )
+
+    out_schema = "doc_id long, s long"
+
+    def fn(
+        key_val, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        owner = int(state.get[0]) if state.exists else None
+        for pdf in pdfs:
+            if owner is None and len(pdf):
+                owner = int(pdf["__id"].min())
+            rows = [
+                (int(d), int(s))
+                for d, s in zip(pdf["__id"], pdf["__s"])
+                if int(d) != owner
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "s"])
+        if owner is not None:
+            state.update((owner,))
+
+    return keyed.groupBy("__k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="owner long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

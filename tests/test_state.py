@@ -152,3 +152,61 @@ def test_streaming_netflow_decode_per_message_options(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["TimeReceived"] for r in spark.read.parquet(out_dir).collect())
     assert got == [_MIX_HDR_TIME + 40, int(t_in.timestamp())]
+
+
+def test_streaming_duplicate_windows_match_batch(spark, tmp_path):
+    """Streamed in two micro-batches with ascending doc ids, the
+    duplicated-window event set equals the batch computation exactly
+    (first-arrived owner == global min owner under ordered arrival),
+    including CROSS-batch duplicates via the checkpointed owner state."""
+    from akvorado_spark.operators.dedup import duplicate_window_spans
+    from akvorado_spark.streaming.state import streaming_duplicate_windows
+
+    W, S = 24, 5
+    shared = (
+        "a shared training span that is long enough to anchor several "
+        "windows regardless of each document's own alignment offset"
+    )
+    rows1 = [
+        (1, "lead text " + shared + " tail one"),
+        (2, "completely different body with nothing shared at all here"),
+    ]
+    rows2 = [
+        (3, shared + " trailing remainder"),   # dups doc 1 across batches
+        (4, "prefix!! " + shared),              # and again, shifted
+    ]
+    src = str(tmp_path / "es_in")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    out_dir, ckpt = str(tmp_path / "es_out"), str(tmp_path / "es_ckpt")
+    q = (
+        streaming_duplicate_windows(stream, window=W, stride=S)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["s"]) for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch = b1.unionAll(b2)
+    want = {
+        (r["doc_id"], s)
+        for r in duplicate_window_spans(
+            batch, "text", "doc_id", window=W, stride=S
+        ).collect()
+        for s in r["starts"]
+    }
+    assert got == want
+    assert got  # the plant actually anchored
+    assert all(d != 1 for d, _ in got)  # the owner never emits
