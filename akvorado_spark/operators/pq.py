@@ -245,3 +245,127 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "adc_score")
     )
+
+
+def quantized_cells(
+    quantized: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    q_col: str = "qv",
+) -> list[list[int]]:
+    """Deterministic coarse centroids in the quantized domain: the
+    ``n_cells`` lowest-id quantized vectors (driver-side, n_cells·dim
+    ints — same convention as ``seed_centroids``)."""
+    rows = quantized.orderBy(id_col).limit(n_cells).select(q_col).collect()
+    return [list(r[q_col]) for r in rows]
+
+
+def ivfpq_encode(
+    quantized: DataFrame,
+    cells: list[list[int]],
+    codebooks: list[list[list[int]]],
+    q_col: str = "qv",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ index build, the billion-vector layout (Jégou et al.
+    2011 §IV): assign each vector to its nearest coarse cell (integer
+    L2 argmin over cell literals), PQ-encode the RESIDUAL against the
+    cell centroid, keep only (id, cell, m codes).
+
+    Zero shuffle — assignment, residual, and codes are all codegen
+    expressions over literals.  At cluster scale the output is written
+    bucketed by ``cell`` so a probe is a partition-pruned scan.
+    Residuals live in [-254, 254] — still exact 32-bit ints.
+    """
+    cell_lit = _codebook_literal(cells)
+    enc = quantized.withColumn(cell_col, _assign_expr(F.col(q_col), cell_lit))
+    resid = F.zip_with(
+        F.col(q_col),
+        F.element_at(cell_lit, F.col(cell_col) + 1),
+        lambda a, b: a - b,
+    )
+    enc = enc.withColumn("__rv", resid)
+    return pq_encode(enc, codebooks, q_col="__rv", code_col=code_col).drop(q_col)
+
+
+def ivfpq_topk(
+    base_enc: DataFrame,
+    queries: DataFrame,
+    cells: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_col: str = "q_qv",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ search: each query probes its ``nprobe`` nearest cells
+    (integer L2 on the quantized centroids), builds one ADC table per
+    (query, cell) against the query's CELL RESIDUAL, and ranks the
+    probed cells' candidates by exact-integer ADC dot.
+
+    The probe frame (n_queries × nprobe rows, m×ks ints each) is
+    broadcast; the candidate join is cell-keyed, so only probed
+    buckets are scanned — the IVF cost model — and each candidate
+    contributes ``m`` lookups, never a vector.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    from pyspark.sql import Window
+
+    cell_lit = _codebook_literal(cells)
+    scored_cells = F.transform(
+        cell_lit,
+        lambda cb, c: F.struct(
+            _int_sqdist(F.col(q_col), cb).alias("d"), c.alias("c")
+        ),
+    )
+    probes = (
+        queries.select(
+            q_id_col, q_col, F.explode(scored_cells).alias("x")
+        )
+        .select(q_id_col, q_col, "x.d", F.col("x.c").alias(cell_col))
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy(q_id_col).orderBy("d", cell_col)
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+    )
+    q_resid = F.zip_with(
+        F.col(q_col),
+        F.element_at(cell_lit, F.col(cell_col) + 1),
+        lambda a, b: a - b,
+    )
+    probes = probes.withColumn("__qr", q_resid).select(
+        q_id_col,
+        cell_col,
+        *[
+            F.transform(
+                _codebook_literal(codebooks[j]),
+                lambda cb: _int_dot(_subslice(F.col("__qr"), j, sub), cb),
+            ).alias(f"__t{j}")
+            for j in range(m)
+        ],
+    )
+    score = sum(
+        F.element_at(
+            F.col(f"__t{j}"), F.element_at(F.col(code_col), j + 1) + 1
+        )
+        for j in range(m)
+    )
+    cand = base_enc.join(F.broadcast(probes), on=cell_col).select(
+        q_id_col, id_col, score.alias("adc_score")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "adc_score")
+    )

@@ -470,3 +470,64 @@ def test_random_projection_preserves_distances(spark):
     assert 0.2 < min(ratios) and max(ratios) < 2.2, (min(ratios), max(ratios))
     # median ratio ≈ 1 (unbiased)
     assert abs(sorted(ratios)[len(ratios) // 2] - 1.0) < 0.2
+
+
+def test_ivfpq_invariants_and_probe_behavior(spark):
+    """IVF-PQ: an exact copy lands in the same cell with the same
+    residual codes → identical ADC score, adjacent ranks; probing all
+    cells degenerates to plain residual-PQ over the whole base; scores
+    are exact integers."""
+    from akvorado_spark.operators.pq import (
+        global_scale,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks_from_seeds,
+        quantize_global,
+        quantized_cells,
+    )
+
+    vecs = _vecs(spark).filter("vec_id < 200")
+    planted = vecs.filter("vec_id = 42").select(
+        F.lit(990_000).alias("vec_id"), "embedding"
+    )
+    corpus = vecs.unionAll(planted)
+    q = quantize_global(corpus, global_scale(corpus))
+    base = q.filter("vec_id >= 10").select("vec_id", "qv")
+    cells = quantized_cells(base, 4)
+    books = pq_codebooks_from_seeds(base, m=4, ks=8)
+    enc = ivfpq_encode(base, cells, books).localCheckpoint()
+
+    rows = {r["vec_id"]: r for r in enc.collect()}
+    assert rows[42]["cell"] == rows[990_000]["cell"]
+    assert rows[42]["pq_code"] == rows[990_000]["pq_code"]
+    assert set(r["cell"] for r in rows.values()) <= {0, 1, 2, 3}
+
+    queries = q.filter("vec_id = 42").select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    n_base = base.count()
+    full = {
+        r["vec_id"]: (r["adc_score"], r["rank"])
+        for r in ivfpq_topk(
+            enc, queries, cells, books, k=n_base, nprobe=4
+        ).collect()
+    }
+    assert len(full) == n_base  # nprobe=all cells covers the base
+    assert full[42][0] == full[990_000][0]
+    # ties order by vec_id: every rank between the twins shares the score
+    assert full[990_000][1] > full[42][1]
+    between = [
+        v for v, (s, r) in full.items()
+        if full[42][1] < r < full[990_000][1]
+    ]
+    assert all(full[v][0] == full[42][0] for v in between)
+    assert all(42 < v < 990_000 for v in between)
+    assert all(isinstance(v[0], int) for v in full.values())
+
+    # nprobe=1 returns only the query cell's members, a strict subset
+    probed = ivfpq_topk(enc, queries, cells, books, k=n_base, nprobe=1).collect()
+    cells_of = {rows[r["vec_id"]]["cell"] for r in probed}
+    assert len(cells_of) == 1
+    assert {r["vec_id"] for r in probed} == {
+        v for v, r in rows.items() if r["cell"] == rows[42]["cell"]
+    }
