@@ -720,23 +720,21 @@ def duplicate_window_spans(
     keeps duplicated keys, and a join back that AQE serves from the
     same exchange.  No self-join of documents, no suffix array.
     """
+    from pyspark.sql import Window
+
     key = key_fn if key_fn is not None else (lambda c: c)
     occ = substring_window_occurrences(
         df, text_col, id_col, window, stride, anchored
     )
     occ = occ.select(id_col, "s", key(F.col("w")).alias("k"))
-    owners = (
-        occ.groupBy("k")
-        .agg(
-            F.min(id_col).alias("__owner"),
-            F.count_distinct(F.col(id_col)).alias("__nd"),
-        )
-        .filter(F.col("__nd") >= 2)
-        .select("k", "__owner")
-    )
+    # duplicated ⟺ ≥2 distinct docs ⟺ min(id) ≠ max(id) over the
+    # content key; a single window pass over one shuffle replaces the
+    # aggregate + join-back (same semantics, half the exchange traffic)
+    wk = Window.partitionBy("k")
     dup = (
-        occ.join(owners, "k")
-        .filter(F.col(id_col) != F.col("__owner"))
+        occ.withColumn("__mn", F.min(id_col).over(wk))
+        .withColumn("__mx", F.max(id_col).over(wk))
+        .filter((F.col("__mn") != F.col("__mx")) & (F.col(id_col) != F.col("__mn")))
         .select(id_col, "s")
     )
     return dup.groupBy(id_col).agg(
