@@ -294,6 +294,135 @@ FROM embeddings WHERE {_RP_SAMPLE} ORDER BY vec_id
 """
 
 
+_IVFPQ_CELLS = 4
+_IVFPQ_NPROBE = 2
+
+
+def _ann_ivfpq(spark, sf_dir):
+    """IVF-PQ search with REAL probe pruning (nprobe < cells): coarse
+    cells from the lowest-id quantized vectors, PQ codes on cell
+    residuals, per-(query, cell) ADC tables — every stage integer-exact
+    and replayed by the oracle, including which cells each query
+    probes."""
+    from akvorado_spark.operators.pq import (
+        global_scale,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks_from_seeds,
+        quantize_global,
+        quantized_cells,
+    )
+
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
+    qall = quantize_global(vecs, global_scale(vecs)).localCheckpoint(eager=False)
+    base_q = qall.filter(F.col("vec_id") >= 3).select("vec_id", "qv")
+    memo = _PQ_BOOKS.get(("ivfpq", sf_dir))
+    if memo is None:
+        memo = _PQ_BOOKS[("ivfpq", sf_dir)] = (
+            quantized_cells(base_q, _IVFPQ_CELLS),
+            pq_codebooks_from_seeds(base_q, _PQ_M, _PQ_KS),
+        )
+    cells, books = memo
+    enc = ivfpq_encode(base_q, cells, books)
+    queries = qall.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    return ivfpq_topk(
+        enc, queries, cells, books, k=5, nprobe=_IVFPQ_NPROBE
+    ).orderBy("q_id", "rank")
+
+
+_IVFPQ_ORACLE = f"""
+WITH g AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+         AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / gmax) AS INT)) AS qv
+  FROM embeddings, g
+),
+base AS (SELECT vec_id, qv FROM q WHERE vec_id >= 3),
+qry AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id < 3),
+cells AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_IVFPQ_CELLS})
+),
+cb AS (
+  SELECT tj.j, s.c, list_slice(s.qv, tj.j * {_PQ_SUB} + 1, (tj.j + 1) * {_PQ_SUB}) AS sv
+  FROM (SELECT qv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT {_PQ_KS})) s,
+       unnest(range(0, {_PQ_M})) AS tj(j)
+),
+-- coarse assignment: full-dim integer L2 argmin, ties to lowest cell
+bcell AS (
+  SELECT vec_id, cell, cv FROM (
+    SELECT b.vec_id, cells.cell, cells.cv,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             list_sum(list_transform(range(1, {_PQ_M} * {_PQ_SUB} + 1), i ->
+               CAST(b.qv[i] - cells.cv[i] AS BIGINT)
+               * CAST(b.qv[i] - cells.cv[i] AS BIGINT))), cells.cell) AS rn
+    FROM base b CROSS JOIN cells
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT b.vec_id, bcell.cell,
+         list_transform(range(1, {_PQ_M} * {_PQ_SUB} + 1), i -> b.qv[i] - bcell.cv[i]) AS rv
+  FROM base b JOIN bcell USING (vec_id)
+),
+rdists AS (
+  SELECT r.vec_id, r.cell, cb.j, cb.c,
+    list_sum(list_transform(range(1, {_PQ_SUB} + 1), i ->
+      CAST(r.rv[i + cb.j * {_PQ_SUB}] - cb.sv[i] AS BIGINT)
+      * CAST(r.rv[i + cb.j * {_PQ_SUB}] - cb.sv[i] AS BIGINT))) AS d
+  FROM resid r CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, cell, j, c FROM (
+    SELECT vec_id, cell, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM rdists
+  ) WHERE rn = 1
+),
+-- probe selection: nprobe nearest cells per query, same L2/tie rule
+probes AS (
+  SELECT q_id, cell, cv, q_qv FROM (
+    SELECT qry.q_id, cells.cell, cells.cv, qry.q_qv,
+           row_number() OVER (PARTITION BY qry.q_id ORDER BY
+             list_sum(list_transform(range(1, {_PQ_M} * {_PQ_SUB} + 1), i ->
+               CAST(qry.q_qv[i] - cells.cv[i] AS BIGINT)
+               * CAST(qry.q_qv[i] - cells.cv[i] AS BIGINT))), cells.cell) AS rn
+    FROM qry CROSS JOIN cells
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+qresid AS (
+  SELECT q_id, cell,
+         list_transform(range(1, {_PQ_M} * {_PQ_SUB} + 1), i -> q_qv[i] - cv[i]) AS qr
+  FROM probes
+),
+terms AS (
+  SELECT qresid.q_id, codes.vec_id,
+    list_sum(list_transform(range(1, {_PQ_SUB} + 1), i ->
+      CAST(qresid.qr[i + cb.j * {_PQ_SUB}] AS BIGINT) * CAST(cb.sv[i] AS BIGINT))) AS t
+  FROM codes
+  JOIN qresid USING (cell)
+  JOIN cb USING (j, c)
+),
+scores AS (
+  SELECT q_id, vec_id, CAST(sum(t) AS BIGINT) AS adc_score
+  FROM terms GROUP BY 1, 2
+)
+SELECT q_id, rank, vec_id, adc_score FROM (
+  SELECT q_id, vec_id, adc_score,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc_score DESC, vec_id)
+           AS rank
+  FROM scores
+) WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
 # the four round-7 queries fold into ONE gated suite (driver budget:
 # ≤50 queries per round; every member stays individually hash-gated
 # via its member tag) — the standalone spark fns/oracles above remain
@@ -332,6 +461,16 @@ def _lmdata_suite(spark, sf_dir):
         zd.alias("vd"),
         F.lit("").alias("s"),
     )
+    ivfpq = _ann_ivfpq(spark, sf_dir).select(
+        F.lit("ivfpq").alias("member"),
+        F.col("q_id").cast("long").alias("k1"),
+        F.col("rank").cast("long").alias("k2"),
+        F.col("vec_id").cast("long").alias("v1"),
+        F.col("adc_score").alias("v2"),
+        zl.alias("v3"),
+        zd.alias("vd"),
+        F.lit("").alias("s"),
+    )
     pr = (
         _embed_project(spark, sf_dir)
         .select("vec_id", F.posexplode("proj").alias("j0", "comp"))
@@ -349,6 +488,7 @@ def _lmdata_suite(spark, sf_dir):
     return (
         es.unionByName(ppl)
         .unionByName(pq)
+        .unionByName(ivfpq)
         .unionByName(pr)
         .orderBy("member", "k1", "k2")
     )
@@ -368,6 +508,10 @@ UNION ALL
 SELECT 'pq', q_id, rank, vec_id, adc_score, CAST(0 AS BIGINT),
        CAST(0 AS DOUBLE), ''
 FROM ({_PQ_ORACLE})
+UNION ALL
+SELECT 'ivfpq', q_id, rank, vec_id, adc_score, CAST(0 AS BIGINT),
+       CAST(0 AS DOUBLE), ''
+FROM ({_IVFPQ_ORACLE})
 UNION ALL
 SELECT 'proj', p.vec_id, t.j, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), p.proj[t.j], ''
