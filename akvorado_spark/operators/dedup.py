@@ -666,6 +666,8 @@ def substring_window_occurrences(
     filter/transform+explode inside codegen (no Python, the document
     string is not replicated per window).
     """
+    if window < 4:
+        raise ValueError("window must be >= 4 (the anchor 4-gram must fit)")
     if anchored:
         starts = F.when(
             F.length(F.col(text_col)) >= window,
@@ -835,3 +837,79 @@ def exact_substring_dedup(
         df, text_col, id_col, window, stride, key_fn, anchored
     )
     return excise_spans(spans, df, text_col, id_col, window)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line deduplication (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    min_len: int = 1,
+    keep_owner: bool = False,
+    key_fn=None,
+) -> DataFrame:
+    """Remove lines that repeat across ≥ ``min_docs`` distinct
+    documents — the boilerplate filter (headers, nav bars, cookie
+    banners) web-corpus pipelines run before model training (the
+    line-level pass of CCNet/RefinedWeb-style cleaning).
+
+    ``keep_owner=False`` (default, the boilerplate semantics) deletes a
+    repeated line from EVERY document; ``keep_owner=True`` keeps the
+    lowest-id document's copies (the dedup semantics, matching
+    ``exact_substring_dedup``).  Lines shorter than ``min_len`` chars
+    are never removed (blank separators survive).  ``key_fn`` maps the
+    line to its grouping key — xxhash64 in production, identity for
+    the string-exact gate.
+
+    Returns (id, n_lines, n_removed, cleaned) for every document.
+    Shape: posexplode lines → ONE window pass over the line-content
+    shuffle (count distinct docs via min≠max when min_docs=2, else an
+    approx-free count) → per-doc reassembly in line order.  No joins,
+    no second corpus scan.
+    """
+    from pyspark.sql import Window
+
+    key = key_fn if key_fn is not None else (lambda c: c)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__i", "__ln"),
+    ).withColumn("__k", key(F.col("__ln")))
+    wk = Window.partitionBy("__k")
+    if min_docs == 2:
+        nd_ok = F.min(id_col).over(wk) != F.max(id_col).over(wk)
+    else:
+        nd_ok = F.size(
+            F.collect_set(F.col(id_col)).over(wk)
+        ) >= min_docs
+    drop = nd_ok & (F.length("__ln") >= min_len)
+    if keep_owner:
+        drop = drop & (F.col(id_col) != F.min(id_col).over(wk))
+    marked = lines.withColumn("__drop", drop)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("__drop").cast("long")).alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("__i"), F.col("__drop"), F.col("__ln")
+                                )
+                            )
+                        ),
+                        lambda x: ~x["__drop"],
+                    ),
+                    lambda x: x["__ln"],
+                ),
+            ).alias("cleaned"),
+        )
+    )

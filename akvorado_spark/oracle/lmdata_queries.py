@@ -423,6 +423,51 @@ SELECT q_id, rank, vec_id, adc_score FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_LD_MIN_LEN = 8
+
+
+def _line_dedup(spark, sf_dir):
+    from akvorado_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    out = line_dedup(docs, "text", "doc_id", min_docs=2, min_len=_LD_MIN_LEN)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.length("cleaned").cast("long").alias("clean_len"),
+        F.substring(F.md5(F.col("cleaned").cast("binary")), 1, 16).alias(
+            "clean_md5p"
+        ),
+    ).orderBy("doc_id")
+
+
+_LD_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+lx AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i, ls[CAST(t.i AS INT)] AS ln
+  FROM d, unnest(range(1, len(ls) + 1)) AS t(i)
+),
+st AS (
+  SELECT doc_id, i, ln,
+         (min(doc_id) OVER (PARTITION BY ln) != max(doc_id) OVER (PARTITION BY ln)
+          AND length(ln) >= {_LD_MIN_LEN}) AS dr
+  FROM lx
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       CAST(sum(CASE WHEN dr THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(length(COALESCE(string_agg(ln, chr(10) ORDER BY i)
+                            FILTER (WHERE NOT dr), '')) AS BIGINT) AS clean_len,
+       substr(md5(COALESCE(string_agg(ln, chr(10) ORDER BY i)
+                           FILTER (WHERE NOT dr), '')), 1, 16) AS clean_md5p
+FROM st GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # the four round-7 queries fold into ONE gated suite (driver budget:
 # ≤50 queries per round; every member stays individually hash-gated
 # via its member tag) — the standalone spark fns/oracles above remain
@@ -461,6 +506,16 @@ def _lmdata_suite(spark, sf_dir):
         zd.alias("vd"),
         F.lit("").alias("s"),
     )
+    ld = _line_dedup(spark, sf_dir).select(
+        F.lit("line").alias("member"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_lines").alias("k2"),
+        F.col("n_removed").alias("v1"),
+        zl.alias("v2"),
+        F.col("clean_len").alias("v3"),
+        zd.alias("vd"),
+        F.col("clean_md5p").alias("s"),
+    )
     ivfpq = _ann_ivfpq(spark, sf_dir).select(
         F.lit("ivfpq").alias("member"),
         F.col("q_id").cast("long").alias("k1"),
@@ -489,6 +544,7 @@ def _lmdata_suite(spark, sf_dir):
         es.unionByName(ppl)
         .unionByName(pq)
         .unionByName(ivfpq)
+        .unionByName(ld)
         .unionByName(pr)
         .orderBy("member", "k1", "k2")
     )
@@ -512,6 +568,10 @@ UNION ALL
 SELECT 'ivfpq', q_id, rank, vec_id, adc_score, CAST(0 AS BIGINT),
        CAST(0 AS DOUBLE), ''
 FROM ({_IVFPQ_ORACLE})
+UNION ALL
+SELECT 'line', doc_id, n_lines, n_removed, CAST(0 AS BIGINT), clean_len,
+       CAST(0 AS DOUBLE), clean_md5p
+FROM ({_LD_ORACLE})
 UNION ALL
 SELECT 'proj', p.vec_id, t.j, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), p.proj[t.j], ''

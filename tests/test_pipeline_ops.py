@@ -1036,3 +1036,64 @@ def test_perplexity_buckets_approx_matches_exact(spark):
     heads = [avg[d] for d, b in approx.items() if b == "head"]
     tails = [avg[d] for d, b in approx.items() if b == "tail"]
     assert min(heads) >= max(tails)
+
+
+def test_line_dedup_boilerplate_semantics(spark):
+    from akvorado_spark.operators.dedup import line_dedup
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    rows = [
+        (1, "unique alpha\n" + banner + "\nbody one"),
+        (2, banner + "\nbody two\n\nbody two b"),
+        (3, "body three\n" + banner),
+        (4, "no boilerplate here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = {r["doc_id"]: r for r in line_dedup(docs, "text", "doc_id").collect()}
+    # the banner vanishes from EVERY doc (boilerplate mode)
+    for d in (1, 2, 3):
+        assert banner not in out[d]["cleaned"]
+        assert out[d]["n_removed"] == 1
+    assert out[4]["n_removed"] == 0
+    assert out[1]["cleaned"] == "unique alpha\nbody one"
+    # blank separator lines survive (shorter than min_len)
+    assert out[2]["cleaned"] == "body two\n\nbody two b"
+    assert out[2]["n_lines"] == 4
+
+    # keep_owner: the lowest doc keeps its copy
+    kept = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, "text", "doc_id", keep_owner=True).collect()
+    }
+    assert banner in kept[1]["cleaned"]
+    assert banner not in kept[2]["cleaned"] and banner not in kept[3]["cleaned"]
+
+    # min_docs=3: a line shared by only 2 docs survives
+    two = spark.createDataFrame(
+        [(1, "shared line here\nx"), (2, "shared line here\ny"), (3, "z")],
+        ["doc_id", "text"],
+    )
+    out3 = {
+        r["doc_id"]: r
+        for r in line_dedup(two, "text", "doc_id", min_docs=3).collect()
+    }
+    assert all(r["n_removed"] == 0 for r in out3.values())
+    out2 = {
+        r["doc_id"]: r
+        for r in line_dedup(two, "text", "doc_id", min_docs=2).collect()
+    }
+    assert out2[1]["n_removed"] == 1 and out2[2]["n_removed"] == 1
+
+
+def test_line_dedup_hash_and_string_paths_agree(spark):
+    from akvorado_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = line_dedup(docs, "text", "doc_id", min_len=8).orderBy("doc_id").collect()
+    b = (
+        line_dedup(docs, "text", "doc_id", min_len=8, key_fn=F.xxhash64)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
