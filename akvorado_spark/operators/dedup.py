@@ -881,15 +881,31 @@ def line_dedup(
     ).withColumn("__k", key(F.col("__ln")))
     wk = Window.partitionBy("__k")
     if min_docs == 2:
+        # one window pass: ≥2 distinct docs ⟺ min(id) ≠ max(id)
         nd_ok = F.min(id_col).over(wk) != F.max(id_col).over(wk)
+        drop = nd_ok & (F.length("__ln") >= min_len)
+        if keep_owner:
+            drop = drop & (F.col(id_col) != F.min(id_col).over(wk))
+        marked = lines.withColumn("__drop", drop)
     else:
-        nd_ok = F.size(
-            F.collect_set(F.col(id_col)).over(wk)
-        ) >= min_docs
-    drop = nd_ok & (F.length("__ln") >= min_len)
-    if keep_owner:
-        drop = drop & (F.col(id_col) != F.min(id_col).over(wk))
-    marked = lines.withColumn("__drop", drop)
+        # general threshold: a count-distinct aggregate + key join —
+        # constant memory per key, unlike a collect_set window, whose
+        # per-key state would grow with however many documents share a
+        # boilerplate line
+        hot = (
+            lines.groupBy("__k")
+            .agg(
+                F.count_distinct(F.col(id_col)).alias("__nd"),
+                F.min(id_col).alias("__own"),
+            )
+            .filter(F.col("__nd") >= min_docs)
+            .select("__k", "__own")
+        )
+        joined = lines.join(hot, "__k", "left")
+        drop = F.col("__own").isNotNull() & (F.length("__ln") >= min_len)
+        if keep_owner:
+            drop = drop & (F.col(id_col) != F.col("__own"))
+        marked = joined.withColumn("__drop", drop)
     return (
         marked.groupBy(id_col)
         .agg(
