@@ -345,6 +345,12 @@ def streaming_duplicate_windows(
     cannot see the future); when ids arrive in order the two coincide
     (asserted in tests).  The owner never emits — its copy is the one
     that survives excision.
+
+    State grows with DISTINCT window contents seen (16 B each) — the
+    inherent memory of global substring dedup.  For an unbounded
+    stream, bound it: run the batch job over closed partitions (state
+    is free — recomputed per run), or shorten the horizon with a state
+    TTL (GroupStateTimeout) accepting misses across expired windows.
     """
     from akvorado_spark.operators.dedup import substring_window_occurrences
 
