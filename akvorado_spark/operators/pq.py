@@ -369,3 +369,26 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "adc_score")
     )
+
+
+def write_ann_index(
+    enc: DataFrame,
+    path: str,
+    cell_col: str = "cell",
+) -> None:
+    """Persist an IVF(-PQ) index as parquet PARTITIONED BY cell — the
+    physical layout behind the probe cost model: a query that probes
+    ``nprobe`` cells reads exactly those directories (partition
+    pruning), never the full index.  Codes-only rows keep the index
+    ~32× smaller than the float32 vectors it stands for."""
+    enc.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def read_ann_cells(spark, path: str, cells: list[int], cell_col: str = "cell"):
+    """Open an index written by :func:`write_ann_index` restricted to
+    ``cells`` — the filter lands in the scan's PartitionFilters (a
+    directory-level prune, asserted in tests), which is the IVF probe
+    doing I/O proportional to nprobe/n_cells."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).filter(F.col(cell_col).isin(cells))

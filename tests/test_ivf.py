@@ -531,3 +531,37 @@ def test_ivfpq_invariants_and_probe_behavior(spark):
     assert {r["vec_id"] for r in probed} == {
         v for v, r in rows.items() if r["cell"] == rows[42]["cell"]
     }
+
+
+def test_ann_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF-PQ index prunes unprobed cells at the
+    DIRECTORY level: the probe filter appears in PartitionFilters and
+    only the probed cells' rows are read."""
+    from akvorado_spark.operators.pq import (
+        global_scale,
+        ivfpq_encode,
+        pq_codebooks_from_seeds,
+        quantize_global,
+        quantized_cells,
+        read_ann_cells,
+        write_ann_index,
+    )
+
+    vecs = _vecs(spark).filter("vec_id < 200")
+    q = quantize_global(vecs, global_scale(vecs))
+    cells = quantized_cells(q, 4)
+    books = pq_codebooks_from_seeds(q, m=4, ks=8)
+    enc = ivfpq_encode(q, cells, books)
+    path = str(tmp_path / "ann_index")
+    write_ann_index(enc, path)
+
+    probed = read_ann_cells(spark, path, [1, 3])
+    sc = spark.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+    got_cells = {r["cell"] for r in probed.select("cell").distinct().collect()}
+    assert got_cells <= {1, 3}
+    # full read round-trips every encoded row
+    assert spark.read.parquet(path).count() == enc.count()
