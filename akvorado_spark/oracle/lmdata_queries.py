@@ -581,3 +581,148 @@ ORDER BY member, k1, k2
 
 
 register("lmdata_suite", _lmdata_suite, _lmdata_suite_oracle)
+
+# ---------------------------------------------------------------------------
+# end-to-end training-data pipeline funnel (the 50th registry slot)
+# ---------------------------------------------------------------------------
+
+_PF_MOD = 1_000_000_007
+
+
+def _pipeline_funnel(spark, sf_dir):
+    """The whole pre-training data pipeline as ONE gated funnel:
+    raw → Gopher quality filter → boilerplate line dedup → exact dedup
+    of the cleaned texts → leakage-guarded train/val/test split.  Each
+    stage reports its surviving doc count, char volume, and an exact
+    integer set-signature (Σid, Σid² mod p) so the oracle pins WHICH
+    documents survived, not just how many."""
+    from akvorado_spark.operators.dedup import exact_dedup, line_dedup
+    from akvorado_spark.operators.sampling import split_dataset
+    from akvorado_spark.operators.text import gopher_quality_pass
+
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+
+    def stage(name_col, df, text_col):
+        return df.agg(
+            name_col.alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(
+                F.pmod(F.col("doc_id") * F.col("doc_id"), F.lit(_PF_MOD))
+            ).cast("long").alias("id_sqm"),
+        )
+
+    quality = docs.filter(gopher_quality_pass(F.col("text")))
+    ld = line_dedup(quality, "text", "doc_id", min_docs=2, min_len=8)
+    surv = ld.join(
+        exact_dedup(ld, "cleaned", "doc_id").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    split = split_dataset(
+        surv, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id"
+    )
+    rows = [
+        stage(F.lit("s1_raw"), docs, "text"),
+        stage(F.lit("s2_quality"), quality, "text"),
+        stage(F.lit("s3_line_dedup"), ld, "cleaned"),
+        stage(F.lit("s4_exact_dedup"), surv, "cleaned"),
+    ]
+    per_split = split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("cleaned")).cast("long").alias("n_chars"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(
+            F.pmod(F.col("doc_id") * F.col("doc_id"), F.lit(_PF_MOD))
+        ).cast("long").alias("id_sqm"),
+    ).select(
+        F.concat(F.lit("s5_split:"), F.col("split")).alias("stage"),
+        "n_docs", "n_chars", "id_sum", "id_sqm",
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.unionByName(per_split).orderBy("stage")
+
+
+_PF_ORACLE = rf"""
+WITH feat AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(ws), 1) AS BIGINT) AS dw,
+         CAST(GREATEST(len(ls), 1) AS BIGINT) AS dl,
+         CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_rep,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bul,
+         CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS BIGINT) AS n_ell,
+         CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS n_wchars,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha
+  FROM feat
+),
+quality AS (
+  SELECT doc_id, text FROM m
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND CAST(n_wchars AS DOUBLE) / dw >= 3 AND CAST(n_wchars AS DOUBLE) / dw <= 10
+    AND CAST(n_sym AS DOUBLE) / dw < 0.1
+    AND CAST(n_bul AS DOUBLE) / dl < 0.9
+    AND CAST(n_ell AS DOUBLE) / dl < 0.3
+    AND CAST(n_alpha AS DOUBLE) / dw >= 0.8
+    AND CAST(n_rep AS DOUBLE) / dl < 0.3
+),
+qd AS (SELECT doc_id, string_split(text, chr(10)) AS lsx FROM quality),
+lx AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i, lsx[CAST(t.i AS INT)] AS ln
+  FROM qd, unnest(range(1, len(lsx) + 1)) AS t(i)
+),
+st AS (
+  SELECT doc_id, i, ln,
+         (min(doc_id) OVER (PARTITION BY ln) != max(doc_id) OVER (PARTITION BY ln)
+          AND length(ln) >= 8) AS dr
+  FROM lx
+),
+ld AS (
+  SELECT doc_id,
+         COALESCE(string_agg(ln, chr(10) ORDER BY i) FILTER (WHERE NOT dr), '')
+           AS cleaned
+  FROM st GROUP BY doc_id
+),
+surv AS (
+  SELECT ld.doc_id, ld.cleaned FROM ld
+  JOIN (SELECT min(doc_id) AS doc_id FROM ld GROUP BY cleaned) k USING (doc_id)
+),
+sp AS (
+  SELECT doc_id, cleaned,
+         CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        FROM surv)
+)
+SELECT 's1_raw' AS stage, COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM((doc_id * doc_id) % {_PF_MOD}) AS BIGINT) AS id_sqm
+FROM documents
+UNION ALL
+SELECT 's2_quality', COUNT(*)::BIGINT, CAST(SUM(length(text)) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT), CAST(SUM((doc_id * doc_id) % {_PF_MOD}) AS BIGINT)
+FROM quality
+UNION ALL
+SELECT 's3_line_dedup', COUNT(*)::BIGINT, CAST(SUM(length(cleaned)) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT), CAST(SUM((doc_id * doc_id) % {_PF_MOD}) AS BIGINT)
+FROM ld
+UNION ALL
+SELECT 's4_exact_dedup', COUNT(*)::BIGINT, CAST(SUM(length(cleaned)) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT), CAST(SUM((doc_id * doc_id) % {_PF_MOD}) AS BIGINT)
+FROM surv
+UNION ALL
+SELECT 's5_split:' || split, COUNT(*)::BIGINT, CAST(SUM(length(cleaned)) AS BIGINT),
+       CAST(SUM(doc_id) AS BIGINT), CAST(SUM((doc_id * doc_id) % {_PF_MOD}) AS BIGINT)
+FROM sp GROUP BY split
+ORDER BY stage
+"""
+
+register("pipeline_funnel", _pipeline_funnel, _PF_ORACLE)
