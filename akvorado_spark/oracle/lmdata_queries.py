@@ -614,7 +614,11 @@ def _pipeline_funnel(spark, sf_dir):
         )
 
     quality = docs.filter(gopher_quality_pass(F.col("text")))
-    ld = line_dedup(quality, "text", "doc_id", min_docs=2, min_len=8)
+    # ld feeds three consumers (its own stage row, the dedup join, the
+    # split) — materialize once instead of re-running the line shuffle
+    ld = line_dedup(
+        quality, "text", "doc_id", min_docs=2, min_len=8
+    ).localCheckpoint(eager=False)
     surv = ld.join(
         exact_dedup(ld, "cleaned", "doc_id").select("doc_id"), "doc_id"
     ).localCheckpoint(eager=False)
