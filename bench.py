@@ -98,6 +98,17 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+        # drop materializations (localCheckpoint RDD blocks, cached
+        # frames) the query left behind: in one shared JVM, 50 queries
+        # × repeats otherwise accumulate executor-memory blocks and the
+        # LAST queries measure the GC pressure of everything before
+        # them, not their own cost
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:  # cleanup must never sink the run
+            pass
 
     # A failed query must not read as a speedup: each one adds a 60 s
     # penalty to the headline value and the process exits nonzero, so a
