@@ -176,20 +176,26 @@ _PQ_SUB = 16  # dim 64 / m
 _PQ_BOOKS: dict[str, list] = {}
 
 
-def _ann_pq(spark, sf_dir):
+def _quantized_all(spark, sf_dir):
+    """One materialization serves the base branch, the query branch,
+    and the codebook collects of BOTH the PQ and IVF-PQ members —
+    without it Catalyst duplicates the gmax aggregate + scan into
+    every branch."""
+    from akvorado_spark.operators.pq import global_scale, quantize_global
+
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
+    return quantize_global(vecs, global_scale(vecs)).localCheckpoint(eager=False)
+
+
+def _ann_pq(spark, sf_dir, qall=None):
     from akvorado_spark.operators.pq import (
-        global_scale,
         pq_adc_topk,
         pq_codebooks_from_seeds,
         pq_encode,
-        quantize_global,
     )
 
-    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
-    # one materialization serves the base branch, the query branch, and
-    # the codebook collect — without it Catalyst duplicates the gmax
-    # aggregate + scan into every branch
-    qall = quantize_global(vecs, global_scale(vecs)).localCheckpoint(eager=False)
+    if qall is None:
+        qall = _quantized_all(spark, sf_dir)
     base_q = qall.filter(F.col("vec_id") >= 3).select("vec_id", "qv")
     books = _PQ_BOOKS.get(sf_dir)
     if books is None:
@@ -298,23 +304,21 @@ _IVFPQ_CELLS = 4
 _IVFPQ_NPROBE = 2
 
 
-def _ann_ivfpq(spark, sf_dir):
+def _ann_ivfpq(spark, sf_dir, qall=None):
     """IVF-PQ search with REAL probe pruning (nprobe < cells): coarse
     cells from the lowest-id quantized vectors, PQ codes on cell
     residuals, per-(query, cell) ADC tables — every stage integer-exact
     and replayed by the oracle, including which cells each query
     probes."""
     from akvorado_spark.operators.pq import (
-        global_scale,
         ivfpq_encode,
         ivfpq_topk,
         pq_codebooks_from_seeds,
-        quantize_global,
         quantized_cells,
     )
 
-    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
-    qall = quantize_global(vecs, global_scale(vecs)).localCheckpoint(eager=False)
+    if qall is None:
+        qall = _quantized_all(spark, sf_dir)
     base_q = qall.filter(F.col("vec_id") >= 3).select("vec_id", "qv")
     memo = _PQ_BOOKS.get(("ivfpq", sf_dir))
     if memo is None:
@@ -496,7 +500,8 @@ def _lmdata_suite(spark, sf_dir):
         zd.alias("vd"),
         F.col("bucket").alias("s"),
     )
-    pq = _ann_pq(spark, sf_dir).select(
+    qall = _quantized_all(spark, sf_dir)
+    pq = _ann_pq(spark, sf_dir, qall).select(
         F.lit("pq").alias("member"),
         F.col("q_id").cast("long").alias("k1"),
         F.col("rank").cast("long").alias("k2"),
@@ -516,7 +521,7 @@ def _lmdata_suite(spark, sf_dir):
         zd.alias("vd"),
         F.col("clean_md5p").alias("s"),
     )
-    ivfpq = _ann_ivfpq(spark, sf_dir).select(
+    ivfpq = _ann_ivfpq(spark, sf_dir, qall).select(
         F.lit("ivfpq").alias("member"),
         F.col("q_id").cast("long").alias("k1"),
         F.col("rank").cast("long").alias("k2"),
