@@ -98,6 +98,7 @@ def pq_train_codebooks(
     ks: int,
     q_col: str = "qv",
     iters: int = 5,
+    id_col: str = "vec_id",
 ) -> list[list[list[int]]]:
     """Production codebooks: independent k-means per subspace over the
     quantized corpus (Lloyd iterations on int vectors, centroids
@@ -116,7 +117,7 @@ def pq_train_codebooks(
         sl = quantized.select(_subslice(F.col(q_col), j, sub).alias("sv"))
         cents = [
             list(r["sv"])
-            for r in quantized.orderBy("vec_id").limit(ks).select(
+            for r in quantized.orderBy(id_col).limit(ks).select(
                 _subslice(F.col(q_col), j, sub).alias("sv")
             ).collect()
         ]

@@ -127,3 +127,61 @@ def test_bpe_random_corpora_match_reference(spark):
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         n = rng.randint(2, 8)
         assert train_bpe(df, "text", n) == _py_bpe(words, n)[0], f"trial {trial}"
+
+
+def _py_line_dedup(docs: dict[int, str], min_docs: int, min_len: int, keep_owner: bool):
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    owner = {}
+    for d, t in docs.items():
+        for ln in t.split("\n"):
+            where[ln].add(d)
+            owner[ln] = min(owner.get(ln, d), d)
+    out = {}
+    for d, t in docs.items():
+        kept, removed = [], 0
+        for ln in t.split("\n"):
+            dup = len(where[ln]) >= min_docs and len(ln) >= min_len
+            if dup and keep_owner and d == owner[ln]:
+                dup = False
+            if dup:
+                removed += 1
+            else:
+                kept.append(ln)
+        out[d] = (t.count("\n") + 1, removed, "\n".join(kept))
+    return out
+
+
+def test_line_dedup_random_corpora(spark):
+    from akvorado_spark.operators.dedup import line_dedup
+
+    rng = random.Random(4242)
+    lines_pool = [
+        "subscribe to our newsletter",
+        "all rights reserved worldwide",
+        "x",
+        "",
+        "some unique-ish filler {}",
+        "another body line {}",
+    ]
+    for trial in range(3):
+        docs = {}
+        for d in range(rng.randint(3, 8)):
+            n = rng.randint(1, 8)
+            ls = []
+            for _ in range(n):
+                t = rng.choice(lines_pool)
+                ls.append(t.format(rng.randint(0, 3)) if "{}" in t else t)
+            docs[d] = "\n".join(ls)
+        df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+        for min_docs, keep_owner in ((2, False), (2, True), (3, False)):
+            got = {
+                r["doc_id"]: (r["n_lines"], r["n_removed"], r["cleaned"])
+                for r in line_dedup(
+                    df, "text", "doc_id", min_docs=min_docs,
+                    min_len=2, keep_owner=keep_owner,
+                ).collect()
+            }
+            want = _py_line_dedup(docs, min_docs, 2, keep_owner)
+            assert got == want, (trial, min_docs, keep_owner)
