@@ -324,19 +324,12 @@ def ivfpq_topk(
             _int_sqdist(F.col(q_col), cb).alias("d"), c.alias("c")
         ),
     )
-    probes = (
-        queries.select(
-            q_id_col, q_col, F.explode(scored_cells).alias("x")
-        )
-        .select(q_id_col, q_col, "x.d", F.col("x.c").alias(cell_col))
-        .withColumn(
-            "__pr",
-            F.row_number().over(
-                Window.partitionBy(q_id_col).orderBy("d", cell_col)
-            ),
-        )
-        .filter(F.col("__pr") <= nprobe)
-    )
+    # nprobe nearest cells per query: array_sort on (d, c) structs IS
+    # the L2-then-lowest-cell tie rule — no window, no exchange
+    probed = F.slice(F.array_sort(scored_cells), 1, nprobe)
+    probes = queries.select(
+        q_id_col, q_col, F.explode(probed).alias("x")
+    ).select(q_id_col, q_col, F.col("x.c").alias(cell_col))
     q_resid = F.zip_with(
         F.col(q_col),
         F.element_at(cell_lit, F.col(cell_col) + 1),
@@ -353,6 +346,13 @@ def ivfpq_topk(
             for j in range(m)
         ],
     )
+    # truncate the broadcast side's lineage: it otherwise shares the
+    # quantize subplan with base_enc, and the optimizer's subplan
+    # dedup has been observed to mis-bind a pre-rename attribute
+    # across the broadcast boundary (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND on qv); the frame is n_queries × nprobe rows of m small
+    # arrays, so materializing it is free
+    probes = probes.localCheckpoint(eager=False)
     score = sum(
         F.element_at(
             F.col(f"__t{j}"), F.element_at(F.col(code_col), j + 1) + 1

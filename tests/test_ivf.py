@@ -587,26 +587,27 @@ def test_pq_recall_at_k_measured(spark):
     from tests.conftest import SF_DIR_MED
 
     vecs = load_table(spark, "embeddings", SF_DIR_MED).select("vec_id", "embedding")
-    q = quantize_global(vecs, global_scale(vecs)).localCheckpoint()
+    q = quantize_global(vecs, global_scale(vecs))
     base = q.filter("vec_id % 97 != 0").select("vec_id", "qv")
     queries = q.filter("vec_id % 97 = 0").select(
         F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
     )
     k = 10
 
-    # exact integer-dot ranking = ground truth in the quantized domain
-    from pyspark.sql import Window
+    # exact integer-dot ranking = ground truth, recomputed OUTSIDE
+    # Spark (numpy over the collected int vectors — an independent
+    # oracle, and the corpus is codebook-collect sized anyway)
+    import numpy as np
 
-    exact_scored = base.crossJoin(F.broadcast(queries)).select(
-        "q_id", "vec_id", _int_dot(F.col("qv"), F.col("q_qv")).alias("s")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("s"), "vec_id")
-    exact_pairs = {
-        (r["q_id"], r["vec_id"])
-        for r in exact_scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= k)
-        .collect()
-    }
+    brows = {r["vec_id"]: np.array(r["qv"], dtype=np.int64) for r in base.collect()}
+    qrows = {r["q_id"]: np.array(r["q_qv"], dtype=np.int64) for r in queries.collect()}
+    exact_pairs = set()
+    for qid, qv in qrows.items():
+        scored = sorted(
+            ((int(qv @ bv), vid) for vid, bv in brows.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact_pairs |= {(qid, vid) for _, vid in scored[:k]}
     assert exact_pairs
 
     def recall(df) -> float:
@@ -628,4 +629,14 @@ def test_pq_recall_at_k_measured(spark):
     enc = ivfpq_encode(base, cells, books16)
     r_half = recall(ivfpq_topk(enc, queries, cells, books16, k=k, nprobe=4))
     r_all = recall(ivfpq_topk(enc, queries, cells, books16, k=k, nprobe=8))
-    assert r_all >= r_half  # more probes never lose recall
+    # NOTE: recall is NOT monotone in nprobe under ADC — extra probed
+    # candidates are scored approximately and can displace true
+    # neighbors — so the honest floors are vs random, not vs each other
+    assert r_half > k / n and r_all > k / n, (r_half, r_all)
+    # candidate COVERAGE is monotone: nprobe=all must return full-k
+    # result sets for every query (nothing pruned)
+    full_rows = ivfpq_topk(enc, queries, cells, books16, k=k, nprobe=8).collect()
+    from collections import Counter
+
+    per_q = Counter(r["q_id"] for r in full_rows)
+    assert all(c == k for c in per_q.values()), per_q
