@@ -185,3 +185,46 @@ def test_line_dedup_random_corpora(spark):
             }
             want = _py_line_dedup(docs, min_docs, 2, keep_owner)
             assert got == want, (trial, min_docs, keep_owner)
+
+
+def test_bigram_lm_random_corpora_match_python(spark):
+    """Randomized corpora through the distributed LM: per-doc micro-nat
+    scores equal a plain-python reference bit-for-bit (add-one
+    smoothing, self-trained)."""
+    import math
+
+    from akvorado_spark.operators.lm import bigram_lm_scores
+
+    rng = random.Random(909)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "Y2", "z...", ""]
+    for trial in range(3):
+        rows = []
+        for d in range(rng.randint(3, 7)):
+            rows.append(
+                (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+            )
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["lp_micro"])
+            for r in bigram_lm_scores(docs, "text", "doc_id").collect()
+        }
+        bigrams, contexts, succ = {}, {}, set()
+        per_doc = {}
+        for d, t in rows:
+            ws = [w for w in t.lower().split() if w]
+            bgs = list(zip(ws, ws[1:]))
+            per_doc[d] = bgs
+            for a, b in bgs:
+                bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+                contexts[a] = contexts.get(a, 0) + 1
+                succ.add(b)
+        v = len(succ)
+        for d, bgs in per_doc.items():
+            if not bgs:
+                assert d not in got
+                continue
+            lp = sum(
+                round(math.log((bigrams[bg] + 1.0) / (contexts[bg[0]] + v)) * 1e6)
+                for bg in bgs
+            )
+            assert got[d] == (len(bgs), lp), (trial, d)
