@@ -188,3 +188,62 @@ def frame_sample_plan(df: DataFrame, every_n_frames: int, id_col: str = "doc_id"
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n_frames))
         ).alias("frame_idx"),
     )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, bits int, n_frames long, "
+    "fmt string, ch_sum array<long>, ch_sqsum array<long>"
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """audio binary → (id, channels, sample_rate, bits, n_frames, fmt,
+    per-channel Σsample, Σsample²) — REAL decode for PCM WAV via the
+    pure-stdlib codec (``operators/wav.py``); compressed formats fall
+    back to PIL-era behavior: a clear NotImplementedError naming the
+    missing codec.  The integer sample sums are the exact,
+    order-independent feature primitives (mean/RMS derive from them)
+    and the values an oracle can replay."""
+    out_schema = AUDIO_META_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from akvorado_spark.operators.wav import is_wav, wav_decode, wav_meta
+
+        def slices():
+            for whole in batches:
+                for off in range(0, len(whole), target_rows_per_batch):
+                    yield whole.iloc[off : off + target_rows_per_batch]
+
+        for pdf in slices():
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r[media_col])
+                if not is_wav(blob):
+                    raise NotImplementedError(
+                        "non-WAV audio decode needs an external codec; "
+                        "not in this container — PCM WAV decodes natively"
+                    )
+                channels, rate, bits, n_frames, tag = wav_meta(blob)
+                if tag == 1 and bits in (8, 16):
+                    _, _, chans = wav_decode(blob)
+                    sums = [sum(c) for c in chans]
+                    sqs = [sum(x * x for x in c) for c in chans]
+                else:
+                    sums, sqs = [], []
+                rows.append(
+                    (r[id_col], channels, rate, bits, n_frames,
+                     f"wav/pcm{bits}" if tag == 1 else f"wav/tag{tag}",
+                     sums, sqs)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channels", "sample_rate", "bits",
+                         "n_frames", "fmt", "ch_sum", "ch_sqsum"],
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

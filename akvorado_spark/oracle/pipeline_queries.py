@@ -1384,7 +1384,41 @@ def _multimodal_meta(spark, sf_dir):
     png = docs.select("doc_id").mapInPandas(
         run, "variant string, " + IMAGE_META_SCHEMA_SQL + ", pix_sum long"
     )
-    return fake.unionByName(png).orderBy("variant", "doc_id")
+
+    # REAL audio variant: deterministic PCM16 per doc through the
+    # stdlib WAV codec; the gated value is the exact integer
+    # Σ(s² + s) over all channels (suite columns are reused: width ←
+    # sample_rate, height ← n_frames).
+    def run_wav(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from akvorado_spark.operators.wav import wav_decode, wav_encode_pcm16
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nc, n = d % 2 + 1, d % 6 + 2
+                rate = 8000 + (d % 3) * 4000
+                chans = [
+                    [((d * 31 + c * 7 + i * 13) % 2001) - 1000 for i in range(n)]
+                    for c in range(nc)
+                ]
+                blob = wav_encode_pcm16(rate, chans)
+                rr, nn, got = wav_decode(blob)
+                sig = sum(x * x + x for ch in got for x in ch)
+                rows.append(("wav", d, rr, nn, len(got), "wav/pcm16", sig))
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "doc_id", "width", "height",
+                         "channels", "format", "pix_sum"],
+            )
+
+    wav = docs.select("doc_id").mapInPandas(
+        run_wav, "variant string, doc_id long, width int, height int, "
+        "channels int, format string, pix_sum long"
+    )
+    return fake.unionByName(png).unionByName(wav).orderBy("variant", "doc_id")
 
 
 IMAGE_META_SCHEMA_SQL = (
@@ -1411,6 +1445,21 @@ FROM documents d,
      generate_series(0, 2) c(i)
 WHERE {_MM_SAMPLE}
   AND y.i < d.doc_id % 3 + 2 AND x.i < d.doc_id % 5 + 2
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'wav' AS variant, d.doc_id,
+       CAST(8000 + (d.doc_id % 3) * 4000 AS INT) AS width,
+       CAST(d.doc_id % 6 + 2 AS INT) AS height,
+       CAST(d.doc_id % 2 + 1 AS INT) AS channels,
+       'wav/pcm16' AS format,
+       CAST(SUM(s * s + s) AS BIGINT) AS pix_sum
+FROM (
+  SELECT d.doc_id,
+         ((d.doc_id * 31 + c.i * 7 + i.i * 13) % 2001) - 1000 AS s
+  FROM documents d, generate_series(0, 1) c(i), generate_series(0, 7) i(i)
+  WHERE {_MM_SAMPLE}
+    AND c.i < d.doc_id % 2 + 1 AND i.i < d.doc_id % 6 + 2
+) d
 GROUP BY d.doc_id
 ORDER BY variant, doc_id"""
 

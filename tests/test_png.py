@@ -271,3 +271,47 @@ def test_decode_image_gif_bmp_dispatch(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"], got[2]["format"]) == (
         9, 4, 4, "BMP",
     )
+
+
+def test_wav_roundtrip_and_meta():
+    import pytest as _pytest
+
+    from akvorado_spark.operators.wav import (
+        is_wav,
+        wav_decode,
+        wav_encode_pcm16,
+        wav_meta,
+    )
+
+    left = [0, 100, -100, 32767, -32768, 5]
+    right = [1, -1, 2, -2, 3, -3]
+    blob = wav_encode_pcm16(8000, [left, right])
+    assert is_wav(blob)
+    assert wav_meta(blob) == (2, 8000, 16, 6, 1)
+    rate, n, chans = wav_decode(blob)
+    assert (rate, n) == (8000, 6)
+    assert chans == [left, right]
+
+    with _pytest.raises(ValueError):
+        wav_meta(b"RIFFxxxxWAVE")  # no chunks
+    with _pytest.raises(ValueError):
+        wav_decode(blob[:-4])  # truncated data chunk
+    with _pytest.raises(ValueError):
+        wav_encode_pcm16(8000, [[1], [1, 2]])
+
+
+def test_decode_audio_spark_path(spark):
+    from akvorado_spark.operators.multimodal import decode_audio
+    from akvorado_spark.operators.wav import wav_encode_pcm16
+
+    rows = [
+        (1, bytearray(wav_encode_pcm16(16000, [[10, -10, 20, -20]]))),
+        (2, bytearray(wav_encode_pcm16(44100, [[1, 2], [3, 4]]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert got[1]["channels"] == 1 and got[1]["sample_rate"] == 16000
+    assert got[1]["n_frames"] == 4 and got[1]["fmt"] == "wav/pcm16"
+    assert got[1]["ch_sum"] == [0] and got[1]["ch_sqsum"] == [1000]
+    assert got[2]["channels"] == 2 and got[2]["n_frames"] == 2
+    assert got[2]["ch_sum"] == [3, 7] and got[2]["ch_sqsum"] == [5, 25]
