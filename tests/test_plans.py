@@ -355,3 +355,25 @@ def test_perplexity_vocab_size_is_broadcast(spark):
     p = plan(bigram_lm_scores(docs, "text", "doc_id"))
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_line_dedup_plan_shapes(spark):
+    """min_docs=2 runs joinless (one line-content window + the per-doc
+    regroup); the general threshold's aggregate+join path never
+    produces a cartesian product."""
+    from akvorado_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    p2 = plan(line_dedup(docs, "text", "doc_id", key_fn=F.xxhash64))
+    assert "Join" not in p2 and "CartesianProduct" not in p2
+    p3 = plan(line_dedup(docs, "text", "doc_id", min_docs=3, key_fn=F.xxhash64))
+    assert "CartesianProduct" not in p3 and "BroadcastNestedLoopJoin" not in p3
+
+
+def test_pipeline_funnel_no_cartesian(spark):
+    import akvorado_spark.oracle.lmdata_queries as L
+
+    p = plan(L._pipeline_funnel(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # the only nested-loop joins are the broadcast 1-row scalar frames
+    assert "SortMergeJoin" not in p
