@@ -315,3 +315,31 @@ def test_decode_audio_spark_path(spark):
     assert got[1]["ch_sum"] == [0] and got[1]["ch_sqsum"] == [1000]
     assert got[2]["channels"] == 2 and got[2]["n_frames"] == 2
     assert got[2]["ch_sum"] == [3, 7] and got[2]["ch_sqsum"] == [5, 25]
+
+
+def test_wav_fuzz_valueerror_only_contract():
+    """Garbage, truncations, and bit flips must raise ValueError (or
+    parse) — never struct.error/IndexError — matching the repo-wide
+    binary-parser error contract."""
+    import random
+
+    from akvorado_spark.operators.wav import wav_decode, wav_encode_pcm16, wav_meta
+
+    rng = random.Random(7)
+    good = wav_encode_pcm16(8000, [[1, 2, 3, -4, 5] * 3, [0] * 15])
+    for trial in range(1500):
+        mode = trial % 3
+        if mode == 0:
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 60)))
+        elif mode == 1:
+            blob = good[: rng.randrange(0, len(good))]
+        else:
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            blob = bytes(b)
+        for fn in (wav_meta, wav_decode):
+            try:
+                fn(blob)
+            except ValueError:
+                pass
