@@ -23,7 +23,9 @@ def wav_meta(data: bytes) -> tuple[int, int, int, int, int]:
     """(channels, sample_rate, bits_per_sample, n_frames, fmt_tag) from
     the fmt/data chunks.  Walks the RIFF chunk list (chunks are
     word-aligned; unknown chunks are skipped), so files with LIST/cue
-    chunks parse fine.  Raises ValueError on anything malformed."""
+    chunks parse fine.  Only the FIRST data chunk counts — the same
+    chunk wav_decode reads — so n_frames always agrees with the decoded
+    sample count.  Raises ValueError on anything malformed."""
     if not is_wav(data):
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
@@ -36,7 +38,7 @@ def wav_meta(data: bytes) -> tuple[int, int, int, int, int]:
             if size < 16 or pos + 16 > len(data):
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", data, pos)
-        elif cid == b"data":
+        elif cid == b"data" and data_len is None:
             data_len = size
             if pos + size > len(data):
                 raise ValueError("truncated data chunk")
@@ -68,6 +70,10 @@ def wav_decode(data: bytes) -> tuple[int, int, list[list[int]]]:
             raw = data[pos : pos + size]
             break
         pos += size + (size & 1)
+    # a data length that is not a frame multiple would de-interleave
+    # raggedly; keep whole frames only, matching wav_meta's n_frames
+    block = channels * (bits // 8)
+    raw = raw[: n_frames * block]
     if bits == 16:
         flat = struct.unpack_from(f"<{len(raw) // 2}h", raw)
     else:

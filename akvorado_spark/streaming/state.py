@@ -367,17 +367,27 @@ def streaming_duplicate_windows(
         key_val, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         owner = int(state.get[0]) if state.exists else None
+        if owner is None:
+            # First micro-batch to present this content: the owner is
+            # the min id across the WHOLE batch, which can span several
+            # Arrow chunks (>~10k occurrences of one window content) —
+            # drain every chunk before crowning, else a lower id in a
+            # later chunk is emitted as a duplicate and a non-minimal
+            # doc is crowned.  Per-key rows are duplicate occurrences
+            # of ONE window content, so buffering them is small.
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if not chunks:
+                return
+            owner = min(int(pdf["__id"].min()) for pdf in chunks)
+            pdfs = iter(chunks)
         for pdf in pdfs:
-            if owner is None and len(pdf):
-                owner = int(pdf["__id"].min())
             rows = [
                 (int(d), int(s))
                 for d, s in zip(pdf["__id"], pdf["__s"])
                 if int(d) != owner
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "s"])
-        if owner is not None:
-            state.update((owner,))
+        state.update((owner,))
 
     return keyed.groupBy("__k").applyInPandasWithState(
         fn,

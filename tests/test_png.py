@@ -300,6 +300,44 @@ def test_wav_roundtrip_and_meta():
         wav_encode_pcm16(8000, [[1], [1, 2]])
 
 
+def test_wav_multiple_data_chunks_and_ragged_tail():
+    """ADVICE r7: wav_meta must count the FIRST data chunk (the one
+    wav_decode reads), and a data length that is not a frame multiple
+    must decode to whole frames only — equal-length channel lists."""
+    import struct
+
+    from akvorado_spark.operators.wav import wav_decode, wav_encode_pcm16, wav_meta
+
+    left = [10, 20, 30]
+    right = [-10, -20, -30]
+    good = wav_encode_pcm16(8000, [left, right])
+    # append a SECOND, larger data chunk: meta must keep the first
+    extra = struct.pack("<4sI", b"data", 40) + b"\x00" * 40
+    two = (
+        good[:4]
+        + struct.pack("<I", struct.unpack_from("<I", good, 4)[0] + len(extra))
+        + good[8:]
+        + extra
+    )
+    assert wav_meta(two) == (2, 8000, 16, 3, 1)
+    rate, n, chans = wav_decode(two)
+    assert (rate, n) == (8000, 3)
+    assert chans == [left, right]
+
+    # ragged tail: data size 2 bytes past a frame boundary (block=4)
+    b = bytearray(good)
+    data_off = b.index(b"data")
+    size = struct.unpack_from("<I", b, data_off + 4)[0]
+    ragged = bytes(b[: data_off + 8 + size]) if size % 4 else None
+    b[data_off + 4 : data_off + 8] = struct.pack("<I", size - 2)
+    ragged = bytes(b[:-2])
+    assert wav_meta(ragged)[3] == 2  # whole frames only
+    rate, n, chans = wav_decode(ragged)
+    assert n == 2
+    assert [len(c) for c in chans] == [2, 2]
+    assert chans == [left[:2], right[:2]]
+
+
 def test_decode_audio_spark_path(spark):
     from akvorado_spark.operators.multimodal import decode_audio
     from akvorado_spark.operators.wav import wav_encode_pcm16

@@ -210,3 +210,46 @@ def test_streaming_duplicate_windows_match_batch(spark, tmp_path):
     assert got == want
     assert got  # the plant actually anchored
     assert all(d != 1 for d, _ in got)  # the owner never emits
+
+
+def test_streaming_duplicate_windows_owner_spans_arrow_chunks(spark, tmp_path):
+    """ADVICE r7: when one window content's rows span several Arrow
+    chunks inside ONE micro-batch, the owner must still be the batch-
+    global min id — not the min of the first chunk.  Forced by a tiny
+    arrow.maxRecordsPerBatch and feeding the lowest id last."""
+    from akvorado_spark.streaming.state import streaming_duplicate_windows
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        W, S = 24, 5
+        text = "the same boilerplate line repeated across every doc!"
+        # descending ids: the global min (1) arrives in the LAST chunk
+        rows = [(i, text) for i in range(10, 0, -1)]
+        src = str(tmp_path / "chunk_in")
+        os.makedirs(src)
+        b1 = spark.createDataFrame(rows, "doc_id long, text string")
+        b1.coalesce(1).write.parquet(src + "/f1")
+
+        stream = spark.readStream.schema(b1.schema).parquet(src + "/*")
+        out_dir = str(tmp_path / "chunk_out")
+        ckpt = str(tmp_path / "chunk_ckpt")
+        q = (
+            streaming_duplicate_windows(stream, window=W, stride=S)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out_dir).collect()
+        emitted = {r["doc_id"] for r in got}
+        assert emitted == set(range(2, 11))  # every non-owner, once per span
+        assert 1 not in emitted  # the min id is the owner, never a duplicate
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
