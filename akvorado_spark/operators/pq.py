@@ -304,14 +304,19 @@ def ivfpq_topk(
     code_col: str = "pq_code",
 ) -> DataFrame:
     """IVF-PQ search: each query probes its ``nprobe`` nearest cells
-    (integer L2 on the quantized centroids), builds one ADC table per
-    (query, cell) against the query's CELL RESIDUAL, and ranks the
-    probed cells' candidates by exact-integer ADC dot.
+    (integer L2 on the quantized centroids) and ranks the probed
+    cells' candidates by the EXACT integer ⟨q, reconstruction(v)⟩
+    where reconstruction = cell centroid + decoded residual — the same
+    scoring contract as :func:`pq_adc_topk`, so scores are comparable
+    within a cell, across probed cells, and against the flat-PQ path.
+    Expanded: ⟨q, c + r̂⟩ = ⟨q, c⟩ (one per (query, cell)) +
+    Σ_j ⟨q_sub_j, codeword_j⟩ (one m×ks ADC table per query, built on
+    the FULL query — no residual on the query side).
 
     The probe frame (n_queries × nprobe rows, m×ks ints each) is
     broadcast; the candidate join is cell-keyed, so only probed
     buckets are scanned — the IVF cost model — and each candidate
-    contributes ``m`` lookups, never a vector.
+    contributes ``m`` lookups plus one constant, never a vector.
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
@@ -330,18 +335,19 @@ def ivfpq_topk(
     probes = queries.select(
         q_id_col, q_col, F.explode(probed).alias("x")
     ).select(q_id_col, q_col, F.col("x.c").alias(cell_col))
-    q_resid = F.zip_with(
-        F.col(q_col),
-        F.element_at(cell_lit, F.col(cell_col) + 1),
-        lambda a, b: a - b,
+    # ⟨q, c⟩ correction term per (query, cell) — without it, scores
+    # from different probed cells are not comparable (ADVICE r7)
+    q_cell_dot = _int_dot(
+        F.col(q_col), F.element_at(cell_lit, F.col(cell_col) + 1)
     )
-    probes = probes.withColumn("__qr", q_resid).select(
+    probes = probes.select(
         q_id_col,
         cell_col,
+        q_cell_dot.alias("__qc"),
         *[
             F.transform(
                 _codebook_literal(codebooks[j]),
-                lambda cb: _int_dot(_subslice(F.col("__qr"), j, sub), cb),
+                lambda cb: _int_dot(_subslice(F.col(q_col), j, sub), cb),
             ).alias(f"__t{j}")
             for j in range(m)
         ],
@@ -353,7 +359,7 @@ def ivfpq_topk(
     # FOUND on qv); the frame is n_queries × nprobe rows of m small
     # arrays, so materializing it is free
     probes = probes.localCheckpoint(eager=False)
-    score = sum(
+    score = F.col("__qc") + sum(
         F.element_at(
             F.col(f"__t{j}"), F.element_at(F.col(code_col), j + 1) + 1
         )

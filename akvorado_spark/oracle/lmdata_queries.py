@@ -401,22 +401,28 @@ probes AS (
     FROM qry CROSS JOIN cells
   ) WHERE rn <= {_IVFPQ_NPROBE}
 ),
-qresid AS (
+-- exact <q, reconstruction> = <q, cell centroid> + sum_j <q_sub, codeword>
+-- (the r7-advice fix: residual-only scoring dropped the centroid terms
+-- and mis-ranked across cells; both engines replay the corrected form)
+qc AS (
   SELECT q_id, cell,
-         list_transform(range(1, {_PQ_M} * {_PQ_SUB} + 1), i -> q_qv[i] - cv[i]) AS qr
+    list_sum(list_transform(range(1, {_PQ_M} * {_PQ_SUB} + 1), i ->
+      CAST(q_qv[i] AS BIGINT) * CAST(cv[i] AS BIGINT))) AS qcv
   FROM probes
 ),
 terms AS (
-  SELECT qresid.q_id, codes.vec_id,
+  SELECT probes.q_id, codes.vec_id, codes.cell,
     list_sum(list_transform(range(1, {_PQ_SUB} + 1), i ->
-      CAST(qresid.qr[i + cb.j * {_PQ_SUB}] AS BIGINT) * CAST(cb.sv[i] AS BIGINT))) AS t
+      CAST(probes.q_qv[i + cb.j * {_PQ_SUB}] AS BIGINT) * CAST(cb.sv[i] AS BIGINT))) AS t
   FROM codes
-  JOIN qresid USING (cell)
+  JOIN probes USING (cell)
   JOIN cb USING (j, c)
 ),
 scores AS (
-  SELECT q_id, vec_id, CAST(sum(t) AS BIGINT) AS adc_score
-  FROM terms GROUP BY 1, 2
+  SELECT t.q_id, t.vec_id,
+         CAST(sum(t.t) + any_value(qc.qcv) AS BIGINT) AS adc_score
+  FROM terms t JOIN qc ON qc.q_id = t.q_id AND qc.cell = t.cell
+  GROUP BY 1, 2
 )
 SELECT q_id, rank, vec_id, adc_score FROM (
   SELECT q_id, vec_id, adc_score,

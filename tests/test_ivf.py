@@ -533,6 +533,52 @@ def test_ivfpq_invariants_and_probe_behavior(spark):
     }
 
 
+def test_ivfpq_score_is_exact_reconstruction_dot(spark):
+    """ADVICE r7 contract pin: ivfpq_topk's adc_score must equal the
+    exact integer <q, cell_centroid + decoded_residual>, recomputed
+    independently in numpy from the encoded codes — the same scoring
+    family as pq_adc_topk, comparable within and across probed cells."""
+    import numpy as np
+
+    from akvorado_spark.operators.pq import (
+        global_scale,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks_from_seeds,
+        quantize_global,
+        quantized_cells,
+    )
+
+    vecs = _vecs(spark).filter("vec_id < 150")
+    q = quantize_global(vecs, global_scale(vecs))
+    base = q.filter("vec_id >= 5").select("vec_id", "qv")
+    queries = q.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    cells = quantized_cells(base, 4)
+    books = pq_codebooks_from_seeds(base, m=4, ks=8)
+    enc = ivfpq_encode(base, cells, books).localCheckpoint()
+
+    sub = len(books[0][0])
+    recon = {}
+    for r in enc.collect():
+        c = np.array(cells[r["cell"]], dtype=np.int64)
+        rhat = np.concatenate(
+            [np.array(books[j][code], dtype=np.int64)
+             for j, code in enumerate(r["pq_code"])]
+        )
+        recon[r["vec_id"]] = c + rhat
+    qv = {r["q_id"]: np.array(r["q_qv"], dtype=np.int64)
+          for r in queries.collect()}
+
+    got = ivfpq_topk(enc, queries, cells, books, k=9999, nprobe=4).collect()
+    assert got
+    for r in got:
+        want = int(qv[r["q_id"]] @ recon[r["vec_id"]])
+        assert r["adc_score"] == want, (r["q_id"], r["vec_id"])
+    assert sub * len(books) == len(next(iter(recon.values())))
+
+
 def test_ann_index_partition_pruning(spark, tmp_path):
     """The persisted IVF-PQ index prunes unprobed cells at the
     DIRECTORY level: the probe filter appears in PartitionFilters and
@@ -629,9 +675,11 @@ def test_pq_recall_at_k_measured(spark):
     enc = ivfpq_encode(base, cells, books16)
     r_half = recall(ivfpq_topk(enc, queries, cells, books16, k=k, nprobe=4))
     r_all = recall(ivfpq_topk(enc, queries, cells, books16, k=k, nprobe=8))
-    # NOTE: recall is NOT monotone in nprobe under ADC — extra probed
-    # candidates are scored approximately and can displace true
-    # neighbors — so the honest floors are vs random, not vs each other
+    # Scores are now the exact <q, reconstruction> (r7-advice fix), so
+    # cross-cell ranking is consistent; recall still isn't provably
+    # monotone in nprobe (reconstruction is approximate — an extra
+    # probed candidate can out-score a true neighbor), so the honest
+    # floors stay vs random rather than vs each other
     assert r_half > k / n and r_all > k / n, (r_half, r_all)
     # candidate COVERAGE is monotone: nprobe=all must return full-k
     # result sets for every query (nothing pruned)
