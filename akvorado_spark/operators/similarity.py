@@ -717,3 +717,37 @@ def project_embeddings(
         )
         comps.append(d * F.lit(inv))
     return df.withColumn(out_col, F.array(*comps))
+
+
+def project_embeddings_fixedpoint(
+    df: DataFrame,
+    out_dim: int,
+    dim: int,
+    seed: int = 42,
+    vec_col: str = "qv",
+    out_col: str = "proj_q",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Integer twin of :func:`project_embeddings` for oracle-exact
+    gating: the same seeded plane matrix is embedded as micro-fixed-
+    point BIGINT literals (``round(p·1e6)``) and applied to the int8-
+    quantized vector column, so every component is an exact BIGINT any
+    engine replays bit-for-bit — no summation-order or SIMD
+    reassociation sensitivity (the r7-advice failure mode of hash-
+    gating ``round(double, 6)`` across two engines).  Components equal
+    the float projection up to the constant ``micro·gmax/(127·√d)``
+    scale plus per-element quantization error, so ordering/JL geometry
+    carries over; the float variant stays the production path."""
+    planes = _hyperplanes(dim, out_dim, seed=seed)
+    comps = []
+    for plane in planes:
+        arr = F.array(
+            *[F.lit(int(round(float(x) * micro))).cast("long") for x in plane]
+        )
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        comps.append(d)
+    return df.withColumn(out_col, F.array(*comps))

@@ -269,34 +269,48 @@ _RP_DIM = 64
 _RP_SAMPLE = "vec_id % 7 = 0"
 
 
-def _embed_project(spark, sf_dir):
-    from akvorado_spark.operators.similarity import project_embeddings
+def _embed_project(spark, sf_dir, qall=None):
+    """Gated via the INTEGER fixed-point twin (r7 advice): the float
+    JL projection's 6th decimal can flip between engines on summation
+    order, so the registry pins exact BIGINT components over the int8-
+    quantized vectors; the float path stays pytest-covered."""
+    from akvorado_spark.operators.similarity import (
+        project_embeddings_fixedpoint,
+    )
 
-    vecs = load_table(spark, "embeddings", sf_dir, spread=True).filter(_RP_SAMPLE)
-    out = project_embeddings(vecs, _RP_OUT, _RP_DIM)
-    return out.select(
-        "vec_id",
-        F.transform(F.col("proj"), lambda x: F.round(x, 6)).alias("proj"),
-    ).orderBy("vec_id")
+    if qall is None:
+        qall = _quantized_all(spark, sf_dir)
+    vecs = qall.filter(_RP_SAMPLE).select("vec_id", "qv")
+    out = project_embeddings_fixedpoint(vecs, _RP_OUT, _RP_DIM)
+    return out.select("vec_id", "proj_q").orderBy("vec_id")
 
 
 def _project_oracle() -> str:
-    import numpy as np
-
     from akvorado_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(_RP_DIM, _RP_OUT, seed=42)
-    inv = repr(1.0 / float(np.sqrt(_RP_OUT)))
     comps = []
     for plane in planes:
-        lits = ", ".join(repr(float(x)) for x in plane)
+        lits = ", ".join(str(int(round(float(x) * 1_000_000))) for x in plane)
         comps.append(
-            f"round(list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}])"
-            f" * {inv}, 6)"
+            f"list_sum(list_transform(range(1, {_RP_DIM} + 1), i ->"
+            f" CAST(qv[i] AS BIGINT) * ([{lits}]::BIGINT[])[i]))"
         )
     return f"""
-SELECT vec_id, [{", ".join(comps)}] AS proj
-FROM embeddings WHERE {_RP_SAMPLE} ORDER BY vec_id
+WITH g AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+         AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / gmax) AS INT)) AS qv
+  FROM embeddings, g
+  WHERE {_RP_SAMPLE}
+)
+SELECT vec_id, [{", ".join(comps)}] AS proj_q
+FROM q ORDER BY vec_id
 """
 
 
@@ -538,16 +552,16 @@ def _lmdata_suite(spark, sf_dir):
         F.lit("").alias("s"),
     )
     pr = (
-        _embed_project(spark, sf_dir)
-        .select("vec_id", F.posexplode("proj").alias("j0", "comp"))
+        _embed_project(spark, sf_dir, qall)
+        .select("vec_id", F.posexplode("proj_q").alias("j0", "comp"))
         .select(
             F.lit("proj").alias("member"),
             F.col("vec_id").cast("long").alias("k1"),
             (F.col("j0") + 1).cast("long").alias("k2"),
-            zl.alias("v1"),
+            F.col("comp").alias("v1"),
             zl.alias("v2"),
             zl.alias("v3"),
-            F.col("comp").alias("vd"),
+            zd.alias("vd"),
             F.lit("").alias("s"),
         )
     )
@@ -584,8 +598,8 @@ SELECT 'line', doc_id, n_lines, n_removed, CAST(0 AS BIGINT), clean_len,
        CAST(0 AS DOUBLE), clean_md5p
 FROM ({_LD_ORACLE})
 UNION ALL
-SELECT 'proj', p.vec_id, t.j, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-       CAST(0 AS BIGINT), p.proj[t.j], ''
+SELECT 'proj', p.vec_id, t.j, CAST(p.proj_q[t.j] AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS DOUBLE), ''
 FROM ({_project_oracle()}) p, unnest(range(1, {_RP_OUT} + 1)) AS t(j)
 ORDER BY member, k1, k2
 """

@@ -472,6 +472,49 @@ def test_random_projection_preserves_distances(spark):
     assert abs(sorted(ratios)[len(ratios) // 2] - 1.0) < 0.2
 
 
+def test_fixedpoint_projection_matches_float_up_to_scale(spark):
+    """The integer JL twin (the oracle-gated path) must agree with the
+    float projection up to the constant micro·127·√d/gmax scale plus
+    bounded quantization error — pinning that swapping the gate to
+    integers did not change the geometry it certifies."""
+    import numpy as np
+
+    from akvorado_spark.operators.pq import global_scale, quantize_global
+    from akvorado_spark.operators.similarity import (
+        project_embeddings,
+        project_embeddings_fixedpoint,
+    )
+
+    vecs = _vecs(spark).filter("vec_id < 60")
+    gmax = float(global_scale(vecs).first()["gmax"])
+    fl = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in project_embeddings(vecs, 8, 64).select("vec_id", "proj").collect()
+    }
+    q = quantize_global(vecs, global_scale(vecs)).select("vec_id", "qv")
+    fx = {
+        r["vec_id"]: np.array(r["proj_q"], dtype=np.float64)
+        for r in project_embeddings_fixedpoint(q, 8, 64)
+        .select("vec_id", "proj_q")
+        .collect()
+    }
+    scale = 1_000_000.0 * 127.0 * np.sqrt(8) / gmax
+    errs = [
+        np.max(np.abs(fx[v] / scale - fl[v])) for v in fl
+    ]
+    # per-element int8 quantization error ≤ gmax/254; 64-dim dot of
+    # N(0,1) planes → loose deterministic bound well under the signal
+    assert max(errs) < 0.25 * max(np.max(np.abs(p)) for p in fl.values()), max(errs)
+    # and the two rank the vectors the same way per component
+    # (Spearman, not positional equality — near-ties may swap)
+    ids = sorted(fl)
+    for j in range(8):
+        a = np.argsort(np.argsort([fl[v][j] for v in ids]))
+        b = np.argsort(np.argsort([fx[v][j] for v in ids]))
+        rho = np.corrcoef(a, b)[0, 1]
+        assert rho > 0.99, (j, rho)
+
+
 def test_ivfpq_invariants_and_probe_behavior(spark):
     """IVF-PQ: an exact copy lands in the same cell with the same
     residual codes → identical ADC score, adjacent ranks; probing all
