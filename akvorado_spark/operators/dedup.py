@@ -620,24 +620,86 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 
 
-def _anchor_pred(text_col: str, stride: int):
-    """Content-defined anchor predicate over candidate start ``i``
-    (0-based): a tiny 4-gram hash of the chars at i+1..i+4 ≡ 0 mod
-    ``stride``.  Identical runs anchor at identical run-relative
-    positions REGARDLESS of each document's alignment — the property a
-    fixed grid lacks and the reason CDC/winnowing underpins every
-    distributed exact-substring scheme.  Expected anchor spacing =
-    ``stride``.  Engine-portable: plain ascii codepoints and modular
-    arithmetic, no platform hash."""
+# Winnowing anchors (Schleimer et al. 2003, "Winnowing: Local
+# Algorithms for Document Fingerprinting"): candidate start ``i``
+# anchors iff some ``stride``-wide window of consecutive positions
+# selects it as its RIGHTMOST minimal 4-gram hash.
+#
+# GUARANTEE (the property the previous ``hash % stride == 0`` rule
+# lacked, ADVICE r7): every run of ``stride`` consecutive candidate
+# positions contains ≥ 1 anchor — content whose 4-gram hash is
+# constant (a repeated character) or otherwise never ≡ 0 mod stride
+# can no longer hide arbitrarily long duplicated runs.  Anchors stay
+# content-defined (a function of the surrounding 4-gram hashes only),
+# so identical runs anchor at identical run-relative positions
+# regardless of document alignment.  Expected density on random
+# content is 2/(stride+1); constant runs anchor at EVERY position
+# (their windows are all identical, so dedup still groups them — at
+# the cost of one occurrence row per position).
+#
+# Selection uses winnowing's local characterization: with
+# b = consecutive positions before ``i`` whose hash ≥ h(i) and
+# f = consecutive positions after ``i`` whose hash > h(i) (document
+# edges count as satisfied), ``i`` is selected iff b + f ≥ stride-1.
+# Both runs are "offset of first failure" folds over a
+# ``stride-1``-element sequence — pure codegen, engine-portable (plain
+# ascii codepoints, no platform hash), replayed verbatim by the DuckDB
+# oracle.
 
-    def pred(i):
-        h = sum(
+
+def _winnow_hash_array(text_col: str, window: int):
+    """Per-row array of 4-gram hashes, one per candidate start
+    0..len-window (empty when the doc is shorter than ``window``).
+    Materialized as its OWN column before the selection filter: if the
+    array expression were inlined, every element_at in the winnowing
+    predicate would recompute the whole array — O(n²·stride) per doc."""
+
+    def h4(i):
+        # 4-gram hash of chars at 0-based i..i+3 (1-based substr)
+        return sum(
             F.ascii(F.col(text_col).substr(i + F.lit(off), F.lit(1))) * F.lit(mul)
             for off, mul in ((1, 3), (2, 5), (3, 7), (4, 11))
         )
-        return h % stride == 0
 
-    return pred
+    n = F.length(F.col(text_col)) - window + 1
+    return F.when(
+        F.length(F.col(text_col)) >= window,
+        F.transform(F.sequence(F.lit(0), n - 1), h4),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _winnow_select(hs, stride: int):
+    """Anchor starts from a MATERIALIZED hash-array column ``hs``:
+    0-based position ``i`` is selected iff b + f ≥ stride-1, where b/f
+    are the "offset of first failure" folds described above.  Cost is
+    O(n·stride) element_at lookups per doc."""
+
+    def pred(i):
+        hi = F.element_at(hs, i + 1)
+        offs = F.sequence(F.lit(1), F.lit(stride - 1))
+        # element_at index clamped into [1, n]; the in-bounds guard
+        # decides pass/fail, the clamp only keeps it evaluable
+        def look(j):
+            return F.element_at(
+                hs, F.greatest(F.lit(1), F.least(F.size(hs), j + 1))
+            )
+
+        bf = F.array_min(
+            F.filter(offs, lambda o: (i - o >= 0) & (look(i - o) < hi))
+        )
+        ff = F.array_min(
+            F.filter(
+                offs, lambda o: (i + o <= F.size(hs) - 1) & (look(i + o) <= hi)
+            )
+        )
+        b = F.coalesce(bf - 1, F.lit(stride - 1))
+        f = F.coalesce(ff - 1, F.lit(stride - 1))
+        return (b + f) >= stride - 1
+
+    return F.when(
+        F.size(hs) > 0,
+        F.filter(F.sequence(F.lit(0), F.size(hs) - 1), pred),
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def substring_window_occurrences(
@@ -648,17 +710,21 @@ def substring_window_occurrences(
     stride: int = 10,
     anchored: bool = True,
 ) -> DataFrame:
-    """Emit ``window``-char windows over each document at content-
-    defined anchors (expected every ``stride`` chars); one output row
-    per (doc, start, window-text).
+    """Emit ``window``-char windows over each document at winnowing
+    anchors (guaranteed ≥ 1 per ``stride`` candidate positions,
+    expected density 2/(stride+1) on random content — see
+    :func:`_winnow_starts`); one output row per (doc, start,
+    window-text).
 
     The window decomposition is how exact-substring dedup (Lee et al.
     2021, "Deduplicating Training Data Makes Language Models Better")
     distributes: a suffix array is a single-machine structure, but a
-    duplicated run of ≥ window + anchor-gap chars contains the SAME
+    duplicated run of ≥ window + stride chars contains the SAME
     anchored window on every side (anchors are functions of local
-    content, not of document offset), so grouping window occurrences
-    by content finds long duplicated spans with one shuffle.
+    content, not of document offset — and the winnowing guarantee
+    means NO content class escapes anchoring), so grouping window
+    occurrences by content finds long duplicated spans with one
+    shuffle.
     ``anchored=False`` falls back to a fixed 0, stride, 2·stride grid —
     cheaper to enumerate but blind to unaligned duplicates; only for
     corpora where duplicates are known shard-aligned.  Narrow stage:
@@ -668,14 +734,15 @@ def substring_window_occurrences(
     """
     if window < 4:
         raise ValueError("window must be >= 4 (the anchor 4-gram must fit)")
+    base = df
     if anchored:
-        starts = F.when(
-            F.length(F.col(text_col)) >= window,
-            F.filter(
-                F.sequence(F.lit(0), F.length(F.col(text_col)) - window),
-                _anchor_pred(text_col, stride),
-            ),
-        ).otherwise(F.array().cast("array<int>"))
+        # the hash array is projected as its own column FIRST so the
+        # selection filter's element_at lookups hit a bound reference,
+        # not a re-evaluated transform (O(n·stride), not O(n²·stride))
+        base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+            "__hs", _winnow_hash_array(text_col, window)
+        )
+        starts = _winnow_select(F.col("__hs"), stride)
     else:
         starts = F.when(
             F.length(F.col(text_col)) >= window,
@@ -692,7 +759,7 @@ def substring_window_occurrences(
             F.col(text_col).substr(s + 1, F.lit(window)).alias("w"),
         ),
     )
-    return df.select(F.col(id_col), F.explode(wins).alias("x")).select(
+    return base.select(F.col(id_col), F.explode(wins).alias("x")).select(
         id_col, F.col("x.s").alias("s"), F.col("x.w").alias("w")
     )
 

@@ -54,15 +54,45 @@ def _dedup_substring(spark, sf_dir):
 
 _ES_ORACLE = f"""
 WITH d AS (SELECT doc_id, text FROM documents),
+dh AS (
+  -- 4-gram hash per candidate start (chars i..i+3, 0-based)
+  SELECT doc_id, text,
+    list_transform(range(0, greatest(length(text) - {_ES_W} + 1, 0)), i ->
+        ascii(substr(text, CAST(i AS INT) + 1, 1)) * 3
+      + ascii(substr(text, CAST(i AS INT) + 2, 1)) * 5
+      + ascii(substr(text, CAST(i AS INT) + 3, 1)) * 7
+      + ascii(substr(text, CAST(i AS INT) + 4, 1)) * 11) AS hs
+  FROM d
+),
+pos AS (
+  SELECT doc_id, text, hs, CAST(t.i AS INT) AS i
+  FROM dh, unnest(range(0, len(hs))) AS t(i)
+),
 occ AS (
-  -- content-defined anchors: 4-gram hash of chars s+1..s+4 ≡ 0 mod stride
-  SELECT doc_id, CAST(t.s AS BIGINT) AS s,
-         substr(text, CAST(t.s AS INT) + 1, {_ES_W}) AS k
-  FROM d, unnest(list_filter(range(0, greatest(length(text) - {_ES_W} + 1, 0)),
-    i -> (ascii(substr(text, CAST(i AS INT) + 1, 1)) * 3
-        + ascii(substr(text, CAST(i AS INT) + 2, 1)) * 5
-        + ascii(substr(text, CAST(i AS INT) + 3, 1)) * 7
-        + ascii(substr(text, CAST(i AS INT) + 4, 1)) * 11) % {_ES_S} = 0)) AS t(s)
+  -- winnowing anchors (b+f rule): i anchors iff the consecutive run
+  -- of hashes >= h(i) before it (b) plus the run of hashes > h(i)
+  -- after it (f) spans a full stride window; document edges count as
+  -- satisfied (the S-1 coalesce default covers both "no failure in
+  -- range" and the out-of-range padding, since a broken run never
+  -- reaches the padding).  DuckDB lambdas cannot capture outer
+  -- lambda variables, hence the unnest-then-single-lambda shape.
+  SELECT doc_id, CAST(i AS BIGINT) AS s,
+         substr(text, i + 1, {_ES_W}) AS k
+  FROM (
+    -- list_position returns 0 (not NULL) when absent in DuckDB 1.0,
+    -- hence CASE rather than coalesce for the "no failure" default
+    SELECT doc_id, text, i,
+      list_position(list_transform(
+        list_reverse(list_slice(hs, greatest(i - {_ES_S} + 2, 1), i)),
+        x -> x < hs[i + 1]), true) AS pb,
+      list_position(list_transform(
+        list_slice(hs, i + 2, least(i + {_ES_S}, len(hs))),
+        x -> x <= hs[i + 1]), true) AS pf
+    FROM pos
+  )
+  WHERE (CASE WHEN pb = 0 THEN {_ES_S} - 1 ELSE pb - 1 END)
+      + (CASE WHEN pf = 0 THEN {_ES_S} - 1 ELSE pf - 1 END)
+      >= {_ES_S} - 1
 ),
 own AS (
   SELECT k, min(doc_id) AS owner

@@ -810,6 +810,119 @@ def test_exact_substring_dedup_adjacent_spans_merge(spark):
     assert row["cleaned"] == "a" * 20
 
 
+def _ref_winnow_anchors(text: str, window: int, stride: int) -> list[int]:
+    """Plain-python reference of the winnowing b+f anchor rule."""
+    n = len(text) - window + 1
+    if n <= 0:
+        return []
+    hs = [
+        sum(ord(text[i + o]) * m for o, m in ((0, 3), (1, 5), (2, 7), (3, 11)))
+        for i in range(n)
+    ]
+    out = []
+    for i in range(n):
+        b = 0
+        for o in range(1, stride):
+            if i - o < 0 or hs[i - o] >= hs[i]:
+                b += 1
+            else:
+                break
+        f = 0
+        for o in range(1, stride):
+            if i + o > n - 1 or hs[i + o] > hs[i]:
+                f += 1
+            else:
+                break
+        if b + f >= stride - 1:
+            out.append(i)
+    return out
+
+
+def test_winnow_anchors_match_python_reference(spark):
+    """The Spark winnowing expression equals the plain-python b+f rule
+    on random and adversarial content (increasing/decreasing hash
+    ramps, constant runs, periodic content, short docs)."""
+    import random
+    import string
+
+    from akvorado_spark.operators.dedup import substring_window_occurrences
+
+    rng = random.Random(11)
+    W, S = 24, 7
+    texts = [
+        "".join(rng.choice(string.ascii_letters + " .,") for _ in range(rng.randrange(0, 300)))
+        for _ in range(30)
+    ]
+    texts += [
+        "a" * 120,                        # constant hash (old blind spot)
+        "abcdefghijklmnopqrstuvwxyz" * 6,  # periodic
+        "".join(chr(33 + i) for i in range(90)),          # rising ramp
+        "".join(chr(122 - i) for i in range(90)),         # falling ramp
+        "ab" * 70,                        # period-2
+        "x" * (W - 1),                    # too short: no candidates
+        "x" * W,                          # exactly one candidate
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list[int]] = {i: [] for i, _ in rows}
+    for r in substring_window_occurrences(docs, "text", "doc_id", W, S).collect():
+        got[r["doc_id"]].append(r["s"])
+    for i, t in rows:
+        assert sorted(got[i]) == _ref_winnow_anchors(t, W, S), (i, t[:40])
+
+
+def test_winnow_anchor_guarantee_every_stride_window(spark):
+    """ADVICE r7: the anchor rule must leave no blind spots — every run
+    of ``stride`` consecutive candidate positions contains >= 1 anchor,
+    for every content class (verified on the reference impl, which the
+    Spark parity test above pins)."""
+    import random
+    import string
+
+    rng = random.Random(23)
+    W, S = 24, 7
+    cases = [
+        "a" * 300,
+        "ab" * 150,
+        "abc" * 100,
+        "".join(chr(33 + (i % 90)) for i in range(300)),
+        "".join(rng.choice(string.printable[:94]) for _ in range(300)),
+        "the same sentence. " * 20,
+    ]
+    for t in cases:
+        anchors = set(_ref_winnow_anchors(t, W, S))
+        n = len(t) - W + 1
+        assert anchors, t[:30]
+        for start in range(0, n - S + 1):
+            assert anchors & set(range(start, start + S)), (t[:30], start)
+
+
+def test_exact_substring_dedup_repeated_char_runs(spark):
+    """The old mod-stride anchors were blind to constant-hash runs
+    (e.g. 'a'*N: hash 2522 ≢ 0 mod 10 → zero anchors).  With winnowing
+    a long repeated-char run shared at DIFFERENT offsets is excised
+    from every doc but the owner."""
+    from akvorado_spark.operators.dedup import exact_substring_dedup
+
+    run = "a" * 120
+    rows = [
+        (1, "unique lead-in text then " + run),
+        (2, run + " completely different trailing content here"),
+        (3, "no run at all, just ordinary unrelated filler words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(
+            docs, "text", "doc_id", window=40, stride=10
+        ).collect()
+    }
+    assert 1 not in out and 3 not in out  # owner + untouched doc
+    assert 2 in out
+    assert "a" * 40 not in out[2]["cleaned"]
+    assert "different trailing content" in out[2]["cleaned"]
+
+
 def test_bigram_lm_scores_match_python(spark):
     import math
 
