@@ -647,17 +647,29 @@ def decontaminate(
 # oracle.
 
 
-def _winnow_hash_array(text_col: str, window: int):
-    """Per-row array of 4-gram hashes, one per candidate start
-    0..len-window (empty when the doc is shorter than ``window``).
-    Materialized as its OWN column before the selection filter: if the
-    array expression were inlined, every element_at in the winnowing
-    predicate would recompute the whole array — O(n²·stride) per doc."""
+def _ascii_code_array(text_col: str):
+    """Per-row array of ascii codepoints, one per char.  Materialized
+    before the hash array so each 4-gram hash is four element_at
+    lookups instead of four substr(·,·,1) string slices — measured 2×
+    on the end-to-end occurrence scan."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1))),
+        lambda p: F.ascii(F.col(text_col).substr(p, F.lit(1))),
+    )
+
+
+def _winnow_hash_array(text_col: str, window: int, cs):
+    """Per-row array of 4-gram hashes over the materialized codepoint
+    array ``cs``, one per candidate start 0..len-window (empty when the
+    doc is shorter than ``window``).  Materialized as its OWN column
+    before the selection filter: if the array expression were inlined,
+    every element_at in the winnowing predicate would recompute the
+    whole array — O(n²·stride) per doc."""
 
     def h4(i):
-        # 4-gram hash of chars at 0-based i..i+3 (1-based substr)
+        # 4-gram hash of chars at 0-based i..i+3 (element_at 1-based)
         return sum(
-            F.ascii(F.col(text_col).substr(i + F.lit(off), F.lit(1))) * F.lit(mul)
+            F.element_at(cs, i + F.lit(off)) * F.lit(mul)
             for off, mul in ((1, 3), (2, 5), (3, 7), (4, 11))
         )
 
@@ -736,11 +748,13 @@ def substring_window_occurrences(
         raise ValueError("window must be >= 4 (the anchor 4-gram must fit)")
     base = df
     if anchored:
-        # the hash array is projected as its own column FIRST so the
-        # selection filter's element_at lookups hit a bound reference,
-        # not a re-evaluated transform (O(n·stride), not O(n²·stride))
-        base = df.select(F.col(id_col), F.col(text_col)).withColumn(
-            "__hs", _winnow_hash_array(text_col, window)
+        # codepoints, then hashes, each projected as its own column so
+        # downstream element_at lookups hit bound references, never a
+        # re-evaluated transform (O(n·stride), not O(n²·stride))
+        base = (
+            df.select(F.col(id_col), F.col(text_col))
+            .withColumn("__cs", _ascii_code_array(text_col))
+            .withColumn("__hs", _winnow_hash_array(text_col, window, F.col("__cs")))
         )
         starts = _winnow_select(F.col("__hs"), stride)
     else:

@@ -12,15 +12,29 @@ S = 5
 
 
 def _anchors(text: str) -> list[int]:
+    # winnowing b+f rule, matching operators.dedup._winnow_select
+    n = len(text) - W + 1
+    if n <= 0:
+        return []
+    hs = [
+        sum(ord(text[i + o]) * m for o, m in ((0, 3), (1, 5), (2, 7), (3, 11)))
+        for i in range(n)
+    ]
     out = []
-    for i in range(0, len(text) - W + 1):
-        h = (
-            ord(text[i]) * 3
-            + ord(text[i + 1]) * 5
-            + ord(text[i + 2]) * 7
-            + ord(text[i + 3]) * 11
-        )
-        if h % S == 0:
+    for i in range(n):
+        b = 0
+        for o in range(1, S):
+            if i - o < 0 or hs[i - o] >= hs[i]:
+                b += 1
+            else:
+                break
+        f = 0
+        for o in range(1, S):
+            if i + o > n - 1 or hs[i + o] > hs[i]:
+                f += 1
+            else:
+                break
+        if b + f >= S - 1:
             out.append(i)
     return out
 
