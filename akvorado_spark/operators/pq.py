@@ -399,3 +399,75 @@ def read_ann_cells(spark, path: str, cells: list[int], cell_col: str = "cell"):
     from pyspark.sql import functions as F
 
     return spark.read.parquet(path).filter(F.col(cell_col).isin(cells))
+
+
+# ---------------------------------------------------------------------------
+# int4 (nibble) quantization: the 8× storage tier below int8
+# ---------------------------------------------------------------------------
+
+
+def quantize_int4(
+    df: DataFrame, q_col: str = "qv", out_col: str = "q4"
+) -> DataFrame:
+    """Requantize the shared-scale int8 column to int4 ([-8, 7]) via
+    exact floor division by 16: ``q4[i] = floor(qv[i] / 16)``.
+
+    Integer-exact and engine-portable (floor is expressed as
+    ``(x - pmod(x, 16)) / 16`` so no engine's divide-toward-zero rule
+    leaks in).  Like the int8 tier, one corpus-wide scale keeps dots
+    comparable across vectors; the deliberate precision loss is the
+    trade for the 8× smaller packed footprint (see
+    :func:`pack_int4_words`)."""
+    q4 = F.transform(
+        F.col(q_col),
+        lambda x: ((x - F.pmod(x, F.lit(16))) / 16).cast("int"),
+    )
+    return df.withColumn(out_col, q4)
+
+
+def pack_int4_words(
+    df: DataFrame, col: str = "q4", out_col: str = "q4w"
+) -> DataFrame:
+    """Pack 8 int4 values per 32-bit word (stored as long):
+    ``word_j = Σ_t (q4[8j+t] + 8) · 16^t`` — a 64-dim vector becomes 8
+    words (32 bytes) instead of 64 ints (256 B in memory, and 8× fewer
+    parquet values).  At 100 TB this is the difference between an
+    embedding shuffle that fits and one that spills: the packed column
+    is what ships through joins, the nibbles are unpacked on demand
+    inside codegen (:func:`unpack_int4_words`).  Dim must be a
+    multiple of 8."""
+    words = F.transform(
+        F.sequence(F.lit(0), (F.size(F.col(col)) / 8).cast("int") - 1),
+        lambda j: sum(
+            (
+                F.element_at(F.col(col), (j * 8 + t + 1).cast("int")) + 8
+            ).cast("long")
+            * F.lit(16**t)
+            for t in range(8)
+        ),
+    )
+    return df.withColumn(out_col, words)
+
+
+def unpack_int4_words(
+    df: DataFrame, col: str = "q4w", out_col: str = "q4"
+) -> DataFrame:
+    """Inverse of :func:`pack_int4_words`:
+    ``q4[8j+t] = ((word_j mod 16^(t+1)) / 16^t) - 8``.  Words are
+    non-negative (< 16^8), so the mod/divide pair is exact in 64-bit
+    integers on every engine."""
+    nib = F.flatten(
+        F.transform(
+            F.col(col),
+            lambda w: F.array(
+                *[
+                    (
+                        ((w % F.lit(16 ** (t + 1))) / F.lit(16**t)).cast("int")
+                        - 8
+                    )
+                    for t in range(8)
+                ]
+            ),
+        )
+    )
+    return df.withColumn(out_col, nib)

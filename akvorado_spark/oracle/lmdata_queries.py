@@ -344,6 +344,57 @@ FROM q ORDER BY vec_id
 """
 
 
+_Q4_SAMPLE = "vec_id % 11 = 0"
+
+
+def _int4_packed(spark, sf_dir, qall=None):
+    """int4 nibble tier: shared-scale int8 → floor-div-16 int4 →
+    8-nibbles-per-word packing (the 8× storage layout ANN shuffles at
+    100 TB).  The gate certifies every packed word bit-for-bit; the
+    pack/unpack roundtrip is pytest-pinned."""
+    from akvorado_spark.operators.pq import pack_int4_words, quantize_int4
+
+    if qall is None:
+        qall = _quantized_all(spark, sf_dir)
+    v = qall.filter(_Q4_SAMPLE).select("vec_id", "qv")
+    out = pack_int4_words(quantize_int4(v))
+    return out.select(
+        "vec_id", F.posexplode("q4w").alias("j0", "word")
+    ).select(
+        F.col("vec_id"),
+        (F.col("j0") + 1).cast("long").alias("j"),
+        F.col("word"),
+    )
+
+
+_Q4_ORACLE = f"""
+WITH g AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+         AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / gmax) AS INT)) AS qv
+  FROM embeddings, g
+  WHERE {_Q4_SAMPLE}
+),
+q4 AS (
+  SELECT vec_id,
+         list_transform(qv,
+           x -> CAST((x - ((x % 16 + 16) % 16)) // 16 AS INT)) AS q4
+  FROM q
+)
+SELECT vec_id, CAST(t.j AS BIGINT) AS j,
+  CAST(list_sum(list_transform(range(0, 8), tt ->
+    CAST(q4[CAST((t.j - 1) * 8 + tt + 1 AS INT)] + 8 AS BIGINT)
+    * ([1,16,256,4096,65536,1048576,16777216,268435456]::BIGINT[])[CAST(tt + 1 AS INT)]
+  )) AS BIGINT) AS word
+FROM q4, unnest(range(1, len(q4) // 8 + 1)) AS t(j)
+"""
+
+
 _IVFPQ_CELLS = 4
 _IVFPQ_NPROBE = 2
 
@@ -595,12 +646,23 @@ def _lmdata_suite(spark, sf_dir):
             F.lit("").alias("s"),
         )
     )
+    q4 = _int4_packed(spark, sf_dir, qall).select(
+        F.lit("q4").alias("member"),
+        F.col("vec_id").cast("long").alias("k1"),
+        F.col("j").alias("k2"),
+        F.col("word").alias("v1"),
+        zl.alias("v2"),
+        zl.alias("v3"),
+        zd.alias("vd"),
+        F.lit("").alias("s"),
+    )
     return (
         es.unionByName(ppl)
         .unionByName(pq)
         .unionByName(ivfpq)
         .unionByName(ld)
         .unionByName(pr)
+        .unionByName(q4)
         .orderBy("member", "k1", "k2")
     )
 
@@ -631,6 +693,10 @@ UNION ALL
 SELECT 'proj', p.vec_id, t.j, CAST(p.proj_q[t.j] AS BIGINT), CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS DOUBLE), ''
 FROM ({_project_oracle()}) p, unnest(range(1, {_RP_OUT} + 1)) AS t(j)
+UNION ALL
+SELECT 'q4', vec_id, j, word, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS DOUBLE), ''
+FROM ({_Q4_ORACLE})
 ORDER BY member, k1, k2
 """
 

@@ -622,6 +622,33 @@ def test_ivfpq_score_is_exact_reconstruction_dot(spark):
     assert sub * len(books) == len(next(iter(recon.values())))
 
 
+def test_int4_quantize_pack_unpack_roundtrip(spark):
+    """int4 tier invariants: q4 = floor(qv/16) ∈ [-8, 7] (matching the
+    python floor), packing is 8 nibbles per non-negative word < 16^8,
+    and unpack(pack(q4)) == q4 element-for-element."""
+    from akvorado_spark.operators.pq import (
+        global_scale,
+        pack_int4_words,
+        quantize_global,
+        quantize_int4,
+        unpack_int4_words,
+    )
+
+    vecs = _vecs(spark).filter("vec_id < 80")
+    q = quantize_global(vecs, global_scale(vecs)).select("vec_id", "qv")
+    out = unpack_int4_words(
+        pack_int4_words(quantize_int4(q)), out_col="q4_rt"
+    ).collect()
+    assert out
+    for r in out:
+        want = [x // 16 for x in r["qv"]]  # python // floors, like the op
+        assert r["q4"] == want, r["vec_id"]
+        assert all(-8 <= x <= 7 for x in r["q4"])
+        assert len(r["q4w"]) == len(r["qv"]) // 8
+        assert all(0 <= w < 16**8 for w in r["q4w"])
+        assert r["q4_rt"] == r["q4"], r["vec_id"]
+
+
 def test_ann_index_partition_pruning(spark, tmp_path):
     """The persisted IVF-PQ index prunes unprobed cells at the
     DIRECTORY level: the probe filter appears in PartitionFilters and
