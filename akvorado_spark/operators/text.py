@@ -377,6 +377,40 @@ def redact_pii(text: Column) -> Column:
     return redact_pii_stages(text)[0]
 
 
+# translate() maps: curly quotes → straight, en/em dash → '-',
+# no-break space → ' '.  Kept as module constants so the DuckDB oracle
+# builds its chr()-based twin from the SAME tables (no silent skew).
+NORMALIZE_CHAR_FROM = "“”‘’–— "
+NORMALIZE_CHAR_TO = "\"\"''-- "
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text cleanup, the first stage of a pre-training
+    pipeline (the C4/RefinedWeb-style normalization pass):
+
+    1. CRLF / lone CR → LF
+    2. strip control chars except TAB and LF
+    3. curly quotes → straight, en/em dashes → '-', NBSP → space,
+       unicode ellipsis → '...'
+    4. collapse horizontal whitespace runs to one space
+    5. drop spaces hugging newlines (trailing/leading per line)
+    6. collapse 3+ blank-separated newlines to a paragraph break
+    7. trim leading/trailing whitespace
+
+    Pure regexp_replace/translate chain — a narrow codegen projection
+    at any scale, no Python, no shuffle.  Every rule is engine-portable
+    (same RE2/Java regex subset) and the whole chain is replayed by the
+    DuckDB oracle in text_stats."""
+    x = F.regexp_replace(text, "\\r\\n|\\r", "\n")
+    x = F.regexp_replace(x, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    x = F.translate(x, NORMALIZE_CHAR_FROM, NORMALIZE_CHAR_TO)
+    x = F.regexp_replace(x, "…", "...")
+    x = F.regexp_replace(x, "[ \\t]+", " ")
+    x = F.regexp_replace(x, " ?\\n ?", "\n")
+    x = F.regexp_replace(x, "\\n{3,}", "\n\n")
+    return F.regexp_replace(x, "^[\\n ]+|[\\n ]+$", "")
+
+
 def duplicate_ngram_char_stats(
     df: DataFrame, text_col: str, id_col: str, n: int = 2
 ) -> DataFrame:

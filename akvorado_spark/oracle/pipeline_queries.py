@@ -331,6 +331,55 @@ register("dedup_pipeline_suite", _dedup_pipeline_suite, dp_oracle_sql())
 # ---------------------------------------------------------------------------
 
 
+# exercises every normalize_text rule: CRLF + lone CR, control chars,
+# curly quotes, en/em dashes, NBSP, unicode ellipsis, tab + space runs,
+# spaces hugging newlines, 3+ blank lines, leading/trailing whitespace
+_MESSY = (
+    "  “Smart” — quotes’\r\n\tand weird   spacing…"
+    "\x07\x01 \nline two \n\n\n\n– end  "
+)
+
+
+def _messy_sql() -> str:
+    """The _MESSY constant as a DuckDB literal built with chr() for
+    every non-printable/non-ascii char — generated from the SAME python
+    constant the Spark side concatenates, so the twins cannot skew."""
+    parts: list[str] = []
+    buf = ""
+    for ch in _MESSY:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return " || ".join(parts)
+
+
+def _norm_sql(e: str) -> str:
+    """DuckDB twin of operators.text.normalize_text applied to SQL
+    expression ``e`` — same rule order, same regexes, translate map
+    built from the shared NORMALIZE_CHAR_FROM/TO constants."""
+    from akvorado_spark.operators.text import (
+        NORMALIZE_CHAR_FROM,
+        NORMALIZE_CHAR_TO,
+    )
+
+    frm = " || ".join(f"chr({ord(c)})" for c in NORMALIZE_CHAR_FROM)
+    to = " || ".join(f"chr({ord(c)})" for c in NORMALIZE_CHAR_TO)
+    x = f"regexp_replace({e}, '\\r\\n|\\r', chr(10), 'g')"
+    x = f"regexp_replace({x}, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')"
+    x = f"translate({x}, {frm}, {to})"
+    x = f"regexp_replace({x}, chr(8230), '...', 'g')"
+    x = f"regexp_replace({x}, '[ \\t]+', ' ', 'g')"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10), 'g')"
+    x = f"regexp_replace({x}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"regexp_replace({x}, '^[\\n ]+|[\\n ]+$', '', 'g')"
+
+
 def _text_stats(spark, sf_dir):
     """Corpus statistics + the Gopher quality-filter rules (Rae et al.
     2021 table A1 — public paper), verified per (lang, source) group.
@@ -341,6 +390,7 @@ def _text_stats(spark, sf_dir):
         bpe_ish_token_count,
         duplicate_ngram_char_stats,
         gopher_quality_pass,
+        normalize_text,
         punct_ratio,
         quality_metric_fractions,
         redact_pii_stages,
@@ -359,6 +409,7 @@ def _text_stats(spark, sf_dir):
             F.lit("- bullet one"), F.lit("- bullet two"),
             F.lit("to be continued..."), F.lit("### # # #"),
             F.lit("contact bob.smith@example.com or 10.1.2.3 at +1 555-123-4567"),
+            F.lit(_MESSY),
         ).alias("text"),
     )
     corpus = docs.unionByName(degraded)
@@ -367,7 +418,11 @@ def _text_stats(spark, sf_dir):
     # instead of re-deriving the split per rule (measured ~3×)
     from akvorado_spark.operators.text import doc_lines, words
 
-    corpus = corpus.withColumn("__ws", words(t)).withColumn("__ls", doc_lines(t))
+    corpus = (
+        corpus.withColumn("__ws", words(t))
+        .withColumn("__ls", doc_lines(t))
+        .withColumn("__norm", normalize_text(t))
+    )
 
     fr = quality_metric_fractions(t, w=F.col("__ws"), ls=F.col("__ls"))
     _pii = redact_pii_stages(t)
@@ -425,6 +480,8 @@ def _text_stats(spark, sf_dir):
             F.sum(_pii[1]["ip"]).alias("n_ips"),
             F.sum(_pii[1]["phone"]).alias("n_phones"),
             F.sum(F.length(_pii[0])).alias("redacted_chars"),
+            F.sum(F.length(F.col("__norm"))).alias("norm_chars_sum"),
+            F.sum((F.col("__norm") != t).cast("long")).alias("n_norm_changed"),
         )
     )
     return main.join(dup_grp, ["lang", "source"]).orderBy("lang", "source")
@@ -438,6 +495,7 @@ WITH corpus AS (
          text || chr(10) || text || chr(10) || '- bullet one' || chr(10) ||
          '- bullet two' || chr(10) || 'to be continued...' || chr(10) || '### # # #'
          || chr(10) || 'contact bob.smith@example.com or 10.1.2.3 at +1 555-123-4567'
+         || chr(10) || __MESSY__
   FROM documents WHERE doc_id % 4 = 0
 ),
 pii AS (
@@ -494,11 +552,12 @@ dagg AS (
 feat AS (
   SELECT lang, source, text,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws,
-         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls,
+         __NORM__ AS norm
   FROM corpus
 ),
 m AS (
-  SELECT lang, source, text,
+  SELECT lang, source, text, norm,
          CAST(len(ws) AS BIGINT) AS n_words,
          CAST(GREATEST(len(ws), 1) AS BIGINT) AS dw,
          CAST(GREATEST(len(ls), 1) AS BIGINT) AS dl,
@@ -535,10 +594,17 @@ SELECT lang, source,
        ANY_VALUE(p.n_ips) AS n_ips,
        ANY_VALUE(p.n_phones) AS n_phones,
        ANY_VALUE(p.redacted_chars) AS redacted_chars,
-       ANY_VALUE(dg.dup2_micro) AS dup2_micro
+       ANY_VALUE(dg.dup2_micro) AS dup2_micro,
+       CAST(SUM(length(norm)) AS BIGINT) AS norm_chars_sum,
+       CAST(SUM(CASE WHEN norm != text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_norm_changed
 FROM m JOIN pii_agg p USING (lang, source) JOIN dagg dg USING (lang, source)
 GROUP BY lang, source ORDER BY lang, source
 """
+
+_TEXT_ORACLE = _TEXT_ORACLE.replace("__MESSY__", _messy_sql()).replace(
+    "__NORM__", _norm_sql("text")
+)
 
 register("text_stats", _text_stats, _TEXT_ORACLE)
 

@@ -596,6 +596,39 @@ def test_mix_sources_rates_and_epochs(spark, docs):
     out.unpersist()
 
 
+def test_normalize_text_rules(spark):
+    """Each normalize_text rule verified on a targeted input, plus
+    idempotence (normalize(normalize(x)) == normalize(x)) on all."""
+    from akvorado_spark.operators.text import normalize_text
+
+    cases = [
+        ("a\r\nb\rc", "a\nb\nc"),                       # CRLF / CR → LF
+        ("a\x00b\x07c\x1fd", "abcd"),                   # control strip
+        ("“q” ‘s’", "\"q\" 's'"),    # curly → straight
+        ("a – b — c", "a - b - c"),            # dashes
+        ("a b", "a b"),                             # NBSP
+        ("wait…", "wait..."),                       # ellipsis
+        ("a\t\t b   c", "a b c"),                        # ws runs
+        ("line \n next", "line\nnext"),                  # spaces at \n
+        ("p1\n\n\n\n\np2", "p1\n\np2"),                  # blank collapse
+        ("  x  ", "x"),                                  # trim
+        ("", ""),
+        ("already clean\ntwo lines", "already clean\ntwo lines"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, t string"
+    )
+    out = df.select("i", normalize_text(F.col("t")).alias("n"))
+    got = {r["i"]: r["n"] for r in out.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+    # idempotence
+    out2 = out.select(
+        "i", (normalize_text(F.col("n")) == F.col("n")).alias("fix")
+    )
+    assert all(r["fix"] for r in out2.collect())
+
+
 def test_redact_pii_stages(spark):
     from akvorado_spark.operators.text import redact_pii_stages
 
