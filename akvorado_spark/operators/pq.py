@@ -358,7 +358,7 @@ def ivfpq_topk(
     # across the broadcast boundary (INTERNAL_ERROR_ATTRIBUTE_NOT_
     # FOUND on qv); the frame is n_queries × nprobe rows of m small
     # arrays, so materializing it is free
-    probes = probes.localCheckpoint(eager=False)
+    probes = probes.localCheckpoint()
     score = F.col("__qc") + sum(
         F.element_at(
             F.col(f"__t{j}"), F.element_at(F.col(code_col), j + 1) + 1
@@ -471,3 +471,59 @@ def unpack_int4_words(
         )
     )
     return df.withColumn(out_col, nib)
+
+
+# ---------------------------------------------------------------------------
+# two-stage retrieval: ADC shortlist → exact rerank (IVFADC-R)
+# ---------------------------------------------------------------------------
+
+
+def exact_rerank_topk(
+    shortlist: DataFrame,
+    base_q: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_col: str = "q_qv",
+    base_q_col: str = "qv",
+) -> DataFrame:
+    """Second stage of IVFADC-R (Jégou et al. 2011 §V): take an ADC
+    shortlist (any (q_id, vec_id) candidate frame — typically
+    :func:`ivfpq_topk` with k = R >> final k), fetch the R true
+    quantized vectors, score them with the EXACT integer dot, and keep
+    the top ``k``.
+
+    Scale shape: the shortlist is n_queries × R rows of two ids — it
+    broadcasts; the base scan is filtered by the broadcast hash join
+    (at cluster scale, by the id-bucketed layout), so full vectors are
+    only materialized for R candidates per query, never the corpus.
+    With R = corpus size this degenerates to exact brute force — the
+    property the tests pin."""
+    # sever the shortlist's lineage before re-joining the quantize
+    # subplan it came from: the optimizer's subplan dedup mis-binds
+    # attributes across the broadcast boundary otherwise (same
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND workaround as ivfpq_topk's
+    # probe frame); n_queries × R id pairs, so materializing is free
+    sl = (
+        shortlist.select(q_id_col, id_col)
+        .distinct()
+        .localCheckpoint()
+    )
+    cand = base_q.join(F.broadcast(sl), id_col)
+    cand = cand.join(
+        F.broadcast(queries.select(q_id_col, q_col)), q_id_col
+    )
+    scored = cand.select(
+        q_id_col,
+        id_col,
+        _int_dot(F.col(base_q_col), F.col(q_col)).alias("exact_score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("exact_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "exact_score")
+    )

@@ -431,7 +431,7 @@ def _ann_ivfpq(spark, sf_dir, qall=None):
     ).orderBy("q_id", "rank")
 
 
-_IVFPQ_ORACLE = f"""
+_IVFPQ_BODY = f"""
 WITH g AS (
   SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
          AS gmax
@@ -524,8 +524,89 @@ SELECT q_id, rank, vec_id, adc_score FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY adc_score DESC, vec_id)
            AS rank
   FROM scores
-) WHERE rank <= 5 ORDER BY q_id, rank
+) WHERE rank <= __IVFPQ_K__ ORDER BY q_id, rank
 """
+
+
+def _ivfpq_oracle(k: int) -> str:
+    return _IVFPQ_BODY.replace("__IVFPQ_K__", str(k))
+
+
+_IVFPQ_ORACLE = _ivfpq_oracle(5)
+
+
+# ---------------------------------------------------------------------------
+# two-stage retrieval: IVF-PQ shortlist → exact int8 rerank (IVFADC-R)
+# ---------------------------------------------------------------------------
+
+_RR_R = 12  # shortlist size; final k stays 5
+
+
+def _ann_ivfpq_rerank(spark, sf_dir, qall=None):
+    """IVFADC-R: ADC shortlist of R=12 per query, then exact integer
+    rerank on the R true quantized vectors — the production two-stage
+    retrieval shape (codes-only first pass, full vectors touched only
+    for R candidates).  Every stage integer-exact and oracle-replayed,
+    including the shortlist membership."""
+    from akvorado_spark.operators.pq import (
+        exact_rerank_topk,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks_from_seeds,
+        quantized_cells,
+    )
+
+    if qall is None:
+        qall = _quantized_all(spark, sf_dir)
+    base_q = qall.filter(F.col("vec_id") >= 3).select("vec_id", "qv")
+    memo = _PQ_BOOKS.get(("ivfpq", sf_dir))
+    if memo is None:
+        memo = _PQ_BOOKS[("ivfpq", sf_dir)] = (
+            quantized_cells(base_q, _IVFPQ_CELLS),
+            pq_codebooks_from_seeds(base_q, _PQ_M, _PQ_KS),
+        )
+    cells, books = memo
+    enc = ivfpq_encode(base_q, cells, books)
+    queries = qall.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    sl = ivfpq_topk(
+        enc, queries, cells, books, k=_RR_R, nprobe=_IVFPQ_NPROBE
+    )
+    return exact_rerank_topk(sl, base_q, queries, k=5).orderBy(
+        "q_id", "rank"
+    )
+
+
+_RR_ORACLE = f"""
+WITH sl AS (SELECT q_id, vec_id FROM ({{_sl}})),
+g AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+         AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / gmax) AS INT)) AS qv
+  FROM embeddings, g
+),
+base AS (SELECT vec_id, qv FROM q WHERE vec_id >= 3),
+qry AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id < 3),
+sc AS (
+  SELECT sl.q_id, sl.vec_id,
+    CAST(list_sum(list_transform(range(1, {_PQ_M} * {_PQ_SUB} + 1), i ->
+      CAST(b.qv[i] AS BIGINT) * CAST(qry.q_qv[i] AS BIGINT))) AS BIGINT)
+      AS exact_score
+  FROM sl JOIN base b USING (vec_id) JOIN qry USING (q_id)
+)
+SELECT q_id, rank, vec_id, exact_score FROM (
+  SELECT q_id, vec_id, exact_score,
+         row_number() OVER (PARTITION BY q_id ORDER BY exact_score DESC, vec_id)
+           AS rank
+  FROM sc
+) WHERE rank <= 5 ORDER BY q_id, rank
+""".replace("{_sl}", _ivfpq_oracle(_RR_R))
 
 
 # ---------------------------------------------------------------------------
@@ -646,6 +727,16 @@ def _lmdata_suite(spark, sf_dir):
             F.lit("").alias("s"),
         )
     )
+    rr = _ann_ivfpq_rerank(spark, sf_dir, qall).select(
+        F.lit("rr").alias("member"),
+        F.col("q_id").cast("long").alias("k1"),
+        F.col("rank").cast("long").alias("k2"),
+        F.col("vec_id").cast("long").alias("v1"),
+        F.col("exact_score").alias("v2"),
+        zl.alias("v3"),
+        zd.alias("vd"),
+        F.lit("").alias("s"),
+    )
     q4 = _int4_packed(spark, sf_dir, qall).select(
         F.lit("q4").alias("member"),
         F.col("vec_id").cast("long").alias("k1"),
@@ -662,6 +753,7 @@ def _lmdata_suite(spark, sf_dir):
         .unionByName(ivfpq)
         .unionByName(ld)
         .unionByName(pr)
+        .unionByName(rr)
         .unionByName(q4)
         .orderBy("member", "k1", "k2")
     )
@@ -693,6 +785,10 @@ UNION ALL
 SELECT 'proj', p.vec_id, t.j, CAST(p.proj_q[t.j] AS BIGINT), CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS DOUBLE), ''
 FROM ({_project_oracle()}) p, unnest(range(1, {_RP_OUT} + 1)) AS t(j)
+UNION ALL
+SELECT 'rr', q_id, rank, vec_id, exact_score, CAST(0 AS BIGINT),
+       CAST(0 AS DOUBLE), ''
+FROM ({_RR_ORACLE})
 UNION ALL
 SELECT 'q4', vec_id, j, word, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(0 AS DOUBLE), ''

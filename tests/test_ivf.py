@@ -622,6 +622,72 @@ def test_ivfpq_score_is_exact_reconstruction_dot(spark):
     assert sub * len(books) == len(next(iter(recon.values())))
 
 
+def test_exact_rerank_degenerates_to_bruteforce_and_lifts_recall(spark):
+    """IVFADC-R invariants: (1) with the shortlist = the whole base,
+    rerank IS the exact int-dot brute force (score and order); (2) the
+    reranked top-k's exact scores are >= the plain IVF-PQ top-k's
+    candidates scored exactly (rerank cannot pick worse vectors than
+    the ADC order it refines)."""
+    import numpy as np
+
+    from akvorado_spark.operators.pq import (
+        exact_rerank_topk,
+        global_scale,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks_from_seeds,
+        quantize_global,
+        quantized_cells,
+    )
+
+    vecs = _vecs(spark).filter("vec_id < 150")
+    q = quantize_global(vecs, global_scale(vecs))
+    base = q.filter("vec_id >= 5").select("vec_id", "qv").localCheckpoint()
+    queries = q.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    ).localCheckpoint()
+    cells = quantized_cells(base, 4)
+    books = pq_codebooks_from_seeds(base, m=4, ks=8)
+    enc = ivfpq_encode(base, cells, books).localCheckpoint()
+    k = 7
+
+    # (1) full shortlist → exact brute force
+    full_sl = ivfpq_topk(enc, queries, cells, books, k=10**6, nprobe=4)
+    got = exact_rerank_topk(full_sl, base, queries, k=k).collect()
+    bq = {r["vec_id"]: np.array(r["qv"], dtype=np.int64) for r in base.collect()}
+    qq = {r["q_id"]: np.array(r["q_qv"], dtype=np.int64) for r in queries.collect()}
+    want = {}
+    for qid, qv in qq.items():
+        order = sorted(
+            ((int(qv @ v), vid) for vid, v in bq.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        want[qid] = [(r + 1, vid, s) for r, (s, vid) in enumerate(order)]
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r["q_id"], []).append(
+            (r["rank"], r["vec_id"], r["exact_score"])
+        )
+    for qid in qq:
+        assert sorted(got_by_q[qid]) == want[qid], qid
+
+    # (2) rerank of an R=15 shortlist beats (>=) the raw ADC top-k,
+    # measured in exact score sum per query
+    sl = ivfpq_topk(enc, queries, cells, books, k=15, nprobe=2)
+    rr = exact_rerank_topk(sl, base, queries, k=k).collect()
+    adc = ivfpq_topk(enc, queries, cells, books, k=k, nprobe=2).collect()
+    def exact_sum(rows):
+        out = {}
+        for r in rows:
+            out[r["q_id"]] = out.get(r["q_id"], 0) + int(
+                qq[r["q_id"]] @ bq[r["vec_id"]]
+            )
+        return out
+    es_rr, es_adc = exact_sum(rr), exact_sum(adc)
+    for qid in es_adc:
+        assert es_rr[qid] >= es_adc[qid], qid
+
+
 def test_int4_quantize_pack_unpack_roundtrip(spark):
     """int4 tier invariants: q4 = floor(qv/16) ∈ [-8, 7] (matching the
     python floor), packing is 8 nibbles per non-negative word < 16^8,
