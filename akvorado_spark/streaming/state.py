@@ -235,6 +235,76 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_bloom_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    buckets: int = 64,
+    bits_per_shard: int = 1 << 17,
+    hashes: int = 4,
+) -> DataFrame:
+    """BOUNDED-state variant of :func:`streaming_exact_dedup`: the
+    per-shard seen-set becomes a Bloom bitmap, so total state is
+    ``buckets · bits_per_shard / 8`` bytes — CONSTANT in stream length
+    (defaults: 64 shards × 16 KiB = 1 MiB), closing the unbounded-
+    growth caveat of the exact variant for never-ending streams.
+
+    Direction of error: a duplicate is ALWAYS dropped (no false
+    passes — once inserted, identical content re-tests all-bits-set);
+    a genuinely new document is falsely dropped at the Bloom rate
+    ≈ (1 − e^(−k·n/m))^k per shard (n = distinct docs per shard,
+    m = bits, k = hashes) — with the defaults, <0.24% after 10 k
+    distinct docs per shard (640 k fleet-wide).  Size ``bits_per_shard``
+    ≈ 10–16 bits per expected distinct doc for sub-percent loss; when
+    false drops are unacceptable, use the exact variant and pay 8 B per
+    distinct doc.
+
+    Scale shape: all ``k`` bit positions are computed JVM-side
+    (salted xxhash64 mod m) in the stateless projection; the Python
+    side only tests/sets bits, and state shards across ``buckets``
+    groups exactly like the exact variant.  State survives restarts
+    through the checkpoint state store."""
+    h = F.xxhash64(F.col(content_col))
+    d = df.withColumn("__b", F.pmod(h, F.lit(buckets)))
+    for i in range(hashes):
+        d = d.withColumn(
+            f"__p{i}",
+            F.pmod(
+                F.xxhash64(F.col(content_col), F.lit(i)), F.lit(bits_per_shard)
+            ),
+        )
+    out_names = [f.name for f in df.schema.fields]
+    nbytes = bits_per_shard // 8
+    pcols = [f"__p{i}" for i in range(hashes)]
+
+    def fn(
+        key_val, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        bm = (
+            bytearray(bytes(state.get[0]))
+            if state.exists
+            else bytearray(nbytes)
+        )
+        for pdf in pdfs:
+            mask = []
+            for tup in zip(*(pdf[c] for c in pcols)):
+                ps = [int(p) for p in tup]
+                dup = all(bm[p >> 3] & (1 << (p & 7)) for p in ps)
+                if not dup:
+                    for p in ps:
+                        bm[p >> 3] |= 1 << (p & 7)
+                mask.append(not dup)
+            yield pdf.loc[mask, out_names]
+        state.update((bytes(bm),))
+
+    return d.groupBy("__b").applyInPandasWithState(
+        fn,
+        outputStructType=df.schema,
+        stateStructType="bitmap binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming near-dup candidates: stateful LSH across micro-batches
 # --------------------------------------------------------------------------

@@ -267,6 +267,95 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert all(f"fresh document {i}" in texts for i in range(5))
 
 
+def test_streaming_bloom_dedup_bounded_state(spark, tmp_path):
+    """Bloom variant: duplicates are ALWAYS dropped (in-batch and
+    across restarts via the checkpoint bitmap), uniques pass at the
+    sized-bitmap scale (FP prob ~1e-9 here), and a deliberately tiny
+    bitmap shows the bounded-state trade as false DROPS, never false
+    passes."""
+    import glob
+    import os as _os
+    import shutil
+
+    from akvorado_spark.streaming.ingest import file_source
+    from akvorado_spark.streaming.state import streaming_bloom_dedup
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src + "/c1", exist_ok=True)
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    chunk1 = spark.createDataFrame(
+        [(i, f"document number {i % 30}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    chunk1.coalesce(1).write.mode("overwrite").parquet(src + "/c1")
+
+    def run():
+        stream = file_source(spark, src + "/c1", chunk1.schema)
+        q = (
+            streaming_bloom_dedup(stream, "text")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(sink)
+    assert first.count() == 30
+    assert first.select("text").distinct().count() == 30
+
+    chunk2 = spark.createDataFrame(
+        [(100 + i, f"document number {i}") for i in range(10)]
+        + [(200 + i, f"fresh document {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    chunk2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "c2_tmp"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "c2_tmp" / "part-*.parquet"))):
+        shutil.move(f, src + f"/c1/chunk2-{i}.parquet")
+    run()
+    final = spark.read.parquet(sink)
+    assert final.count() == 35  # dups dropped across restart, fresh pass
+    texts = {r["text"] for r in final.collect()}
+    assert all(f"fresh document {i}" in texts for i in range(5))
+
+
+def test_streaming_bloom_dedup_tiny_bitmap_false_drops_only(spark, tmp_path):
+    """With a deliberately saturated bitmap (64 bits, 200 uniques) the
+    errors are false DROPS only: every emitted text is a true first
+    occurrence (no false passes) and the emitted count is well below
+    the unique count."""
+    import os as _os
+
+    from akvorado_spark.streaming.ingest import file_source
+    from akvorado_spark.streaming.state import streaming_bloom_dedup
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src, exist_ok=True)
+    rows = [(i, f"unique text {i}") for i in range(200)]
+    b = spark.createDataFrame(rows, "doc_id long, text string")
+    b.coalesce(1).write.parquet(src + "/f1")
+    stream = file_source(spark, src + "/f1", b.schema)
+    q = (
+        streaming_bloom_dedup(
+            stream, "text", buckets=2, bits_per_shard=64, hashes=2
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    texts = [r["text"] for r in got]
+    assert len(texts) == len(set(texts))  # never a duplicate emission
+    assert 0 < len(texts) < 200  # saturation drops some uniques
+
+
 def test_minhash_signature_expr_matches_grouped(spark):
     """The expression-only signature is bit-identical to the
     explode+groupBy batch form."""
