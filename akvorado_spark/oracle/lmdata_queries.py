@@ -25,11 +25,17 @@ _ES_S = 10
 
 def _dedup_substring(spark, sf_dir):
     from akvorado_spark.operators.dedup import exact_substring_dedup
+    from akvorado_spark.operators.text import portable_word_hash
 
     docs = load_table(spark, "documents", sf_dir, spread=True)
-    # string-keyed gate variant (production keys windows with xxhash64;
-    # pytest proves both paths emit identical spans on this corpus)
-    per_doc = exact_substring_dedup(docs, "text", "doc_id", _ES_W, _ES_S).select(
+    # portable md5-prefix keyed gate (8-byte shuffle rows instead of
+    # 40-char window strings — ~5× less gate-twin exchange volume;
+    # DuckDB computes the identical 56-bit key, so grouping is still
+    # replayed bit-exactly; production keys with xxhash64 and pytest
+    # proves hash≡string span equality on the corpus)
+    per_doc = exact_substring_dedup(
+        docs, "text", "doc_id", _ES_W, _ES_S, key_fn=portable_word_hash
+    ).select(
         F.lit("doc").alias("member"),
         F.col("doc_id"),
         F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
@@ -77,7 +83,7 @@ occ AS (
   -- reaches the padding).  DuckDB lambdas cannot capture outer
   -- lambda variables, hence the unnest-then-single-lambda shape.
   SELECT doc_id, CAST(i AS BIGINT) AS s,
-         substr(text, i + 1, {_ES_W}) AS k
+         ('0x' || substr(md5(substr(text, i + 1, {_ES_W})), 1, 14))::BIGINT AS k
   FROM (
     -- list_position returns 0 (not NULL) when absent in DuckDB 1.0,
     -- hence CASE rather than coalesce for the "no failure" default
