@@ -142,10 +142,22 @@ def pq_train_codebooks(
     return books
 
 
+_CB_LIT_CACHE: dict = {}
+
+
 def _codebook_literal(book: list[list[int]]):
-    return F.array(
-        *[F.array(*[F.lit(int(v)) for v in code]) for code in book]
-    )
+    """Literal Column for a codebook, memoized on the values: building
+    hundreds of F.lit() nodes costs real driver time (py4j round trips)
+    and the same books recur across encode/probe/table expressions and
+    bench repeats.  Literal columns carry no expression ids, so one
+    Column tree is safely reusable anywhere in the session."""
+    key = tuple(tuple(int(v) for v in code) for code in book)
+    hit = _CB_LIT_CACHE.get(key)
+    if hit is None:
+        hit = _CB_LIT_CACHE[key] = F.array(
+            *[F.array(*[F.lit(int(v)) for v in code]) for code in book]
+        )
+    return hit
 
 
 def _int_sqdist(a, b):

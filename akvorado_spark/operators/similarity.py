@@ -78,6 +78,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+# literal plane Columns memoized on (kind, dim, out, seed[, micro]):
+# building hundreds of F.lit() nodes costs real driver time (py4j
+# round trips), the planes are deterministic, and literal columns are
+# reusable expression trees
+_PLANE_LIT_CACHE: dict = {}
+
+
 def suggest_planes(n_vectors: int, target_bucket: int = 64) -> int:
     """Sketch width that keeps expected bucket occupancy constant as
     the corpus grows: ``ceil(log2(n / target_bucket))``, floored at 4.
@@ -739,11 +746,20 @@ def project_embeddings_fixedpoint(
     scale plus per-element quantization error, so ordering/JL geometry
     carries over; the float variant stays the production path."""
     planes = _hyperplanes(dim, out_dim, seed=seed)
+    key = ("fixedpoint", dim, out_dim, seed, micro)
+    arrs = _PLANE_LIT_CACHE.get(key)
+    if arrs is None:
+        arrs = _PLANE_LIT_CACHE[key] = [
+            F.array(
+                *[
+                    F.lit(int(round(float(x) * micro))).cast("long")
+                    for x in plane
+                ]
+            )
+            for plane in planes
+        ]
     comps = []
-    for plane in planes:
-        arr = F.array(
-            *[F.lit(int(round(float(x) * micro))).cast("long") for x in plane]
-        )
+    for arr in arrs:
         d = F.aggregate(
             F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("long") * y),
             F.lit(0).cast("long"),
