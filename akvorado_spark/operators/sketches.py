@@ -1,0 +1,84 @@
+"""Mergeable corpus statistics via Datasketches HLL columns.
+
+The 100 TB accounting problem: "how many distinct tokens / documents
+does the corpus have, per language and source, updated as shards land"
+— recomputing exact distincts rescans everything, and exact per-shard
+counts don't add (distinct is not a sum).  HLL sketches ARE mergeable:
+each shard reduces to a few-KB sketch row, and any grouping of shards
+unions those rows to the global estimate without touching the data
+again.  Spark ships Apache Datasketches natively
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``), so
+the whole pattern stays JVM-side whole-stage codegen.
+
+Standard error ≈ 1.04/√2^lg_k per sketch (~1.6% at the lg_k=12
+default); the binary sketch column is portable across Spark jobs and
+any Datasketches binding (C++/Java/Python), so downstream accounting
+systems can keep merging without Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_sketch_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group mergeable stats row: exact adds (docs, chars, tokens)
+    next to HLL sketches of distinct tokens and distinct doc ids.
+
+    One shuffle to the group grain; token explosion stays map-side
+    before the partial aggregate (hll_sketch_agg has a partial-merge
+    implementation, so each task ships ONE sketch per group, not its
+    token stream)."""
+    toks = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.length(text_col).alias("__chars"),
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("__tok"),
+    )
+    return toks.groupBy(*group_cols).agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count("__tok").alias("n_tokens"),
+        F.hll_sketch_agg("__tok", F.lit(lg_k)).alias("token_sketch"),
+        F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("doc_sketch"),
+    )
+
+
+def merge_sketch_stats(
+    sketch_df: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Union sketch rows (from :func:`corpus_sketch_stats`, possibly
+    computed shard-by-shard across many jobs) to ``group_cols`` grain —
+    () for corpus-global.  Adds add, sketches union; the result carries
+    BOTH the merged sketches (keep merging later) and their estimates
+    (read now)."""
+    aggs = [
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.hll_union_agg("token_sketch").alias("token_sketch"),
+        F.hll_union_agg("doc_sketch").alias("doc_sketch"),
+    ]
+    g = (
+        sketch_df.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else sketch_df.agg(*aggs)
+    )
+    return g.withColumn(
+        "distinct_tokens_est",
+        F.round(F.hll_sketch_estimate("token_sketch")).cast("long"),
+    ).withColumn(
+        "distinct_docs_est",
+        F.round(F.hll_sketch_estimate("doc_sketch")).cast("long"),
+    )
