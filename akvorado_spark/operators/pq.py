@@ -403,6 +403,29 @@ def write_ann_index(
     enc.write.mode("overwrite").partitionBy(cell_col).parquet(path)
 
 
+def upsert_ann_cells(
+    enc: DataFrame,
+    path: str,
+    cell_col: str = "cell",
+) -> None:
+    """Incremental index maintenance: replace ONLY the cell partitions
+    present in ``enc``, leaving every other cell's files untouched —
+    Spark's dynamic partition-overwrite.
+
+    The scale rationale: after new vectors arrive (or a re-quantize of
+    one shard), only the affected cells are dirty; rewriting a
+    billion-vector index to update 2% of its cells is the difference
+    between a nightly job and an always-behind one.  The session-level
+    ``partitionOverwriteMode`` conf is set per-write via the
+    DataFrameWriter option, so no global state changes."""
+    (
+        enc.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+
+
 def read_ann_cells(spark, path: str, cells: list[int], cell_col: str = "cell"):
     """Open an index written by :func:`write_ann_index` restricted to
     ``cells`` — the filter lands in the scan's PartitionFilters (a

@@ -749,6 +749,59 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     assert spark.read.parquet(path).count() == enc.count()
 
 
+def test_upsert_ann_cells_touches_only_dirty_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: upserting an encoding that covers
+    only SOME cells replaces those cell directories and leaves the
+    rest byte-identical — incremental index maintenance, no full
+    rewrite."""
+    import glob
+    import os
+
+    from akvorado_spark.operators.pq import (
+        global_scale,
+        ivfpq_encode,
+        pq_codebooks_from_seeds,
+        quantize_global,
+        quantized_cells,
+        upsert_ann_cells,
+        write_ann_index,
+    )
+
+    vecs = _vecs(spark).filter("vec_id < 200")
+    q = quantize_global(vecs, global_scale(vecs))
+    cells = quantized_cells(q, 4)
+    books = pq_codebooks_from_seeds(q, m=4, ks=8)
+    enc = ivfpq_encode(q, cells, books).localCheckpoint()
+    path = str(tmp_path / "idx")
+    write_ann_index(enc, path)
+
+    def snapshot():
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(path + "/cell=*/*.parquet")
+        }
+
+    before = snapshot()
+    dirty = [r["cell"] for r in enc.select("cell").distinct().collect()][:2]
+    patch = enc.filter(F.col("cell").isin(dirty)).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    upsert_ann_cells(patch, path)
+    after = snapshot()
+
+    clean_cells = {f"cell={c}" for c in set(r["cell"] for r in enc.select("cell").distinct().collect()) - set(dirty)}
+    for f, mtime in before.items():
+        if any(cc in f for cc in clean_cells):
+            assert after.get(f) == mtime, f  # untouched files survive
+    got = spark.read.parquet(path)
+    # dirty cells now hold ONLY the patch rows; clean cells unchanged
+    assert got.filter(F.col("cell").isin(dirty)).filter(
+        F.col("vec_id") < 10_000_000
+    ).count() == 0
+    orig_clean = enc.filter(~F.col("cell").isin(dirty)).count()
+    assert got.filter(~F.col("cell").isin(dirty)).count() == orig_clean
+
+
 def test_pq_recall_at_k_measured(spark):
     """Measured recall@10 of PQ ADC (and IVF-PQ at nprobe=half) vs the
     exact int-dot ranking on the quantized corpus — the quantified
