@@ -629,6 +629,40 @@ def test_normalize_text_rules(spark):
     assert all(r["fix"] for r in out2.collect())
 
 
+def test_normalize_text_fuzz_invariants(spark):
+    """Randomized invariants: normalized output contains no control
+    chars (except LF), no curly quotes/dashes/NBSP/ellipsis, no double
+    spaces, no space adjacent to LF, no 3+ LF runs, no leading/trailing
+    LF-or-space — and the chain is idempotent."""
+    import random
+
+    from akvorado_spark.operators.text import normalize_text
+
+    rng = random.Random(31)
+    pool = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + ["\t", "\n", "\r", "\x00", "\x07", "\x1b"]
+        + ["“", "”", "‘", "’", "–", "—", " ", "…", "ä", "日", "🙂"]
+    )
+    rows = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randrange(0, 120))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = df.select(
+        "i",
+        normalize_text(F.col("t")).alias("n"),
+    ).withColumn("n2", normalize_text(F.col("n")))
+    for r in out.collect():
+        n = r["n"]
+        assert n == r["n2"], r["i"]  # idempotent
+        assert not any(ord(c) < 32 and c != "\n" for c in n), r["i"]
+        assert not (set("“”‘’–—… ") & set(n)), r["i"]
+        assert "  " not in n and " \n" not in n and "\n " not in n, r["i"]
+        assert "\n\n\n" not in n, r["i"]
+        assert n == n.strip("\n "), r["i"]
+
+
 def test_redact_pii_stages(spark):
     from akvorado_spark.operators.text import redact_pii_stages
 

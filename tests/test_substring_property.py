@@ -124,6 +124,73 @@ def test_exact_substring_dedup_random_corpora(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_winnow_anchors_spark_vs_duckdb_random(spark):
+    """Cross-ENGINE fuzz of the winnowing rule: the DuckDB occ-CTE
+    replica (the exact SQL shape _ES_ORACLE uses: list_position-based
+    first-failure folds) agrees with Spark's substring_window_
+    occurrences on random and adversarial content — the oracle gate
+    only ever sees the fixed corpus; this pins the rule itself."""
+    import duckdb
+
+    from akvorado_spark.operators.dedup import substring_window_occurrences
+
+    W, S = 24, 7
+    rng = random.Random(99)
+    alpha = "abcdefgh XY.,!"
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 200)))
+        for _ in range(25)
+    ] + ["a" * 100, "ab" * 60, "".join(chr(33 + i % 90) for i in range(150))]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i, _ in rows)
+        + ") t(doc_id, text)",
+        [t for _, t in rows],
+    )
+    sql = f"""
+WITH dh AS (
+  SELECT doc_id, text,
+    list_transform(range(0, greatest(length(text) - {W} + 1, 0)), i ->
+        ascii(substr(text, CAST(i AS INT) + 1, 1)) * 3
+      + ascii(substr(text, CAST(i AS INT) + 2, 1)) * 5
+      + ascii(substr(text, CAST(i AS INT) + 3, 1)) * 7
+      + ascii(substr(text, CAST(i AS INT) + 4, 1)) * 11) AS hs
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, text, hs, CAST(t.i AS INT) AS i
+  FROM dh, unnest(range(0, len(hs))) AS t(i)
+)
+SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+      list_position(list_transform(
+        list_reverse(list_slice(hs, greatest(i - {S} + 2, 1), i)),
+        x -> x < hs[i + 1]), true) AS pb,
+      list_position(list_transform(
+        list_slice(hs, i + 2, least(i + {S}, len(hs))),
+        x -> x <= hs[i + 1]), true) AS pf
+    FROM pos
+)
+WHERE (CASE WHEN pb = 0 THEN {S} - 1 ELSE pb - 1 END)
+    + (CASE WHEN pf = 0 THEN {S} - 1 ELSE pf - 1 END)
+    >= {S} - 1
+ORDER BY doc_id, i
+"""
+    duck: dict[int, list[int]] = {i: [] for i, _ in rows}
+    for doc_id, i in con.execute(sql).fetchall():
+        duck[doc_id].append(i)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list[int]] = {i: [] for i, _ in rows}
+    for r in substring_window_occurrences(df, "text", "doc_id", W, S).collect():
+        got[r["doc_id"]].append(r["s"])
+    for i, t in rows:
+        assert sorted(got[i]) == duck[i], (i, t[:40])
+
+
 def test_bpe_random_corpora_match_reference(spark):
     from akvorado_spark.operators.bpe import train_bpe
     from tests.test_pipeline_ops import _py_bpe
