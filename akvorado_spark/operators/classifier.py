@@ -114,6 +114,42 @@ def logistic_score(df: DataFrame, model: LogisticModel, out_col: str = "quality_
     return df.withColumn(out_col, model.score_expr())
 
 
+MICRO = 1_000_000
+
+
+def sigmoid_decile_thresholds() -> list[int]:
+    """The 9 micro-logit cut points for score deciles: p ≥ k/10 ⟺
+    z ≥ logit(k/10), so a sigmoid's decile bucket is computable from
+    the INTEGER margin alone — σ itself never needs to be evaluated.
+    Fixed integer literals, identical in any engine that embeds them."""
+    return [round(math.log(k / (10 - k)) * MICRO) for k in range(1, 10)]
+
+
+def margin_micro(weights_micro: list[int], feature_cols: list[str]) -> Column:
+    """Integer-exact micro-logit margin ``w0 + Σ wj·xj`` over BIGINT
+    feature columns with micro fixed-point integer weights (index 0 =
+    bias).  This is the hash-gateable twin of
+    :meth:`LogisticModel.score_expr`: same linear form, but every term
+    is a 64-bit integer, so two engines agree bit-for-bit."""
+    z = F.lit(int(weights_micro[0])).cast("long")
+    for j, c in enumerate(feature_cols):
+        z = z + F.col(c).cast("long") * F.lit(int(weights_micro[j + 1])).cast(
+            "long"
+        )
+    return z
+
+
+def decile_from_margin(z_micro: Column) -> Column:
+    """Score decile (0..9) from the integer margin: the count of decile
+    thresholds at or below z.  Equals ``min(floor(10·σ(z/10⁶)), 9)``
+    everywhere except exactly on a threshold (where ties go up, and
+    both engines tie the same way because the comparison is integer)."""
+    b = F.lit(0)
+    for t in sigmoid_decile_thresholds():
+        b = b + (z_micro >= F.lit(t).cast("long")).cast("int")
+    return b
+
+
 def log_loss(df: DataFrame, model: LogisticModel, label_col: str) -> float:
     """Mean negative log-likelihood — the training objective, exposed
     so tests can assert descent."""

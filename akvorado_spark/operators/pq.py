@@ -142,7 +142,9 @@ def pq_train_codebooks(
     return books
 
 
-_CB_LIT_CACHE: dict = {}
+from akvorado_spark.functions.memo import LruMemo
+
+_CB_LIT_CACHE = LruMemo(maxsize=32)
 
 
 def _codebook_literal(book: list[list[int]]):
@@ -150,14 +152,16 @@ def _codebook_literal(book: list[list[int]]):
     hundreds of F.lit() nodes costs real driver time (py4j round trips)
     and the same books recur across encode/probe/table expressions and
     bench repeats.  Literal columns carry no expression ids, so one
-    Column tree is safely reusable anywhere in the session."""
+    Column tree is safely reusable anywhere in the session.  The memo
+    is a bounded LRU so a long-lived service retraining codebooks
+    doesn't accumulate expression trees forever."""
     key = tuple(tuple(int(v) for v in code) for code in book)
-    hit = _CB_LIT_CACHE.get(key)
-    if hit is None:
-        hit = _CB_LIT_CACHE[key] = F.array(
+    return _CB_LIT_CACHE.get_or_build(
+        key,
+        lambda: F.array(
             *[F.array(*[F.lit(int(v)) for v in code]) for code in book]
-        )
-    return hit
+        ),
+    )
 
 
 def _int_sqdist(a, b):
@@ -470,7 +474,9 @@ def pack_int4_words(
     embedding shuffle that fits and one that spills: the packed column
     is what ships through joins, the nibbles are unpacked on demand
     inside codegen (:func:`unpack_int4_words`).  Dim must be a
-    multiple of 8."""
+    multiple of 8 — enforced in the expression itself (``raise_error``
+    branch), so a 12-dim vector fails the job loudly instead of
+    silently dropping its last 4 nibbles."""
     words = F.transform(
         F.sequence(F.lit(0), (F.size(F.col(col)) / 8).cast("int") - 1),
         lambda j: sum(
@@ -481,7 +487,16 @@ def pack_int4_words(
             for t in range(8)
         ),
     )
-    return df.withColumn(out_col, words)
+    guarded = F.when(
+        F.size(F.col(col)) % 8 != 0,
+        F.raise_error(
+            F.concat(
+                F.lit("pack_int4_words: dim must be a multiple of 8, got "),
+                F.size(F.col(col)).cast("string"),
+            )
+        ),
+    ).otherwise(words)
+    return df.withColumn(out_col, guarded)
 
 
 def unpack_int4_words(
@@ -490,11 +505,25 @@ def unpack_int4_words(
     """Inverse of :func:`pack_int4_words`:
     ``q4[8j+t] = ((word_j mod 16^(t+1)) / 16^t) - 8``.  Words are
     non-negative (< 16^8), so the mod/divide pair is exact in 64-bit
-    integers on every engine."""
+    integers on every engine.  Mirrors :func:`pack_int4_words`'s
+    loud-failure guard: a word outside [0, 16^8) is corrupt input
+    (not something this packer produced) and raises instead of
+    decoding garbage nibbles."""
     nib = F.flatten(
         F.transform(
             F.col(col),
-            lambda w: F.array(
+            lambda w: F.when(
+                (w < 0) | (w >= F.lit(16**8)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "unpack_int4_words: word out of [0, 16^8): "
+                        ),
+                        w.cast("string"),
+                    )
+                ),
+            ).otherwise(
+                F.array(
                 *[
                     (
                         ((w % F.lit(16 ** (t + 1))) / F.lit(16**t)).cast("int")
@@ -502,6 +531,7 @@ def unpack_int4_words(
                     )
                     for t in range(8)
                 ]
+                )
             ),
         )
     )

@@ -81,8 +81,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 # literal plane Columns memoized on (kind, dim, out, seed[, micro]):
 # building hundreds of F.lit() nodes costs real driver time (py4j
 # round trips), the planes are deterministic, and literal columns are
-# reusable expression trees
-_PLANE_LIT_CACHE: dict = {}
+# reusable expression trees.  Bounded LRU: a long-lived service that
+# keeps re-deriving plane sets must not accumulate them forever.
+from akvorado_spark.functions.memo import LruMemo
+
+_PLANE_LIT_CACHE = LruMemo(maxsize=32)
 
 
 def suggest_planes(n_vectors: int, target_bucket: int = 64) -> int:
@@ -747,9 +750,9 @@ def project_embeddings_fixedpoint(
     carries over; the float variant stays the production path."""
     planes = _hyperplanes(dim, out_dim, seed=seed)
     key = ("fixedpoint", dim, out_dim, seed, micro)
-    arrs = _PLANE_LIT_CACHE.get(key)
-    if arrs is None:
-        arrs = _PLANE_LIT_CACHE[key] = [
+    arrs = _PLANE_LIT_CACHE.get_or_build(
+        key,
+        lambda: [
             F.array(
                 *[
                     F.lit(int(round(float(x) * micro))).cast("long")
@@ -757,7 +760,8 @@ def project_embeddings_fixedpoint(
                 ]
             )
             for plane in planes
-        ]
+        ],
+    )
     comps = []
     for arr in arrs:
         d = F.aggregate(

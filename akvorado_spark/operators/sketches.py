@@ -35,20 +35,27 @@ def corpus_sketch_stats(
     One shuffle to the group grain; token explosion stays map-side
     before the partial aggregate (hll_sketch_agg has a partial-merge
     implementation, so each task ships ONE sketch per group, not its
-    token stream)."""
+    token stream).  Chars are attached to the position-0 row of each
+    doc's explosion (posexplode) so the per-doc length is added exactly
+    once — summing it on every token row would overcount by the token
+    count."""
     toks = df.select(
         *group_cols,
         F.col(id_col),
         F.length(text_col).alias("__chars"),
-        F.explode_outer(
+        F.posexplode_outer(
             F.filter(
                 F.split(F.lower(F.col(text_col)), r"\s+"),
                 lambda w: w != "",
             )
-        ).alias("__tok"),
+        ).alias("__pos", "__tok"),
     )
+    first_row = F.col("__pos").isNull() | (F.col("__pos") == 0)
     return toks.groupBy(*group_cols).agg(
         F.countDistinct(id_col).alias("n_docs"),
+        F.sum(
+            F.when(first_row, F.col("__chars")).otherwise(F.lit(0))
+        ).alias("n_chars"),
         F.count("__tok").alias("n_tokens"),
         F.hll_sketch_agg("__tok", F.lit(lg_k)).alias("token_sketch"),
         F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("doc_sketch"),
@@ -66,6 +73,7 @@ def merge_sketch_stats(
     (read now)."""
     aggs = [
         F.sum("n_docs").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
         F.sum("n_tokens").alias("n_tokens"),
         F.hll_union_agg("token_sketch").alias("token_sketch"),
         F.hll_union_agg("doc_sketch").alias("doc_sketch"),

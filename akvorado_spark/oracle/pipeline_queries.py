@@ -696,10 +696,11 @@ register("text_fingerprint", _text_fingerprint, _fingerprint_oracle())
 # ---------------------------------------------------------------------------
 
 
-def _ann_bruteforce(spark, sf_dir):
+def _ann_bruteforce(spark, sf_dir, vecs=None):
     from akvorado_spark.operators.similarity import brute_force_topk
 
-    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
+    if vecs is None:
+        vecs = load_table(spark, "embeddings", sf_dir, spread=True)
     queries = (
         vecs.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -725,17 +726,15 @@ SELECT q_id, rank, vec_id, sim FROM (
 ) WHERE rank <= 5 ORDER BY q_id, rank
 """
 
-register("ann_bruteforce_topk", _ann_bruteforce, _ANN_ORACLE)
-
-
 # IVF ANN: with nprobe = every cell the probe degenerates to exact
 # brute force, so the full IVF machinery (assignment, probe selection,
 # in-cell ranking) is certified against the same SQL oracle; smaller
 # nprobe (the production path) is covered by recall tests in pytest.
-def _ann_ivf(spark, sf_dir):
+def _ann_ivf(spark, sf_dir, vecs=None):
     from akvorado_spark.operators.similarity import ivf_topk, seed_centroids
 
-    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
+    if vecs is None:
+        vecs = load_table(spark, "embeddings", sf_dir, spread=True)
     queries = (
         vecs.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -743,9 +742,6 @@ def _ann_ivf(spark, sf_dir):
     cents = seed_centroids(vecs, 4)
     out = ivf_topk(vecs.filter(F.col("vec_id") >= 3), queries, cents, k=5, nprobe=4)
     return out.select("q_id", "rank", "vec_id", "sim")
-
-
-register("ann_ivf_topk", _ann_ivf, _ANN_ORACLE)
 
 
 # embedding near-dup pairs: LSH-bucketed in Spark; DuckDB verifies the
@@ -1253,10 +1249,11 @@ def _lsh_planes():
     return _hyperplanes(64, _LSH_PLANES, seed=42)
 
 
-def _ann_lsh(spark, sf_dir):
+def _ann_lsh(spark, sf_dir, vecs=None):
     from akvorado_spark.operators.similarity import lsh_topk
 
-    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
+    if vecs is None:
+        vecs = load_table(spark, "embeddings", sf_dir, spread=True)
     queries = (
         vecs.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -1307,7 +1304,51 @@ SELECT q_id, rank, vec_id, sim FROM (
 """
 
 
-register("ann_lsh_topk", _ann_lsh, _ann_lsh_oracle())
+def _ann_suite(spark, sf_dir):
+    """Three ANN strategies over ONE shared narrow source, each member
+    individually hash-gated by its ``variant`` tag:
+
+    - ``bf``  exact brute-force cosine top-k (the recall ceiling),
+    - ``ivf`` IVF with nprobe = all cells (degenerates to exact, which
+      certifies assignment + probe selection + in-cell ranking),
+    - ``lsh`` hyperplane-bucketed search re-ranked by exact cosine
+      inside the bucket (identical literal planes in both engines).
+
+    Folded from three standalone registry entries in r9 to free driver
+    query-budget slots; the per-member plans are unchanged."""
+    vecs = load_table(spark, "embeddings", sf_dir, spread=True)
+    members = (
+        ("bf", _ann_bruteforce),
+        ("ivf", _ann_ivf),
+        ("lsh", _ann_lsh),
+    )
+    out = None
+    for tag, fn in members:
+        part = fn(spark, sf_dir, vecs=vecs).select(
+            F.lit(tag).alias("variant"), "q_id", "rank", "vec_id", "sim"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("variant", "q_id", "rank")
+
+
+def _ann_suite_oracle() -> str:
+    def tag(sql: str, t: str) -> str:
+        # each member oracle ends "SELECT q_id, rank, vec_id, sim FROM
+        # (...) WHERE ... ORDER BY ..." — wrap it, drop the inner sort
+        body = sql.rsplit("ORDER BY", 1)[0]
+        return f"SELECT '{t}' AS variant, * FROM ({body})"
+
+    return (
+        tag(_ANN_ORACLE, "bf")
+        + " UNION ALL "
+        + tag(_ANN_ORACLE, "ivf")
+        + " UNION ALL "
+        + tag(_ann_lsh_oracle(), "lsh")
+        + " ORDER BY variant, q_id, rank"
+    )
+
+
+register("ann_suite", _ann_suite, _ann_suite_oracle())
 
 
 # Document chunking: overlapping token windows (pretraining prep).

@@ -40,23 +40,39 @@ def read_jsonl(
     rows that fail to parse (or type-mismatch) land intact in the
     quarantine frame for inspection/repair instead of aborting the
     read — the only sane failure mode when one bad line hides in a
-    multi-TB shard set."""
+    multi-TB shard set.
+
+    Scale shape: the parse goes ``read.text`` → ``from_json`` rather
+    than the native json reader.  Spark refuses to filter on the
+    corrupt column of a raw json file scan
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) and the documented cache()
+    workaround re-materializes the ENTIRE corpus to executor storage
+    before the first filter — a non-starter on a 100 TB shard set.
+    ``from_json`` over a text scan has identical PERMISSIVE semantics
+    (verified against the native reader in tests: same corrupt capture
+    for malformed lines, type mismatches, and non-object values; empty
+    lines are dropped like the native reader skips them) but its
+    corrupt field is an ordinary filterable column, so each returned
+    frame is one lazy single-scan plan — nothing is pinned, nothing to
+    unpersist."""
     full = T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())])
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
+    parsed = spark.read.text(path).select(
+        F.from_json(
+            "value",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("__j"),
+        F.col("value"),
     )
-    # Spark refuses to filter on the corrupt column of a raw file scan
-    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented recipe is to
-    # cache the parsed frame first.  The cache holds the parsed columns
-    # only (MEMORY_AND_DISK spills gracefully); for multi-TB loads,
-    # split the pipeline instead: write good/bad once, then read back.
-    df = df.cache()
-    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    bad = df.filter(F.col(_CORRUPT).isNotNull()).select(
-        F.col(_CORRUPT).alias("raw_line")
+    good = (
+        parsed.filter(
+            F.col("__j").isNotNull() & F.col(f"__j.{_CORRUPT}").isNull()
+        )
+        .select("__j.*")
+        .drop(_CORRUPT)
+    )
+    bad = parsed.filter(F.col(f"__j.{_CORRUPT}").isNotNull()).select(
+        F.col("value").alias("raw_line")
     )
     return good, bad
 

@@ -715,6 +715,44 @@ def test_int4_quantize_pack_unpack_roundtrip(spark):
         assert r["q4_rt"] == r["q4"], r["vec_id"]
 
 
+def test_int4_pack_rejects_non_multiple_of_8_dims(spark):
+    """dim % 8 != 0 must FAIL LOUDLY, not silently truncate: a 12-dim
+    q4 vector raises in the packing expression (for every odd length
+    tried), and the error names the offending size."""
+    import pytest
+
+    from akvorado_spark.operators.pq import pack_int4_words
+
+    for dim in (1, 7, 9, 12, 15, 63):
+        df = spark.createDataFrame(
+            [([i % 16 - 8 for i in range(dim)],)], "q4 array<int>"
+        )
+        with pytest.raises(Exception, match="multiple of 8"):
+            pack_int4_words(df).collect()
+    # and the happy path through the same guard still packs
+    ok = spark.createDataFrame(
+        [([i % 16 - 8 for i in range(16)],)], "q4 array<int>"
+    )
+    rows = pack_int4_words(ok).collect()
+    assert len(rows[0]["q4w"]) == 2
+
+
+def test_int4_unpack_rejects_out_of_range_words(spark):
+    """unpack mirrors the guard: a word outside [0, 16^8) is corrupt
+    input and raises instead of decoding garbage nibbles."""
+    import pytest
+
+    from akvorado_spark.operators.pq import unpack_int4_words
+
+    for bad in (-1, 16**8, 16**8 + 5):
+        df = spark.createDataFrame([([bad],)], "q4w array<long>")
+        with pytest.raises(Exception, match="out of"):
+            unpack_int4_words(df).collect()
+    ok = spark.createDataFrame([([0, 16**8 - 1],)], "q4w array<long>")
+    rows = unpack_int4_words(ok).collect()
+    assert rows[0]["q4"] == [-8] * 8 + [7] * 8
+
+
 def test_ann_index_partition_pruning(spark, tmp_path):
     """The persisted IVF-PQ index prunes unprobed cells at the
     DIRECTORY level: the probe filter appears in PartitionFilters and

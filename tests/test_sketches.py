@@ -51,6 +51,37 @@ def test_sketch_estimates_within_error(spark):
         assert r["n_docs"] == ed  # the exact adds really are exact
 
 
+def test_sketch_exact_chars_counted_once_per_doc(spark):
+    """n_chars is the per-doc length summed ONCE per doc — not once per
+    token (the overcount an explode-then-sum would produce), and empty
+    docs still contribute their (zero) length through the outer
+    explode."""
+    from akvorado_spark.operators.sketches import (
+        corpus_sketch_stats,
+        merge_sketch_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    per = {
+        (r["lang"], r["source"]): r["n_chars"]
+        for r in corpus_sketch_stats(docs).collect()
+    }
+    exact = {
+        (r["lang"], r["source"]): r["c"]
+        for r in docs.groupBy("lang", "source")
+        .agg(F.sum(F.length("text")).alias("c"))
+        .collect()
+    }
+    assert per == exact
+    # an empty-text doc flows through posexplode_outer's null row
+    tiny = spark.createDataFrame(
+        [("a", "s", 1, ""), ("a", "s", 2, "x y x")],
+        "lang string, source string, doc_id long, text string",
+    )
+    row = merge_sketch_stats(corpus_sketch_stats(tiny)).first()
+    assert row["n_chars"] == 5 and row["n_docs"] == 2 and row["n_tokens"] == 3
+
+
 def test_sketch_merge_equals_whole_corpus_pass(spark):
     """Sketches built shard-by-shard and unioned give the same global
     estimate as sketches built in one pass — the property that lets a

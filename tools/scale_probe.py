@@ -32,7 +32,7 @@ HEADLINE = [
     "dedup_pipeline_suite",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_ivf_topk",
+    "ann_suite",
     "embed_neardup_pairs",
     "events_sessionize",
     "events_ops_suite",
