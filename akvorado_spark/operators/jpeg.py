@@ -1,0 +1,527 @@
+"""Pure-stdlib baseline JPEG (ITU-T T.81) codec: full pixel decode.
+
+The last stubbed multimodal pixel path, made REAL the way
+``operators/png.py`` and ``operators/wav.py`` were: no codec library
+exists in this container, but baseline sequential DCT JPEG is a public
+spec — marker parse, canonical Huffman, dequantize, 8×8 IDCT, chroma
+upsample, YCbCr→RGB — all expressible with struct + numpy.
+
+Scope (and what raises): baseline DCT (SOF0), 8-bit precision, 1 or 3
+components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 via
+replication upsample), restart markers honored.  Progressive (SOF2),
+arithmetic coding, 12-bit, and hierarchical modes raise ValueError —
+they are different entropy pipelines, not missing glue.
+
+The Spark-side plumbing is the same as PNG: per-image python kernels
+inside Arrow-batched ``mapInPandas`` (operators/multimodal.py), so
+decode parallelism is batch-level, which is the right grain for a
+binary column at 100 TB.
+
+Exactness lever used by the oracle gate: an image whose 8×8 blocks are
+each UNIFORM has DC-only DCT blocks; with all-ones quantization tables
+the decoder's float IDCT output is DC/8 (a power-of-two division —
+exact in binary floating point), so block-uniform grayscale images
+round-trip bit-exactly and DuckDB can predict every decoded pixel with
+integer arithmetic (see ``oracle/pipeline_queries.py`` jpeg member).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag scan order (T.81 figure 5): index -> (row, col)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard Huffman tables (T.81 Annex K.3) — used by the encoder;
+# the decoder reads whatever DHT carries
+_STD_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_LUM_VALS = list(range(12))
+_STD_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _idct_matrix() -> np.ndarray:
+    """8×8 orthonormal DCT-III basis: out = M.T @ coeffs @ M recovers
+    samples from T.81 coefficients (which use the same normalization:
+    S = (1/4) C(u)C(v) Σ ... ⇔ orthonormal 2-D DCT)."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+_IDCT_M = _idct_matrix()
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _IDCT_M.T @ block @ _IDCT_M
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _IDCT_M @ block @ _IDCT_M.T
+
+
+class _HuffTable:
+    """Canonical Huffman decode table from DHT's (BITS, HUFFVAL)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        # encoder side: value -> (code, length)
+        self.encode: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.encode[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs FF 00, stops at markers,
+    and resyncs past RSTn on request."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                # spec-legal padding at the tail of the last interval
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                # a real marker: pad with 1-bits, leave pos on the marker
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            hit = table.lookup.get((length, code))
+            if hit is not None:
+                return hit
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker between intervals."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        # skip to the marker (tolerate pad bytes)
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d) or d[self.pos + 1] != 0xD0 + (n & 7):
+            raise ValueError("missing restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t-bit magnitude v to signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def is_baseline_jpeg(data: bytes) -> bool:
+    return len(data) >= 2 and data[:2] == b"\xff\xd8"
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Baseline JPEG bytes → (width, height, channels, HxWxC uint8).
+
+    Grayscale returns C=1 (no color transform); 3-component images are
+    converted BT.601 YCbCr→RGB with round-half-up and clamp, chroma
+    upsampled by replication.  Cites the reference's codec-boundary
+    treatment of opaque media columns (inlet stores bytes; decode is a
+    consumer concern) — here decode IS implemented, spec-level."""
+    if not is_baseline_jpeg(data):
+        raise ValueError("not a JPEG (bad signature)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        body = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                z = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    z[ZIGZAG[k]] = tbl[k]
+                qt[tq] = z.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec} (baseline is 8)")
+            comps = []
+            for c in range(ncomp):
+                cid, sv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append((cid, sv >> 4, sv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode SOF{marker - 0xC0} (baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            return _decode_scan(
+                data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seg_len
+    raise ValueError("JPEG without SOS/entropy data")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for cid, hs, vs, _tq in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+    tabs = {cs: (td, ta) for cs, td, ta in scan}
+    rd = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rd.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, hs, vs, tq in comps:
+                td, ta = tabs[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.zeros(64, dtype=np.int64)
+                        t = rd.decode_huff(huff_dc[td])
+                        diff = _extend(rd.read_bits(t), t)
+                        pred[cid] += diff
+                        blk[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode_huff(huff_ac[ta])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(rd.read_bits(s), s)
+                            k += 1
+                        co = np.zeros((8, 8), dtype=np.float64)
+                        for i in range(64):
+                            co[ZIGZAG[i] // 8, ZIGZAG[i] % 8] = blk[i]
+                        co *= qt[tq]
+                        px = _idct2(co)
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    # upsample (replication) + crop + level shift
+    out_planes = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_planes.append(p[:h, :w] + 128.0)
+    if len(out_planes) == 1:
+        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# minimal baseline encoder (fixtures/tests — grayscale or 4:4:4 color)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _enc_block(bw, blk_z, pred, dc_tab, ac_tab):
+    diff = int(blk_z[0]) - pred
+    t = _category(diff)
+    code, ln = dc_tab.encode[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk_z[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(blk_z[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab.encode[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tab.encode[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab.encode[0x00]
+        bw.write(code, ln)
+    return int(blk_z[0])
+
+
+def jpeg_encode_baseline(
+    pixels: np.ndarray, quant: np.ndarray | int = 1,
+    restart_interval: int = 0,
+    subsample: bool = False,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB, encoded YCbCr) uint8 →
+    baseline JPEG bytes.  ``quant`` is an 8×8 table or a scalar
+    (all-entries constant); quant=1 makes block-uniform inputs decode
+    bit-exactly (the oracle-gate lever — see module docstring).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's resync path).  ``subsample`` encodes
+    color as 4:2:0 (2×2-averaged chroma — exercises the decoder's
+    multi-block MCU + replication-upsample path) instead of 4:4:4."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("grayscale or RGB only")
+    if subsample and nc != 3:
+        raise ValueError("subsample applies to color images")
+    q = np.full((8, 8), int(quant), dtype=np.int32) if np.isscalar(quant) else np.asarray(quant, dtype=np.int32)
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quant entries must be in [1, 255]")
+
+    if nc == 3:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        chans = [y, cb, cr]
+        if subsample:
+            # pad to even dims by edge replication, then 2×2-average
+            def half(p):
+                pe = np.pad(
+                    p, ((0, h % 2), (0, w % 2)), mode="edge"
+                )
+                return (
+                    pe[0::2, 0::2] + pe[1::2, 0::2]
+                    + pe[0::2, 1::2] + pe[1::2, 1::2]
+                ) / 4.0
+
+            chans = [y, half(cb), half(cr)]
+    else:
+        chans = [px[:, :, 0].astype(np.float64)]
+
+    dc_tab = _HuffTable(_STD_DC_LUM_BITS, _STD_DC_LUM_VALS)
+    ac_tab = _HuffTable(_STD_AC_LUM_BITS, _STD_AC_LUM_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    # DQT (one shared table, id 0)
+    zz = bytes(int(q[ZIGZAG[k] // 8, ZIGZAG[k] % 8]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz
+    samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * nc
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        hs, vs = samps[c]
+        sof += struct.pack(">BBB", c + 1, (hs << 4) | vs, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT (shared DC id 0 + AC id 0)
+    dht = bytes([0x00]) + bytes(_STD_DC_LUM_BITS) + bytes(_STD_DC_LUM_VALS)
+    dht += bytes([0x10]) + bytes(_STD_AC_LUM_BITS) + bytes(_STD_AC_LUM_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    hmax = max(hs for hs, _ in samps)
+    vmax = max(vs for _, vs in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    preds = [0] * nc
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * nc
+            mcu_count += 1
+            for c, plane in enumerate(chans):
+                hs, vs = samps[c]
+                ph, pw = plane.shape
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        # edge replication keeps padded blocks uniform
+                        # when the source block is uniform
+                        yi = np.clip(np.arange(y0, y0 + 8), 0, ph - 1)
+                        xi = np.clip(np.arange(x0, x0 + 8), 0, pw - 1)
+                        blk = plane[np.ix_(yi, xi)]
+                        co = _fdct2(blk - 128.0)
+                        zq = np.zeros(64, dtype=np.int64)
+                        for k in range(64):
+                            r, cc = ZIGZAG[k] // 8, ZIGZAG[k] % 8
+                            zq[k] = int(np.round(co[r, cc] / q[r, cc]))
+                        preds[c] = _enc_block(bw, zq, preds[c], dc_tab, ac_tab)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

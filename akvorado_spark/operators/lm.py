@@ -29,13 +29,29 @@ from pyspark.sql import functions as F
 from akvorado_spark.operators.text import words
 
 
-def doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def doc_bigrams(
+    df: DataFrame, text_col: str, id_col: str, key_fn=None
+) -> DataFrame:
     """Explode each document into (id, w1, w2) word-bigram rows.
 
     zip_with over two shifted slices — no element_at, no per-index
     rewalk, safe for 0/1-token documents (they produce no rows).
-    """
+
+    ``key_fn`` (word Column → key Column) hashes each token ONCE in
+    the projected array before pairing, so everything downstream —
+    count-table groupBys, scoring joins — shuffles 8-byte keys instead
+    of word strings.  At corpus scale the bigram stream is the whole
+    token stream twice over; keying it is the difference between a
+    string shuffle that dwarfs the scan and one ~5× smaller.  Identity
+    (None) keeps exact strings; xxhash64 is the production key; the
+    oracle gate uses the portable md5-prefix so DuckDB groups the very
+    same integers (a 56-bit collision would merge the same pair of
+    bigrams in BOTH engines, so the replay stays exact)."""
     ws = words(F.col(text_col))
+    elem_t = "string"
+    if key_fn is not None:
+        ws = F.transform(ws, key_fn)
+        elem_t = "bigint"
     m = F.greatest(F.size(ws) - 1, F.lit(1))
     pairs = F.zip_with(
         F.slice(ws, 1, m),
@@ -43,7 +59,7 @@ def doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     grams = F.when(F.size(ws) >= 2, pairs).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
+        F.array().cast(f"array<struct<w1:{elem_t},w2:{elem_t}>>")
     )
     return df.select(F.col(id_col), F.explode(grams).alias("b")).select(
         id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
@@ -69,6 +85,7 @@ def bigram_lm_scores(
     text_col: str,
     id_col: str,
     lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    key_fn=None,
 ) -> DataFrame:
     """Per-document LM score: (id, n_bigrams, lp_micro) where lp_micro
     is the sum of per-bigram ``round(ln(P(w2|w1))·1e6)`` micro-nat
@@ -83,8 +100,11 @@ def bigram_lm_scores(
     per-document partial aggregate.  Unknown contexts cannot occur in
     the self-trained setup; under a foreign LM the joins are left joins
     with c→0 fallbacks so OOV bigrams get the smoothed floor.
-    """
-    bg = doc_bigrams(df, text_col, id_col)
+
+    ``key_fn`` keys the whole pipeline on word hashes instead of word
+    strings (see :func:`doc_bigrams`) — pass the same key_fn used to
+    build an external ``lm``."""
+    bg = doc_bigrams(df, text_col, id_col, key_fn=key_fn)
     c12, c1, v = lm if lm is not None else train_bigram_lm(bg)
     p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0)) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")

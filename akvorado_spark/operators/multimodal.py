@@ -119,9 +119,11 @@ def decode_image(
                                      len(img.getbands()), img.format))
                     except ImportError as e:
                         raise NotImplementedError(
-                            "non-PNG image decode needs Pillow/libvips; "
-                            "not in this container — PNG decodes natively, "
-                            "or pass fake=True for the deterministic stub"
+                            "GIF/BMP/WebP pixel decode needs Pillow/"
+                            "libvips; not in this container — PNG and "
+                            "baseline JPEG decode natively (operators/"
+                            "png.py, operators/jpeg.py), or pass "
+                            "fake=True for the deterministic stub"
                         ) from e
                 yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "channels", "format"])
 
@@ -141,14 +143,22 @@ def image_features(
     resize_to: tuple[int, int] | None = None,
     target_rows_per_batch: int = 256,
 ) -> DataFrame:
-    """PNG media → per-channel mean/std feature rows (the
+    """PNG/baseline-JPEG media → per-channel mean/std feature rows (the
     feature-extract stage of a multimodal pipeline), optionally after a
     deterministic nearest-neighbor resize.  Pure stdlib+numpy; runs in
     Arrow-batched workers, binaries never reach the driver."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from akvorado_spark.operators.png import png_decode, resize_nearest
+        from akvorado_spark.operators.jpeg import (
+            is_baseline_jpeg,
+            jpeg_decode,
+        )
+        from akvorado_spark.operators.png import (
+            is_png,
+            png_decode,
+            resize_nearest,
+        )
 
         def slices():
             for whole in batches:
@@ -158,7 +168,16 @@ def image_features(
         for pdf in slices():
             rows = []
             for _, r in pdf.iterrows():
-                w, h, ch, px = png_decode(bytes(r[media_col]))
+                blob = bytes(r[media_col])
+                if is_png(blob):
+                    w, h, ch, px = png_decode(blob)
+                elif is_baseline_jpeg(blob):
+                    w, h, ch, px = jpeg_decode(blob)
+                else:
+                    raise ValueError(
+                        "image_features: unsupported image container "
+                        "(PNG and baseline JPEG decode natively)"
+                    )
                 if resize_to is not None:
                     px = resize_nearest(px, *resize_to)
                     h, w = px.shape[0], px.shape[1]

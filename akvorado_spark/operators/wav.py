@@ -48,6 +48,14 @@ def wav_meta(data: bytes) -> tuple[int, int, int, int, int]:
     tag, channels, rate, _byte_rate, block_align, bits = fmt
     if channels == 0 or block_align == 0:
         raise ValueError("zero channels or block align")
+    if tag == 1 and block_align != channels * ((bits + 7) // 8):
+        # a padded/malformed PCM block_align would make this n_frames
+        # disagree with wav_decode's per-channel sample counts — the
+        # meta/decode agreement invariant the docstring promises
+        raise ValueError(
+            f"PCM block_align {block_align} != channels*bytes-per-sample "
+            f"{channels * ((bits + 7) // 8)}"
+        )
     return channels, rate, bits, data_len // block_align, tag
 
 

@@ -1525,7 +1525,58 @@ def _multimodal_meta(spark, sf_dir):
         run_wav, "variant string, doc_id long, width int, height int, "
         "channels int, format string, pix_sum long"
     )
-    return fake.unionByName(png).unionByName(wav).orderBy("variant", "doc_id")
+
+    # REAL JPEG variant (r9): block-uniform grayscale images through the
+    # pure-stdlib baseline codec — with all-ones quant tables a
+    # DC-only block's IDCT is an exact power-of-two division, so the
+    # full marker-parse → Huffman → dequant → IDCT path reconstructs
+    # every pixel bit-exactly and DuckDB replays the pixel sum with
+    # integer arithmetic.  restart_interval varies per doc (0/1/2) so
+    # the RSTn resync path is inside the gate too.
+    def run_jpeg(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from akvorado_spark.operators.jpeg import (
+            jpeg_decode,
+            jpeg_encode_baseline,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw_, bh_ = d % 3 + 1, d % 2 + 1
+                px = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+                for by in range(bh_):
+                    for bx in range(bw_):
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            d * 11 + 23 * by + 29 * bx
+                        ) % 256
+                blob = jpeg_encode_baseline(
+                    px, quant=1, restart_interval=d % 3
+                )
+                ww, hh, ch, got = jpeg_decode(blob)
+                rows.append((
+                    "jpeg", d, ww, hh, ch, "JPEG",
+                    int(got.astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "doc_id", "width", "height",
+                         "channels", "format", "pix_sum"],
+            )
+
+    jpg = docs.select("doc_id").mapInPandas(
+        run_jpeg, "variant string, doc_id long, width int, height int, "
+        "channels int, format string, pix_sum long"
+    )
+    return (
+        fake.unionByName(png)
+        .unionByName(wav)
+        .unionByName(jpg)
+        .orderBy("variant", "doc_id")
+    )
 
 
 IMAGE_META_SCHEMA_SQL = (
@@ -1567,6 +1618,18 @@ FROM (
   WHERE {_MM_SAMPLE}
     AND c.i < d.doc_id % 2 + 1 AND i.i < d.doc_id % 6 + 2
 ) d
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'jpeg' AS variant, d.doc_id,
+       CAST((d.doc_id % 3 + 1) * 8 AS INT) AS width,
+       CAST((d.doc_id % 2 + 1) * 8 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       'JPEG' AS format,
+       CAST(SUM(64 * ((d.doc_id * 11 + 23 * by.i + 29 * bx.i) % 256)) AS BIGINT) AS pix_sum
+FROM documents d,
+     generate_series(0, 2) bx(i), generate_series(0, 1) by(i)
+WHERE {_MM_SAMPLE}
+  AND bx.i < d.doc_id % 3 + 1 AND by.i < d.doc_id % 2 + 1
 GROUP BY d.doc_id
 ORDER BY variant, doc_id"""
 

@@ -398,6 +398,7 @@ def streaming_duplicate_windows(
     id_col: str = "doc_id",
     window: int = 40,
     stride: int = 10,
+    ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Cross-micro-batch exact-substring duplicate detection: each
     arriving document's content-anchored windows are checked against
@@ -418,9 +419,17 @@ def streaming_duplicate_windows(
 
     State grows with DISTINCT window contents seen (16 B each) — the
     inherent memory of global substring dedup.  For an unbounded
-    stream, bound it: run the batch job over closed partitions (state
-    is free — recomputed per run), or shorten the horizon with a state
-    TTL (GroupStateTimeout) accepting misses across expired windows.
+    stream, bound it with ``ttl_seconds``: each window content's owner
+    entry lives a sliding processing-time TTL (refreshed whenever the
+    content recurs) and is REMOVED on expiry, so state size tracks the
+    horizon's distinct contents, not the stream's lifetime.  The error
+    direction is documented misses only: a duplicate of an EXPIRED
+    content re-admits (a fresh owner is crowned, earlier copies are
+    forgotten), while in-horizon duplicates — including across
+    checkpoint restarts — still suppress exactly.  ``None`` (default)
+    keeps the unbounded exact behavior; the other bounding strategy is
+    running the batch job over closed partitions (state is free —
+    recomputed per run).
     """
     from akvorado_spark.operators.dedup import substring_window_occurrences
 
@@ -436,6 +445,11 @@ def streaming_duplicate_windows(
     def fn(
         key_val, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_seconds is not None and state.hasTimedOut:
+            # expiry: forget this content's owner entirely — the next
+            # arrival re-admits and crowns a fresh owner (miss-only)
+            state.remove()
+            return
         owner = int(state.get[0]) if state.exists else None
         if owner is None:
             # First micro-batch to present this content: the owner is
@@ -458,11 +472,19 @@ def streaming_duplicate_windows(
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "s"])
         state.update((owner,))
+        if ttl_seconds is not None:
+            # sliding TTL: every arrival of this content refreshes the
+            # deadline; silent contents expire ttl_seconds later
+            state.setTimeoutDuration(int(ttl_seconds * 1000))
 
     return keyed.groupBy("__k").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType="owner long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_seconds is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

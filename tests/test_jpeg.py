@@ -1,0 +1,156 @@
+"""Pure-stdlib baseline JPEG codec (operators/jpeg.py): exactness on
+the DC-only construction the oracle gate uses, lossy-roundtrip bounds,
+4:2:0 and restart-marker coverage, and loud failures on unsupported
+modes."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from akvorado_spark.operators.jpeg import (
+    is_baseline_jpeg,
+    jpeg_decode,
+    jpeg_encode_baseline,
+)
+
+
+def _block_uniform(d: int) -> np.ndarray:
+    bw, bh = d % 3 + 1, d % 2 + 1
+    px = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                d * 11 + 23 * by + 29 * bx
+            ) % 256
+    return px
+
+
+def test_block_uniform_grayscale_is_bit_exact():
+    """DC-only blocks with all-ones quant decode EXACTLY (the oracle
+    gate's lever): IDCT of a lone DC is a power-of-two division."""
+    for d in range(30):
+        px = _block_uniform(d)
+        w, h, ch, got = jpeg_decode(jpeg_encode_baseline(px, quant=1))
+        assert (w, h, ch) == (px.shape[1], px.shape[0], 1)
+        assert (got[:, :, 0] == px).all(), d
+
+
+def test_random_grayscale_roundtrip_within_rounding():
+    """quant=1 keeps every coefficient; the only loss is FDCT/IDCT
+    float rounding — at most 1 level per pixel on random content."""
+    rng = np.random.default_rng(7)
+    for dims in ((8, 8), (24, 40), (17, 23), (1, 1), (9, 64)):
+        px = rng.integers(0, 256, dims, dtype=np.uint8)
+        w, h, ch, got = jpeg_decode(jpeg_encode_baseline(px, quant=1))
+        assert (w, h) == (dims[1], dims[0])
+        assert np.abs(got[:, :, 0].astype(int) - px.astype(int)).max() <= 1
+
+
+def test_rgb_444_roundtrip():
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    w, h, ch, got = jpeg_decode(jpeg_encode_baseline(px, quant=1))
+    assert (w, h, ch) == (19, 17, 3)
+    # color transform adds one more rounding hop each way
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_rgb_420_subsampled_roundtrip():
+    """4:2:0 exercises the multi-block MCU + replication upsample: a
+    smooth-chroma image survives within subsampling error, and
+    constant-chroma content recovers its Y plane within rounding."""
+    yy, xx = np.meshgrid(np.arange(33), np.arange(41), indexing="ij")
+    smooth = np.stack(
+        [(100 + yy + xx) % 256, (80 + 2 * yy) % 256, (60 + 2 * xx) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    w, h, ch, got = jpeg_decode(
+        jpeg_encode_baseline(smooth, quant=1, subsample=True)
+    )
+    assert (w, h, ch) == (41, 33, 3)
+    assert np.abs(got.astype(int) - smooth.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(9)
+    gray3 = np.stack([rng.integers(0, 256, (16, 16), dtype=np.uint8)] * 3, axis=2)
+    _, _, _, got = jpeg_decode(
+        jpeg_encode_baseline(gray3, quant=1, subsample=True)
+    )
+    assert np.abs(got.astype(int) - gray3.astype(int)).max() <= 2
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(10)
+    px = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    plain = jpeg_decode(jpeg_encode_baseline(px, quant=1))[3]
+    for ri in (1, 2, 3, 7):
+        blob = jpeg_encode_baseline(px, quant=1, restart_interval=ri)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        got = jpeg_decode(blob)[3]
+        # restarts change the stream layout, not the decoded pixels
+        assert (got == plain).all(), ri
+
+
+def test_lossy_quantization_is_sane():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    got = jpeg_decode(jpeg_encode_baseline(px, quant=16))[3]
+    err = np.abs(got[:, :, 0].astype(int) - px.astype(int))
+    assert err.mean() < 16  # well inside the quant step
+
+
+def test_unsupported_modes_raise():
+    px = _block_uniform(1)
+    blob = bytearray(jpeg_encode_baseline(px, quant=1))
+    # flip SOF0 -> SOF2 (progressive): a different entropy pipeline
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        jpeg_decode(bytes(blob))
+    with pytest.raises(ValueError, match="signature"):
+        jpeg_decode(b"\x89PNG not a jpeg")
+    assert not is_baseline_jpeg(b"\x00\x00")
+    with pytest.raises(ValueError, match="quant"):
+        jpeg_encode_baseline(px, quant=0)
+    # 12-bit precision is not baseline
+    blob = bytearray(jpeg_encode_baseline(px, quant=1))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        jpeg_decode(bytes(blob))
+
+
+def test_encode_golden_is_stable():
+    """The encoder is deterministic byte-for-byte — a changed Huffman
+    table, zigzag order, or DCT normalization shows up here before it
+    shows up as a cross-engine mystery."""
+    px = _block_uniform(5)
+    blob = jpeg_encode_baseline(px, quant=1, restart_interval=2)
+    assert hashlib.md5(blob).hexdigest() == _GOLDEN_MD5, (
+        "encoder bytes changed — if intentional, re-pin the golden"
+    )
+    w, h, ch, got = jpeg_decode(blob)
+    assert (got[:, :, 0] == px).all()
+
+
+# pinned from the first verified build of the codec (decode verified
+# bit-exact against the block-uniform construction above)
+_GOLDEN_MD5 = "8b791071f1e7058ec743f915b23814c0"
+
+
+def test_decoder_header_agrees_with_jpeg_meta():
+    """The new full decoder and the r7 header-only jpeg_meta agree on
+    (width, height, channels) for every fixture family."""
+    from akvorado_spark.operators.png import jpeg_meta
+
+    rng = np.random.default_rng(12)
+    for px in (
+        _block_uniform(3),
+        rng.integers(0, 256, (9, 13), dtype=np.uint8),
+        rng.integers(0, 256, (12, 20, 3), dtype=np.uint8),
+    ):
+        blob = jpeg_encode_baseline(px, quant=1)
+        w, h, ch, _ = jpeg_decode(blob)
+        assert jpeg_meta(blob) == (w, h, ch)

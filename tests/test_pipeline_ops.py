@@ -1277,3 +1277,29 @@ def test_line_dedup_hash_and_string_paths_agree(spark):
         .collect()
     )
     assert a == b
+
+
+def test_bigram_lm_hash_keyed_scores_equal_string_keyed(spark):
+    """Keying the bigram pipeline on word hashes (xxhash64 production /
+    md5-prefix gate) yields the EXACT same per-doc (n_bigrams,
+    lp_micro) as string keys on the corpus — the shuffle carries 8-byte
+    keys instead of word strings with zero result drift (collisions
+    would have to occur inside this corpus's vocabulary to differ)."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.lm import bigram_lm_scores
+    from akvorado_spark.operators.text import portable_word_hash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["lp_micro"])
+        for r in bigram_lm_scores(docs, "text", "doc_id").collect()
+    }
+    for key_fn in (portable_word_hash, lambda w: F.xxhash64(w)):
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["lp_micro"])
+            for r in bigram_lm_scores(
+                docs, "text", "doc_id", key_fn=key_fn
+            ).collect()
+        }
+        assert got == want

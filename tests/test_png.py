@@ -381,3 +381,47 @@ def test_wav_fuzz_valueerror_only_contract():
                 fn(blob)
             except ValueError:
                 pass
+
+
+def test_wav_pcm_block_align_mismatch_rejected():
+    """ADVICE r8: a tag-1 PCM file whose header block_align disagrees
+    with channels*(bits/8) (padded/malformed) would silently break the
+    n_frames ↔ decoded-sample-count agreement — wav_meta must reject it
+    instead."""
+    import struct
+
+    import pytest
+
+    from akvorado_spark.operators.wav import wav_encode_pcm16, wav_meta
+
+    good = wav_encode_pcm16(8000, [[1, 2, 3], [4, 5, 6]])
+    b = bytearray(good)
+    fmt_off = b.index(b"fmt ")
+    # block_align is the 5th field of <HHIIHH> after the 8-byte header:
+    # tag(2) ch(2) rate(4) byterate(4) -> offset +12 within the chunk
+    ba_off = fmt_off + 8 + 12
+    assert struct.unpack_from("<H", b, ba_off)[0] == 4
+    struct.pack_into("<H", b, ba_off, 6)  # padded to 6: malformed PCM
+    with pytest.raises(ValueError, match="block_align"):
+        wav_meta(bytes(b))
+    # non-PCM tags keep their header block_align un-second-guessed
+    struct.pack_into("<H", b, fmt_off + 8, 2)  # tag 2 = ADPCM
+    assert wav_meta(bytes(b))[4] == 2
+
+
+def test_image_features_decodes_jpeg_media(spark):
+    """image_features accepts baseline-JPEG binaries alongside PNG: a
+    block-uniform JPEG (exact decode) yields exactly the per-channel
+    mean the pixel formula predicts."""
+    import numpy as np
+
+    from akvorado_spark.operators.jpeg import jpeg_encode_baseline
+    from akvorado_spark.operators.multimodal import image_features
+
+    px = np.zeros((8, 16), dtype=np.uint8)
+    px[:, :8], px[:, 8:] = 40, 200
+    blob = jpeg_encode_baseline(px, quant=1)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    row = image_features(df).first()
+    assert (row["width"], row["height"], row["channels"]) == (16, 8, 1)
+    assert row["mean"] == [120.0]

