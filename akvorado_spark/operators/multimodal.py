@@ -85,8 +85,10 @@ def decode_image(
                     is_gif,
                     is_jpeg,
                     is_png,
+                    is_webp,
                     jpeg_meta,
                     png_decode,
+                    webp_meta,
                 )
 
                 rows = []
@@ -108,6 +110,10 @@ def decode_image(
                     if is_bmp(blob):
                         w, h, ch = bmp_meta(blob)
                         rows.append((r[id_col], w, h, ch, "BMP"))
+                        continue
+                    if is_webp(blob):
+                        w, h, ch = webp_meta(blob)
+                        rows.append((r[id_col], w, h, ch, "WEBP"))
                         continue
                     try:  # pragma: no cover - PIL absent in container
                         import io
@@ -231,7 +237,15 @@ def decode_audio(
     out_schema = AUDIO_META_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from akvorado_spark.operators.wav import is_wav, wav_decode, wav_meta
+        from akvorado_spark.operators.wav import (
+            is_mp3,
+            is_ogg,
+            is_wav,
+            mp3_meta,
+            ogg_vorbis_meta,
+            wav_decode,
+            wav_meta,
+        )
 
         def slices():
             for whole in batches:
@@ -242,10 +256,24 @@ def decode_audio(
             rows = []
             for _, r in pdf.iterrows():
                 blob = bytes(r[media_col])
+                if is_ogg(blob):
+                    # header metadata only: sample decode needs the
+                    # Vorbis MDCT pipeline (environment-blocked)
+                    ch, rate = ogg_vorbis_meta(blob)
+                    rows.append((r[id_col], ch, rate, 0, 0,
+                                 "ogg/vorbis", [], []))
+                    continue
+                if not is_wav(blob) and is_mp3(blob):
+                    ch, rate, kbps = mp3_meta(blob)
+                    rows.append((r[id_col], ch, rate, 0, 0,
+                                 f"mp3/{kbps}kbps", [], []))
+                    continue
                 if not is_wav(blob):
                     raise NotImplementedError(
-                        "non-WAV audio decode needs an external codec; "
-                        "not in this container — PCM WAV decodes natively"
+                        "unrecognized audio container; PCM WAV decodes "
+                        "natively, MP3/Ogg-Vorbis get header metadata — "
+                        "anything else needs an external codec this "
+                        "container lacks"
                     )
                 channels, rate, bits, n_frames, tag = wav_meta(blob)
                 if tag == 1 and bits in (8, 16):

@@ -273,3 +273,55 @@ def bmp_meta(data: bytes) -> tuple[int, int, int]:
     w, h = struct.unpack_from("<ii", data, 18)
     bits = struct.unpack_from("<H", data, 28)[0]
     return w, abs(h), max(1, bits // 8)
+
+
+def is_webp(data: bytes) -> bool:
+    return (
+        len(data) >= 16
+        and data[:4] == b"RIFF"
+        and data[8:12] == b"WEBP"
+    )
+
+
+def webp_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the WebP container (RIFF): the
+    three chunk layouts of the public spec —
+
+    - ``VP8 `` lossy: 14-bit w/h in the frame header after the 3-byte
+      start code (0x9D 0x01 0x2A), stored minus nothing (values are
+      w-1-free, masked to 14 bits);
+    - ``VP8L`` lossless: 14-bit w-1/h-1 packed little-endian after the
+      0x2F signature; alpha bit decides 3 vs 4 channels;
+    - ``VP8X`` extended: 24-bit canvas w-1/h-1, alpha flag bit 4.
+
+    Header-only, like :func:`jpeg_meta` was in r7 — pixel decode for
+    WebP needs the VP8 entropy pipeline and stays PIL-gated."""
+    import struct
+
+    if not is_webp(data):
+        raise ValueError("not a WebP (bad RIFF/WEBP signature)")
+    fourcc = data[12:16]
+    if fourcc == b"VP8 ":
+        # frame tag (3 B) then start code 9D 012A, then 2×u16 LE
+        p = 20
+        if len(data) < p + 7 or data[p + 3 : p + 6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 frame header")
+        w = struct.unpack_from("<H", data, p + 6)[0] & 0x3FFF
+        h = struct.unpack_from("<H", data, p + 8)[0] & 0x3FFF
+        return w, h, 3
+    if fourcc == b"VP8L":
+        if len(data) < 25 or data[20] != 0x2F:
+            raise ValueError("bad VP8L header")
+        bits = struct.unpack_from("<I", data, 21)[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        alpha = (bits >> 28) & 1
+        return w, h, 4 if alpha else 3
+    if fourcc == b"VP8X":
+        if len(data) < 30:
+            raise ValueError("truncated VP8X header")
+        flags = data[20]
+        w = 1 + int.from_bytes(data[24:27], "little")
+        h = 1 + int.from_bytes(data[27:30], "little")
+        return w, h, 4 if flags & 0x10 else 3
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")

@@ -5,9 +5,12 @@ The audio leg of the multimodal column stack, made REAL the same way
 in this environment, but canonical PCM WAV (RIFF spec / Microsoft
 WAVE format, public) is plain struct parsing, so audio columns get
 actual decode — duration, channel split, and per-channel features —
-not a stub.  Compressed formats (MP3/OGG/...) remain gated behind a
-clear NotImplementedError; their Spark-side plumbing (binary column +
-typed metadata + Arrow-batched mapInPandas) is identical.
+not a stub.  Compressed formats get HEADER metadata here too
+(:func:`mp3_meta`, :func:`ogg_vorbis_meta` — channels/rate/bitrate are
+plain struct parses of public specs); their SAMPLE decode (MDCT +
+Huffman entropy pipelines) stays gated behind a clear
+NotImplementedError.  The Spark-side plumbing (binary column + typed
+metadata + Arrow-batched mapInPandas) is identical either way.
 """
 
 from __future__ import annotations
@@ -116,3 +119,79 @@ def wav_encode_pcm16(
         + struct.pack("<I", len(raw))
         + raw
     )
+
+
+# ---------------------------------------------------------------------------
+# compressed-audio HEADER metadata (public specs, stdlib only) — the
+# entropy decode itself (MDCT/Huffman) stays environment-blocked, but
+# channels/rate/bitrate never needed it
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                      192, 224, 256, 320, 0]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+                      112, 128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}
+
+
+def is_mp3(data: bytes) -> bool:
+    """True on an ID3v2 tag or a leading MPEG audio frame sync."""
+    if data[:3] == b"ID3":
+        return True
+    return len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+
+
+def mp3_meta(data: bytes) -> tuple[int, int, int]:
+    """(channels, sample_rate, bitrate_kbps) from the first MPEG audio
+    frame header (layer III, MPEG-1/2/2.5).  Skips a leading ID3v2 tag
+    (syncsafe length), then scans for the 11-bit frame sync; CBR is
+    assumed for the bitrate (a VBR average needs the Xing header —
+    out of scope).  Raises ValueError when no valid frame exists."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | (
+            (data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+            version = (b1 >> 3) & 3      # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b1 >> 1) & 3        # 1 = Layer III
+            if version != 1 and layer == 1:
+                br_idx = (b2 >> 4) & 0xF
+                sr_idx = (b2 >> 2) & 3
+                if 0 < br_idx < 15 and sr_idx < 3:
+                    table = (_MP3_BITRATES_V1L3 if version == 3
+                             else _MP3_BITRATES_V2L3)
+                    rate = _MP3_RATES[version][sr_idx]
+                    mode = (b3 >> 6) & 3
+                    channels = 1 if mode == 3 else 2
+                    return channels, rate, table[br_idx]
+        pos += 1
+    raise ValueError("no MPEG layer-III frame header found")
+
+
+def is_ogg(data: bytes) -> bool:
+    return data[:4] == b"OggS"
+
+
+def ogg_vorbis_meta(data: bytes) -> tuple[int, int]:
+    """(channels, sample_rate) from the Vorbis identification header
+    (Vorbis I spec §4.2.2): the first packet of the first Ogg page,
+    type 1 + 'vorbis', carries u8 channels and u32le rate."""
+    if not is_ogg(data):
+        raise ValueError("not an Ogg stream")
+    if len(data) < 27:
+        raise ValueError("truncated Ogg page header")
+    nseg = data[26]
+    body = 27 + nseg
+    pkt = data[body:]
+    if len(pkt) < 16 or pkt[0] != 1 or pkt[1:7] != b"vorbis":
+        raise ValueError("first Ogg packet is not a Vorbis id header")
+    channels = pkt[11]
+    rate = int.from_bytes(pkt[12:16], "little")
+    if channels == 0 or rate == 0:
+        raise ValueError("invalid Vorbis id header")
+    return channels, rate

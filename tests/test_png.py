@@ -425,3 +425,85 @@ def test_image_features_decodes_jpeg_media(spark):
     row = image_features(df).first()
     assert (row["width"], row["height"], row["channels"]) == (16, 8, 1)
     assert row["mean"] == [120.0]
+
+
+def test_webp_meta_all_three_layouts(spark):
+    """webp_meta reads the lossy (VP8), lossless (VP8L incl. alpha bit)
+    and extended (VP8X canvas) headers, and decode_image routes WebP
+    binaries to it."""
+    import struct
+
+    from akvorado_spark.operators.multimodal import decode_image
+    from akvorado_spark.operators.png import is_webp, webp_meta
+
+    def riff(fourcc, body):
+        chunk = fourcc + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = riff(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + b"\x00",
+    )
+    bits = 99 | (49 << 14) | (1 << 28)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    vp8x = riff(
+        b"VP8X",
+        bytes([0x10, 0, 0, 0])
+        + (639).to_bytes(3, "little")
+        + (479).to_bytes(3, "little"),
+    )
+    assert webp_meta(vp8) == (320, 240, 3)
+    assert webp_meta(vp8l) == (100, 50, 4)
+    assert webp_meta(vp8x) == (640, 480, 4)
+    assert not is_webp(b"RIFFxxxxWAVE")  # a WAV is RIFF but not WEBP
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        webp_meta(riff(b"ZZZZ", b"\x00" * 16))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(vp8)), (2, bytearray(vp8l)), (3, bytearray(vp8x))],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (320, 240, "WEBP")
+    assert got[2]["channels"] == 4 and got[3]["width"] == 640
+
+
+def test_audio_header_meta_mp3_and_ogg(spark):
+    """decode_audio yields header-metadata rows for MP3 and Ogg-Vorbis
+    binaries (channels/rate/bitrate from the public frame headers) and
+    still raises clearly on unknown containers."""
+    import struct as _st
+
+    import pytest as _pt
+
+    from akvorado_spark.operators.multimodal import decode_audio
+    from akvorado_spark.operators.wav import mp3_meta, ogg_vorbis_meta
+
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 64        # 128k 44.1k JS
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10 + mp3
+    mono = bytes([0xFF, 0xF3, 0xA8, 0xC0])                      # MPEG2 mono 16k
+    ogg = (
+        b"OggS" + bytes(22) + bytes([1, 30])
+        + b"\x01vorbis" + bytes(4) + bytes([2])
+        + (44100).to_bytes(4, "little") + bytes(9)
+    )
+    assert mp3_meta(mp3) == (2, 44100, 128)
+    assert mp3_meta(id3) == (2, 44100, 128)  # ID3v2 tag skipped
+    assert mp3_meta(mono) == (1, 16000, 96)
+    assert ogg_vorbis_meta(ogg) == (2, 44100)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mp3)), (2, bytearray(ogg)), (3, bytearray(id3))],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert got[1]["fmt"] == "mp3/128kbps" and got[1]["sample_rate"] == 44100
+    assert got[2]["fmt"] == "ogg/vorbis" and got[2]["channels"] == 2
+    assert got[3]["fmt"] == "mp3/128kbps"
+
+    bad = spark.createDataFrame([(9, bytearray(b"FLAC....."))],
+                                "doc_id long, media binary")
+    with _pt.raises(Exception, match="unrecognized audio container"):
+        decode_audio(bad).collect()
