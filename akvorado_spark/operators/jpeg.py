@@ -288,6 +288,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     for cid, hs, vs, _tq in comps:
         planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
     tabs = {cs: (td, ta) for cs, td, ta in scan}
+    for cid, _hs, _vs, tq in comps:
+        if cid not in tabs:
+            raise ValueError(f"SOS lacks tables for component {cid}")
+        td, ta = tabs[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError(
+                f"undefined Huffman table (DC {td} / AC {ta})"
+            )
+        if tq not in qt:
+            raise ValueError(f"undefined quantization table {tq}")
     rd = _BitReader(data, pos)
     pred = {cid: 0 for cid, *_ in comps}
     mcu_count = 0

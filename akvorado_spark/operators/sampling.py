@@ -98,8 +98,14 @@ def pack_documents(
         F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
+    # integer floor-div, not floor(double /): a cumulative token count
+    # past 2^53 (a real number at 100 TB) would lose ulps in the double
+    # division and misplace bin boundaries; cum_before is ≥ 0 so the
+    # subtract-mod form is exact floor division in 64-bit integers
+    cb = F.col("__cum_before").cast("long")
     out = df.withColumn("__cum_before", cum_before).withColumn(
-        "__bin_in_stream", F.floor(F.col("__cum_before") / budget).cast("long")
+        "__bin_in_stream",
+        ((cb - cb % F.lit(budget)) / budget).cast("long"),
     )
     if key_cols:
         out = out.withColumn(bin_col, F.col("__bin_in_stream"))

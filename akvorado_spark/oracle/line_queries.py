@@ -480,3 +480,59 @@ FROM (
 ORDER BY variant, grp"""
 
 register("docs_hash_sample", _spark_hash_sample, _SAMPLE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (pretraining context-window assembly) — the last
+# ungated sampling-family operator (r9, filling the 50th budget slot)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+def _docs_pack_bins(spark, sf_dir):
+    """pack_documents per (lang): every doc's fixed-budget bin id and
+    its token offset inside the bin, integer-exact — gates the portable
+    ordering hash, the window cumsum, and the exact floor-div bin
+    arithmetic (`operators/sampling.pack_documents`)."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.sampling import pack_documents
+    from akvorado_spark.operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir, spread=True).select(
+        "lang", "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = pack_documents(
+        docs, "n_tokens", _PACK_BUDGET, key_cols=("lang",), id_col="doc_id"
+    )
+    return out.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    ).orderBy("lang", "doc_id")
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS oh
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY oh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM t
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(cb // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(cb % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM c ORDER BY lang, doc_id
+"""
+
+register("docs_pack_bins", _docs_pack_bins, _PACK_ORACLE)

@@ -154,3 +154,22 @@ def test_decoder_header_agrees_with_jpeg_meta():
         blob = jpeg_encode_baseline(px, quant=1)
         w, h, ch, _ = jpeg_decode(blob)
         assert jpeg_meta(blob) == (w, h, ch)
+
+
+def test_missing_tables_raise_value_error():
+    """A stream referencing undefined Huffman/quant tables fails with a
+    clear ValueError at scan start, not a KeyError mid-entropy-decode."""
+    blob = bytearray(jpeg_encode_baseline(_block_uniform(2), quant=1))
+    # point component 1's quant table at an undefined id in SOF0
+    sof = blob.index(b"\xff\xc0")
+    assert blob[sof + 12] == 0  # Tq of component 1
+    blob[sof + 12] = 3
+    with pytest.raises(ValueError, match="quantization table"):
+        jpeg_decode(bytes(blob))
+    # point the scan at an undefined Huffman table pair in SOS
+    blob = bytearray(jpeg_encode_baseline(_block_uniform(2), quant=1))
+    sos = blob.index(b"\xff\xda")
+    assert blob[sos + 6] == 0x00  # Td/Ta of component 1
+    blob[sos + 6] = 0x22
+    with pytest.raises(ValueError, match="Huffman table"):
+        jpeg_decode(bytes(blob))
