@@ -98,14 +98,14 @@ def pack_documents(
         F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
-    # integer floor-div, not floor(double /): a cumulative token count
-    # past 2^53 (a real number at 100 TB) would lose ulps in the double
-    # division and misplace bin boundaries; cum_before is ≥ 0 so the
-    # subtract-mod form is exact floor division in 64-bit integers
-    cb = F.col("__cum_before").cast("long")
-    out = df.withColumn("__cum_before", cum_before).withColumn(
+    # integer `div`, not floor(double /) and not the subtract-mod
+    # double-division idiom: a cumulative token count past 2^53 (a real
+    # number at 100 TB) is unrepresentable as a double, so ANY double
+    # route can misplace bin boundaries; SQL `div` is true 64-bit
+    # integer division (cum_before ≥ 0, so div == floor-div)
+    out = df.withColumn("__cum_before", cum_before.cast("long")).withColumn(
         "__bin_in_stream",
-        ((cb - cb % F.lit(budget)) / budget).cast("long"),
+        F.expr(f"__cum_before div {int(budget)}"),
     )
     if key_cols:
         out = out.withColumn(bin_col, F.col("__bin_in_stream"))

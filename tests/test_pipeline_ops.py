@@ -1303,3 +1303,34 @@ def test_bigram_lm_hash_keyed_scores_equal_string_keyed(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_pack_documents_bin_arithmetic_exact_past_2_53(spark):
+    """The bin id comes from true integer `div`, not a double route: a
+    cumulative token count past 2^53 (unrepresentable as a double)
+    still lands in the exactly-right bin."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.sampling import pack_documents
+
+    big = (1 << 53) + 1  # 9007199254740993: rounds to 2^53 as a double
+    rows = [("k", 1, big), ("k", 2, 1), ("k", 3, 1)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, n long")
+    out = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack_documents(
+            df, "n", 2, key_cols=("grp",), id_col="doc_id"
+        ).collect()
+    }
+    # reconstruct the python-exact expectation in portable-hash order
+    import hashlib
+
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[1]).encode()).hexdigest(), r[1])
+    )
+    cum = 0
+    for _, doc_id, n in order:
+        # python int // and % are exact at any magnitude — the twin the
+        # double route would diverge from past 2^53
+        assert out[doc_id] == (cum // 2, cum % 2), (doc_id, cum)
+        cum += n
