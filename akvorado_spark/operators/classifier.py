@@ -143,10 +143,17 @@ def decile_from_margin(z_micro: Column) -> Column:
     """Score decile (0..9) from the integer margin: the count of decile
     thresholds at or below z.  Equals ``min(floor(10·σ(z/10⁶)), 9)``
     everywhere except exactly on a threshold (where ties go up, and
-    both engines tie the same way because the comparison is integer)."""
+    both engines tie the same way because the comparison is integer).
+
+    A NULL margin (NULL features) buckets to 0 — matching SQL
+    ``CASE WHEN z >= t THEN 1 ELSE 0 END`` semantics, where an unknown
+    comparison takes the ELSE: the two engines must agree on the
+    degenerate rows too, not just the well-formed ones."""
     b = F.lit(0)
     for t in sigmoid_decile_thresholds():
-        b = b + (z_micro >= F.lit(t).cast("long")).cast("int")
+        b = b + F.coalesce(
+            (z_micro >= F.lit(t).cast("long")).cast("int"), F.lit(0)
+        )
     return b
 
 

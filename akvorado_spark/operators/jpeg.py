@@ -282,6 +282,15 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
+            # replication upsample assumes integer ratios (every
+            # mainstream layout: 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1); a
+            # 3:2-style ratio would silently mis-shape the planes
+            raise ValueError(
+                f"unsupported sampling factors {hs}x{vs} vs max "
+                f"{hmax}x{vmax} (non-integer upsample ratio)"
+            )
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = {}

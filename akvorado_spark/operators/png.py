@@ -302,9 +302,11 @@ def webp_meta(data: bytes) -> tuple[int, int, int]:
         raise ValueError("not a WebP (bad RIFF/WEBP signature)")
     fourcc = data[12:16]
     if fourcc == b"VP8 ":
-        # frame tag (3 B) then start code 9D 012A, then 2×u16 LE
+        # frame tag (3 B) then start code 9D 012A, then 2×u16 LE —
+        # the guard must cover the dims reads at p+6..p+9 too, so a
+        # truncated chunk raises ValueError, never struct.error
         p = 20
-        if len(data) < p + 7 or data[p + 3 : p + 6] != b"\x9d\x01\x2a":
+        if len(data) < p + 10 or data[p + 3 : p + 6] != b"\x9d\x01\x2a":
             raise ValueError("bad VP8 frame header")
         w = struct.unpack_from("<H", data, p + 6)[0] & 0x3FFF
         h = struct.unpack_from("<H", data, p + 8)[0] & 0x3FFF

@@ -18,7 +18,7 @@ for each:
   so the gate splits: the exact adds (docs, chars, tokens per group)
   from `corpus_sketch_stats` are replayed exactly, and the estimates
   are gated as integer BOUND CHECKS — Spark emits
-  ``1 if |estimate − exact| ≤ 3σ+2 else 0`` next to the exact
+  ``1 if |estimate − exact| ≤ 6σ+4 else 0`` next to the exact
   distincts it computed itself; the oracle emits the literal 1 the
   bound must produce.  A broken sketch pipeline (wrong column, stale
   merge, lost group) fails rows/hash immediately.
@@ -42,8 +42,17 @@ from akvorado_spark.sources.tables import load_table
 # gate certifies the scoring machinery, not a particular model.
 _CLF_W = [500_000, 60_000, -12_000, 15_000]
 
-# HLL standard error at the lg_k=12 default is ~1.63%; allow 3σ + 2.
-_EST_TOL = 3 * 0.0163
+# HLL standard error at the lg_k=12 default is ~1.63%.  The gate
+# allows 6σ + 4: this is a CORRECTNESS gate over a probabilistic
+# bound, so the budget must make an unlucky-but-correct estimate
+# astronomically unlikely (6σ two-sided ≈ 2e-9 per estimate; ~100s of
+# estimates per round ⇒ ~1e-7 per round) while still failing loudly on
+# real defects — a lost group, a swapped column, or a stale merge
+# misses by far more than 6σ.  The sharper 3σ accuracy claim lives in
+# pytest (test_sketches), where a rare boundary flake is cheap to
+# adjudicate.
+_EST_TOL = 6 * 0.0163
+_EST_ABS = 4
 
 
 def _classifier_sketch_suite(spark, sf_dir):
@@ -110,7 +119,7 @@ def _classifier_sketch_suite(spark, sf_dir):
     est_ok = (
         lambda est, ex: (
             F.abs(F.round(F.hll_sketch_estimate(est)) - F.col(ex))
-            <= _EST_TOL * F.col(ex) + 2
+            <= _EST_TOL * F.col(ex) + _EST_ABS
         ).cast("long")
     )
     skj = sk.join(exact, ["lang", "source"])

@@ -173,3 +173,50 @@ def test_missing_tables_raise_value_error():
     blob[sos + 6] = 0x22
     with pytest.raises(ValueError, match="Huffman table"):
         jpeg_decode(bytes(blob))
+
+
+def test_non_integer_sampling_ratio_raises():
+    """hmax=3 vs hs=2 cannot replication-upsample to a common shape —
+    must be a clear ValueError, not a numpy shape error mid-stack."""
+    blob = bytearray(
+        jpeg_encode_baseline(
+            np.zeros((8, 8, 3), dtype=np.uint8), quant=1, subsample=True
+        )
+    )
+    sof = blob.index(b"\xff\xc0")
+    # sampling bytes: comp1 at sof+11, comp2 at sof+14 — force Y=3x1
+    # and Cb=2x1 so hmax=3 is not an integer multiple of Cb's hs=2
+    assert blob[sof + 11] == 0x22 and blob[sof + 14] == 0x11
+    blob[sof + 11] = 0x31
+    blob[sof + 14] = 0x21
+    with pytest.raises(ValueError, match="sampling factors"):
+        jpeg_decode(bytes(blob))
+
+
+def test_webp_truncated_vp8_raises_value_error():
+    """A 27-29 byte truncated lossy WebP must raise the parser-family
+    ValueError, not escape as struct.error from the dims read."""
+    import struct
+
+    from akvorado_spark.operators.png import webp_meta
+
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<H", 320)[:1]
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert 27 <= len(blob) <= 29
+    with pytest.raises(ValueError, match="VP8"):
+        webp_meta(blob)
+
+
+def test_decile_null_margin_buckets_to_zero(spark):
+    """NULL features (NULL text) bucket to decile 0 in BOTH engines —
+    the SQL CASE...ELSE semantics the oracle replays."""
+    from pyspark.sql import functions as F
+
+    from akvorado_spark.operators.classifier import decile_from_margin
+
+    df = spark.createDataFrame([(None,), (0,)], "z long")
+    got = sorted(
+        r["b"] for r in df.select(decile_from_margin(F.col("z")).alias("b")).collect()
+    )
+    assert got == [0, 5]  # NULL -> 0; z=0 sits at the p=0.5 threshold
