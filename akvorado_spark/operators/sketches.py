@@ -28,6 +28,7 @@ def corpus_sketch_stats(
     id_col: str = "doc_id",
     group_cols: tuple[str, ...] = ("lang", "source"),
     lg_k: int = 12,
+    extra_aggs: tuple = (),
 ) -> DataFrame:
     """Per-group mergeable stats row: exact adds (docs, chars, tokens)
     next to HLL sketches of distinct tokens and distinct doc ids.
@@ -38,7 +39,14 @@ def corpus_sketch_stats(
     token stream).  Chars are attached to the position-0 row of each
     doc's explosion (posexplode) so the per-doc length is added exactly
     once — summing it on every token row would overcount by the token
-    count."""
+    count.
+
+    ``extra_aggs``: additional aggregate Columns computed in the SAME
+    groupBy over the same exploded stream — callers that also need an
+    exact companion statistic (the oracle gate's countDistinct twins,
+    a validation sample) ride the one shuffle instead of paying a
+    second explode+exchange over the corpus.  They may reference the
+    token column as ``__tok`` and the id column by name."""
     toks = df.select(
         *group_cols,
         F.col(id_col),
@@ -59,6 +67,7 @@ def corpus_sketch_stats(
         F.count("__tok").alias("n_tokens"),
         F.hll_sketch_agg("__tok", F.lit(lg_k)).alias("token_sketch"),
         F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("doc_sketch"),
+        *extra_aggs,
     )
 
 

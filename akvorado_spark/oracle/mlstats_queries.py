@@ -100,21 +100,17 @@ def _classifier_sketch_suite(spark, sf_dir):
         )
     )
 
-    sk = corpus_sketch_stats(docs)
-    exact = (
-        docs.select(
-            "lang",
-            "source",
-            "doc_id",
-            F.explode_outer(
-                F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
-            ).alias("__tok"),
-        )
-        .groupBy("lang", "source")
-        .agg(
+    # ONE exploded pass: the exact distincts the sketches are judged
+    # against ride the operator's own aggregate (extra_aggs) — a
+    # second explode+exchange would double the suite's dominant cost
+    # for no information (measured: 348 MB of the 522 MB shuffle at
+    # the 100× corpus was the duplicated token traffic).
+    skj = corpus_sketch_stats(
+        docs,
+        extra_aggs=(
             F.countDistinct("__tok").alias("__dt"),
             F.countDistinct("doc_id").alias("__dd"),
-        )
+        ),
     )
     est_ok = (
         lambda est, ex: (
@@ -122,7 +118,6 @@ def _classifier_sketch_suite(spark, sf_dir):
             <= _EST_TOL * F.col(ex) + _EST_ABS
         ).cast("long")
     )
-    skj = sk.join(exact, ["lang", "source"])
     metrics = [
         ("docs", F.col("n_docs")),
         ("chars", F.col("n_chars")),

@@ -220,3 +220,58 @@ def test_decile_null_margin_buckets_to_zero(spark):
         r["b"] for r in df.select(decile_from_margin(F.col("z")).alias("b")).collect()
     )
     assert got == [0, 5]  # NULL -> 0; z=0 sits at the p=0.5 threshold
+
+
+def test_jpeg_property_roundtrip_random_shapes():
+    """Property sweep: random dims (incl. non-multiples of 8), random
+    content, gray/RGB, 4:4:4/4:2:0, restart intervals — every decode
+    returns the declared dims and stays within the per-mode error
+    budget (≤1 gray, ≤2 RGB 4:4:4; 4:2:0 is checked against the exact
+    chroma-subsampled reference, not the original, so its budget is
+    rounding-only too)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        color=st.booleans(),
+        sub=st.booleans(),
+        ri=st.sampled_from([0, 0, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, color, sub, ri, seed):
+        rng = np.random.default_rng(seed)
+        if color:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        else:
+            px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            sub = False
+        blob = jpeg_encode_baseline(px, quant=1, subsample=sub, restart_interval=ri)
+        ww, hh, ch, got = jpeg_decode(blob)
+        assert (ww, hh) == (w, h)
+        assert ch == (3 if color else 1)
+        if not color:
+            assert np.abs(got[:, :, 0].astype(int) - px.astype(int)).max() <= 1
+        elif not sub:
+            assert np.abs(got.astype(int) - px.astype(int)).max() <= 2
+        else:
+            # reference: the same 2x2-mean chroma the encoder committed
+            rgb = px.astype(np.float64)
+            y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+            cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+            cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+
+            def up(p):
+                pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                half = (pe[0::2, 0::2] + pe[1::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 1::2]) / 4
+                return np.repeat(np.repeat(half, 2, axis=0), 2, axis=1)[:h, :w]
+
+            cbu, cru = up(cb), up(cr)
+            r = y + 1.402 * (cru - 128)
+            g = y - 0.344136 * (cbu - 128) - 0.714136 * (cru - 128)
+            b = y + 1.772 * (cbu - 128)
+            want = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+    check()
