@@ -338,14 +338,17 @@ def streaming_minhash_candidates(
     cannot sort ids it hasn't seen yet) — both preserve connectivity
     for transitive dedup, which is the property the cap guarantees.
 
-    Scale shape: state is ids-only — 8 bytes per (band, doc) ever seen,
-    sharded across the (band, bucket) key space.  ``max_bucket`` bounds
-    degenerate buckets: past it, new members pair only with the
-    bucket's first member (star topology — connectivity for transitive
-    dedup is preserved, pair volume stays linear).  Pairs may repeat
-    across bands and batches; dedupe downstream (the batch path's
-    ``distinct``) or feed connected components, which tolerates
-    duplicates.
+    Scale shape: state is ids-only AND capped — at most ``max_bucket``
+    ids per (band, bucket) key, 8 bytes each.  Past the cap, new
+    members pair only with the bucket's first member (star topology —
+    connectivity for transitive dedup is preserved, pair volume stays
+    linear) and are NOT stored: storing them would buy nothing (they
+    would never be paired against) while letting one degenerate bucket
+    grow state without bound.  The trade is that a RE-delivered
+    over-cap id re-emits its star pair instead of being recognized —
+    harmless, because pairs may repeat across bands and batches
+    anyway; dedupe downstream (the batch path's ``distinct``) or feed
+    connected components, which tolerates duplicates.
     """
     from akvorado_spark.operators.dedup import (
         band_buckets_expr,
@@ -374,12 +377,16 @@ def streaming_minhash_candidates(
                 new = int(new)
                 if new in seen:
                     continue
-                targets = members if len(members) < max_bucket else members[:1]
-                rows.extend(
-                    (min(m, new), max(m, new)) for m in targets
-                )
-                members.append(new)
-                seen.add(new)
+                if len(members) < max_bucket:
+                    rows.extend(
+                        (min(m, new), max(m, new)) for m in members
+                    )
+                    members.append(new)
+                    seen.add(new)
+                else:
+                    # over-cap: star to the first-arrived member only,
+                    # and do NOT store — bounded state per bucket
+                    rows.append((min(members[0], new), max(members[0], new)))
             yield pd.DataFrame(rows, columns=["id_a", "id_b"])
         state.update((members,))
 

@@ -641,3 +641,55 @@ def test_rib_snapshot_carries_large_communities(spark):
     frame = rib.to_frame(spark, bytes(16))
     row = frame.collect()[0]
     assert [tuple(x) for x in row["large_communities"]] == [(4200000000, 7, 8)]
+
+
+def test_streaming_minhash_bucket_state_is_capped(spark, tmp_path):
+    """Degenerate-bucket state is BOUNDED: with max_bucket=k, a bucket
+    that sees many identical docs stores only k member ids (read back
+    via the state-store data source) while every over-cap arrival still
+    emits its connectivity-preserving star pair to the first member."""
+    import os as _os
+
+    from akvorado_spark.streaming.state import streaming_minhash_candidates
+
+    k = 3
+    text = "identical boilerplate document content for the cap check"
+    rows = [(i, text) for i in range(1, 11)]  # 10 docs, one bucket each band
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/f1")
+    sink, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(src + "/*")
+    q = (
+        streaming_minhash_candidates(
+            stream, "text", "doc_id", n_hashes=8, bands=2, max_bucket=k
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    st = spark.read.format("statestore").load(ckpt).collect()
+    assert st  # identical docs: every band has exactly one bucket
+    for r in st:
+        assert len(r["value"]["groupState"]["members"]) <= k, r
+    # connectivity: every doc is linked (directly or via the star) —
+    # pairs per band: C(3,2) for the stored clique + 7 star pairs
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(sink).distinct().collect()
+    }
+    ids = set(range(1, 11))
+    linked = {a for a, _ in got} | {b for _, b in got}
+    assert linked == ids
+    # pairs are the stored-members clique plus first-member stars only
+    clique = {(1, 2), (1, 3), (2, 3)}
+    for a, b in got:
+        assert (a, b) in clique or a == 1, (a, b)
