@@ -44,7 +44,10 @@ def main() -> int:
         f"(wall ratio threshold {thr}x)"
     )
     def same_plan(a: dict, b: dict) -> bool:
-        if abs(a["stages"] - b["stages"]) > 3:
+        # shuffle bytes are the sharp signal (<0.1% drift on an
+        # unchanged tree); stage counts wobble with AQE stage reuse
+        # (±4 observed), so they only corroborate
+        if abs(a["stages"] - b["stages"]) > 5:
             return False
         hi = max(a["shuffle_bytes"], b["shuffle_bytes"])
         return abs(a["shuffle_bytes"] - b["shuffle_bytes"]) <= 0.02 * hi + 64
