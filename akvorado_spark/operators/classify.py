@@ -219,6 +219,46 @@ def rate_limit(
     tick (up to 5/s) — the 200 ms resolution cannot express a lower
     rate, matching the reference's per-tick bucket floor.
     """
+    d = rate_limit_annotate(df, key=key, time_col=time_col, tiebreak=tiebreak)
+    return apply_rate_limit(d, limit_per_s, sampling_col=sampling_col)
+
+
+def rate_limit_annotate(
+    df: DataFrame,
+    key: str = "ExporterAddress",
+    time_col: str = "TimeReceived",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """The shuffle half of :func:`rate_limit`: per-(key, 200 ms tick)
+    arrival rank ``__rn`` and population ``__total``.
+
+    Split out so several limit POLICIES (a global limit, the per-row
+    RawFlow limit, an experiment's candidate limit) can share ONE
+    window shuffle+sort over the same keying — the annotation is
+    policy-independent; :func:`apply_rate_limit` is a narrow
+    filter+projection per policy.  Same partitioning AND ordering for
+    both analytics (the count just widens the frame to the whole
+    partition) → Catalyst evaluates them in one Window operator over
+    one exchange."""
+    tick = (F.unix_millis(F.col(time_col).cast("timestamp")) / 200).cast("long")
+    d = df.withColumn("__tick", tick)
+    w = Window.partitionBy(key, "__tick").orderBy(
+        F.col(time_col).asc(), *[F.col(t).asc() for t in tiebreak]
+    )
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__total", F.count(F.lit(1)).over(wall)
+    )
+
+
+def apply_rate_limit(
+    annotated: DataFrame,
+    limit_per_s,
+    sampling_col: str = "SamplingRate",
+) -> DataFrame:
+    """Apply one limit policy to a :func:`rate_limit_annotate` frame:
+    keep rank ≤ limit/5 per tick and rescale survivors' sampling rate
+    by total/kept (floor) — a stateless narrow stage, no shuffle."""
     if isinstance(limit_per_s, int):
         unlimited = F.lit(False)
         per_tick = F.lit(max(limit_per_s // 5, 1))
@@ -226,20 +266,7 @@ def rate_limit(
         lim = F.col(limit_per_s) if isinstance(limit_per_s, str) else limit_per_s
         unlimited = lim.isNull() | (lim <= 0)
         per_tick = F.greatest(F.floor(lim / 5).cast("long"), F.lit(1))
-    tick = (F.unix_millis(F.col(time_col).cast("timestamp")) / 200).cast("long")
-    d = df.withColumn("__tick", tick)
-    w = Window.partitionBy(key, "__tick").orderBy(
-        F.col(time_col).asc(), *[F.col(t).asc() for t in tiebreak]
-    )
-    # same partitioning AND ordering for both analytics (the count just
-    # widens the frame to the whole partition) → Catalyst evaluates
-    # them in one Window operator over one shuffle+sort
-    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    d = (
-        d.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__total", F.count(F.lit(1)).over(wall))
-        .filter(unlimited | (F.col("__rn") <= per_tick))
-    )
+    d = annotated.filter(unlimited | (F.col("__rn") <= per_tick))
     kept = F.least(F.col("__total"), per_tick)
     d = d.withColumn(
         sampling_col,

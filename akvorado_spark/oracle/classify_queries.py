@@ -140,20 +140,24 @@ def _spark_rate_limit(spark, sf_dir):
             .select(F.lit(tag).alias("variant"), "*")
         )
 
-    glob = agg(
-        rate_limit(flows, _LIMIT_S, key="ExporterAddress",
-                   time_col="TimeReceived", tiebreak=_TIE),
-        "global",
+    # ONE window shuffle+sort serves both limit policies: the
+    # (exporter, tick) annotation is policy-independent, so the global
+    # and per-message variants share it (rate_limit_annotate) and each
+    # applies its own narrow filter+rescale.  The lazy checkpoint
+    # materializes the annotated frame once instead of re-running the
+    # exchange per variant.
+    from akvorado_spark.operators.classify import (
+        apply_rate_limit,
+        rate_limit_annotate,
     )
+
+    ann = rate_limit_annotate(
+        flows.withColumn("__lim", F.expr(_PM_LIMIT)),
+        key="ExporterAddress", time_col="TimeReceived", tiebreak=_TIE,
+    ).localCheckpoint(eager=False)
+    glob = agg(apply_rate_limit(ann, _LIMIT_S).drop("__lim"), "global")
     # per-message limits incl. the 0-means-unlimited class
-    per_msg = agg(
-        rate_limit(
-            flows.withColumn("__lim", F.expr(_PM_LIMIT)),
-            "__lim", key="ExporterAddress",
-            time_col="TimeReceived", tiebreak=_TIE,
-        ).drop("__lim"),
-        "per_msg",
-    )
+    per_msg = agg(apply_rate_limit(ann, "__lim").drop("__lim"), "per_msg")
     return glob.unionByName(per_msg).orderBy("variant", "ExporterName")
 
 
