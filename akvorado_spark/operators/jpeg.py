@@ -113,13 +113,25 @@ class _HuffTable:
 
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs FF 00, stops at markers,
-    and resyncs past RSTn on request."""
+    and resyncs past RSTn on request.
+
+    Pad accounting: once the reader runs past the end of data or onto
+    a marker it synthesizes 1-bits, which is spec-legal ONLY for the
+    ≤7 alignment bits an encoder appends to the final partial byte.
+    A truncated entropy stream would otherwise decode endless fake
+    1-bits into garbage pixels, so consuming an 8th synthesized bit
+    raises instead (ADVICE r9)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.bitbuf = 0
         self.nbits = 0
+        # low-order bits of bitbuf that are synthesized padding (pads
+        # only ever append after the last real byte until a reset, and
+        # bits are consumed high-first, so this stays a low suffix)
+        self.pad_bits_in_buf = 0
+        self.pad_taken = 0
 
     def _fill(self) -> None:
         while self.nbits <= 24:
@@ -127,6 +139,7 @@ class _BitReader:
                 # spec-legal padding at the tail of the last interval
                 self.bitbuf = (self.bitbuf << 8) | 0xFF
                 self.nbits += 8
+                self.pad_bits_in_buf += 8
                 continue
             b = self.data[self.pos]
             if b == 0xFF:
@@ -139,6 +152,7 @@ class _BitReader:
                 # a real marker: pad with 1-bits, leave pos on the marker
                 self.bitbuf = (self.bitbuf << 8) | 0xFF
                 self.nbits += 8
+                self.pad_bits_in_buf += 8
                 continue
             self.pos += 1
             self.bitbuf = (self.bitbuf << 8) | b
@@ -148,6 +162,13 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
+        if self.nbits < self.pad_bits_in_buf:
+            self.pad_taken += 1
+            if self.pad_taken > 7:
+                raise ValueError(
+                    "truncated JPEG entropy stream (decode ran past data "
+                    "into synthesized pad bits)"
+                )
         return (self.bitbuf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
@@ -169,6 +190,8 @@ class _BitReader:
         """Byte-align and consume the RSTn marker between intervals."""
         self.bitbuf = 0
         self.nbits = 0
+        self.pad_bits_in_buf = 0
+        self.pad_taken = 0
         d = self.data
         # skip to the marker (tolerate pad bytes)
         while self.pos + 1 < len(d) and not (
@@ -221,12 +244,19 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if marker == 0xD9:
             break
         seg_len = struct.unpack_from(">H", data, pos)[0]
+        if seg_len < 2 or pos + seg_len > n:
+            # a short slice would surface later as a numpy/IndexError
+            # deep in table parsing — fail loud at the boundary instead
+            raise ValueError("truncated JPEG segment")
         body = data[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 i += 1
+                need = 64 if pq == 0 else 128
+                if i + need > len(body):
+                    raise ValueError("truncated DQT segment")
                 if pq == 0:
                     tbl = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int32)
                     i += 64
@@ -240,14 +270,22 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
+                if i + 17 + nv > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[i + 17 : i + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 segment")
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec} (baseline is 8)")
             comps = []
@@ -261,10 +299,14 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 f"unsupported JPEG mode SOF{marker - 0xC0} (baseline SOF0 only)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             scan = []
             for c in range(ns):

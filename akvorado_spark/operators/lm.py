@@ -46,12 +46,13 @@ def doc_bigrams(
     (None) keeps exact strings; xxhash64 is the production key; the
     oracle gate uses the portable md5-prefix so DuckDB groups the very
     same integers (a 56-bit collision would merge the same pair of
-    bigrams in BOTH engines, so the replay stays exact)."""
+    bigrams in BOTH engines, so the replay stays exact).  ``key_fn``
+    may return any orderable type — the 0/1-token empty branch derives
+    its element type from the paired array itself (filter-false), so
+    the when/otherwise branches can never type-mismatch."""
     ws = words(F.col(text_col))
-    elem_t = "string"
     if key_fn is not None:
         ws = F.transform(ws, key_fn)
-        elem_t = "bigint"
     m = F.greatest(F.size(ws) - 1, F.lit(1))
     pairs = F.zip_with(
         F.slice(ws, 1, m),
@@ -59,7 +60,7 @@ def doc_bigrams(
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     grams = F.when(F.size(ws) >= 2, pairs).otherwise(
-        F.array().cast(f"array<struct<w1:{elem_t},w2:{elem_t}>>")
+        F.filter(pairs, lambda _: F.lit(False))
     )
     return df.select(F.col(id_col), F.explode(grams).alias("b")).select(
         id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")

@@ -112,11 +112,17 @@ def _classifier_sketch_suite(spark, sf_dir):
             F.countDistinct("doc_id").alias("__dd"),
         ),
     )
+    # a degenerate group (zero tokens/docs → all-null sketch) must pass
+    # BY DESIGN (exact=0, nothing to estimate) instead of propagating
+    # hll_sketch_estimate's NULL into a confusing gate miss (ADVICE r9)
     est_ok = (
-        lambda est, ex: (
-            F.abs(F.round(F.hll_sketch_estimate(est)) - F.col(ex))
-            <= _EST_TOL * F.col(ex) + _EST_ABS
-        ).cast("long")
+        lambda est, ex: F.coalesce(
+            (
+                F.abs(F.round(F.hll_sketch_estimate(est)) - F.col(ex))
+                <= _EST_TOL * F.col(ex) + _EST_ABS
+            ).cast("long"),
+            (F.col(ex) == 0).cast("long"),
+        )
     )
     metrics = [
         ("docs", F.col("n_docs")),

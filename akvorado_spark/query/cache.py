@@ -26,6 +26,14 @@ def request_key(payload: Any) -> str:
 
 @dataclass
 class ResultCache:
+    """TTL + LRU-bounded: ``max_entries`` is a hard cap (a completion
+    endpoint hammered with distinct prefixes cannot grow the driver
+    heap past it), and a hit refreshes recency so hot graph requests
+    survive eviction pressure.  Recency rides the dict's insertion
+    order (hits reinsert); the stored timestamp is the INSERT time so
+    TTL expiry is unaffected by hits, matching the reference's
+    fixed-lifetime HTTP cache."""
+
     ttl_s: float = 3 * 3600.0  # graph default; completion uses 60
     max_entries: int = 1000
     _store: dict[str, tuple[float, Any]] = field(default_factory=dict)
@@ -38,6 +46,9 @@ class ResultCache:
         now = time.monotonic()
         if hit is not None and now - hit[0] <= self.ttl_s:
             self.hits += 1
+            # LRU touch: move to the most-recent end, keep insert ts
+            del self._store[key]
+            self._store[key] = hit
             return hit[1]
         if hit is not None:
             del self._store[key]
@@ -45,10 +56,12 @@ class ResultCache:
         return None
 
     def put(self, payload: Any, value: Any) -> None:
-        if len(self._store) >= self.max_entries:
-            oldest = min(self._store, key=lambda k: self._store[k][0])
-            del self._store[oldest]
-        self._store[request_key(payload)] = (time.monotonic(), value)
+        key = request_key(payload)
+        self._store.pop(key, None)  # re-put refreshes both ts and recency
+        while len(self._store) >= self.max_entries:
+            # least-recently-used = first key in insertion order
+            self._store.pop(next(iter(self._store)))
+        self._store[key] = (time.monotonic(), value)
 
     def get_or_compute(self, payload: Any, compute):
         """The handler wrapper: ``compute()`` must return collected

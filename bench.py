@@ -22,21 +22,95 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _stage_snapshot(spark) -> dict:
+def _stage_snapshot(spark) -> dict | None:
     """(stageId, attemptId) → shuffleWriteBytes for every stage the
     status store has seen — read via py4j (the UI/REST server stays
-    off; the AppStatusListener runs regardless, so this is free)."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    empty = spark.sparkContext._jvm.java.util.ArrayList()
-    sl = store.stageList(
-        empty,
-        *[getattr(store, f"stageList$default${i}")() for i in range(2, 6)],
-    )
-    out = {}
-    for i in range(sl.size()):
-        st = sl.apply(i)
-        out[(st.stageId(), st.attemptId())] = st.shuffleWriteBytes()
+    off; the AppStatusListener runs regardless, so this is free).
+
+    Best-effort DIAGNOSTICS: the ``stageList$default$N`` reflection
+    encodes Scala default-argument mangling that can shift across
+    Spark releases, so ANY failure degrades to ``None`` (→ the run
+    simply carries no fingerprint for that query) instead of raising
+    into the bench loop (VERDICT r9 #2)."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        empty = spark.sparkContext._jvm.java.util.ArrayList()
+        sl = store.stageList(
+            empty,
+            *[getattr(store, f"stageList$default${i}")() for i in range(2, 6)],
+        )
+        out = {}
+        for i in range(sl.size()):
+            st = sl.apply(i)
+            out[(st.stageId(), st.attemptId())] = st.shuffleWriteBytes()
+        return out
+    except Exception:  # noqa: BLE001 — reflection drift must not sink bench
+        return None
+
+
+def build_output(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    sf,
+    repeat: int,
+    loadavg: float,
+    warmup_error: str | None,
+    penalty_s: float = 60.0,
+) -> dict:
+    """Assemble the COMPACT final-stdout-line payload.
+
+    The driver's tail capture keeps only the last 2000 characters of
+    stdout; round 9's artifact was lost because per-query plan
+    fingerprints were inlined here and pushed ``metric/value/queries``
+    past the window (BENCH_r09 ``parsed: null``).  Fingerprints now go
+    to the BENCH_PLAN.json sidecar (see ``write_plan_sidecar``) and
+    this dict stays ≤ ~1700 chars at the 50-query registry cap
+    (asserted by tests/test_bench_output.py)."""
+    total = sum(timings.values())
+    out = {
+        "metric": "total_query_wall_time",
+        "value": round(total + penalty_s * len(errors), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # provenance: per-query values are min-of-N warm runs; loadavg
+        # lets a single driver run be adjudicated against the quiet-host
+        # discipline (BENCH_NOTES.md: concurrent load inflates ~3x)
+        "repeat": repeat,
+        "loadavg_1m": round(loadavg, 2),
+    }
+    if errors:
+        # keep the line parsable even on a broken build: count always,
+        # capped messages only as far as the tail budget allows (full
+        # text already went to stderr per-query)
+        out["error_count"] = len(errors)
+        out["error_penalty_sec"] = penalty_s * len(errors)
+        out["errors"] = {k: v[:60] for k, v in list(errors.items())[:5]}
+    if warmup_error:
+        out["warmup_error"] = warmup_error[:120]
+    # hard guarantee: the driver's tail capture keeps 2000 chars; shed
+    # diagnostic detail (never metric/value/queries) until we fit
+    while len(json.dumps(out)) >= 1900 and out.get("errors"):
+        out["errors"].popitem()
+        if not out["errors"]:
+            del out["errors"]
+    if len(json.dumps(out)) >= 1900:
+        out.pop("warmup_error", None)
     return out
+
+
+def write_plan_sidecar(fingerprints: dict, path: str, loadavg: float) -> None:
+    """Persist per-query plan fingerprints ({stages, shuffle_bytes} at
+    the warmup SF) to a sidecar file so tools/bench_diff.py can still
+    adjudicate plan-changed vs host-noise without the fingerprints
+    riding (and overflowing) the driver's stdout tail."""
+    payload = {
+        "plan": fingerprints,
+        "warm_sf": 0.001,
+        "loadavg_1m": round(loadavg, 2),
+    }
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
 
 
 def main() -> None:
@@ -76,12 +150,9 @@ def main() -> None:
         if os.path.isdir(warm_dir) and warm_dir != sf_dir:
             for name, fn in entrymod.queries().items():
                 # the snapshot is best-effort DIAGNOSTICS — a py4j
-                # reflection change must degrade to "no fingerprint",
-                # never to "warmup skipped" (cold-cache measurements)
-                try:
-                    before = _stage_snapshot(spark)
-                except Exception:  # noqa: BLE001
-                    before = None
+                # reflection change degrades to "no fingerprint"
+                # (returns None), never to "warmup skipped"
+                before = _stage_snapshot(spark)
                 try:
                     fn(spark, warm_dir).count()
                 except Exception as exc:  # noqa: BLE001
@@ -89,15 +160,14 @@ def main() -> None:
                     continue
                 if before is None:
                     continue
-                try:
-                    after = _stage_snapshot(spark)
-                    new = [k for k in after if k not in before]
-                    fingerprints[name] = {
-                        "stages": len(new),
-                        "shuffle_bytes": int(sum(after[k] for k in new)),
-                    }
-                except Exception as exc:  # noqa: BLE001
-                    print(f"# fingerprint {name}: {type(exc).__name__}", file=sys.stderr)
+                after = _stage_snapshot(spark)
+                if after is None:
+                    continue
+                new = [k for k in after if k not in before]
+                fingerprints[name] = {
+                    "stages": len(new),
+                    "shuffle_bytes": int(sum(after[k] for k in new)),
+                }
         # LAST: materialize the session-scoped fact view and rollup
         # store at the BENCH SF — that derivation is ingest-time work
         # in the reference (a stored table), not query latency.  This
@@ -121,7 +191,6 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    total = 0.0
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
@@ -139,7 +208,6 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
-        total += best
         print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
         # drop materializations (localCheckpoint RDD blocks, cached
         # frames) the query left behind: in one shared JVM, 50 queries
@@ -156,29 +224,28 @@ def main() -> None:
     # A failed query must not read as a speedup: each one adds a 60 s
     # penalty to the headline value and the process exits nonzero, so a
     # partially broken build is never comparable to a clean run.
-    PENALTY_S = 60.0
-    out = {
-        "metric": "total_query_wall_time",
-        "value": round(total + PENALTY_S * len(errors), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # provenance: per-query values are min-of-N warm runs; loadavg
-        # lets a single driver run be adjudicated against the quiet-host
-        # discipline (BENCH_NOTES.md: concurrent load inflates ~3x)
-        "repeat": repeat,
-        "loadavg_1m": round(os.getloadavg()[0], 2),
-    }
+    loadavg = os.getloadavg()[0]
     if fingerprints:
-        # deterministic plan shape at the warmup SF: {stages,
-        # shuffle_bytes} per query — compare across rounds to separate
-        # plan changes from host noise
-        out["plan"] = fingerprints
-    if errors:
-        out["errors"] = errors
-        out["error_penalty_sec"] = PENALTY_S * len(errors)
-    if warmup_error:
-        out["warmup_error"] = warmup_error
+        # deterministic plan shape at the warmup SF — SIDECAR, not
+        # stdout: inlining these overflowed the driver's 2000-char tail
+        # capture in round 9 and cost the round its bench number
+        plan_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_PLAN",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PLAN.json"),
+        )
+        try:
+            write_plan_sidecar(fingerprints, plan_path, loadavg)
+            print(f"# plan fingerprints: {plan_path}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — sidecar must not sink bench
+            print(f"# plan sidecar: {type(exc).__name__}", file=sys.stderr)
+    out = build_output(
+        timings,
+        errors,
+        float(sf) if sf.replace(".", "").isdigit() else sf,
+        repeat,
+        loadavg,
+        warmup_error,
+    )
     print(json.dumps(out))
     if errors:
         raise SystemExit(1)

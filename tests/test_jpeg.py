@@ -275,3 +275,46 @@ def test_jpeg_property_roundtrip_random_shapes():
             assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
 
     check()
+
+
+def test_truncated_entropy_stream_raises():
+    """Cutting the entropy data must raise, not silently decode fake
+    1-bit padding into garbage pixels (ADVICE r9: _BitReader pad
+    accounting)."""
+    px = np.arange(32 * 32, dtype=np.uint64).reshape(32, 32) % 256
+    blob = jpeg_encode_baseline(px.astype(np.uint8), quant=1)
+    # drop the EOI plus a healthy slice of entropy bytes
+    for cut in (4, 16, 64):
+        with pytest.raises(ValueError):
+            jpeg_decode(blob[: len(blob) - cut])
+
+
+def test_truncated_segments_raise_value_error():
+    """Truncated DQT/DHT/SOF bodies must fail as ValueError at the
+    segment boundary, not as numpy IndexError deep in table parsing."""
+    blob = jpeg_encode_baseline(_block_uniform(3), quant=1)
+
+    def seg_off(marker: bytes) -> int:
+        off = blob.index(marker)
+        assert off > 0
+        return off
+
+    for marker in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        off = seg_off(marker)
+        with pytest.raises(ValueError):
+            jpeg_decode(blob[: off + 6])  # cut mid-segment-body
+    # corrupt a DQT length to run past its body while data continues
+    off = seg_off(b"\xff\xdb")
+    bad = bytearray(blob)
+    bad[off + 2 : off + 4] = (8).to_bytes(2, "big")  # too short for 65-byte table
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad))
+
+
+def test_legal_final_byte_padding_still_decodes():
+    """The ≤7-bit alignment pad at the end of a legal stream must stay
+    accepted — the truncation guard only fires on an 8th pad bit."""
+    for d in range(6):
+        px = _block_uniform(d)
+        w, h, ch, got = jpeg_decode(jpeg_encode_baseline(px, quant=1))
+        assert (w, h, ch) == (px.shape[1], px.shape[0], 1)

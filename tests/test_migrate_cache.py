@@ -70,6 +70,28 @@ def test_result_cache_ttl_and_hits():
     assert len(calls) == 3  # ttl 0 → recompute
 
 
+def test_result_cache_lru_cap():
+    """max_entries is a hard cap under distinct-key hammering
+    (VERDICT r9 #8), and eviction is LRU: a recently-hit entry
+    outlives colder ones inserted after it."""
+    cache = ResultCache(ttl_s=1000, max_entries=8)
+    for i in range(100):
+        cache.put({"q": i}, i)
+        assert len(cache._store) <= 8
+    # entries 92..99 remain; touch 92 so it becomes most-recent
+    assert cache.get({"q": 92}) == 92
+    # 8 fresh inserts evict everything EXCEPT the touched entry +7 new
+    for i in range(100, 107):
+        cache.put({"q": i}, i)
+    assert cache.get({"q": 92}) == 92  # survived: it was hot
+    assert cache.get({"q": 93}) is None  # evicted: cold
+    assert len(cache._store) <= 8
+    # re-put of an existing key must not evict anyone
+    cache.put({"q": 92}, 920)
+    assert cache.get({"q": 92}) == 920
+    assert len(cache._store) <= 8
+
+
 def test_graph_line_cached_roundtrip(spark, tmp_path):
     from datetime import datetime, timezone
 

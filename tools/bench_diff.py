@@ -17,16 +17,45 @@ and the wall time, then buckets:
 
 "Identical" is tolerance-aware: measured same-session drift on an
 unchanged tree is ±2 stages (AQE stage reuse is nondeterministic) and
-<0.1% shuffle bytes (compression/row order), so fingerprints within
-±3 stages AND ±2% bytes count as the same plan.  Fingerprints are only
-present from round 9 on; queries without one in either file are
-listed separately.
+<0.1% shuffle bytes (compression/row order); observed cross-session
+AQE wobble reaches ±4 stages, so the implemented tolerance is
+±5 stages AND (2% + 64 bytes) — fingerprints inside BOTH bounds count
+as the same plan.  Fingerprints are only present from round 9 on;
+queries without one in either file are listed separately.
+
+Fingerprints live either inline (``"plan"`` key, rounds ≤9) or in a
+sidecar written by bench.py from round 10 on (``<stem>.plan.json``
+next to the input, falling back to ``BENCH_PLAN.json`` in the same
+directory — pass explicit sidecars as args 4/5 to override).
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [thr] [OLD_PLAN NEW_PLAN]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+
+def load_plan(bench_path: str, bench: dict, explicit: str | None) -> dict:
+    """Resolve a bench file's plan fingerprints: explicit sidecar arg >
+    inline "plan" key (rounds ≤9) > <stem>.plan.json > BENCH_PLAN.json
+    in the same directory.  Missing everywhere → {} (queries bucket as
+    no-fingerprint, never an error)."""
+    if explicit:
+        return json.load(open(explicit)).get("plan", {})
+    if "plan" in bench:
+        return bench["plan"]
+    stem, _ = os.path.splitext(bench_path)
+    for cand in (stem + ".plan.json",
+                 os.path.join(os.path.dirname(bench_path) or ".", "BENCH_PLAN.json")):
+        if os.path.isfile(cand):
+            try:
+                return json.load(open(cand)).get("plan", {})
+            except Exception:  # noqa: BLE001 — corrupt sidecar ⇒ no fingerprints
+                return {}
+    return {}
 
 
 def main() -> int:
@@ -36,7 +65,8 @@ def main() -> int:
     old = json.load(open(sys.argv[1]))
     new = json.load(open(sys.argv[2]))
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    po, pn = old.get("plan", {}), new.get("plan", {})
+    po = load_plan(sys.argv[1], old, sys.argv[4] if len(sys.argv) > 4 else None)
+    pn = load_plan(sys.argv[2], new, sys.argv[5] if len(sys.argv) > 5 else None)
     qo, qn = old.get("queries", {}), new.get("queries", {})
     print(
         f"# old: value={old.get('value')} loadavg={old.get('loadavg_1m')} | "
