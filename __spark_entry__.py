@@ -40,6 +40,7 @@ import akvorado_spark.oracle.rollup_queries  # noqa: F401
 import akvorado_spark.oracle.setops_queries  # noqa: F401
 import akvorado_spark.oracle.lmdata_queries  # noqa: F401
 import akvorado_spark.oracle.mlstats_queries  # noqa: F401
+import akvorado_spark.oracle.vocab_queries  # noqa: F401
 from akvorado_spark.oracle.registry import QUERIES, resolve_oracle
 
 

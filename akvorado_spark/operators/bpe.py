@@ -36,11 +36,18 @@ def word_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _char_symbols(word):
-    """word → [c1, c2, ..., END] as array<string> (codegen, no UDF)."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(word)),
-        lambda i: word.substr(i, F.lit(1)),
-    )
+    """word → [c1, c2, ..., END] as array<string> (codegen, no UDF).
+
+    The empty-word branch is explicit: Spark's ``sequence(1, 0)``
+    DESCENDS to [1, 0] instead of returning [], which would fabricate
+    two empty symbols for a zero-length word."""
+    chars = F.when(
+        F.length(word) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.concat(chars, F.array(F.lit(END)))
 
 

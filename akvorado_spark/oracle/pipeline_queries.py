@@ -653,7 +653,8 @@ FROM scored GROUP BY 1, 2 ORDER BY lang, guess
 """
 
 
-register("text_lang_id", _lang_id, _lang_oracle())
+# registered below as a member of text_id_suite (fold, r10: the slot
+# freed here pays for vocab_suite in vocab_queries.py)
 
 
 # document fingerprint: the order-sensitive rolling fold, certified
@@ -689,7 +690,41 @@ FROM documents WHERE {_FP_SAMPLE}
 """
 
 
-register("text_fingerprint", _text_fingerprint, _fingerprint_oracle())
+# lang-id + fingerprint fold into ONE gated suite (r10 — same budget
+# discipline as ann_suite/lmdata_suite; both members stay individually
+# hash-gated via the member tag, and the standalone fns above remain
+# importable for tests and tools/check subsets)
+def _text_id_suite(spark, sf_dir):
+    lang = _lang_id(spark, sf_dir).select(
+        F.lit("lang").alias("member"),
+        F.col("lang").alias("s1"),
+        F.col("guess").alias("s2"),
+        F.lit(0).cast("long").alias("k1"),
+        F.col("n").cast("long").alias("v1"),
+    )
+    fp = _text_fingerprint(spark, sf_dir).select(
+        F.lit("fp").alias("member"),
+        F.lit("").alias("s1"),
+        F.lit("").alias("s2"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("fp").cast("long").alias("v1"),
+    )
+    return lang.unionByName(fp).orderBy("member", "s1", "s2", "k1")
+
+
+def _text_id_suite_oracle() -> str:
+    return f"""
+SELECT 'lang' AS member, lang AS s1, guess AS s2, CAST(0 AS BIGINT) AS k1,
+       CAST(n AS BIGINT) AS v1
+FROM ({_lang_oracle()})
+UNION ALL
+SELECT 'fp', '', '', doc_id, fp
+FROM ({_fingerprint_oracle()})
+ORDER BY member, s1, s2, k1
+"""
+
+
+register("text_id_suite", _text_id_suite, _text_id_suite_oracle())
 
 # ---------------------------------------------------------------------------
 # similarity search

@@ -1,0 +1,192 @@
+"""Vocabulary operators, driver-gated (VERDICT r9 items 4–5): BPE
+segmentation under a FIXED literal merge list, and TF-IDF top-k
+keyword extraction — folded into one ``vocab_suite`` registry entry
+(budget discipline: the slot is paid for by folding the two standalone
+text queries into ``text_id_suite`` in pipeline_queries.py).
+
+BPE replay: DuckDB applies the same merges as a nested ``replace``
+chain over a wrapped-symbol string — every symbol is rendered as
+``chr(30) || sym || chr(31)``, so a merge is the literal pattern
+``<a><b>`` → ``<ab>``.  Distinct start/end markers matter: with a
+single shared separator, ``replace``'s scan resumes after the
+replacement and a consumed boundary char prevents the next adjacent
+pair from matching ('a b a b' would merge once instead of twice).
+With per-symbol wrapping the non-overlapping left-to-right scan is
+EXACTLY the greedy fold ``operators/bpe._merge_expr`` computes
+(pinned by tests/test_vocab_gate.py on the trap cases).
+
+TF-IDF replay: ranking rides an integer micro-fixed-point weight
+(``tf * round(idf * 1e6)``) — the same precedent as the perplexity
+member's lp_micro — so the gated ordering never compares raw doubles
+across engines.
+
+The merge list is trained once by ``operators/bpe.train_bpe`` at
+sf0.001 (deterministic: lexicographic tie-break) and frozen here as
+literals; the driver gate certifies the APPLICATION machinery
+(segmentation fold, broadcast word→count join), while the trainer
+itself is replayed against a pure-Python reference in
+tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from akvorado_spark.oracle.registry import register
+from akvorado_spark.sources.tables import load_table
+
+# train_bpe(documents@sf0.001, n_merges=16) — frozen, rank order
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("o", "r"),
+    ("t", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("l", "u"),
+    ("i", "n"),
+    ("y", "</w>"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("g", "</w>"),
+    ("a", "s"),
+    ("h", "</w>"),
+)
+
+_TFIDF_K = 3
+
+_DUCK_TOKS = """
+toks AS (
+  SELECT doc_id, t.word AS word
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+    FROM documents
+  ), UNNEST(ws) AS t(word)
+)
+"""
+
+
+def _bpe_member(spark, sf_dir):
+    from akvorado_spark.operators.bpe import bpe_token_counts
+
+    docs = load_table(spark, "documents", sf_dir, spread=True)
+    return bpe_token_counts(docs, "text", "doc_id", list(BPE_MERGES))
+
+
+def _wrap(sym: str) -> str:
+    return f"chr(30) || '{sym}' || chr(31)"
+
+
+def _bpe_oracle() -> str:
+    # wrapped-symbol base string: <c1><c2>...<cn><</w>>
+    seg = (
+        "regexp_replace(word, '(.)', chr(30) || '\\1' || chr(31), 'g')"
+        " || chr(30) || '</w>' || chr(31)"
+    )
+    for a, b in BPE_MERGES:
+        seg = f"replace({seg}, {_wrap(a)} || {_wrap(b)}, {_wrap(a + b)})"
+    return f"""
+WITH {_DUCK_TOKS},
+vocab AS (SELECT DISTINCT word FROM toks),
+seg AS (SELECT word, {seg} AS s FROM vocab),
+cnt AS (
+  SELECT word,
+         length(s) - length(replace(s, chr(30), '')) AS nt
+  FROM seg
+)
+SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
+FROM toks JOIN cnt USING (word) GROUP BY doc_id
+"""
+
+
+def _tfidf_member(spark, sf_dir):
+    """Top-k terms per document, ranked on the INTEGER micro weight
+    ``tf * round(idf * 1e6)`` (ties → term ASC) so the cross-engine
+    gate never orders by a raw double."""
+    from pyspark.sql import Window
+
+    from akvorado_spark.operators.text import term_stats, words
+
+    docs = load_table(spark, "documents", sf_dir, spread=True).select(
+        "doc_id", "text"
+    )
+    stats = term_stats(docs, "text", "doc_id").select(
+        "term", F.round(F.col("idf") * 1e6).cast("long").alias("idf_micro")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    weighted = tf.join(F.broadcast(stats), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("w_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("w_micro"), F.asc("term"))
+    return weighted.withColumn("term_rank", F.row_number().over(w)).filter(
+        F.col("term_rank") <= _TFIDF_K
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH {_DUCK_TOKS},
+tf AS (SELECT doc_id, word AS term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS N FROM documents),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(ROUND((LN((n.N + 1.0) / (df.doc_freq + 1.0)) + 1.0) * 1000000)
+              AS BIGINT) AS idf_micro
+  FROM df CROSS JOIN n
+),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_micro AS w_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf * idf.idf_micro DESC, tf.term
+         ) AS term_rank
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, tf, w_micro, term_rank
+FROM ranked WHERE term_rank <= {_TFIDF_K}
+"""
+
+
+def _vocab_suite(spark, sf_dir):
+    zl = F.lit(0).cast("long")
+    bpe = _bpe_member(spark, sf_dir).select(
+        F.lit("bpe").alias("member"),
+        F.col("doc_id").cast("long").alias("k1"),
+        zl.alias("k2"),
+        F.lit("").alias("s"),
+        F.col("n_bpe_tokens").cast("long").alias("v1"),
+        zl.alias("v2"),
+    )
+    tfidf = _tfidf_member(spark, sf_dir).select(
+        F.lit("tfidf").alias("member"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("term_rank").cast("long").alias("k2"),
+        F.col("term").alias("s"),
+        F.col("tf").cast("long").alias("v1"),
+        F.col("w_micro").cast("long").alias("v2"),
+    )
+    return bpe.unionByName(tfidf).orderBy("member", "k1", "k2")
+
+
+def _vocab_suite_oracle() -> str:
+    return f"""
+SELECT 'bpe' AS member, doc_id AS k1, CAST(0 AS BIGINT) AS k2, '' AS s,
+       n_bpe_tokens AS v1, CAST(0 AS BIGINT) AS v2
+FROM ({_bpe_oracle()})
+UNION ALL
+SELECT 'tfidf', doc_id, term_rank, term, tf, w_micro
+FROM ({_TFIDF_ORACLE})
+ORDER BY member, k1, k2
+"""
+
+
+register("vocab_suite", _vocab_suite, _vocab_suite_oracle())
