@@ -2,8 +2,9 @@
 typed metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing)
-is real and tested.  Image decode is REAL for PNG via the pure-stdlib
-codec in ``operators/png.py`` (no Pillow in this container); other
+is real and tested.  Image decode is REAL for PNG, baseline JPEG and
+lossless WebP (VP8L) via the pure-stdlib codecs in ``operators/png.py``
+/ ``jpeg.py`` / ``vp8l.py`` (no Pillow in this container); other
 formats fall back to PIL when present, else raise — and
 ``decode_image(..., fake=True)`` substitutes a deterministic synthetic
 decode so the pipeline shape stays executable anywhere.  Audio/video
@@ -112,8 +113,20 @@ def decode_image(
                         rows.append((r[id_col], w, h, ch, "BMP"))
                         continue
                     if is_webp(blob):
-                        w, h, ch = webp_meta(blob)
-                        rows.append((r[id_col], w, h, ch, "WEBP"))
+                        from akvorado_spark.operators.vp8l import (
+                            is_vp8l,
+                            vp8l_decode,
+                        )
+
+                        if is_vp8l(blob):
+                            # REAL pixel decode (r10): lossless WebP
+                            # through the pure-stdlib VP8L codec
+                            w, h, ch, _px = vp8l_decode(blob)
+                            rows.append((r[id_col], w, h, ch, "WEBP/VP8L"))
+                        else:
+                            # lossy VP8 / extended VP8X: header-only
+                            w, h, ch = webp_meta(blob)
+                            rows.append((r[id_col], w, h, ch, "WEBP"))
                         continue
                     try:  # pragma: no cover - PIL absent in container
                         import io
@@ -125,11 +138,12 @@ def decode_image(
                                      len(img.getbands()), img.format))
                     except ImportError as e:
                         raise NotImplementedError(
-                            "GIF/BMP/WebP pixel decode needs Pillow/"
-                            "libvips; not in this container — PNG and "
-                            "baseline JPEG decode natively (operators/"
-                            "png.py, operators/jpeg.py), or pass "
-                            "fake=True for the deterministic stub"
+                            "GIF/BMP/lossy-WebP pixel decode needs "
+                            "Pillow/libvips; not in this container — PNG, "
+                            "baseline JPEG and lossless WebP decode "
+                            "natively (operators/png.py, jpeg.py, "
+                            "vp8l.py), or pass fake=True for the "
+                            "deterministic stub"
                         ) from e
                 yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "channels", "format"])
 
@@ -180,10 +194,19 @@ def image_features(
                 elif is_baseline_jpeg(blob):
                     w, h, ch, px = jpeg_decode(blob)
                 else:
-                    raise ValueError(
-                        "image_features: unsupported image container "
-                        "(PNG and baseline JPEG decode natively)"
+                    from akvorado_spark.operators.vp8l import (
+                        is_vp8l,
+                        vp8l_decode,
                     )
+
+                    if is_vp8l(blob):
+                        w, h, ch, px = vp8l_decode(blob)
+                    else:
+                        raise ValueError(
+                            "image_features: unsupported image container "
+                            "(PNG, baseline JPEG and lossless WebP decode "
+                            "natively)"
+                        )
                 if resize_to is not None:
                     px = resize_nearest(px, *resize_to)
                     h, w = px.shape[0], px.shape[1]

@@ -1606,10 +1606,57 @@ def _multimodal_meta(spark, sf_dir):
         run_jpeg, "variant string, doc_id long, width int, height int, "
         "channels int, format string, pix_sum long"
     )
+
+    # REAL lossless-WebP variant (r10): deterministic pixels through
+    # the pure-stdlib VP8L codec — per-doc option rotation walks the
+    # decoder's paths (all 14 predictor modes, subtract-green, LZ77
+    # runs, color cache) and lossless means DuckDB replays the pixel
+    # sum with integer arithmetic, no exactness lever needed.
+    def run_webp(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from akvorado_spark.operators.vp8l import (
+            vp8l_decode,
+            vp8l_encode_lossless,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 6 + 3, d % 4 + 3
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((d * 5 + 7 * yy + 11 * xx + 3 * cc) % 256).astype(np.uint8)
+                blob = vp8l_encode_lossless(
+                    px,
+                    subtract_green=bool(d % 2),
+                    lz77=bool(d % 3),
+                    cache_bits=(d % 4) * 2,
+                    predictor_mode=d % 14 if d % 5 else None,
+                )
+                ww, hh, ch, got = vp8l_decode(blob)
+                rows.append((
+                    "webp", d, ww, hh, ch, "WEBP/VP8L",
+                    int(got.astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "doc_id", "width", "height",
+                         "channels", "format", "pix_sum"],
+            )
+
+    webp = docs.select("doc_id").mapInPandas(
+        run_webp, "variant string, doc_id long, width int, height int, "
+        "channels int, format string, pix_sum long"
+    )
     return (
         fake.unionByName(png)
         .unionByName(wav)
         .unionByName(jpg)
+        .unionByName(webp)
         .orderBy("variant", "doc_id")
     )
 
@@ -1665,6 +1712,19 @@ FROM documents d,
      generate_series(0, 2) bx(i), generate_series(0, 1) by(i)
 WHERE {_MM_SAMPLE}
   AND bx.i < d.doc_id % 3 + 1 AND by.i < d.doc_id % 2 + 1
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'webp' AS variant, d.doc_id,
+       CAST(d.doc_id % 6 + 3 AS INT) AS width,
+       CAST(d.doc_id % 4 + 3 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'WEBP/VP8L' AS format,
+       CAST(SUM((d.doc_id * 5 + 7 * y.i + 11 * x.i + 3 * c.i) % 256) AS BIGINT) AS pix_sum
+FROM documents d,
+     generate_series(0, 5) y(i), generate_series(0, 7) x(i),
+     generate_series(0, 2) c(i)
+WHERE {_MM_SAMPLE}
+  AND y.i < d.doc_id % 4 + 3 AND x.i < d.doc_id % 6 + 3
 GROUP BY d.doc_id
 ORDER BY variant, doc_id"""
 

@@ -461,13 +461,24 @@ def test_webp_meta_all_three_layouts(spark):
     with _pt.raises(ValueError):
         webp_meta(riff(b"ZZZZ", b"\x00" * 16))
 
+    # decode_image routes lossy/extended headers to webp_meta; VP8L now
+    # goes through the REAL pixel decoder (operators/vp8l.py), so the
+    # fixture must be a complete stream, not a bare header
+    import numpy as np
+
+    from akvorado_spark.operators.vp8l import vp8l_encode_lossless
+
+    real_vp8l = vp8l_encode_lossless(
+        np.arange(100 * 50 * 3, dtype=np.uint64).reshape(50, 100, 3).astype(np.uint8) % 251
+    )
     df = spark.createDataFrame(
-        [(1, bytearray(vp8)), (2, bytearray(vp8l)), (3, bytearray(vp8x))],
+        [(1, bytearray(vp8)), (2, bytearray(real_vp8l)), (3, bytearray(vp8x))],
         "doc_id long, media binary",
     )
     got = {r["doc_id"]: r for r in decode_image(df).collect()}
     assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (320, 240, "WEBP")
-    assert got[2]["channels"] == 4 and got[3]["width"] == 640
+    assert (got[2]["width"], got[2]["height"], got[2]["format"]) == (100, 50, "WEBP/VP8L")
+    assert got[3]["width"] == 640 and got[3]["format"] == "WEBP"
 
 
 def test_audio_header_meta_mp3_and_ogg(spark):

