@@ -1,0 +1,212 @@
+"""Long-stream soak for the bounded-state streaming dedup operators
+(VERDICT r9 item 7): drive ``streaming_bloom_dedup`` and
+``streaming_minhash_candidates`` through 50–100 REAL micro-batches
+(``maxFilesPerTrigger=1`` + availableNow → one file per micro-batch,
+with a mid-run restart from checkpoint) and verify what the few-batch
+pytests cannot:
+
+- state-store size stays FLAT (bloom: constant bitmap bytes;
+  minhash: per-bucket member lists plateau at max_bucket),
+- pair/row emission stays LINEAR in arrivals (no quadratic tail from
+  the degenerate bucket once the cap engages).
+
+Usage: python tools/soak_streaming.py [n_batches] [workdir] [bloom|minhash]
+Prints a markdown table for SCALE_METRICS.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH_ROWS = 200
+DUP_FRACTION = 0.4  # of each batch: re-deliveries of earlier content
+BOILER_FRACTION = 0.2  # minhash: identical boilerplate (degenerate bucket)
+
+
+def _uniq_text(doc_id: int) -> str:
+    # token stride keeps distinct docs DISSIMILAR (no shared n-grams
+    # between ids), so minhash pairs come only from intended content
+    return "unique document body " + " ".join(
+        f"tok{(doc_id * 1000003 + j * 7919) % 999983}" for j in range(30)
+    )
+
+
+def _mk_batch(spark, b: int, kind: str, seen_texts: set):
+    """One micro-batch.  bloom: 40% exact re-deliveries of the previous
+    batch's uniques + 60% fresh.  minhash: 20% identical boilerplate
+    (the degenerate bucket that must hit the cap) + 80% fresh
+    dissimilar docs.  ``seen_texts`` tracks exact first-occurrences so
+    the expected-emission count is data-derived, not re-derived
+    combinatorics."""
+    rows = []
+    base = b * BATCH_ROWS
+    n_dup = int(BATCH_ROWS * DUP_FRACTION) if (kind == "bloom" and b) else 0
+    n_boiler = int(BATCH_ROWS * BOILER_FRACTION) if kind == "minhash" else 0
+    for i in range(BATCH_ROWS):
+        doc_id = base + i
+        if i < n_boiler:
+            text = "identical boilerplate legal footer shared by every page"
+        elif i < n_boiler + n_dup:
+            text = _uniq_text(base - BATCH_ROWS + i)  # previous batch
+        else:
+            text = _uniq_text(doc_id)
+        seen_texts.add(text)
+        rows.append((doc_id, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run(spark, src_glob: str, sink: str, ckpt: str, builder) -> float:
+    t0 = time.time()
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_glob)
+    q = (
+        builder(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    if q.exception() is not None:
+        raise RuntimeError(q.exception())
+    return time.time() - t0
+
+
+def _state_rows(spark, ckpt: str):
+    return spark.read.format("statestore").load(ckpt).collect()
+
+
+def main() -> int:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_streaming"
+    shutil.rmtree(work, ignore_errors=True)
+
+    from akvorado_spark.session import get_spark
+    from akvorado_spark.streaming.state import (
+        streaming_bloom_dedup,
+        streaming_minhash_candidates,
+    )
+
+    spark = get_spark("soak_streaming")
+    results = []
+    kinds = (sys.argv[3],) if len(sys.argv) > 3 else ("bloom", "minhash")
+
+    for kind in kinds:
+        src = os.path.join(work, kind, "in")
+        sink = os.path.join(work, kind, "out")
+        ckpt = os.path.join(work, kind, "ckpt")
+        os.makedirs(src)
+
+        if kind == "bloom":
+            builder = lambda s: streaming_bloom_dedup(  # noqa: E731
+                s, "text", buckets=64, bits_per_shard=1 << 17
+            )
+        else:
+            builder = lambda s: streaming_minhash_candidates(  # noqa: E731
+                s, "text", "doc_id", n_hashes=16, bands=4, max_bucket=64
+            )
+
+        half = n_batches // 2
+        mid_metrics = {}
+        wall = 0.0
+        seen_texts: set = set()
+        for phase, (lo, hi) in enumerate([(0, half), (half, n_batches)]):
+            for b in range(lo, hi):
+                _mk_batch(spark, b, kind, seen_texts).coalesce(1).write.parquet(
+                    os.path.join(src, f"b{b:04d}")
+                )
+            # phase 2 restarts the query from the checkpoint — the soak
+            # also exercises state-store recovery at depth
+            wall += _run(spark, src + "/*", sink, ckpt, builder)
+            st = _state_rows(spark, ckpt)
+            if kind == "bloom":
+                size = sum(
+                    len(bytes(r["value"]["groupState"]["bitmap"])) for r in st
+                )
+                metrics = {"state_rows": len(st), "state_bytes": size}
+            else:
+                sizes = [len(r["value"]["groupState"]["members"]) for r in st]
+                metrics = {
+                    "state_rows": len(st),
+                    "state_ids": sum(sizes),
+                    "max_bucket_members": max(sizes),
+                }
+            if phase == 0:
+                mid_metrics = metrics
+            else:
+                out = spark.read.parquet(sink)
+                n_out = out.count()
+                results.append(
+                    (kind, n_batches, wall, mid_metrics, metrics, n_out, out,
+                     len(seen_texts))
+                )
+
+    print("\n| op | batches | wall s | state @N/2 | state @N | emitted rows |")
+    print("|---|---|---|---|---|---|")
+    failures = []
+    for kind, nb, wall, mid, fin, n_out, out, n_uniq_texts in results:
+        print(
+            f"| {kind} | {nb} | {wall:.1f} | {mid} | {fin} | {n_out} |"
+        )
+        if kind == "bloom":
+            if fin["state_bytes"] != mid["state_bytes"]:
+                failures.append(f"bloom state grew: {mid} -> {fin}")
+            # exact expectation: first occurrences only; Bloom may
+            # falsely DROP a few (never falsely pass)
+            if not (0.97 * n_uniq_texts) <= n_out <= n_uniq_texts:
+                failures.append(
+                    f"bloom emission off: {n_out} vs {n_uniq_texts} uniques"
+                )
+        else:
+            cap = 64
+            if fin["max_bucket_members"] > cap:
+                failures.append(f"minhash bucket over cap: {fin}")
+            # linearity: under-cap clique C(cap,2) per band once, then
+            # 1 star pair per band per over-cap boilerplate arrival —
+            # cumulative pairs stay far below the full clique
+            bands = 4
+            boiler = nb * int(BATCH_ROWS * BOILER_FRACTION)
+            budget = bands * (cap * (cap - 1) // 2 + (boiler - cap)) * 2
+            quad = bands * boiler * (boiler - 1) // 2
+            if n_out > budget:
+                failures.append(
+                    f"minhash pairs {n_out} exceed linear budget {budget} "
+                    f"(full clique would be {quad})"
+                )
+            # per-batch emission flatness on the tail: once the cap is
+            # in force (past batch 2) emission per batch must be flat
+            from pyspark.sql import functions as F
+
+            per_batch = (
+                out.withColumn("b", (F.col("id_b") / BATCH_ROWS).cast("long"))
+                .groupBy("b")
+                .count()
+                .orderBy("b")
+                .collect()
+            )
+            counts = [r["count"] for r in per_batch if r["b"] >= 2]
+            if counts:
+                mean = sum(counts) / len(counts)
+                tail = counts[-max(1, len(counts) // 4):]
+                if max(tail) > 4 * mean:
+                    failures.append(
+                        f"minhash per-batch tail spikes: max {max(tail)} vs mean {mean:.0f}"
+                    )
+    if failures:
+        print("\nFAILURES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("\nOK: state flat/capped, emission linear across all batches")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
