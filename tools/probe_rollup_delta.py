@@ -85,6 +85,7 @@ def main() -> int:
             {
                 "variant": variant,
                 "input": sum(st.get("inputBytes", 0) for st in new),
+                "in_rows": sum(st.get("inputRecords", 0) for st in new),
                 "sh_write": sum(st.get("shuffleWriteBytes", 0) for st in new),
                 "tasks": sum(st.get("numCompleteTasks", 0) for st in new),
                 "sec": dt,
@@ -92,20 +93,27 @@ def main() -> int:
         )
 
     print(f"# store build (ingest-time, once): {build_s:.1f}s  sf_dir={sf_dir}")
-    print("| variant | table | input (2 runs) | shuffle write | tasks | sec (min of 2) |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| variant | table | input rows (2 runs) | input bytes | "
+        "shuffle write | tasks | sec (min of 2) |"
+    )
+    print("|---|---|---|---|---|---|---|")
     tables = {"t7200_1h": "flows_3600s (routed)", "t7200_force_main": "flows (raw, forced)"}
     for r in rows:
         print(
-            f"| {r['variant']} | {tables[r['variant']]} | {fmt_bytes(r['input'])} "
-            f"| {fmt_bytes(r['sh_write'])} | {r['tasks']} | {r['sec']:.2f} |"
+            f"| {r['variant']} | {tables[r['variant']]} | {r['in_rows']:,} "
+            f"| {fmt_bytes(r['input'])} | {fmt_bytes(r['sh_write'])} "
+            f"| {r['tasks']} | {r['sec']:.2f} |"
         )
     routed, raw = rows[0], rows[1]
-    if routed["input"] > 0:
-        print(
-            f"# scan-bytes delta: raw/routed = "
-            f"{raw['input'] / max(routed['input'], 1):.0f}x"
-        )
+    # rows are the honest delta on a synthetic corpus: the repetitive
+    # columns RLE/dict-compress so hard that scanned BYTES understate
+    # the raw side; at real-world entropy bytes track rows
+    print(
+        f"# scan delta (raw/routed): rows "
+        f"{raw['in_rows'] / max(routed['in_rows'], 1):.0f}x, bytes "
+        f"{raw['input'] / max(routed['input'], 1):.1f}x"
+    )
     return 0
 
 
