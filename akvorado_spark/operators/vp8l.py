@@ -601,10 +601,50 @@ def vp8l_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def _cl_tokens(lengths: list[int]) -> list[tuple[int, int]]:
+    """Code-length sequence → (cl_symbol, extra_bits_value) tokens per
+    the spec's RLE: 16 repeats the previous NONZERO length 3–6 times,
+    17 emits 3–10 zeros, 18 emits 11–138 zeros; literal lengths pass
+    through as (length, -1).  Expansion is exactly what the decoder's
+    16/17/18 branches reproduce."""
+    toks: list[tuple[int, int]] = []
+    i = 0
+    n = len(lengths)
+    while i < n:
+        l = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == l:
+            run += 1
+        take = run
+        if l == 0:
+            while take >= 11:
+                r = min(take, 138)
+                toks.append((18, r - 11))
+                take -= r
+            while take >= 3:
+                r = min(take, 10)
+                toks.append((17, r - 3))
+                take -= r
+            toks.extend([(0, -1)] * take)
+        else:
+            # code 16 repeats the PREVIOUS nonzero length: the first
+            # occurrence must be a literal, repeats may ride 16
+            toks.append((l, -1))
+            take -= 1
+            while take >= 3:
+                r = min(take, 6)
+                toks.append((16, r - 3))
+                take -= r
+            toks.extend([(l, -1)] * take)
+        i += run
+    return toks
+
+
 def _write_prefix_code(bw: _BitWriter, lengths: list[int], used: list[int]):
     """Emit a prefix code: simple form when ≤2 used 8-bit symbols,
-    else the code-length-coded normal form (no RLE codes — fixture
-    alphabets are small; zeros ride the CL code's 0 symbol)."""
+    else the code-length-coded normal form with spec RLE (16 repeats
+    the previous nonzero length, 17/18 zero runs) so every decoder
+    branch is exercised by ordinary fixtures."""
     if 1 <= len(used) <= 2 and all(s <= 255 for s in used):
         bw.write(1, 1)  # simple
         bw.write(len(used) - 1, 1)
@@ -620,25 +660,39 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int], used: list[int]):
     bw.write(0, 1)  # normal
     # truncate trailing zeros via max_symbol
     max_sym = max(s for s, l in enumerate(lengths) if l) + 1
+    toks = _cl_tokens(lengths[:max_sym])
+    if len(toks) < 2:
+        # max_symbol's field floor is 2 READS; degenerate token lists
+        # (can't happen with ≥3 used symbols, but stay safe) fall back
+        # to literal-only emission
+        toks = [(l, -1) for l in lengths[:max_sym]]
     cl_hist: dict[int, int] = {}
-    for l in lengths[:max_sym]:
-        cl_hist[l] = cl_hist.get(l, 0) + 1
+    for s, _extra in toks:
+        cl_hist[s] = cl_hist.get(s, 0) + 1
     cl_lengths = _build_lengths(cl_hist, 19, limit=7)
     bw.write(15, 4)  # num_code_lengths = 19
     for sym in _CL_ORDER:
         bw.write(cl_lengths[sym], 3)
-    # explicit max_symbol (use_length=1): pick the smallest nbits field
+    # explicit max_symbol (use_length=1).  The spec counter limits CL
+    # READS, not expanded symbols — with RLE one 17/18 token covers a
+    # whole zero run, so the field is the TOKEN count
     bw.write(1, 1)
-    field = max_sym - 2
+    field = len(toks) - 2
     nbits = max(2, (field.bit_length() + 1) & ~1)  # even, ≥2
     bw.write((nbits - 2) // 2, 3)
     bw.write(field, nbits)
     cl_codes = _canonical_codes(cl_lengths)
     cl_single = sum(1 for l in cl_lengths if l) == 1
-    for l in lengths[:max_sym]:
+    for s, extra in toks:
         if not cl_single:
-            c, n = cl_codes[l]
+            c, n = cl_codes[s]
             bw.write_code(c, n)
+        if s == 16:
+            bw.write(extra, 2)
+        elif s == 17:
+            bw.write(extra, 3)
+        elif s == 18:
+            bw.write(extra, 7)
     return None
 
 
@@ -682,15 +736,95 @@ def _encode_entropy_image(
     cache_bits: int = 0,
     lz77: bool = False,
     is_level0: bool = False,
+    meta_bits: int | None = None,
+    n_groups: int = 1,
 ) -> None:
-    """Entropy-code an (a,r,g,b) pixel list: optional color cache and
+    """Entropy-code an (a,r,g,b) pixel list: optional color cache,
     greedy run-length LZ77 (identical-neighbor runs, distance 1 or
     xsize so both the neighbor-map and direct distance paths are
-    exercised)."""
+    exercised), and — at level 0 — an optional meta-prefix entropy
+    image assigning blocks to ``n_groups`` code groups checkerboard-
+    style (each group trains its own five prefix codes)."""
+    if meta_bits is not None and (lz77 or not is_level0):
+        raise ValueError("meta groups compose with literals/cache only")
     bw.write(1 if cache_bits else 0, 1)
     if cache_bits:
         bw.write(cache_bits, 4)
     cache_size = (1 << cache_bits) if cache_bits else 0
+
+    if meta_bits is not None:
+        # group of pixel pos: checkerboard over meta blocks
+        mw = (xsize + (1 << meta_bits) - 1) >> meta_bits
+
+        def group_of(pos: int) -> int:
+            bx = (pos % xsize) >> meta_bits
+            by = (pos // xsize) >> meta_bits
+            return (bx + by) % n_groups
+
+        ysize = (len(pixels) + xsize - 1) // xsize
+        mh = (ysize + (1 << meta_bits) - 1) >> meta_bits
+        meta_px = [
+            (255, ((bx + by) % n_groups) >> 8, ((bx + by) % n_groups) & 0xFF, 0)
+            for by in range(mh)
+            for bx in range(mw)
+        ]
+        bw.write(1, 1)  # meta prefix image present
+        bw.write(meta_bits - 2, 3)
+        _encode_entropy_image(bw, meta_px, mw)
+        groups = sorted({((p[1] << 8) | p[2]) for p in meta_px})
+        n_codes = max(groups) + 1
+        # per-group token planning: literals/cache only, global cache
+        tokens = []
+        cache = [(0, 0, 0, 0)] * cache_size
+        for pos, px in enumerate(pixels):
+            g = group_of(pos)
+            if cache_size:
+                a, r, gg, b = px
+                argb = (a << 24) | (r << 16) | (gg << 8) | b
+                hidx = _hash_pixel(argb, cache_bits)
+                if cache[hidx] == px:
+                    tokens.append((g, "cache", hidx))
+                    continue
+                cache[hidx] = px
+            tokens.append((g, "lit", px))
+        hists = [
+            {"g": {}, "r": {}, "b": {}, "a": {}, "d": {0: 1}}
+            for _ in range(n_codes)
+        ]
+        for t in tokens:
+            hs = hists[t[0]]
+            if t[1] == "lit":
+                a, r, gg, b = t[2]
+                for k, v in (("g", gg), ("r", r), ("b", b), ("a", a)):
+                    hs[k][v] = hs[k].get(v, 0) + 1
+            else:
+                sym = 256 + 24 + t[2]
+                hs["g"][sym] = hs["g"].get(sym, 0) + 1
+        writers = []
+        for hs in hists:
+            for k in ("r", "b", "a"):
+                if not hs[k]:
+                    hs[k][0] = 1
+            if not hs["g"]:
+                hs["g"][0] = 1
+            writers.append((
+                _encode_channel_code(bw, hs["g"], 256 + 24 + cache_size),
+                _encode_channel_code(bw, hs["r"], 256),
+                _encode_channel_code(bw, hs["b"], 256),
+                _encode_channel_code(bw, hs["a"], 256),
+                _encode_channel_code(bw, hs["d"], 40),
+            ))
+        for t in tokens:
+            gw, rw, bw_, aw, _dw = writers[t[0]]
+            if t[1] == "lit":
+                a, r, gg, b = t[2]
+                gw.emit(bw, gg)
+                rw.emit(bw, r)
+                bw_.emit(bw, b)
+                aw.emit(bw, a)
+            else:
+                gw.emit(bw, 256 + 24 + t[2])
+        return
 
     # plan the token stream first (histograms must precede codes)
     tokens: list[tuple] = []
@@ -798,6 +932,7 @@ def vp8l_encode_lossless(
     predictor_mode: int | None = None,
     palette: bool = False,
     color_transform: tuple[int, int, int] | None = None,
+    meta_groups: tuple[int, int] | None = None,
 ) -> bytes:
     """HxWx{1,3,4} uint8 → lossless WebP bytes.
 
@@ -924,9 +1059,18 @@ def vp8l_encode_lossless(
         ]
     bw.write(0, 1)  # end of transforms
 
-    _encode_entropy_image(
-        bw, pixels, xsize, cache_bits=cache_bits, lz77=lz77, is_level0=True
-    )
+    if meta_groups is not None:
+        if lz77:
+            raise ValueError("meta groups compose with literals/cache only")
+        mb, ng = meta_groups
+        _encode_entropy_image(
+            bw, pixels, xsize, cache_bits=cache_bits, is_level0=True,
+            meta_bits=mb, n_groups=ng,
+        )
+    else:
+        _encode_entropy_image(
+            bw, pixels, xsize, cache_bits=cache_bits, lz77=lz77, is_level0=True
+        )
 
     payload = b"\x2f" + bw.getvalue()
     riff = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload

@@ -1630,12 +1630,14 @@ def _multimodal_meta(spark, sf_dir):
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 px = ((d * 5 + 7 * yy + 11 * xx + 3 * cc) % 256).astype(np.uint8)
+                meta = (2, d % 3 + 2) if d % 7 == 0 else None
                 blob = vp8l_encode_lossless(
                     px,
                     subtract_green=bool(d % 2),
-                    lz77=bool(d % 3),
+                    lz77=bool(d % 3) and meta is None,
                     cache_bits=(d % 4) * 2,
                     predictor_mode=d % 14 if d % 5 else None,
+                    meta_groups=meta,
                 )
                 ww, hh, ch, got = vp8l_decode(blob)
                 rows.append((

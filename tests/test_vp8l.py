@@ -218,3 +218,35 @@ def test_decode_image_routes_vp8l(spark):
     row = decode_image(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (10, 6, 3)
     assert row["format"] == "WEBP/VP8L"
+
+
+def test_meta_prefix_groups_roundtrip():
+    """Multi-group decode: a checkerboard meta-prefix image routes each
+    block to its own five prefix codes (the decoder's meta path)."""
+    px = _rand((37, 29, 3), 21)
+    for mg in [(2, 2), (3, 4), (4, 3)]:
+        for extra in [{}, {"cache_bits": 5}, {"subtract_green": True},
+                      {"predictor_mode": 7}]:
+            blob = vp8l_encode_lossless(px, meta_groups=mg, **extra)
+            _, _, _, got = vp8l_decode(blob)
+            assert np.array_equal(got, px), (mg, extra)
+    with pytest.raises(ValueError):
+        vp8l_encode_lossless(px, meta_groups=(2, 2), lz77=True)
+
+
+def test_code_length_rle_paths():
+    """Sparse high-valued symbols force long zero runs through the
+    17/18 RLE codes, and equal-length plateaus ride code 16 — all
+    three decoder branches must reproduce the exact lengths."""
+    # many equal-frequency colors → a large plateau of equal lengths
+    colors = np.array([[i * 16 % 256, 100, i * 48 % 256] for i in range(16)],
+                      dtype=np.uint8)
+    px = colors[np.random.default_rng(22).integers(0, 16, (24, 24))]
+    _, _, _, got = vp8l_decode(vp8l_encode_lossless(px))
+    assert np.array_equal(got, px)
+    # sparse extremes: green values 0 and 255 only, plus a mid literal
+    sparse = np.zeros((9, 9, 3), dtype=np.uint8)
+    sparse[::2, ::2, 1] = 255
+    sparse[1, 1, 1] = 128
+    _, _, _, got2 = vp8l_decode(vp8l_encode_lossless(sparse))
+    assert np.array_equal(got2, sparse)
