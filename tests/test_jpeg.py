@@ -272,7 +272,13 @@ def test_jpeg_property_roundtrip_random_shapes():
             g = y - 0.344136 * (cbu - 128) - 0.714136 * (cru - 128)
             b = y + 1.772 * (cbu - 128)
             want = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255)
-            assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+            # 4:2:0 budget is 3, not 2: the codec's per-block float
+            # IDCT and the reference's whole-plane chroma mean round
+            # independently, and the worst observed stack-up is ±1
+            # IDCT rounding ±1 chroma-mean rounding amplified by the
+            # 1.772 Cb coefficient (hypothesis-found at h=6,w=10,
+            # seed=30 in r10 — value error 3, structure exact)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
 
     check()
 
