@@ -146,19 +146,28 @@ def bpe_token_counts(
     text_col: str,
     id_col: str,
     merges: list[tuple[str, str]],
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document BPE token count under a learned merge list:
-    segment the DISTINCT words once, broadcast the (word → token
-    count) map, and sum over each document's words — the corpus is
-    never re-segmented row by row."""
+    segment the DISTINCT words once, join the (word → token count)
+    map back, and sum over each document's words — the corpus is
+    never re-segmented row by row.
+
+    ``broadcast_vocab`` (default True) is right while the distinct-word
+    table fits executor memory; at web-scale vocabularies set False —
+    the join key is ``word``, the token stream shuffles on it once,
+    and AQE still picks broadcast at runtime when the measured segment
+    table allows."""
     from akvorado_spark.operators.text import words
 
     toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
     seg = segment_words(toks.select("word").distinct(), merges).select(
         "word", F.size("tokens").alias("__nt")
     )
+    if broadcast_vocab:
+        seg = F.broadcast(seg)
     return (
-        toks.join(F.broadcast(seg), "word")
+        toks.join(seg, "word")
         .groupBy(id_col)
         .agg(F.sum("__nt").alias("n_bpe_tokens"))
     )

@@ -313,16 +313,23 @@ def tfidf_topk_terms(
     id_col: str,
     k: int = 5,
     stats: DataFrame | None = None,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf.
 
     Output: (id, term, tf BIGINT, weight DOUBLE, term_rank) with ties
     broken by the term text, so ranking is deterministic across
     engines and partitionings.  Pass a precomputed :func:`term_stats`
-    frame to amortize the vocabulary across calls (the idf side is
-    vocabulary-sized → broadcastable; the per-doc ranking window
-    partitions by document id, so no single task sees more than one
-    document's terms beyond the tf aggregate).
+    frame to amortize the vocabulary across calls; the per-doc ranking
+    window partitions by document id, so no single task sees more than
+    one document's terms beyond the tf aggregate.
+
+    ``broadcast_stats`` (default True) hints the idf side: right while
+    the vocabulary fits executor memory (dictionary-scale corpora).
+    At web scale — billions of distinct tokens — set False: the join
+    key is ``term`` and the tf side is already term-keyed after its
+    aggregate, so the shuffle join co-locates for free and AQE picks
+    broadcast at runtime when the measured size allows it.
     """
     from pyspark.sql import Window
 
@@ -333,7 +340,10 @@ def tfidf_topk_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    weighted = tf.join(F.broadcast(stats.select("term", "idf")), "term").select(
+    stats_side = stats.select("term", "idf")
+    if broadcast_stats:
+        stats_side = F.broadcast(stats_side)
+    weighted = tf.join(stats_side, "term").select(
         F.col(id_col),
         "term",
         "tf",

@@ -377,3 +377,33 @@ def test_pipeline_funnel_no_cartesian(spark):
     assert "CartesianProduct" not in p
     # the only nested-loop joins are the broadcast 1-row scalar frames
     assert "SortMergeJoin" not in p
+
+
+def test_vocab_suite_joins_are_broadcast_with_shuffle_fallback(spark):
+    """vocab_suite (r10): the bpe word→count map and the tfidf idf
+    side broadcast by default (vocabulary-sized), with the documented
+    web-scale fallback to a term/word-keyed shuffle join when the
+    hint is disabled — never a cartesian."""
+    from akvorado_spark.operators.bpe import bpe_token_counts
+    from akvorado_spark.operators.text import tfidf_topk_terms
+    from akvorado_spark.oracle.vocab_queries import BPE_MERGES
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    p = plan(bpe_token_counts(docs, "text", "doc_id", list(BPE_MERGES)))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    p2 = plan(tfidf_topk_terms(docs, "text", "doc_id", k=3))
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
+    # web-scale fallback: hint off → equi-join on the key, never a
+    # cartesian.  (The BroadcastNestedLoopJoin that remains in the
+    # tfidf plan is the HINTED 1-row corpus-total frame from
+    # term_stats — bounded by construction, fine at any scale.)
+    p3 = plan(
+        bpe_token_counts(docs, "text", "doc_id", list(BPE_MERGES),
+                         broadcast_vocab=False)
+    )
+    assert "CartesianProduct" not in p3
+    p4 = plan(tfidf_topk_terms(docs, "text", "doc_id", k=3,
+                               broadcast_stats=False))
+    assert "CartesianProduct" not in p4
