@@ -250,3 +250,20 @@ def test_code_length_rle_paths():
     sparse[1, 1, 1] = 128
     _, _, _, got2 = vp8l_decode(vp8l_encode_lossless(sparse))
     assert np.array_equal(got2, sparse)
+
+
+def test_image_features_decodes_webp(spark):
+    """feature-extract stage accepts lossless WebP natively: exact
+    per-channel means from the decoded pixels."""
+    from akvorado_spark.operators.multimodal import image_features
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 10
+    px[:, :, 1] = 20
+    px[:, :, 2] = 200
+    blob = vp8l_encode_lossless(px, lz77=True)
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, media binary")
+    row = image_features(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (6, 4, 3)
+    assert row["mean"] == [10.0, 20.0, 200.0]
+    assert row["std"] == [0.0, 0.0, 0.0]
