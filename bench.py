@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — guaranteed to fit a 2000-char log
+tail.  Per-query plan fingerprints go to the BENCH_PLAN.json sidecar
+(override with $SPARK_GRAFT_BENCH_PLAN), consumed by tools/bench_diff.py.
 
 Each query is timed $SPARK_GRAFT_BENCH_REPEAT times (default 2) and the
 MINIMUM is reported.  The shared build host shows up to 3x run-to-run

@@ -45,6 +45,9 @@ HEADLINE = [
     "widget_exporters",
     "graph_line_bidir",
     "graph_line_prev_period",
+    "vocab_suite",
+    "text_id_suite",
+    "multimodal_decode_meta",
 ]
 
 
