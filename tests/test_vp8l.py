@@ -267,3 +267,22 @@ def test_image_features_decodes_webp(spark):
     assert (row["width"], row["height"], row["channels"]) == (6, 4, 3)
     assert row["mean"] == [10.0, 20.0, 200.0]
     assert row["std"] == [0.0, 0.0, 0.0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(pos=st.integers(21, 200), bit=st.integers(0, 7), seed=st.integers(0, 99))
+def test_bitflip_corruption_never_hangs_or_crashes_unsafely(pos, bit, seed):
+    """Flipping any bit in the VP8L payload must either still decode
+    (flips in pixel data can be legal) or raise ValueError — never an
+    unbounded loop, IndexError, or numpy crash."""
+    px = _rand((11, 13, 3), seed % 5)
+    blob = bytearray(vp8l_encode_lossless(px, lz77=bool(seed % 2),
+                                          cache_bits=(seed % 3) * 3))
+    if pos >= len(blob):
+        pos = len(blob) - 1
+    blob[pos] ^= 1 << bit
+    try:
+        w, h, ch, got = vp8l_decode(bytes(blob))
+        assert got.shape[0] * got.shape[1] == w * h
+    except ValueError:
+        pass  # the expected failure mode for corrupt streams
