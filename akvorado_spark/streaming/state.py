@@ -437,6 +437,21 @@ def streaming_duplicate_windows(
     keeps the unbounded exact behavior; the other bounding strategy is
     running the batch job over closed partitions (state is free —
     recomputed per run).
+
+    Operational notes for the TTL variant (measured round 10):
+
+    - ``trigger(availableNow=True)`` does NOT stop after the last data
+      file: Spark keeps running EMPTY micro-batches until every pending
+      processing-time timer has fired (observed: 2 data batches at
+      ttl=25 s → 101 committed batches before termination).  Use a
+      continuous ``processingTime`` trigger for TTL streams; reserve
+      availableNow for the untimed variant — or expect to pay a
+      ttl-long drain of no-data state commits at shutdown.
+    - The ``statestore`` reader data source cannot load stores written
+      with ``ProcessingTimeTimeout`` in this Spark build
+      (CANNOT_LOAD_STATE_STORE on every retained version; NoTimeout
+      stores read fine) — size the TTL horizon from arrival-rate math
+      rather than post-hoc state inspection.
     """
     from akvorado_spark.operators.dedup import substring_window_occurrences
 
