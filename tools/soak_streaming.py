@@ -10,7 +10,17 @@ pytests cannot:
 - pair/row emission stays LINEAR in arrivals (no quadratic tail from
   the degenerate bucket once the cap engages).
 
-Usage: python tools/soak_streaming.py [n_batches] [workdir] [bloom|minhash]
+A third mode soaks ``streaming_duplicate_windows`` with a sliding
+processing-time TTL.  Its mechanics differ by necessity (measured in
+round 10, documented on the operator): availableNow drains pending
+timers with empty micro-batches, and the ``statestore`` reader cannot
+load ProcessingTimeTimeout stores — so the dupwin soak runs a
+CONTINUOUS ``processingTime`` trigger while files are fed live, and
+reads state size from the engine's own progress metrics
+(``stateOperators[].numRowsTotal``), asserting the row count PLATEAUS
+at the TTL horizon while cumulative distinct contents keep growing.
+
+Usage: python tools/soak_streaming.py [n_batches] [workdir] [bloom|minhash|dupwin]
 Prints a markdown table for SCALE_METRICS.md.
 """
 
@@ -36,15 +46,34 @@ def _uniq_text(doc_id: int) -> str:
     )
 
 
+def _short_text(doc_id: int) -> str:
+    # dupwin: ~20 dissimilar words → a bounded window-content count per
+    # doc, so the per-batch state growth is interpretable
+    return " ".join(f"w{(doc_id * 777767 + j * 104729) % 999983}" for j in range(20))
+
+
 def _mk_batch(spark, b: int, kind: str, seen_texts: set):
     """One micro-batch.  bloom: 40% exact re-deliveries of the previous
     batch's uniques + 60% fresh.  minhash: 20% identical boilerplate
     (the degenerate bucket that must hit the cap) + 80% fresh
-    dissimilar docs.  ``seen_texts`` tracks exact first-occurrences so
-    the expected-emission count is data-derived, not re-derived
-    combinatorics."""
+    dissimilar docs.  dupwin: 1 recurring boilerplate (TTL refreshed
+    forever) + 20 duplicates of the previous batch + 79 one-shot
+    uniques whose window contents must EXPIRE.  ``seen_texts`` tracks
+    exact first-occurrences so expected emission is data-derived."""
     rows = []
     base = b * BATCH_ROWS
+    if kind == "dupwin":
+        for i in range(BATCH_ROWS):
+            doc_id = base + i
+            if i == 0:
+                text = "recurring boilerplate " + _short_text(0)
+            elif i <= 20 and b:
+                text = _short_text(base - BATCH_ROWS + i)
+            else:
+                text = _short_text(doc_id)
+            seen_texts.add(text)
+            rows.append((doc_id, text))
+        return spark.createDataFrame(rows, "doc_id long, text string")
     n_dup = int(BATCH_ROWS * DUP_FRACTION) if (kind == "bloom" and b) else 0
     n_boiler = int(BATCH_ROWS * BOILER_FRACTION) if kind == "minhash" else 0
     for i in range(BATCH_ROWS):
@@ -83,6 +112,65 @@ def _state_rows(spark, ckpt: str):
     return spark.read.format("statestore").load(ckpt).collect()
 
 
+def _soak_dupwin(spark, work: str, n_batches: int):
+    """Continuous-trigger soak for the TTL window-owner state: feed one
+    file per ~0.8 s under trigger(processingTime=500ms) and sample the
+    engine's stateOperators[].numRowsTotal per progress event — the TTL
+    must hold the row count at the horizon plateau while cumulative
+    distinct window contents keep growing linearly."""
+    from akvorado_spark.streaming.state import streaming_duplicate_windows
+
+    src = os.path.join(work, "dupwin", "in")
+    sink = os.path.join(work, "dupwin", "out")
+    ckpt = os.path.join(work, "dupwin", "ckpt")
+    os.makedirs(src)
+    seen: set = set()
+    _mk_batch(spark, 0, "dupwin", seen).coalesce(1).write.parquet(
+        os.path.join(src, "b0000")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    q = (
+        streaming_duplicate_windows(
+            stream, "text", "doc_id", window=40, stride=10, ttl_seconds=15.0
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    t0 = time.time()
+    series: dict[int, int] = {}
+
+    def sample():
+        lp = q.lastProgress
+        if lp and lp.get("stateOperators"):
+            series[lp["batchId"]] = lp["stateOperators"][0]["numRowsTotal"]
+
+    for b in range(1, n_batches):
+        _mk_batch(spark, b, "dupwin", seen).coalesce(1).write.parquet(
+            os.path.join(src, f"b{b:04d}")
+        )
+        time.sleep(0.8)
+        sample()
+    # keep the query alive one TTL past the last feed so the tail's
+    # one-shot contents visibly expire in the sampled series
+    end = time.time() + 25
+    while time.time() < end:
+        time.sleep(1.0)
+        sample()
+    q.stop()
+    q.awaitTermination(60)
+    n_out = 0
+    try:
+        n_out = spark.read.parquet(sink).count()
+    except Exception:  # noqa: BLE001 — zero-emission sink may be empty
+        pass
+    return sorted(series.items()), n_out, len(seen), time.time() - t0
+
+
 def main() -> int:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/soak_streaming"
@@ -96,7 +184,36 @@ def main() -> int:
 
     spark = get_spark("soak_streaming")
     results = []
-    kinds = (sys.argv[3],) if len(sys.argv) > 3 else ("bloom", "minhash")
+    kinds = (sys.argv[3],) if len(sys.argv) > 3 else ("bloom", "minhash", "dupwin")
+    failures = []
+
+    if "dupwin" in kinds:
+        series, n_out, n_texts, wall = _soak_dupwin(spark, work, n_batches)
+        rows = [n for _b, n in series]
+        third = max(1, len(rows) // 3)
+        mid_peak = max(rows[third : 2 * third], default=0)
+        late_peak = max(rows[2 * third :], default=0)
+        peak = max(rows, default=0)
+        # each one-shot text contributes >=10 distinct window contents;
+        # without TTL expiry the state would end near this floor
+        unbounded_floor = n_texts * 10
+        print("\n| op | batches | wall s | state peak | mid→late peak | "
+              "unbounded floor | emitted rows |")
+        print("|---|---|---|---|---|---|---|")
+        print(
+            f"| dupwin (ttl=15s, continuous trigger) | {n_batches} | {wall:.1f} "
+            f"| {peak} | {mid_peak}→{late_peak} | ≥{unbounded_floor} | {n_out} |"
+        )
+        if late_peak > 1.5 * max(mid_peak, 1):
+            failures.append(
+                f"dupwin state still growing: mid {mid_peak} -> late {late_peak}"
+            )
+        if peak >= unbounded_floor:
+            failures.append(
+                f"dupwin TTL not expiring: peak {peak} vs unbounded floor "
+                f"{unbounded_floor}"
+            )
+        kinds = tuple(k for k in kinds if k != "dupwin")
 
     for kind in kinds:
         src = os.path.join(work, kind, "in")
@@ -148,9 +265,9 @@ def main() -> int:
                      len(seen_texts))
                 )
 
-    print("\n| op | batches | wall s | state @N/2 | state @N | emitted rows |")
-    print("|---|---|---|---|---|---|")
-    failures = []
+    if results:
+        print("\n| op | batches | wall s | state @N/2 | state @N | emitted rows |")
+        print("|---|---|---|---|---|---|")
     for kind, nb, wall, mid, fin, n_out, out, n_uniq_texts in results:
         print(
             f"| {kind} | {nb} | {wall:.1f} | {mid} | {fin} | {n_out} |"
