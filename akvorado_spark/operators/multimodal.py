@@ -88,7 +88,7 @@ def decode_image(
                     is_png,
                     is_webp,
                     jpeg_meta,
-                    png_decode,
+                    png_meta,
                     webp_meta,
                 )
 
@@ -96,7 +96,11 @@ def decode_image(
                 for _, r in pdf.iterrows():
                     blob = bytes(r[media_col])
                     if is_png(blob):
-                        w, h, ch, _px = png_decode(blob)
+                        # IHDR-only: dims + channels need no inflate,
+                        # and 16-bit/interlaced files still get
+                        # metadata even though pixel decode would
+                        # refuse them
+                        w, h, ch = png_meta(blob)
                         rows.append((r[id_col], w, h, ch, "PNG"))
                         continue
                     if is_jpeg(blob):
@@ -113,20 +117,17 @@ def decode_image(
                         rows.append((r[id_col], w, h, ch, "BMP"))
                         continue
                     if is_webp(blob):
-                        from akvorado_spark.operators.vp8l import (
-                            is_vp8l,
-                            vp8l_decode,
-                        )
+                        from akvorado_spark.operators.vp8l import is_vp8l
 
-                        if is_vp8l(blob):
-                            # REAL pixel decode (r10): lossless WebP
-                            # through the pure-stdlib VP8L codec
-                            w, h, ch, _px = vp8l_decode(blob)
-                            rows.append((r[id_col], w, h, ch, "WEBP/VP8L"))
-                        else:
-                            # lossy VP8 / extended VP8X: header-only
-                            w, h, ch = webp_meta(blob)
-                            rows.append((r[id_col], w, h, ch, "WEBP"))
+                        # metadata is header-only for every WebP
+                        # flavor: the VP8L header carries 14-bit w/h
+                        # and the alpha-hint bit, so a 16k×16k
+                        # lossless file costs O(1) here; pixel decode
+                        # (operators/vp8l.py) runs only where pixels
+                        # are consumed (image_features)
+                        w, h, ch = webp_meta(blob)
+                        fmt = "WEBP/VP8L" if is_vp8l(blob) else "WEBP"
+                        rows.append((r[id_col], w, h, ch, fmt))
                         continue
                     try:  # pragma: no cover - PIL absent in container
                         import io

@@ -130,6 +130,23 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, ch, px
 
 
+def png_meta(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the IHDR alone — O(1) vs a full
+    inflate+unfilter.  Channels are fully determined by the color
+    type (palette expands to RGB = 3), so this is exactly what
+    :func:`png_decode` would report, without touching the IDAT."""
+    if not is_png(data):
+        raise ValueError("not a PNG (bad signature)")
+    if len(data) < 8 + 8 + 13 or data[12:16] != b"IHDR":
+        raise ValueError("PNG without leading IHDR")
+    width, height, _depth, color_type = struct.unpack_from(">IIBB", data, 16)
+    if color_type == 3:
+        return width, height, 3
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unknown color type {color_type}")
+    return width, height, _CHANNELS[color_type]
+
+
 def png_encode(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     """HxWxC (or HxW) uint8 array → PNG bytes (one IDAT).
 

@@ -479,7 +479,17 @@ def _decode_entropy_image(br, xsize, ysize, is_level0):
 
 
 def _apply_inverse_transforms(pixels, transforms, xsize, ysize):
-    """Inverse transforms in reverse order of their appearance."""
+    """Inverse transforms in reverse order of their appearance.
+
+    When a pixel-bundling color-indexing transform is present, the
+    entropy-coded image — and every transform whose inverse runs
+    BEFORE the palette inverse (i.e. read after it in the stream) —
+    is at the packed width, so start there and let the palette
+    branch restore the full width."""
+    for t in transforms:
+        if t[0] == "palette" and t[2]:
+            xsize = (t[3] + (1 << t[2]) - 1) >> t[2]
+            break
     for t in reversed(transforms):
         kind = t[0]
         if kind == "palette":
@@ -544,9 +554,11 @@ def _apply_inverse_transforms(pixels, transforms, xsize, ysize):
                     L = out[pos - 1]
                     T = out[pos - xsize]
                     TL = out[pos - xsize - 1]
-                    # rightmost column: TR wraps to the previous row's
-                    # first pixel (spec/libwebp convention)
-                    TR = out[pos - 2 * xsize + 1] if x == xsize - 1 else out[pos - xsize + 1]
+                    # TR is always the flat-buffer pixel one past T; at the
+                    # rightmost column that wraps to the CURRENT row's
+                    # leftmost pixel (libwebp keeps reading top_row[x+1],
+                    # which in the contiguous buffer is row y's first pixel)
+                    TR = out[pos - xsize + 1]
                     pred = _predict(mode, L, T, TL, TR)
                 out.append(tuple((rc + pc) & 0xFF for rc, pc in zip(resid, pred)))
             pixels = out
@@ -966,8 +978,8 @@ def vp8l_encode_lossless(
 
     xsize = w
     if palette:
-        if subtract_green or predictor_mode is not None:
-            raise ValueError("palette mode composes with no other transform here")
+        if subtract_green:
+            raise ValueError("subtract-green over palette indices is pointless")
         uniq = sorted(set(pixels))
         if len(uniq) > 256:
             raise ValueError("too many colors for palette mode")
@@ -1023,11 +1035,9 @@ def vp8l_encode_lossless(
                 L = pixels[pos - 1]
                 T = pixels[pos - xsize]
                 TL = pixels[pos - xsize - 1]
-                TR = (
-                    pixels[pos - 2 * xsize + 1]
-                    if x == xsize - 1
-                    else pixels[pos - xsize + 1]
-                )
+                # mirror of the decoder: flat-buffer TR, wrapping to the
+                # current row's leftmost pixel at the rightmost column
+                TR = pixels[pos - xsize + 1]
                 pred = _predict(predictor_mode, L, T, TL, TR)
             resid.append(tuple((pc - qc) & 0xFF for pc, qc in zip(p, pred)))
         pixels = resid

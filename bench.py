@@ -5,13 +5,21 @@ COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 tail.  Per-query plan fingerprints go to the BENCH_PLAN.json sidecar
 (override with $SPARK_GRAFT_BENCH_PLAN), consumed by tools/bench_diff.py.
 
-Each query is timed $SPARK_GRAFT_BENCH_REPEAT times (default 2) and the
-MINIMUM is reported.  The shared build host shows up to 3x run-to-run
-wall-time variance on identical Spark workloads (documented in
-BENCH_NOTES.md); a single sample regularly misreports a sub-second plan
-as multi-second.  The minimum of repeated warm runs is the standard
-low-noise estimator for a deterministic workload — it converges on the
-actual cost of the plan, which is the quantity being graded.
+Each query is timed $SPARK_GRAFT_BENCH_REPEAT times and the MINIMUM is
+reported.  The shared build host shows up to 3x run-to-run wall-time
+variance on identical Spark workloads (documented in BENCH_NOTES.md); a
+single sample regularly misreports a sub-second plan as multi-second.
+The minimum of repeated warm runs is the standard low-noise estimator
+for a deterministic workload — it converges on the actual cost of the
+plan, which is the quantity being graded.
+
+The default repeat count is LOAD-ADAPTIVE (VERDICT r10 #3): 2 on a
+quiet host, 3 when the 1-minute loadavg at process start exceeds 4,
+and 4 above 8 — min-of-2 could not absorb the loadavg-6.4 round-10
+driver run (89.9 s reported vs 66 s quiet plan cost) and every such
+artifact costs a judge adjudication round.  The start loadavg rides
+the output line (``loadavg_start_1m``) next to the end-of-run
+``loadavg_1m`` so an inflated number explains itself.
 """
 
 from __future__ import annotations
@@ -50,6 +58,20 @@ def _stage_snapshot(spark) -> dict | None:
         return None
 
 
+def adaptive_repeat(loadavg_start: float, env: str | None) -> int:
+    """Per-query warm-run count: an explicit $SPARK_GRAFT_BENCH_REPEAT
+    always wins; otherwise escalate with the host load at start so a
+    busy driver window still converges on the plan cost (min-of-2
+    demonstrably does not above loadavg ~4: BENCH_NOTES round 10)."""
+    if env:
+        return max(int(env), 1)
+    if loadavg_start > 8:
+        return 4
+    if loadavg_start > 4:
+        return 3
+    return 2
+
+
 def build_output(
     timings: dict[str, float],
     errors: dict[str, str],
@@ -58,6 +80,8 @@ def build_output(
     loadavg: float,
     warmup_error: str | None,
     penalty_s: float = 60.0,
+    loadavg_start: float | None = None,
+    plan_file: str | None = None,
 ) -> dict:
     """Assemble the COMPACT final-stdout-line payload.
 
@@ -81,6 +105,13 @@ def build_output(
         "repeat": repeat,
         "loadavg_1m": round(loadavg, 2),
     }
+    if loadavg_start is not None:
+        out["loadavg_start_1m"] = round(loadavg_start, 2)
+    if plan_file:
+        # basename of THIS run's immutable plan sidecar — lets
+        # tools/bench_diff.py compare two rounds without both
+        # resolving to the one mutable BENCH_PLAN.json (ADVICE r10)
+        out["plan_file"] = plan_file
     if errors:
         # keep the line parsable even on a broken build: count always,
         # capped messages only as far as the tail budget allows (full
@@ -118,6 +149,7 @@ def write_plan_sidecar(fingerprints: dict, path: str, loadavg: float) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    loadavg_start = os.getloadavg()[0]
 
     import __spark_entry__ as entrymod
     from akvorado_spark.session import get_spark
@@ -185,7 +217,13 @@ def main() -> None:
         warmup_error = f"{type(exc).__name__}: {str(exc)[:200]}"
         print(f"# warmup error: {warmup_error}", file=sys.stderr)
 
-    repeat = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")), 1)
+    repeat = adaptive_repeat(
+        loadavg_start, os.environ.get("SPARK_GRAFT_BENCH_REPEAT")
+    )
+    print(
+        f"# repeat={repeat} (loadavg at start {loadavg_start:.2f})",
+        file=sys.stderr,
+    )
     # optional comma-separated subset for scale-exponent runs (the
     # driver never sets this; default is the full registry)
     only = {
@@ -227,6 +265,7 @@ def main() -> None:
     # penalty to the headline value and the process exits nonzero, so a
     # partially broken build is never comparable to a clean run.
     loadavg = os.getloadavg()[0]
+    plan_file = None
     if fingerprints:
         # deterministic plan shape at the warmup SF — SIDECAR, not
         # stdout: inlining these overflowed the driver's 2000-char tail
@@ -237,7 +276,19 @@ def main() -> None:
         )
         try:
             write_plan_sidecar(fingerprints, plan_path, loadavg)
-            print(f"# plan fingerprints: {plan_path}", file=sys.stderr)
+            # ALSO an immutable per-run copy: BENCH_PLAN.json is
+            # overwritten every run, so two rounds' artifacts would
+            # otherwise resolve to the SAME fingerprints and bench_diff
+            # would bucket every real plan change as "steady" (ADVICE
+            # r10).  The output line carries the basename; bench_diff
+            # resolves it relative to the artifact's directory.
+            stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+            unique = os.path.join(
+                os.path.dirname(plan_path), f"BENCH_PLAN_{stamp}_{os.getpid()}.json"
+            )
+            write_plan_sidecar(fingerprints, unique, loadavg)
+            plan_file = os.path.basename(unique)
+            print(f"# plan fingerprints: {plan_path} + {plan_file}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — sidecar must not sink bench
             print(f"# plan sidecar: {type(exc).__name__}", file=sys.stderr)
     out = build_output(
@@ -247,6 +298,8 @@ def main() -> None:
         repeat,
         loadavg,
         warmup_error,
+        loadavg_start=loadavg_start,
+        plan_file=plan_file,
     )
     print(json.dumps(out))
     if errors:

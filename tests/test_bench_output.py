@@ -38,7 +38,11 @@ def test_final_line_parses_and_fits_tail_at_full_registry():
     names = _registry_names()
     assert len(names) == 50, "registry budget is 50; resize this guard if it moves"
     timings = {n: 9999.999 for n in names}
-    out = bench.build_output(timings, {}, 0.1, 2, 99.99, None)
+    out = bench.build_output(
+        timings, {}, 0.1, 2, 99.99, None,
+        loadavg_start=88.88, plan_file="BENCH_PLAN_20990101T000000_12345.json",
+    )
+    assert out["loadavg_start_1m"] == 88.88
     line = json.dumps(out)
     parsed = json.loads(line)
     assert parsed["metric"] == "total_query_wall_time"
@@ -97,29 +101,65 @@ def test_plan_sidecar_roundtrips_through_bench_diff(tmp_path):
 
     bench_file = tmp_path / "BENCH_r10.json"
     bench_file.write_text(json.dumps({"queries": {"q1": 1.0}}))
-    # stem sidecar resolution
-    assert bench_diff.load_plan(str(bench_file), json.loads(bench_file.read_text()), None) == fp
+    # stem sidecar resolution — returns (plan, resolved path)
+    plan, src = bench_diff.load_plan(str(bench_file), json.loads(bench_file.read_text()), None)
+    assert plan == fp and src == os.path.realpath(str(side))
     # inline plan (rounds ≤9) takes precedence over sidecars
     inline = {"queries": {"q1": 1.0}, "plan": {"q1": {"stages": 1, "shuffle_bytes": 0}}}
-    assert bench_diff.load_plan(str(bench_file), inline, None) == inline["plan"]
+    assert bench_diff.load_plan(str(bench_file), inline, None) == (inline["plan"], None)
     # explicit arg wins over everything
     other = tmp_path / "other.plan.json"
     bench.write_plan_sidecar({"q2": {"stages": 2, "shuffle_bytes": 9}}, str(other), 0.0)
-    assert bench_diff.load_plan(str(bench_file), inline, str(other)) == {
+    assert bench_diff.load_plan(str(bench_file), inline, str(other))[0] == {
         "q2": {"stages": 2, "shuffle_bytes": 9}
     }
+    # round-11+ artifacts: the artifact's own plan_file key beats the
+    # stem sidecar and the mutable directory default
+    stamped = tmp_path / "BENCH_PLAN_20990101T000000_7.json"
+    bench.write_plan_sidecar({"q3": {"stages": 4, "shuffle_bytes": 2}}, str(stamped), 0.0)
+    with_pf = {"queries": {"q1": 1.0}, "plan_file": stamped.name}
+    plan, src = bench_diff.load_plan(str(bench_file), with_pf, None)
+    assert plan == {"q3": {"stages": 4, "shuffle_bytes": 2}}
+    assert src == os.path.realpath(str(stamped))
 
 
 def test_bench_diff_directory_fallback(tmp_path):
     bench_file = tmp_path / "BENCH_r11.json"
     bench_file.write_text(json.dumps({"queries": {}}))
     bench.write_plan_sidecar({"qz": {"stages": 3, "shuffle_bytes": 7}}, str(tmp_path / "BENCH_PLAN.json"), 0.0)
-    assert bench_diff.load_plan(str(bench_file), {"queries": {}}, None) == {
-        "qz": {"stages": 3, "shuffle_bytes": 7}
-    }
-    # nothing anywhere → {}
+    plan, src = bench_diff.load_plan(str(bench_file), {"queries": {}}, None)
+    assert plan == {"qz": {"stages": 3, "shuffle_bytes": 7}}
+    assert os.path.basename(src) == "BENCH_PLAN.json"
+    # nothing anywhere → ({}, None)
     lone = tmp_path / "sub"
     lone.mkdir()
     f = lone / "BENCH_r12.json"
     f.write_text("{}")
-    assert bench_diff.load_plan(str(f), {}, None) == {}
+    assert bench_diff.load_plan(str(f), {}, None) == ({}, None)
+
+
+def test_bench_diff_warns_on_shared_mutable_sidecar(tmp_path, capsys, monkeypatch):
+    """Two artifacts that both fall back to the one mutable
+    BENCH_PLAN.json must NOT be fingerprint-bucketed against it — the
+    file holds only the newer run's plans (ADVICE r10)."""
+    bench.write_plan_sidecar(
+        {"q": {"stages": 3, "shuffle_bytes": 100}}, str(tmp_path / "BENCH_PLAN.json"), 0.0
+    )
+    for name in ("BENCH_r10.json", "BENCH_r11.json"):
+        (tmp_path / name).write_text(json.dumps({"queries": {"q": 1.0}, "value": 1.0}))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_diff", str(tmp_path / "BENCH_r10.json"), str(tmp_path / "BENCH_r11.json")],
+    )
+    assert bench_diff.main() == 0
+    got = capsys.readouterr().out
+    assert "WARNING" in got and "no-fingerprint: 1" in got
+
+
+def test_adaptive_repeat_escalates_with_start_load():
+    assert bench.adaptive_repeat(0.5, None) == 2
+    assert bench.adaptive_repeat(4.01, None) == 3
+    assert bench.adaptive_repeat(9.0, None) == 4
+    # explicit env always wins, floor of 1
+    assert bench.adaptive_repeat(12.0, "2") == 2
+    assert bench.adaptive_repeat(0.0, "0") == 1

@@ -117,6 +117,27 @@ def test_palette_expands_to_rgb():
     assert got[0, 3].tolist() == [0, 255, 0]
 
 
+def test_png_meta_matches_decode_without_inflate():
+    """png_meta reads only the IHDR: channels agree with png_decode for
+    every color type, and dims survive even when the IDAT is garbage."""
+    from akvorado_spark.operators.png import png_meta
+
+    for ct, lines in ((0, bytes([0, 9, 9, 9])), (2, bytes([0] + [1] * 6)),
+                      (4, bytes([0, 1, 2, 3, 4])), (6, bytes([0] + [5] * 8))):
+        w = {0: 3, 2: 2, 4: 2, 6: 2}[ct]
+        blob = build_png(w, 1, ct, lines)
+        dw, dh, dch, _ = png_decode(blob)
+        assert png_meta(blob) == (dw, dh, dch), ct
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    pal = build_png(4, 1, 3, bytes([0, 0, 1, 0, 1]), plte=plte)
+    assert png_meta(pal) == (4, 1, 3)  # palette reports expanded RGB
+    # IDAT never touched: corrupt payload still yields header metadata
+    broken = pal[:-30] + b"\x00" * 30
+    assert png_meta(broken) == (4, 1, 3)
+    with pytest.raises(ValueError):
+        png_meta(b"JFIF" + bytes(30))
+
+
 def test_malformed_rejected():
     assert not is_png(b"JFIF....")
     with pytest.raises(ValueError):

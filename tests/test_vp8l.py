@@ -94,6 +94,34 @@ def test_palette_all_bundling_widths():
         assert np.array_equal(got, px), f"{ncol} colors"
 
 
+def test_palette_composes_with_spatial_transforms():
+    """Spec-legal combination: color-indexing WITH pixel bundling plus
+    a predictor (and color transform) — the spatial inverses must run
+    at the PACKED width, since the palette transform is read first and
+    everything after it in the stream operates on the reduced image."""
+    rng = np.random.default_rng(17)
+    for ncol, w in ((2, 13), (4, 9), (16, 21), (40, 11)):
+        colors = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        px = colors[rng.integers(0, ncol, (7, w))]
+        for extra in ({"predictor_mode": 7}, {"predictor_mode": 11},
+                      {"color_transform": (3, 250, 7)},
+                      {"predictor_mode": 2, "color_transform": (1, 2, 3)}):
+            _, _, _, got, _ = _roundtrip(px, palette=True, **extra)
+            assert np.array_equal(got, px), (ncol, w, extra)
+
+
+def test_predictor_rightmost_column_uses_current_row_leftmost():
+    """TR at x == xsize-1 is the flat-buffer pixel one past T — the
+    CURRENT row's leftmost pixel (libwebp convention). Mode 3 predicts
+    from TR alone, so a wrong wrap corrupts the whole right column."""
+    px = np.zeros((5, 4, 3), dtype=np.uint8)
+    px[:, 0, 0] = np.arange(5, dtype=np.uint8) * 40 + 10  # distinct leftmosts
+    px[:, 3, 1] = 200  # rightmost column content
+    for mode in (3, 5, 9, 10):
+        _, _, _, got, _ = _roundtrip(px, predictor_mode=mode)
+        assert np.array_equal(got, px), mode
+
+
 def test_lz77_runs_and_cache():
     px = np.zeros((12, 20, 3), dtype=np.uint8)
     px[:, :, 0] = 17
@@ -267,6 +295,24 @@ def test_image_features_decodes_webp(spark):
     assert (row["width"], row["height"], row["channels"]) == (6, 4, 3)
     assert row["mean"] == [10.0, 20.0, 200.0]
     assert row["std"] == [0.0, 0.0, 0.0]
+
+
+def test_decode_image_metadata_is_header_only_for_vp8l(spark):
+    """decode_image must report VP8L dims/channels from the 5-byte
+    header (O(1)), not a full pixel decode — and still match what the
+    pixel decoder would report for both opaque and alpha streams."""
+    from akvorado_spark.operators.multimodal import decode_image
+
+    opaque = _rand((4, 6, 3), 3)
+    alpha = _rand((3, 5, 4), 4)
+    alpha[0, 0, 3] = 7  # non-opaque → alpha-hint bit set by the encoder
+    rows = [(1, bytearray(vp8l_encode_lossless(opaque, lz77=True))),
+            (2, bytearray(vp8l_encode_lossless(alpha)))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in decode_image(df, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (6, 4, 3)
+    assert got[1]["format"] == "WEBP/VP8L"
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (5, 3, 4)
 
 
 @settings(max_examples=40, deadline=None)

@@ -38,24 +38,37 @@ import os
 import sys
 
 
-def load_plan(bench_path: str, bench: dict, explicit: str | None) -> dict:
-    """Resolve a bench file's plan fingerprints: explicit sidecar arg >
-    inline "plan" key (rounds ≤9) > <stem>.plan.json > BENCH_PLAN.json
-    in the same directory.  Missing everywhere → {} (queries bucket as
-    no-fingerprint, never an error)."""
+def load_plan(
+    bench_path: str, bench: dict, explicit: str | None
+) -> tuple[dict, str | None]:
+    """Resolve a bench file's plan fingerprints → (plan, source_path).
+
+    Order: explicit sidecar arg > inline "plan" key (rounds ≤9) >
+    the artifact's own immutable sidecar named by its "plan_file" key
+    (round 11+) > <stem>.plan.json > BENCH_PLAN.json in the same
+    directory.  Missing everywhere → ({}, None): queries bucket as
+    no-fingerprint, never an error.  source_path is None for inline
+    plans (they cannot collide) and lets main() detect the case where
+    BOTH runs fall back to the one MUTABLE BENCH_PLAN.json — which
+    bench.py overwrites every run, so identical-path resolution means
+    the fingerprints describe only the newer run."""
     if explicit:
-        return json.load(open(explicit)).get("plan", {})
+        return json.load(open(explicit)).get("plan", {}), os.path.realpath(explicit)
     if "plan" in bench:
-        return bench["plan"]
+        return bench["plan"], None
+    here = os.path.dirname(bench_path) or "."
     stem, _ = os.path.splitext(bench_path)
-    for cand in (stem + ".plan.json",
-                 os.path.join(os.path.dirname(bench_path) or ".", "BENCH_PLAN.json")):
+    cands = []
+    if bench.get("plan_file"):
+        cands.append(os.path.join(here, os.path.basename(bench["plan_file"])))
+    cands += [stem + ".plan.json", os.path.join(here, "BENCH_PLAN.json")]
+    for cand in cands:
         if os.path.isfile(cand):
             try:
-                return json.load(open(cand)).get("plan", {})
+                return json.load(open(cand)).get("plan", {}), os.path.realpath(cand)
             except Exception:  # noqa: BLE001 — corrupt sidecar ⇒ no fingerprints
-                return {}
-    return {}
+                return {}, None
+    return {}, None
 
 
 def main() -> int:
@@ -65,8 +78,20 @@ def main() -> int:
     old = json.load(open(sys.argv[1]))
     new = json.load(open(sys.argv[2]))
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    po = load_plan(sys.argv[1], old, sys.argv[4] if len(sys.argv) > 4 else None)
-    pn = load_plan(sys.argv[2], new, sys.argv[5] if len(sys.argv) > 5 else None)
+    po, src_o = load_plan(sys.argv[1], old, sys.argv[4] if len(sys.argv) > 4 else None)
+    pn, src_n = load_plan(sys.argv[2], new, sys.argv[5] if len(sys.argv) > 5 else None)
+    if src_o is not None and src_o == src_n and os.path.basename(src_o) == "BENCH_PLAN.json":
+        # both runs fell back to the one MUTABLE sidecar, which holds
+        # only the LAST run's fingerprints — comparing it to itself
+        # would bucket every real plan change as "steady" (ADVICE r10)
+        print(
+            f"# WARNING: both runs resolve to the same mutable sidecar "
+            f"{src_o}; fingerprints describe only the newer run — "
+            f"bucketing everything as no-fingerprint. Pass explicit "
+            f"sidecars (args 4/5) or use round-11+ artifacts "
+            f"(plan_file key)."
+        )
+        po, pn = {}, {}
     qo, qn = old.get("queries", {}), new.get("queries", {})
     print(
         f"# old: value={old.get('value')} loadavg={old.get('loadavg_1m')} | "
