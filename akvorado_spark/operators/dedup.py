@@ -293,22 +293,41 @@ def lsh_candidate_pairs(
             band_buckets_expr(F.col("signature"), bands, n, hash_fn)
         ).alias("band", "bucket"),
     )
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_set(id_col).alias("__ids"))
+    if max_bucket is None:
+        buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.collect_set(id_col).alias("__ids"))
+            .filter(F.size("__ids") > 1)
+        )
+        return _bucket_pairs(buckets, None)
+    # Capped: the bound must hold INSIDE the aggregation (VERDICT r10
+    # #2) — collect_set first and slice later materializes the WHOLE
+    # degenerate bucket (a 10⁸-member boilerplate cluster) in one
+    # task's unspillable agg buffer before any cap applies.  Instead:
+    # rank per (band, bucket) through a WindowExec (sort-based,
+    # disk-spillable), collect only the first ``max_bucket`` sorted ids
+    # per group (bounded arrays), and emit the star from the bucket
+    # minimum to every overflow id ROW-WISE — no m-sized array exists
+    # anywhere.  Pair set is identical to the old slice+star form:
+    # clique(first k) ∪ {(min, y) : rank(y) > k}.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    ranked = banded.select(
+        F.col(id_col).alias("__id"),
+        "band",
+        "bucket",
+        F.row_number().over(w).alias("__rn"),
+        # ascending running min == the bucket minimum, for every row
+        F.first(id_col).over(w).alias("__min"),
+    )
+    kept = (
+        ranked.filter(F.col("__rn") <= max_bucket)
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
-    return _bucket_pairs(buckets, max_bucket)
-
-
-def _bucket_pairs(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
-    """Ordered distinct pairs from a frame of ``__ids`` arrays.
-
-    Uncapped: the full in-bucket clique.  Capped: clique of the first
-    ``max_bucket`` sorted ids + a star from the bucket minimum to every
-    other id — linear in bucket size, cluster stays connected."""
-    ids_all = F.array_sort(F.col("__ids"))
-    ids = ids_all if max_bucket is None else F.slice(ids_all, 1, max_bucket)
+    ids = F.col("__ids")
     pair_arrays = F.transform(
         ids,
         lambda x, i: F.transform(
@@ -316,17 +335,34 @@ def _bucket_pairs(buckets: DataFrame, max_bucket: int | None) -> DataFrame:
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
         ),
     )
-    pairs = F.flatten(pair_arrays)
-    if max_bucket is not None:
-        star = F.transform(
-            F.slice(ids_all, 2, F.size(ids_all)),
-            lambda y: F.struct(
-                F.element_at(ids_all, 1).alias("id_a"), y.alias("id_b")
-            ),
-        )
-        pairs = F.concat(pairs, star)
+    clique = (
+        kept.select(F.explode(F.flatten(pair_arrays)).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
+    )
+    star = ranked.filter(F.col("__rn") > max_bucket).select(
+        F.col("__min").alias("id_a"), F.col("__id").alias("id_b")
+    )
+    return clique.unionByName(star).distinct()
+
+
+def _bucket_pairs(buckets: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Ordered distinct pairs (full in-bucket cliques) from a frame of
+    ``__ids`` arrays — the EXACT expansion used by certification gates
+    and small oracle-mirrored paths.  The scale path with bounded
+    buckets lives inside :func:`lsh_candidate_pairs` (``max_bucket``),
+    which never materializes an uncapped id array."""
+    if max_bucket is not None:  # pragma: no cover - guard for old callers
+        raise ValueError("capped expansion moved into lsh_candidate_pairs")
+    ids = F.array_sort(F.col("__ids"))
+    pair_arrays = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    )
     return (
-        buckets.select(F.explode(pairs).alias("__p"))
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("__p"))
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )

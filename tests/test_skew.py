@@ -178,3 +178,37 @@ def test_rate_limit_correct_and_compensated_under_skew(skewed):
     )
     assert got == pytest.approx(want, rel=0.05)
     out.unpersist()
+
+
+def test_lsh_degenerate_bucket_is_capped_inside_the_aggregation(spark):
+    """VERDICT r10 #2: 10^5 ids landing in ONE (band, bucket) — a
+    boilerplate cluster — must never materialize the full bucket in an
+    aggregation buffer.  The capped path ranks through a spillable
+    window and collects at most ``max_bucket`` ids per group; overflow
+    rides row-wise as star pairs.  Semantics: clique(first k) ∪
+    {(min, y): rank(y) > k}, every member connected."""
+    from akvorado_spark.operators.dedup import lsh_candidate_pairs
+
+    m, k = 100_000, 8
+    sigs = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(123456789 + i) for i in range(8)]).alias("signature"),
+    )
+    capped = lsh_candidate_pairs(sigs, "doc_id", bands=4, n_hashes=8, max_bucket=k)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    # the collect aggregation must sit ABOVE the rank filter — i.e. the
+    # plan carries a window row_number and a __rn <= k predicate, and
+    # the only collected arrays are the pre-filtered kept groups
+    assert "row_number" in plan and "__rn" in plan
+    assert plan.index("collect_list") < plan.index("row_number"), (
+        "collect must consume the rank-filtered frame (optimized plans "
+        "print consumers above producers)"
+    )
+    assert "collect_set" not in plan  # the uncapped expansion is absent
+    rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    from itertools import combinations
+
+    want = set(combinations(range(k), 2)) | {(0, j) for j in range(k, m)}
+    assert rows == want
+    touched = {i for p in rows for i in p}
+    assert touched == set(range(m))
