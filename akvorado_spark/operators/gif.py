@@ -186,24 +186,24 @@ def gif_meta(data: bytes) -> tuple[int, int, int]:
     if not is_gif(data):
         raise ValueError("not a GIF (bad signature)")
     w, h = struct.unpack_from("<HH", data, 6)
-    # scan block intros (skipping payloads) for a GCE before the first
-    # image descriptor — bounded, reads a few bytes per block
+    # best-effort scan of block intros (skipping payloads) for a GCE
+    # before the first image descriptor — bounded, a few bytes per
+    # block; anything unparseable just means "no transparency seen"
+    # (metadata must tolerate padded/truncated bodies)
     packed = data[10]
     off = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
     transparent = False
-    while off < len(data):
-        b = data[off]
-        if b == 0x2C or b == 0x3B:
-            break
-        if b == 0x21:
-            if off + 2 > len(data):
+    try:
+        while off < len(data):
+            b = data[off]
+            if b != 0x21:
                 break
             label = data[off + 1]
             body, off = _read_subblocks(data, off + 2)
             if label == 0xF9 and len(body) >= 1 and body[0] & 1:
                 transparent = True
-        else:
-            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    except (ValueError, IndexError):
+        pass
     return w, h, 4 if transparent else 3
 
 

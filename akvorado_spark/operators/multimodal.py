@@ -139,12 +139,11 @@ def decode_image(
                                      len(img.getbands()), img.format))
                     except ImportError as e:
                         raise NotImplementedError(
-                            "GIF/BMP/lossy-WebP pixel decode needs "
-                            "Pillow/libvips; not in this container — PNG, "
-                            "baseline JPEG and lossless WebP decode "
-                            "natively (operators/png.py, jpeg.py, "
-                            "vp8l.py), or pass fake=True for the "
-                            "deterministic stub"
+                            "unknown image container needs Pillow/libvips; "
+                            "not in this container — PNG, baseline JPEG, "
+                            "GIF, BMP and lossless WebP decode natively "
+                            "(operators/png.py, jpeg.py, gif.py, vp8l.py), "
+                            "or pass fake=True for the deterministic stub"
                         ) from e
                 yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "channels", "format"])
 
@@ -175,7 +174,11 @@ def image_features(
             is_baseline_jpeg,
             jpeg_decode,
         )
+        from akvorado_spark.operators.gif import gif_decode
+        from akvorado_spark.operators.gif import is_gif as is_gif_blob
         from akvorado_spark.operators.png import (
+            bmp_decode,
+            is_bmp,
             is_png,
             png_decode,
             resize_nearest,
@@ -194,6 +197,10 @@ def image_features(
                     w, h, ch, px = png_decode(blob)
                 elif is_baseline_jpeg(blob):
                     w, h, ch, px = jpeg_decode(blob)
+                elif is_gif_blob(blob):
+                    w, h, ch, px = gif_decode(blob)
+                elif is_bmp(blob):
+                    w, h, ch, px = bmp_decode(blob)
                 else:
                     from akvorado_spark.operators.vp8l import (
                         is_vp8l,
@@ -205,8 +212,8 @@ def image_features(
                     else:
                         raise ValueError(
                             "image_features: unsupported image container "
-                            "(PNG, baseline JPEG and lossless WebP decode "
-                            "natively)"
+                            "(PNG, baseline JPEG, GIF, BMP and lossless "
+                            "WebP decode natively)"
                         )
                 if resize_to is not None:
                     px = resize_nearest(px, *resize_to)

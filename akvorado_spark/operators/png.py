@@ -266,13 +266,18 @@ def is_gif(data: bytes) -> bool:
 
 def gif_meta(data: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from the GIF logical screen descriptor
-    (GIF89a spec §18: bytes 6-9 are little-endian u16 w/h).  GIF pixels
-    index a palette → report 3 channels (RGB)."""
+    (GIF89a spec §18: bytes 6-9 are little-endian u16 w/h).  Channels
+    report 4 iff a GCE before the first frame declares a transparent
+    index — matching what operators/gif.py's pixel decoder returns."""
     if len(data) < 10:
         raise ValueError("truncated GIF header")
-    w = data[6] | (data[7] << 8)
-    h = data[8] | (data[9] << 8)
-    return w, h, 3
+    if len(data) < 13:
+        w = data[6] | (data[7] << 8)
+        h = data[8] | (data[9] << 8)
+        return w, h, 3
+    from akvorado_spark.operators.gif import gif_meta as full_meta
+
+    return full_meta(data)
 
 
 def is_bmp(data: bytes) -> bool:
@@ -282,14 +287,129 @@ def is_bmp(data: bytes) -> bool:
 def bmp_meta(data: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from the BITMAPINFOHEADER (Windows BMP:
     little-endian i32 w/h at offsets 18/22, u16 bit-depth at 28; height
-    may be negative for top-down rows)."""
+    may be negative for top-down rows).  Channels match what
+    :func:`bmp_decode` returns: palette depths (≤8) expand to RGB = 3,
+    16/24-bit are 3, 32-bit reports 4 (the header's claim — the decoder
+    drops an all-zero 'reserved' alpha plane down to 3)."""
     import struct
 
     if len(data) < 30:
         raise ValueError("truncated BMP header")
     w, h = struct.unpack_from("<ii", data, 18)
     bits = struct.unpack_from("<H", data, 28)[0]
-    return w, abs(h), max(1, bits // 8)
+    return w, abs(h), 4 if bits == 32 else 3
+
+
+def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Windows BMP bytes → (width, height, channels, HxWxC uint8).
+
+    Supports the uncompressed (BI_RGB) layouts a data pipeline
+    actually meets: 8-bit palette (expanded to RGB), 24-bit BGR and
+    32-bit BGRA — rows 4-byte padded, bottom-up unless the height is
+    negative (top-down).  A 32-bit image whose 4th byte is zero
+    everywhere is the spec's 'reserved' convention, not alpha, and
+    comes back as opaque RGB.  RLE / bitfields / 1-4-16-bit depths
+    raise NotImplementedError (rare in training corpora; callers fall
+    back to PIL when present)."""
+    if not is_bmp(data):
+        raise ValueError("not a BMP (bad signature)")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bits = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    clr_used = struct.unpack_from("<I", data, 46)[0]
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    if bits not in (8, 24, 32):
+        raise NotImplementedError(f"{bits}-bit BMP not supported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    stride = ((w * bits + 31) // 32) * 4
+    if pix_off + stride * h > len(data):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bits == 8:
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_pal > pix_off or pal_off + 4 * n_pal > len(data):
+            raise ValueError("BMP palette does not fit before the pixels")
+        quads = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_pal, offset=pal_off
+        ).reshape(n_pal, 4)
+        pal = quads[:, [2, 1, 0]]  # BGRX → RGB
+        idx = rows[:, :w].astype(np.int64)
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        return w, h, 3, np.ascontiguousarray(pal[idx])
+    nch = bits // 8
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if bits == 24:
+        return w, h, 3, np.ascontiguousarray(px[:, :, [2, 1, 0]])
+    rgba = px[:, :, [2, 1, 0, 3]]
+    if not rgba[:, :, 3].any():  # all-zero 'reserved' plane → opaque RGB
+        return w, h, 3, np.ascontiguousarray(rgba[:, :, :3])
+    return w, h, 4, np.ascontiguousarray(rgba)
+
+
+def bmp_encode(px: np.ndarray, bits: int = 24, top_down: bool = False) -> bytes:
+    """HxWx{1,3,4} (or HxW) uint8 → BMP bytes (BI_RGB, 8/24/32-bit).
+
+    Fixture encoder for the decoder's three layouts: 8-bit builds a
+    palette from the distinct colors (≤256 required), 24-bit writes
+    padded BGR rows, 32-bit BGRA (alpha 255 for 3-channel input)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    h, w = px.shape[:2]
+    body = bytearray()
+    palette = b""
+    if bits == 8:
+        flat = px[:, :, :3].reshape(-1, 3)
+        colors = sorted({tuple(int(v) for v in c) for c in flat})
+        if len(colors) > 256:
+            raise ValueError("too many colors for an 8-bit BMP palette")
+        lut = {c: i for i, c in enumerate(colors)}
+        palette = b"".join(bytes([c[2], c[1], c[0], 0]) for c in colors)
+        idx = np.array(
+            [lut[tuple(int(v) for v in c)] for c in flat], dtype=np.uint8
+        ).reshape(h, w)
+        stride = ((w + 3) // 4) * 4
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        for y in ys:
+            body += idx[y].tobytes() + bytes(stride - w)
+        n_colors = len(colors)
+    elif bits in (24, 32):
+        nch = bits // 8
+        if px.shape[2] == 3 and nch == 4:
+            px = np.dstack([px, np.full((h, w, 1), 255, dtype=np.uint8)])
+        bgr = px[:, :, [2, 1, 0] if nch == 3 else [2, 1, 0, 3]]
+        stride = ((w * nch + 3) // 4) * 4
+        ys = range(h) if top_down else range(h - 1, -1, -1)
+        for y in ys:
+            body += bgr[y].tobytes() + bytes(stride - w * nch)
+        n_colors = 0
+    else:
+        raise ValueError(f"unsupported bmp_encode depth {bits}")
+    pix_off = 14 + 40 + len(palette)
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, bits, 0, len(body), 2835, 2835,
+        n_colors, 0,
+    )
+    return header + info + palette + bytes(body)
 
 
 def is_webp(data: bytes) -> bool:

@@ -1654,11 +1654,93 @@ def _multimodal_meta(spark, sf_dir):
         run_webp, "variant string, doc_id long, width int, height int, "
         "channels int, format string, pix_sum long"
     )
+
+    # REAL GIF variant (r11): deterministic palette image through the
+    # pure-stdlib LZW codec — per-doc interlace rotation walks both row
+    # orders; the palette color for index v is an odd-multiplier mix so
+    # distinct indices are distinct colors and DuckDB replays the pixel
+    # sum exactly (GIF is lossless).
+    def run_gif(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from akvorado_spark.operators.gif import gif_decode, gif_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 5 + 3, d % 3 + 3
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                v = (d * 3 + 5 * yy + 11 * xx) % 256
+                px = np.dstack(
+                    [(v * 7) % 256, (v * 13) % 256, (v * 3) % 256]
+                ).astype(np.uint8)
+                blob = gif_encode(px, interlace=bool(d % 2))
+                ww, hh, ch, got = gif_decode(blob)
+                rows.append((
+                    "gif", d, ww, hh, ch, "GIF",
+                    int(got.astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "doc_id", "width", "height",
+                         "channels", "format", "pix_sum"],
+            )
+
+    gif = docs.select("doc_id").mapInPandas(
+        run_gif, "variant string, doc_id long, width int, height int, "
+        "channels int, format string, pix_sum long"
+    )
+
+    # REAL BMP variant (r11): depth rotation 8-bit-palette / 32-bit /
+    # 24-bit with both row orders — every bmp_decode layout gated; the
+    # 32-bit branch carries alpha=255 so its pixel sum adds 255·w·h.
+    def run_bmp(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from akvorado_spark.operators.png import bmp_decode, bmp_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 6 + 2, d % 4 + 2
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                if d % 4 == 0:
+                    px = ((d + 3 * yy + 5 * xx) % 256).astype(np.uint8)
+                    blob = bmp_encode(px, 8, top_down=(d % 3 == 0))
+                else:
+                    yy3, xx3, cc = np.meshgrid(
+                        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                    )
+                    px = ((d * 9 + 7 * yy3 + 5 * xx3 + 6 * cc) % 256).astype(np.uint8)
+                    blob = bmp_encode(
+                        px, 32 if d % 4 == 1 else 24, top_down=(d % 3 == 0)
+                    )
+                ww, hh, ch, got = bmp_decode(blob)
+                rows.append((
+                    "bmp", d, ww, hh, ch, "BMP",
+                    int(got.astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "doc_id", "width", "height",
+                         "channels", "format", "pix_sum"],
+            )
+
+    bmp = docs.select("doc_id").mapInPandas(
+        run_bmp, "variant string, doc_id long, width int, height int, "
+        "channels int, format string, pix_sum long"
+    )
     return (
         fake.unionByName(png)
         .unionByName(wav)
         .unionByName(jpg)
         .unionByName(webp)
+        .unionByName(gif)
+        .unionByName(bmp)
         .orderBy("variant", "doc_id")
     )
 
@@ -1727,6 +1809,38 @@ FROM documents d,
      generate_series(0, 2) c(i)
 WHERE {_MM_SAMPLE}
   AND y.i < d.doc_id % 4 + 3 AND x.i < d.doc_id % 6 + 3
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'gif' AS variant, g.doc_id,
+       CAST(g.doc_id % 5 + 3 AS INT) AS width,
+       CAST(g.doc_id % 3 + 3 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'GIF' AS format,
+       CAST(SUM((v * 7) % 256 + (v * 13) % 256 + (v * 3) % 256) AS BIGINT) AS pix_sum
+FROM (
+  SELECT d.doc_id, (d.doc_id * 3 + 5 * y.i + 11 * x.i) % 256 AS v
+  FROM documents d, generate_series(0, 5) y(i), generate_series(0, 7) x(i)
+  WHERE {_MM_SAMPLE}
+    AND y.i < d.doc_id % 3 + 3 AND x.i < d.doc_id % 5 + 3
+) g
+GROUP BY g.doc_id
+UNION ALL
+SELECT 'bmp' AS variant, d.doc_id,
+       CAST(d.doc_id % 6 + 2 AS INT) AS width,
+       CAST(d.doc_id % 4 + 2 AS INT) AS height,
+       CAST(CASE WHEN d.doc_id % 4 = 1 THEN 4 ELSE 3 END AS INT) AS channels,
+       'BMP' AS format,
+       CAST(SUM(CASE WHEN d.doc_id % 4 = 0
+                     THEN (d.doc_id + 3 * y.i + 5 * x.i) % 256
+                     ELSE (d.doc_id * 9 + 7 * y.i + 5 * x.i + 6 * c.i) % 256 END)
+            + CASE WHEN d.doc_id % 4 = 1
+                   THEN 255 * (d.doc_id % 6 + 2) * (d.doc_id % 4 + 2)
+                   ELSE 0 END AS BIGINT) AS pix_sum
+FROM documents d,
+     generate_series(0, 5) y(i), generate_series(0, 6) x(i),
+     generate_series(0, 2) c(i)
+WHERE {_MM_SAMPLE}
+  AND y.i < d.doc_id % 4 + 2 AND x.i < d.doc_id % 6 + 2
 GROUP BY d.doc_id
 ORDER BY variant, doc_id"""
 

@@ -1,0 +1,159 @@
+"""GIF LZW codec: roundtrips across palette sizes / interlace /
+transparency / table-full resets, hand-built partial-frame compose,
+loud failures on corrupt streams, and a byte-stable encoder."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from akvorado_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    gif_decode,
+    gif_encode,
+    gif_meta,
+    is_gif,
+)
+
+
+def _palette_image(ncol: int, h: int, w: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    return colors[rng.integers(0, ncol, (h, w))]
+
+
+def test_lzw_primitive_roundtrip_with_table_growth():
+    """10k symbols over 32 roots pushes the code width past 9 bits;
+    an adversarial low min-code with high-entropy data forces the
+    4096-entry reset path."""
+    rng = np.random.default_rng(1)
+    for min_code, n_sym, n in ((5, 32, 10_000), (2, 4, 60_000), (8, 256, 5_000)):
+        seq = [int(v) for v in rng.integers(0, n_sym, n)]
+        assert _lzw_decode(_lzw_encode(seq, min_code), min_code, n) == seq
+
+
+def test_roundtrip_palette_sizes_and_interlace():
+    for ncol in (2, 3, 16, 17, 200, 256):
+        px = _palette_image(ncol, 11, 13, ncol)
+        for interlace in (False, True):
+            blob = gif_encode(px, interlace=interlace)
+            assert is_gif(blob)
+            w, h, ch, got = gif_decode(blob)
+            assert (w, h, ch) == (13, 11, 3)
+            assert np.array_equal(got, px), (ncol, interlace)
+
+
+def test_interlace_row_order_actually_differs():
+    """Same pixels, interlace on/off → different bytes, same decode
+    (guards against an encoder that sets the flag but doesn't permute)."""
+    px = _palette_image(8, 9, 5, 3)
+    a, b = gif_encode(px), gif_encode(px, interlace=True)
+    assert a != b
+    assert np.array_equal(gif_decode(a)[3], gif_decode(b)[3])
+
+
+def test_transparency_reports_rgba():
+    px = np.zeros((4, 5, 3), dtype=np.uint8)
+    px[1:3, 1:4] = (10, 200, 30)
+    blob = gif_encode(px, transparent_color=(0, 0, 0))
+    assert blob[:6] == b"GIF89a"
+    assert gif_meta(blob)[2] == 4
+    w, h, ch, got = gif_decode(blob)
+    assert (w, h, ch) == (5, 4, 4)
+    assert np.array_equal(got[:, :, :3], px)
+    assert got[0, 0, 3] == 0 and got[1, 1, 3] == 255
+    # the opaque encoding of the same pixels stays 3-channel GIF87a
+    opaque = gif_encode(px)
+    assert opaque[:6] == b"GIF87a" and gif_decode(opaque)[2] == 3
+
+
+def test_partial_frame_composes_onto_background():
+    """Hand-built stream: 3x3 screen, bg color index 1, one 1x2 frame
+    at (1, 1) — the canvas fills with bg and the frame blits in."""
+    palette = bytes((255, 0, 0, 0, 255, 0))  # 0=red (frame), 1=green (bg)
+    lzw = _lzw_encode([0, 0], 2)
+    blob = (
+        b"GIF87a" + struct.pack("<HH", 3, 3) + bytes([0x80, 1, 0]) + palette
+        + bytes([0x2C]) + struct.pack("<HHHH", 1, 1, 1, 2) + bytes([0, 2])
+        + bytes([len(lzw)]) + lzw + bytes([0, 0x3B])
+    )
+    w, h, ch, got = gif_decode(blob)
+    assert (w, h, ch) == (3, 3, 3)
+    assert got[0, 0].tolist() == [0, 255, 0]  # background
+    assert got[1, 1].tolist() == [255, 0, 0]  # frame pixel
+    assert got[2, 1].tolist() == [255, 0, 0]
+    assert got[2, 2].tolist() == [0, 255, 0]
+
+
+def test_corrupt_streams_raise_value_error():
+    px = _palette_image(16, 8, 8, 7)
+    blob = bytearray(gif_encode(px))
+    with pytest.raises(ValueError):
+        gif_decode(b"NOTAGIF" + bytes(blob[7:]))
+    with pytest.raises(ValueError):
+        gif_decode(bytes(blob[:20]))  # truncated mid color table
+    # trailer with no image descriptor
+    with pytest.raises(ValueError):
+        gif_decode(
+            b"GIF87a" + struct.pack("<HH", 1, 1) + bytes([0x80, 0, 0])
+            + bytes(6) + bytes([0x3B])
+        )
+    # frame rect outside the screen
+    bad = (
+        b"GIF87a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) + bytes(6)
+        + bytes([0x2C]) + struct.pack("<HHHH", 1, 1, 2, 2) + bytes([0, 2, 0, 0x3B])
+    )
+    with pytest.raises(ValueError):
+        gif_decode(bad)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pos=st.integers(13, 120), bit=st.integers(0, 7), seed=st.integers(0, 99))
+def test_bitflip_corruption_never_hangs_or_crashes_unsafely(pos, bit, seed):
+    """Any single bit flip either still decodes (palette/pixel flips can
+    be legal) or raises ValueError — never an unbounded loop, raw
+    IndexError, or numpy crash."""
+    px = _palette_image(4 + seed % 60, 7, 9, seed)
+    blob = bytearray(gif_encode(px, interlace=bool(seed % 2)))
+    if pos >= len(blob):
+        pos = len(blob) - 1
+    blob[pos] ^= 1 << bit
+    try:
+        w, h, ch, got = gif_decode(bytes(blob))
+        assert got.shape[0] == h and got.shape[1] == w
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_encode_golden_is_stable():
+    """The oracle gate depends on the encoder staying deterministic."""
+    px = (np.arange(9 * 7, dtype=np.uint64).reshape(7, 9) * 31 % 256).astype(
+        np.uint8
+    )
+    blob = gif_encode(px, interlace=True)
+    w, h, ch, got = gif_decode(blob)
+    assert np.array_equal(got, np.repeat(px[:, :, None], 3, axis=2))
+    assert (
+        hashlib.sha256(blob).hexdigest()
+        == hashlib.sha256(gif_encode(px, interlace=True)).hexdigest()
+    )
+
+
+def test_image_features_decodes_gif(spark):
+    from akvorado_spark.operators.multimodal import image_features
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 12
+    px[:, :, 1] = 34
+    px[:, :, 2] = 56
+    blob = gif_encode(px)
+    df = spark.createDataFrame([(3, bytearray(blob))], "doc_id long, media binary")
+    row = image_features(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (6, 4, 3)
+    assert row["mean"] == [12.0, 34.0, 56.0]

@@ -539,3 +539,84 @@ def test_audio_header_meta_mp3_and_ogg(spark):
                                 "doc_id long, media binary")
     with _pt.raises(Exception, match="unrecognized audio container"):
         decode_audio(bad).collect()
+
+
+def test_bmp_roundtrip_all_depths():
+    """8-bit palette / 24-bit BGR / 32-bit BGRA, both row orders, and
+    widths that exercise the 4-byte row padding."""
+    from akvorado_spark.operators.png import bmp_decode, bmp_encode, bmp_meta
+
+    rng = np.random.default_rng(5)
+    for w in (1, 2, 3, 4, 5, 13):
+        px = rng.integers(0, 256, (6, w, 3), dtype=np.uint8)
+        for top_down in (False, True):
+            dw, dh, ch, got = bmp_decode(bmp_encode(px, 24, top_down=top_down))
+            assert (dw, dh, ch) == (w, 6, 3)
+            assert np.array_equal(got, px), (w, top_down)
+    # 32-bit with a real alpha plane
+    rgba = rng.integers(1, 256, (5, 7, 4), dtype=np.uint8)
+    blob = bmp_encode(rgba, 32)
+    assert bmp_meta(blob) == (7, 5, 4)
+    dw, dh, ch, got = bmp_decode(blob)
+    assert ch == 4 and np.array_equal(got, rgba)
+    # 3-channel input through the 32-bit layout gets alpha=255
+    dw, dh, ch, got = bmp_decode(bmp_encode(rgba[:, :, :3], 32))
+    assert ch == 4 and np.array_equal(got[:, :, :3], rgba[:, :, :3])
+    assert (got[:, :, 3] == 255).all()
+    # 8-bit palette (64 distinct colors)
+    colors = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    pal_px = colors[rng.integers(0, 64, (9, 11))]
+    blob = bmp_encode(pal_px, 8)
+    assert bmp_meta(blob) == (11, 9, 3)
+    dw, dh, ch, got = bmp_decode(blob)
+    assert (dw, dh, ch) == (11, 9, 3) and np.array_equal(got, pal_px)
+
+
+def test_bmp_zero_reserved_plane_reads_opaque_rgb():
+    """A 32-bit BI_RGB file whose 4th byte is 0 everywhere follows the
+    spec's 'reserved' convention — decode as opaque RGB, not an
+    invisible image."""
+    from akvorado_spark.operators.png import bmp_decode, bmp_encode
+
+    px = np.full((3, 4, 4), 9, dtype=np.uint8)
+    px[:, :, 3] = 0
+    dw, dh, ch, got = bmp_decode(bmp_encode(px, 32))
+    assert ch == 3 and (got == 9).all()
+
+
+def test_bmp_malformed_and_unsupported_rejected():
+    from akvorado_spark.operators.png import bmp_decode, bmp_encode
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = bmp_encode(px, 24)
+    with pytest.raises(ValueError):
+        bmp_decode(b"XX" + good[2:])
+    with pytest.raises(ValueError):
+        bmp_decode(good[:40])  # truncated header
+    with pytest.raises(ValueError):
+        bmp_decode(good[:-8])  # truncated pixel rows
+    rle = bytearray(good)
+    rle[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        bmp_decode(bytes(rle))
+    deep = bytearray(good)
+    deep[28] = 16  # 16-bit
+    with pytest.raises(NotImplementedError):
+        bmp_decode(bytes(deep))
+    with pytest.raises(ValueError):
+        bmp_encode(px, 12)
+
+
+def test_image_features_decodes_bmp(spark):
+    from akvorado_spark.operators.multimodal import image_features
+    from akvorado_spark.operators.png import bmp_encode
+
+    px = np.zeros((3, 5, 3), dtype=np.uint8)
+    px[:, :, 0] = 100
+    px[:, :, 2] = 50
+    df = spark.createDataFrame(
+        [(4, bytearray(bmp_encode(px, 24)))], "doc_id long, media binary"
+    )
+    row = image_features(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (5, 3, 3)
+    assert row["mean"] == [100.0, 0.0, 50.0]
