@@ -22,6 +22,15 @@ at the TTL horizon while cumulative distinct contents keep growing.
 
 Usage: python tools/soak_streaming.py [n_batches] [workdir] [bloom|minhash|dupwin]
 Prints a markdown table for SCALE_METRICS.md.
+
+$SOAK_STATE_PROVIDER=rocksdb switches the state store to Spark's
+RocksDBStateStoreProvider (rocksdbjni ships in this build) — the
+100 TB streaming posture: state lives off-heap/on-disk per executor
+instead of as JVM-heap HDFSBackedStateStore maps, and commit overhead
+is what the provider's changelog does, not a full-map HDFS snapshot.
+The table gains a commit-ms column (sum of
+stateOperators[].commitTimeMs across progress events) so the two
+providers' commit overhead can be compared mechanically.
 """
 
 from __future__ import annotations
@@ -89,7 +98,8 @@ def _mk_batch(spark, b: int, kind: str, seen_texts: set):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def _run(spark, src_glob: str, sink: str, ckpt: str, builder) -> float:
+def _run(spark, src_glob: str, sink: str, ckpt: str, builder) -> tuple[float, int, int]:
+    """→ (wall s, Σ state commitTimeMs, n progress events with state)."""
     t0 = time.time()
     stream = spark.readStream.schema("doc_id long, text string").option(
         "maxFilesPerTrigger", 1
@@ -105,7 +115,14 @@ def _run(spark, src_glob: str, sink: str, ckpt: str, builder) -> float:
     q.awaitTermination(1800)
     if q.exception() is not None:
         raise RuntimeError(q.exception())
-    return time.time() - t0
+    commit_ms = 0
+    n_prog = 0
+    for p in q.recentProgress:
+        ops = (p or {}).get("stateOperators") or []
+        if ops:
+            n_prog += 1
+            commit_ms += sum(int(op.get("commitTimeMs", 0)) for op in ops)
+    return time.time() - t0, commit_ms, n_prog
 
 
 def _state_rows(spark, ckpt: str):
@@ -183,6 +200,14 @@ def main() -> int:
     )
 
     spark = get_spark("soak_streaming")
+    provider = os.environ.get("SOAK_STATE_PROVIDER", "hdfs").lower()
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    print(f"# state store provider: {provider}")
     results = []
     kinds = (sys.argv[3],) if len(sys.argv) > 3 else ("bloom", "minhash", "dupwin")
     failures = []
@@ -233,6 +258,8 @@ def main() -> int:
         half = n_batches // 2
         mid_metrics = {}
         wall = 0.0
+        commit_ms = 0
+        n_prog = 0
         seen_texts: set = set()
         for phase, (lo, hi) in enumerate([(0, half), (half, n_batches)]):
             for b in range(lo, hi):
@@ -241,7 +268,10 @@ def main() -> int:
                 )
             # phase 2 restarts the query from the checkpoint — the soak
             # also exercises state-store recovery at depth
-            wall += _run(spark, src + "/*", sink, ckpt, builder)
+            w, c, p = _run(spark, src + "/*", sink, ckpt, builder)
+            wall += w
+            commit_ms += c
+            n_prog += p
             st = _state_rows(spark, ckpt)
             if kind == "bloom":
                 size = sum(
@@ -262,15 +292,18 @@ def main() -> int:
                 n_out = out.count()
                 results.append(
                     (kind, n_batches, wall, mid_metrics, metrics, n_out, out,
-                     len(seen_texts))
+                     len(seen_texts), commit_ms, n_prog)
                 )
 
     if results:
-        print("\n| op | batches | wall s | state @N/2 | state @N | emitted rows |")
-        print("|---|---|---|---|---|---|")
-    for kind, nb, wall, mid, fin, n_out, out, n_uniq_texts in results:
+        print(f"\n| op ({provider}) | batches | wall s | state @N/2 | state @N "
+              "| emitted rows | commit ms/batch |")
+        print("|---|---|---|---|---|---|---|")
+    for kind, nb, wall, mid, fin, n_out, out, n_uniq_texts, commit_ms, n_prog in results:
+        per_batch_ms = commit_ms / n_prog if n_prog else float("nan")
         print(
-            f"| {kind} | {nb} | {wall:.1f} | {mid} | {fin} | {n_out} |"
+            f"| {kind} | {nb} | {wall:.1f} | {mid} | {fin} | {n_out} "
+            f"| {per_batch_ms:.0f} |"
         )
         if kind == "bloom":
             if fin["state_bytes"] != mid["state_bytes"]:
