@@ -183,10 +183,11 @@ def test_rate_limit_correct_and_compensated_under_skew(skewed):
 def test_lsh_degenerate_bucket_is_capped_inside_the_aggregation(spark):
     """VERDICT r10 #2: 10^5 ids landing in ONE (band, bucket) — a
     boilerplate cluster — must never materialize the full bucket in an
-    aggregation buffer.  The capped path ranks through a spillable
-    window and collects at most ``max_bucket`` ids per group; overflow
-    rides row-wise as star pairs.  Semantics: clique(first k) ∪
-    {(min, y): rank(y) > k}, every member connected."""
+    aggregation buffer.  The capped path is ONE spill-safe window pass:
+    per-row state is a ≤(k-1)-element sliding collect_list, clique
+    edges emit incrementally and overflow rides row-wise as star pairs.
+    Semantics: clique(first k) ∪ {(min, y): rank(y) > k}, every member
+    connected."""
     from akvorado_spark.operators.dedup import lsh_candidate_pairs
 
     m, k = 100_000, 8
@@ -196,15 +197,14 @@ def test_lsh_degenerate_bucket_is_capped_inside_the_aggregation(spark):
     )
     capped = lsh_candidate_pairs(sigs, "doc_id", bands=4, n_hashes=8, max_bucket=k)
     plan = capped._jdf.queryExecution().optimizedPlan().toString()
-    # the collect aggregation must sit ABOVE the rank filter — i.e. the
-    # plan carries a window row_number and a __rn <= k predicate, and
-    # the only collected arrays are the pre-filtered kept groups
-    assert "row_number" in plan and "__rn" in plan
-    assert plan.index("collect_list") < plan.index("row_number"), (
-        "collect must consume the rank-filtered frame (optimized plans "
-        "print consumers above producers)"
-    )
-    assert "collect_set" not in plan  # the uncapped expansion is absent
+    # window rank present; the only collect_list is the BOUNDED sliding
+    # frame (k-1 preceding rows); the uncapped set expansion is absent
+    assert "row_number" in plan
+    assert f"specifiedwindowframe(RowFrame, -{k - 1}, -1)" in plan, plan
+    assert "collect_set" not in plan
+    # single (band, bucket) shuffle: the window frame has one consumer
+    phys = capped._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning(band") == 1, phys
     rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     from itertools import combinations
 
