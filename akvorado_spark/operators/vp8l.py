@@ -15,12 +15,15 @@ integer-replayable by DuckDB, so the gate needs no exactness lever.
 Reference parity note: the codec-boundary treatment mirrors the
 reference's opaque-media stance (akvorado inlet stores bytes, decode
 is a consumer concern — see operators/multimodal.py); here decode IS
-implemented.  The 120-entry distance neighbor table and the
-rightmost-column top-right convention are transcribed from the public
-spec/libwebp; encoder and decoder share them, so round-trips are
-self-consistent by construction (no reference WebP binaries exist in
-this container to cross-check against — production users decoding
-foreign files should validate against libwebp once available).
+implemented.  The 120-entry distance neighbor table is transcribed
+from the public spec/libwebp.  Round-trips against the fixture
+encoder are supplemented by encoder-independent conformance vectors
+hand-assembled bit-by-bit from the spec text
+(tests/test_spec_goldens.py) — field order, simple-code layout and
+the degenerate zero-bit code are pinned to the written format, not to
+this module's encoder (no libwebp in the container; production users
+decoding foreign files should still validate against it once
+available).
 
 Scale shape: the codec runs inside Arrow-batched ``mapInPandas``
 workers (operators/multimodal.py) — binaries never reach the driver,
