@@ -146,6 +146,23 @@ def write_plan_sidecar(fingerprints: dict, path: str, loadavg: float) -> None:
         json.dump(payload, fh, indent=1, sort_keys=True)
 
 
+def prune_stamped_sidecars(directory: str, keep: int = 20) -> None:
+    """Bound the immutable per-run sidecar population: keep the newest
+    ``keep`` BENCH_PLAN_<stamp>_<pid>.json files (the stamp prefix
+    sorts chronologically), delete the rest.  Driver rounds reference
+    only their own run's sidecar, so anything beyond a generous window
+    is dead weight in the tree."""
+    import re
+
+    pat = re.compile(r"^BENCH_PLAN_\d{8}T\d{6}_\d+\.json$")
+    names = sorted(n for n in os.listdir(directory or ".") if pat.match(n))
+    for stale in names[:-keep] if keep else names:
+        try:
+            os.unlink(os.path.join(directory or ".", stale))
+        except OSError:  # pruning must never sink bench
+            pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -288,6 +305,7 @@ def main() -> None:
             )
             write_plan_sidecar(fingerprints, unique, loadavg)
             plan_file = os.path.basename(unique)
+            prune_stamped_sidecars(os.path.dirname(plan_path))
             print(f"# plan fingerprints: {plan_path} + {plan_file}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — sidecar must not sink bench
             print(f"# plan sidecar: {type(exc).__name__}", file=sys.stderr)

@@ -163,3 +163,16 @@ def test_adaptive_repeat_escalates_with_start_load():
     # explicit env always wins, floor of 1
     assert bench.adaptive_repeat(12.0, "2") == 2
     assert bench.adaptive_repeat(0.0, "0") == 1
+
+
+def test_prune_stamped_sidecars_keeps_newest(tmp_path):
+    for i in range(25):
+        (tmp_path / f"BENCH_PLAN_202608{i:02d}T000000_1.json").write_text("{}")
+    (tmp_path / "BENCH_PLAN.json").write_text("{}")       # mutable default: kept
+    (tmp_path / "BENCH_r11.plan.json").write_text("{}")   # stem sidecar: kept
+    bench.prune_stamped_sidecars(str(tmp_path), keep=20)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    stamped = [n for n in left if n.startswith("BENCH_PLAN_2")]
+    assert len(stamped) == 20
+    assert stamped[0] == "BENCH_PLAN_20260805T000000_1.json"  # oldest 5 gone
+    assert "BENCH_PLAN.json" in left and "BENCH_r11.plan.json" in left
