@@ -157,3 +157,23 @@ def test_image_features_decodes_gif(spark):
     row = image_features(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (6, 4, 3)
     assert row["mean"] == [12.0, 34.0, 56.0]
+
+
+def test_animated_gif_decodes_first_frame_only():
+    """Two image descriptors (animation): decode returns frame 1 and
+    ignores the rest — the document image, not the animation."""
+    palette = bytes((255, 0, 0, 0, 0, 255))  # 0=red, 1=blue
+    f1 = _lzw_encode([0, 0, 0, 0], 2)
+    f2 = _lzw_encode([1, 1, 1, 1], 2)
+    blob = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) + palette
+        + bytes([0x21, 0xF9, 4, 0x00, 5, 0, 0, 0])  # GCE, no transparency
+        + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0, 2])
+        + bytes([len(f1)]) + f1 + bytes([0])
+        + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0, 2])
+        + bytes([len(f2)]) + f2 + bytes([0, 0x3B])
+    )
+    w, h, ch, got = gif_decode(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    assert (got == [255, 0, 0]).all()  # frame 1 (red), frame 2 untouched
+    assert gif_meta(blob) == (2, 2, 3)
