@@ -116,6 +116,16 @@ def decode_image(
                         w, h, ch = bmp_meta(blob)
                         rows.append((r[id_col], w, h, ch, "BMP"))
                         continue
+                    from akvorado_spark.operators.tiff import (
+                        is_tiff,
+                        tiff_meta,
+                    )
+
+                    if is_tiff(blob):
+                        # IFD walk only — no strip access
+                        w, h, ch = tiff_meta(blob)
+                        rows.append((r[id_col], w, h, ch, "TIFF"))
+                        continue
                     if is_webp(blob):
                         from akvorado_spark.operators.vp8l import is_vp8l
 
@@ -176,6 +186,8 @@ def image_features(
         )
         from akvorado_spark.operators.gif import gif_decode
         from akvorado_spark.operators.gif import is_gif as is_gif_blob
+        from akvorado_spark.operators.tiff import is_tiff as is_tiff_blob
+        from akvorado_spark.operators.tiff import tiff_decode
         from akvorado_spark.operators.png import (
             bmp_decode,
             is_bmp,
@@ -201,6 +213,8 @@ def image_features(
                     w, h, ch, px = gif_decode(blob)
                 elif is_bmp(blob):
                     w, h, ch, px = bmp_decode(blob)
+                elif is_tiff_blob(blob):
+                    w, h, ch, px = tiff_decode(blob)
                 else:
                     from akvorado_spark.operators.vp8l import (
                         is_vp8l,

@@ -1734,6 +1734,52 @@ def _multimodal_meta(spark, sf_dir):
         run_bmp, "variant string, doc_id long, width int, height int, "
         "channels int, format string, pix_sum long"
     )
+
+    # REAL TIFF variant (r11): baseline uncompressed strips — byte
+    # order / strip height / photometric rotation per doc (WhiteIsZero
+    # grayscale stores inverted; the decoder un-inverts, so the gated
+    # sum is over the LOGICAL pixel values DuckDB replays directly).
+    def run_tiff(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from akvorado_spark.operators.tiff import tiff_decode, tiff_encode
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 7 + 2, d % 5 + 2
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                if d % 3 == 0:
+                    px = ((d * 13 + 3 * yy + 7 * xx) % 256).astype(np.uint8)
+                    blob = tiff_encode(
+                        px, big_endian=bool(d % 2),
+                        rows_per_strip=d % 4 + 1, white_is_zero=True,
+                    )
+                else:
+                    yy3, xx3, cc = np.meshgrid(
+                        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                    )
+                    px = ((d * 11 + 5 * yy3 + 3 * xx3 + 9 * cc) % 256).astype(np.uint8)
+                    blob = tiff_encode(
+                        px, big_endian=bool(d % 2), rows_per_strip=d % 4 + 1
+                    )
+                ww, hh, ch, got = tiff_decode(blob)
+                rows.append((
+                    "tiff", d, ww, hh, ch, "TIFF",
+                    int(got.astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "doc_id", "width", "height",
+                         "channels", "format", "pix_sum"],
+            )
+
+    tif = docs.select("doc_id").mapInPandas(
+        run_tiff, "variant string, doc_id long, width int, height int, "
+        "channels int, format string, pix_sum long"
+    )
     return (
         fake.unionByName(png)
         .unionByName(wav)
@@ -1741,6 +1787,7 @@ def _multimodal_meta(spark, sf_dir):
         .unionByName(webp)
         .unionByName(gif)
         .unionByName(bmp)
+        .unionByName(tif)
         .orderBy("variant", "doc_id")
     )
 
@@ -1841,6 +1888,24 @@ FROM documents d,
      generate_series(0, 2) c(i)
 WHERE {_MM_SAMPLE}
   AND y.i < d.doc_id % 4 + 2 AND x.i < d.doc_id % 6 + 2
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'tiff' AS variant, d.doc_id,
+       CAST(d.doc_id % 7 + 2 AS INT) AS width,
+       CAST(d.doc_id % 5 + 2 AS INT) AS height,
+       CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+       'TIFF' AS format,
+       CAST(SUM(CASE WHEN d.doc_id % 3 = 0
+                     THEN CASE WHEN c.i = 0
+                               THEN (d.doc_id * 13 + 3 * y.i + 7 * x.i) % 256
+                               ELSE 0 END
+                     ELSE (d.doc_id * 11 + 5 * y.i + 3 * x.i + 9 * c.i) % 256
+                END) AS BIGINT) AS pix_sum
+FROM documents d,
+     generate_series(0, 5) y(i), generate_series(0, 7) x(i),
+     generate_series(0, 2) c(i)
+WHERE {_MM_SAMPLE}
+  AND y.i < d.doc_id % 5 + 2 AND x.i < d.doc_id % 7 + 2
 GROUP BY d.doc_id
 ORDER BY variant, doc_id"""
 
