@@ -1,18 +1,22 @@
-"""TIFF pixel codec (baseline, uncompressed strips), pure stdlib + numpy.
+"""TIFF pixel codec, pure stdlib + numpy.
 
-Decoder for the public TIFF 6.0 specification's Baseline profile as a
-data pipeline meets it: both byte orders (II little / MM big), IFD tag
-walk with inline-vs-offset value fields, 8-bit grayscale (both
-BlackIsZero and WhiteIsZero photometrics) and RGB/RGBA in chunky
-planar layout, multi-strip assembly via StripOffsets/StripByteCounts/
-RowsPerStrip.  Compression schemes other than 1 (none) raise
-NotImplementedError — LZW/PackBits/JPEG-in-TIFF belong to libtiff;
-the uncompressed layout is what scientific and scanner corpora carry
-and is integer-replayable by the DuckDB oracle (lossless, like the
-PNG/GIF/BMP/VP8L codecs before it).
+Decoder for the public TIFF 6.0 specification as a data pipeline
+meets it: both byte orders (II little / MM big), IFD tag walk with
+inline-vs-offset value fields, 8-bit grayscale (both BlackIsZero and
+WhiteIsZero photometrics) and RGB/RGBA in chunky planar layout,
+multi-strip assembly via StripOffsets/StripByteCounts/RowsPerStrip,
+and the three LOSSLESS byte-exact compressions real corpora carry:
+none (1), LZW (5 — the TIFF variant: MSB-first bit packing, 256/257
+clear/EOI, EARLY code-width change per spec §13), and PackBits
+(32773, §9), plus the horizontal-differencing Predictor (tag 317 = 2)
+usually paired with LZW.  JPEG-in-TIFF/CCITT/planar configs raise
+NotImplementedError — perceptual/fax pipelines belong to libtiff.
+Everything supported is lossless, so decodes are integer-replayable
+by the DuckDB oracle (like the PNG/GIF/BMP/VP8L codecs before it).
 
-The fixture encoder writes either byte order and any strip height so
-round-trips exercise the offset arithmetic, not one happy path.
+The fixture encoder writes either byte order, any strip height, and
+every supported compression×predictor combination so round-trips
+exercise the offset arithmetic and codec branches, not one happy path.
 
 Reference parity: the reference repo has no image pipeline — this
 module belongs to the LLM-data-pipeline surface (multimodal columns).
@@ -65,6 +69,168 @@ def _read_ifd(data: bytes, end: str) -> dict[int, list[int]]:
     return tags
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+# entries index from 258; at 12 bits the last usable code is 4093 per
+# spec §13 ("CodeValue of 4094" forces a Clear), so the table holds at
+# most 4094-258 entries
+_LZW_MAX_ENTRIES = 4094 - 258
+
+
+def _tiff_lzw_decode(data: bytes, max_bytes: int) -> bytes:
+    """TIFF-variant LZW (spec §13): 8-bit symbols, MSB-first codes
+    starting at 9 bits, Clear=256/EOI=257, and the EARLY width change
+    (grow when the next free code equals 2^width - 1, one code sooner
+    than the GIF variant).  Raises ValueError on out-of-sequence codes
+    or output overrun — corrupt strips fail loudly."""
+    width = 9
+    table: list[bytes] = []
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + width <= nbits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_CLEAR:
+            width = 9
+            table = []
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if code < 256:
+            entry = bytes([code])
+        elif code >= 258 and code - 258 < len(table):
+            entry = table[code - 258]
+        elif code == 258 + len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of sequence")
+        if prev is not None and len(table) < _LZW_MAX_ENTRIES:
+            table.append(prev + entry[:1])
+        out += entry
+        if len(out) > max_bytes:
+            raise ValueError("TIFF LZW yields more bytes than the strip")
+        prev = entry
+        # EARLY change: the next code is read wider as soon as the next
+        # free slot reaches 2^width - 1
+        if 258 + len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+class _MSBPacker:
+    """MSB-first variable-width code packer (the TIFF LZW byte order)."""
+
+    def __init__(self) -> None:
+        self._acc = 0
+        self._n = 0
+        self.bytes = bytearray()
+
+    def put(self, code: int, width: int) -> None:
+        self._acc = (self._acc << width) | code
+        self._n += width
+        while self._n >= 8:
+            self._n -= 8
+            self.bytes.append((self._acc >> self._n) & 0xFF)
+
+    def flush(self) -> None:
+        if self._n:
+            self.bytes.append((self._acc << (8 - self._n)) & 0xFF)
+            self._acc = 0
+            self._n = 0
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """Fixture TIFF-LZW encoder, exact mirror of the decoder's
+    early-change width schedule (encoder table runs one entry ahead,
+    so it grows at 2^width)."""
+    pk = _MSBPacker()
+    width = 9
+    table: dict[bytes, int] = {}
+    next_code = 258
+    pk.put(_LZW_CLEAR, width)
+    seq = b""
+    for b in raw:
+        cand = seq + bytes([b])
+        if len(cand) == 1 or cand in table:
+            seq = cand
+            continue
+        pk.put(table[seq] if len(seq) > 1 else seq[0], width)
+        if next_code - 258 < _LZW_MAX_ENTRIES:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            pk.put(_LZW_CLEAR, width)
+            table = {}
+            next_code = 258
+            width = 9
+        seq = bytes([b])
+    if seq:
+        pk.put(table[seq] if len(seq) > 1 else seq[0], width)
+    pk.put(_LZW_EOI, width)
+    pk.flush()
+    return bytes(pk.bytes)
+
+
+def _packbits_decode(data: bytes, max_bytes: int) -> bytes:
+    """PackBits RLE (spec §9): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_bytes:
+        n = data[i] - 256 if data[i] >= 128 else data[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if len(out) > max_bytes:
+        raise ValueError("PackBits yields more bytes than the strip")
+    return bytes(out)
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """Fixture PackBits: runs of ≥3 equal bytes become repeats,
+    everything else literal chunks of ≤128."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and raw[i + run] == raw[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([256 + 1 - run, raw[i]])  # 1-run as signed byte
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and raw[i + run] == raw[i] and run < 128:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        chunk = raw[lit_start : min(i, lit_start + 128)]
+        i = lit_start + len(chunk)
+        out += bytes([len(chunk) - 1]) + chunk
+    return bytes(out)
+
+
 def _layout(data: bytes) -> tuple[str, dict[int, list[int]], int, int, int, int]:
     """→ (endian fmt, tags, width, height, samples, photometric)."""
     if not is_tiff(data):
@@ -95,11 +261,14 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     0=black convention so features read consistently across formats."""
     end, tags, w, h, samples, photometric = _layout(data)
     compression = tags.get(259, [1])[0]
-    if compression != 1:
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} not supported (baseline"
-            " uncompressed only; LZW/PackBits/JPEG need libtiff)"
+            f"TIFF compression {compression} not supported (none/LZW/"
+            "PackBits decode natively; JPEG-in-TIFF/CCITT need libtiff)"
         )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     bits = tags.get(258, [8] * samples)
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} not supported")
@@ -114,25 +283,35 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF without coherent strip offsets/byte counts")
     rows_per_strip = tags.get(278, [h])[0] or h
+    # strip-boundary sanity: declared strip count must cover the rows
+    if len(offsets) < -(-h // rows_per_strip):
+        raise ValueError("TIFF strip count does not cover the image rows")
     row_bytes = w * samples
     out = bytearray()
     need = h * row_bytes
-    for off, cnt in zip(offsets, counts):
+    for s_i, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(data):
             raise ValueError("truncated TIFF strip")
-        out += data[off : off + cnt]
+        raw = data[off : off + cnt]
+        strip_rows = min(rows_per_strip, h - s_i * rows_per_strip)
+        strip_need = strip_rows * row_bytes
+        if compression == 5:
+            out += _tiff_lzw_decode(raw, strip_need)
+        elif compression == 32773:
+            out += _packbits_decode(raw, strip_need)
+        else:
+            out += raw
         if len(out) >= need:
             break
     if len(out) < need:
         raise ValueError("TIFF strips shorter than the image")
     px = np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, samples)
+    if predictor == 2:  # horizontal differencing: undo with a row cumsum
+        px = (px.astype(np.uint32).cumsum(axis=1) % 256).astype(np.uint8)
     if photometric == 0:  # WhiteIsZero → invert to BlackIsZero
         px = 255 - px
     if photometric == 2 and samples < 3:
         raise ValueError("RGB photometric with fewer than 3 samples")
-    # strip-boundary sanity: declared strip count must cover the rows
-    if len(offsets) < -(-h // rows_per_strip):
-        raise ValueError("TIFF strip count does not cover the image rows")
     return w, h, samples, np.ascontiguousarray(px)
 
 
@@ -141,24 +320,43 @@ def tiff_encode(
     big_endian: bool = False,
     rows_per_strip: int | None = None,
     white_is_zero: bool = False,
+    compression: str = "none",
+    predictor: int = 1,
 ) -> bytes:
-    """HxW / HxWx{1,3,4} uint8 → baseline uncompressed TIFF bytes.
+    """HxW / HxWx{1,3,4} uint8 → TIFF bytes.
 
     Fixture encoder: either byte order, any strip height (default one
     strip), optional WhiteIsZero grayscale (stored inverted so the
-    decoder's un-inversion reproduces the input exactly)."""
+    decoder's un-inversion reproduces the input exactly),
+    ``compression`` in none/lzw/packbits, and ``predictor=2`` for
+    horizontal differencing (spec-legal with any compression)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, samples = px.shape
     if samples not in (1, 3, 4):
         raise ValueError("tiff_encode takes 1, 3 or 4 samples per pixel")
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}.get(compression)
+    if comp_tag is None:
+        raise ValueError(f"unsupported tiff_encode compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     end = ">" if big_endian else "<"
     rows_per_strip = rows_per_strip or h
     body = px if not white_is_zero else 255 - px
     if white_is_zero and samples != 1:
         raise ValueError("WhiteIsZero applies to grayscale only")
+    if predictor == 2:  # forward horizontal differencing per row/sample
+        body = body.astype(np.int32)
+        body = np.concatenate(
+            [body[:, :1], (body[:, 1:] - body[:, :-1]) % 256], axis=1
+        ).astype(np.uint8)
+    pack = {
+        1: lambda b: b,
+        5: _tiff_lzw_encode,
+        32773: _packbits_encode,
+    }[comp_tag]
     strips = [
-        body[y : y + rows_per_strip].tobytes()
+        pack(body[y : y + rows_per_strip].tobytes())
         for y in range(0, h, rows_per_strip)
     ]
     photometric = 0 if white_is_zero else (1 if samples == 1 else 2)
@@ -167,7 +365,7 @@ def tiff_encode(
     entries.append((256, 4, [w]))
     entries.append((257, 4, [h]))
     entries.append((258, 3, [8] * samples))
-    entries.append((259, 3, [1]))
+    entries.append((259, 3, [comp_tag]))
     entries.append((262, 3, [photometric]))
     entries.append((277, 3, [samples]))
     entries.append((278, 4, [rows_per_strip]))
@@ -175,6 +373,8 @@ def tiff_encode(
     entries.append((273, 4, [0] * len(strips)))  # offsets patched below
     if samples == 4:
         entries.append((338, 3, [1]))  # ExtraSamples: associated alpha
+    if predictor == 2:
+        entries.append((317, 3, [2]))
     entries.sort(key=lambda t: t[0])
 
     # layout: header(8) + IFD + overflow value area + strips

@@ -1735,10 +1735,13 @@ def _multimodal_meta(spark, sf_dir):
         "channels int, format string, pix_sum long"
     )
 
-    # REAL TIFF variant (r11): baseline uncompressed strips — byte
-    # order / strip height / photometric rotation per doc (WhiteIsZero
-    # grayscale stores inverted; the decoder un-inverts, so the gated
-    # sum is over the LOGICAL pixel values DuckDB replays directly).
+    # REAL TIFF variant (r11): byte order / strip height / photometric
+    # / compression (none, TIFF-LZW, PackBits) / predictor rotation per
+    # doc.  All three compressions are lossless and the predictor is
+    # inverted on decode, so the gated sum is over the LOGICAL pixel
+    # values — the DuckDB replay is the same formula regardless of
+    # which storage branch a doc rotates through (WhiteIsZero grayscale
+    # stores inverted; the decoder un-inverts).
     def run_tiff(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
@@ -1750,12 +1753,15 @@ def _multimodal_meta(spark, sf_dir):
             for d in pdf["doc_id"]:
                 d = int(d)
                 w, h = d % 7 + 2, d % 5 + 2
+                comp = ("none", "lzw", "packbits")[d % 3]
+                pred = 2 if d % 5 == 0 else 1
                 yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
                 if d % 3 == 0:
                     px = ((d * 13 + 3 * yy + 7 * xx) % 256).astype(np.uint8)
                     blob = tiff_encode(
                         px, big_endian=bool(d % 2),
                         rows_per_strip=d % 4 + 1, white_is_zero=True,
+                        compression=comp, predictor=pred,
                     )
                 else:
                     yy3, xx3, cc = np.meshgrid(
@@ -1763,7 +1769,8 @@ def _multimodal_meta(spark, sf_dir):
                     )
                     px = ((d * 11 + 5 * yy3 + 3 * xx3 + 9 * cc) % 256).astype(np.uint8)
                     blob = tiff_encode(
-                        px, big_endian=bool(d % 2), rows_per_strip=d % 4 + 1
+                        px, big_endian=bool(d % 2), rows_per_strip=d % 4 + 1,
+                        compression=comp, predictor=pred,
                     )
                 ww, hh, ch, got = tiff_decode(blob)
                 rows.append((

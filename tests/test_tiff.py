@@ -48,6 +48,59 @@ def test_grayscale_both_photometrics_and_rgba():
     assert tiff_meta(tiff_encode(rgba)) == (6, 4, 4)
 
 
+def test_roundtrip_compressions_and_predictor():
+    """LZW (TIFF variant: MSB-first, EARLY width change) and PackBits,
+    with and without horizontal differencing, across strip heights and
+    byte orders — all byte-exact."""
+    rng = np.random.default_rng(11)
+    # low-entropy bands force long LZW/PackBits runs; noise forces
+    # literal paths; enough pixels to push LZW past 9-bit codes
+    px = np.tile(rng.integers(0, 256, (1, 40, 3), dtype=np.uint8), (30, 1, 1))
+    px[10:20] = rng.integers(0, 256, (10, 40, 3), dtype=np.uint8)
+    px[25:] = 7  # constant block → repeat runs
+    for comp in ("lzw", "packbits"):
+        for pred in (1, 2):
+            for big in (False, True):
+                blob = tiff_encode(px, big_endian=big, rows_per_strip=7,
+                                   compression=comp, predictor=pred)
+                w, h, ch, got = tiff_decode(blob)
+                assert np.array_equal(got, px), (comp, pred, big)
+    # grayscale WhiteIsZero + LZW + predictor composes too
+    g = _rand((9, 13), 12)
+    blob = tiff_encode(g, white_is_zero=True, compression="lzw", predictor=2)
+    assert np.array_equal(tiff_decode(blob)[3][:, :, 0], g)
+
+
+def test_tiff_lzw_width_growth_and_reset():
+    """>3836 novel substrings force the 12-bit ceiling and a mid-stream
+    Clear; the early-change schedule must stay in sync through it."""
+    from akvorado_spark.operators.tiff import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(13)
+    raw = bytes(rng.integers(0, 256, 60_000, dtype=np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(raw), len(raw)) == raw
+    runs = b"".join(bytes([i % 7]) * (i % 19 + 1) for i in range(3000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(runs), len(runs)) == runs
+
+
+def test_packbits_primitives():
+    from akvorado_spark.operators.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    for raw in (b"", b"\x07", b"aaaa", b"abcabc", b"a" * 300,
+                b"ab" + b"c" * 130 + b"de", bytes(range(256)) * 3):
+        assert _packbits_decode(_packbits_encode(raw), len(raw)) == raw
+    # spec no-op byte (-128) is skipped
+    assert _packbits_decode(b"\x80\x00x", 1) == b"x"
+    with pytest.raises(ValueError):
+        _packbits_decode(b"\x05ab", 10)  # truncated literal run
+
+
 def test_unsupported_and_corrupt_rejected():
     px = _rand((4, 4, 3), 4)
     good = bytearray(tiff_encode(px))
@@ -55,14 +108,14 @@ def test_unsupported_and_corrupt_rejected():
         tiff_decode(b"XXXX" + bytes(good[4:]))
     with pytest.raises(ValueError):
         tiff_decode(bytes(good[:-10]))  # truncated strip
-    # compression tag (259) flipped to LZW=5 → declared unsupported
+    # compression tag (259) flipped to old-JPEG=6 → declared unsupported
     # (find the IFD entry and patch its inline SHORT value)
     (n,) = struct.unpack_from("<H", good, 8)
     for i in range(n):
         e = 10 + 12 * i
         tag = struct.unpack_from("<H", good, e)[0]
         if tag == 259:
-            struct.pack_into("<H", good, e + 8, 5)
+            struct.pack_into("<H", good, e + 8, 6)
     with pytest.raises(NotImplementedError):
         tiff_decode(bytes(good))
 
