@@ -283,6 +283,8 @@ def decode_audio(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from akvorado_spark.operators.wav import (
+            flac_meta,
+            is_flac,
             is_mp3,
             is_ogg,
             is_wav,
@@ -308,6 +310,13 @@ def decode_audio(
                     rows.append((r[id_col], ch, rate, 0, 0,
                                  "ogg/vorbis", [], []))
                     continue
+                if is_flac(blob):
+                    # STREAMINFO metadata only: sample decode is the
+                    # Rice/LPC pipeline (see COVERAGE.md closure)
+                    ch, rate, bits, total = flac_meta(blob)
+                    rows.append((r[id_col], ch, rate, bits, total,
+                                 "flac", [], []))
+                    continue
                 if not is_wav(blob) and is_mp3(blob):
                     ch, rate, kbps = mp3_meta(blob)
                     rows.append((r[id_col], ch, rate, 0, 0,
@@ -316,9 +325,9 @@ def decode_audio(
                 if not is_wav(blob):
                     raise NotImplementedError(
                         "unrecognized audio container; PCM WAV decodes "
-                        "natively, MP3/Ogg-Vorbis get header metadata — "
-                        "anything else needs an external codec this "
-                        "container lacks"
+                        "natively, MP3/Ogg-Vorbis/FLAC get header "
+                        "metadata — anything else needs an external "
+                        "codec this container lacks"
                     )
                 channels, rate, bits, n_frames, tag = wav_meta(blob)
                 if tag == 1 and bits in (8, 16):

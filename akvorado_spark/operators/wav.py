@@ -195,3 +195,31 @@ def ogg_vorbis_meta(data: bytes) -> tuple[int, int]:
     if channels == 0 or rate == 0:
         raise ValueError("invalid Vorbis id header")
     return channels, rate
+
+
+def is_flac(data: bytes) -> bool:
+    return data[:4] == b"fLaC"
+
+
+def flac_meta(data: bytes) -> tuple[int, int, int, int]:
+    """(channels, sample_rate, bits, total_samples) from the mandatory
+    STREAMINFO metadata block (FLAC format spec: first block after the
+    'fLaC' marker; rate 20 bits, channels-1 3 bits, bits-1 5 bits,
+    total samples 36 bits packed big-endian at byte offset 10 of the
+    34-byte block).  Header-only — sample decode is the Rice/LPC
+    pipeline, out of proportion for a data engine (see COVERAGE.md)."""
+    if not is_flac(data):
+        raise ValueError("not a FLAC stream")
+    if len(data) < 8 + 34:
+        raise ValueError("truncated FLAC header")
+    if data[4] & 0x7F != 0:  # block type 0 = STREAMINFO, must be first
+        raise ValueError("FLAC stream does not start with STREAMINFO")
+    block = data[8:42]
+    packed = int.from_bytes(block[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("invalid FLAC STREAMINFO (zero sample rate)")
+    return channels, rate, bits, total

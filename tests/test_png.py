@@ -620,3 +620,28 @@ def test_image_features_decodes_bmp(spark):
     row = image_features(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (5, 3, 3)
     assert row["mean"] == [100.0, 0.0, 50.0]
+
+
+def test_flac_streaminfo_metadata(spark):
+    """FLAC STREAMINFO header parse (hand-built per the format spec):
+    rate 20 bits / channels-1 3 / bits-1 5 / total 36, big-endian at
+    block offset 10 — routed through decode_audio."""
+    import struct as _s
+
+    from akvorado_spark.operators.multimodal import decode_audio
+    from akvorado_spark.operators.wav import flac_meta, is_flac
+
+    rate, channels, bits, total = 44100, 2, 16, 123456
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | total
+    block = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    blob = b"fLaC" + bytes([0x80]) + _s.pack(">I", 34)[1:] + block
+    assert is_flac(blob)
+    assert flac_meta(blob) == (channels, rate, bits, total)
+    with pytest.raises(ValueError):
+        flac_meta(b"fLaX" + blob[4:])
+    with pytest.raises(ValueError):
+        flac_meta(blob[:20])
+    df = spark.createDataFrame([(5, bytearray(blob))], "doc_id long, media binary")
+    row = decode_audio(df).collect()[0]
+    assert (row["channels"], row["sample_rate"], row["bits"],
+            row["n_frames"], row["fmt"]) == (2, 44100, 16, 123456, "flac")
