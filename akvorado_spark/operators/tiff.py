@@ -50,7 +50,7 @@ def _read_ifd(data: bytes, end: str) -> dict[int, list[int]]:
             raise ValueError("truncated TIFF IFD entry")
         tag, typ, cnt = struct.unpack_from(end + "HHI", data, e)
         size = _TYPE_SIZES.get(typ)
-        if size is None:  # unknown type: skip per spec
+        if size is None or cnt == 0:  # unknown type / empty value: skip
             continue
         total = size * cnt
         val_off = e + 8 if total <= 4 else struct.unpack_from(end + "I", data, e + 8)[0]
@@ -240,7 +240,7 @@ def _layout(data: bytes) -> tuple[str, dict[int, list[int]], int, int, int, int]
     try:
         w = tags[256][0]
         h = tags[257][0]
-    except KeyError as e:
+    except (KeyError, IndexError) as e:
         raise ValueError("TIFF without ImageWidth/ImageLength") from e
     samples = tags.get(277, [1])[0]
     photometric = tags.get(262, [1])[0]
