@@ -145,3 +145,23 @@ def test_jpeg_spec_vector_annex_k_dc_only_block():
     w, h, ch, px = jpeg_decode(bytes(out))
     assert (w, h, ch) == (8, 8, 1)
     assert np.all(px == 129), px.reshape(8, 8)
+
+
+def test_gif_lzw_spec_vector():
+    """Hand-packed GIF-LZW bytes (LSB-first, per the GIF89a spec's
+    'LZW minimum code size' walkthrough): min_code=2 → clear=4, EOI=5,
+    3-bit codes.  Code stream [4, 0, 0, 5] packs LSB-first to
+    0x04 0x0A and must decode to two index-0 pixels."""
+    from akvorado_spark.operators.gif import _lzw_decode
+
+    assert _lzw_decode(b"\x04\x0a", 2, 4) == [0, 0]
+
+
+def test_tiff_lzw_spec_vector():
+    """Hand-packed TIFF-LZW bytes (MSB-first, spec §13): 9-bit codes
+    [256 Clear, 65 'A', 66 'B', 257 EOI] concatenate to the bit string
+    100000000 001000001 001000010 100000001 → 0x80 0x10 0x48 0x50 0x10
+    and must decode to b'AB'."""
+    from akvorado_spark.operators.tiff import _tiff_lzw_decode
+
+    assert _tiff_lzw_decode(bytes([0x80, 0x10, 0x48, 0x50, 0x10]), 2) == b"AB"
