@@ -346,6 +346,11 @@ def lsh_candidate_pairs(
     return (
         ranked.select(F.explode(edges).alias("__p"))
         .select("__p.id_a", "__p.id_b")
+        # duplicate ids inside one (band, bucket) — possible when the
+        # caller feeds duplicate id rows — would otherwise emit
+        # id_a == id_b self-edges via the clique/star expansion, which
+        # the collect_set path could never produce (ADVICE r11)
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 

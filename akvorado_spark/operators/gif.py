@@ -200,7 +200,10 @@ def gif_meta(data: bytes) -> tuple[int, int, int]:
                 break
             label = data[off + 1]
             body, off = _read_subblocks(data, off + 2)
-            if label == 0xF9 and len(body) >= 1 and body[0] & 1:
+            # same >=4 guard as gif_decode: a truncated GCE body carries
+            # no usable transparent index, so meta and pixel decode must
+            # both treat it as opaque
+            if label == 0xF9 and len(body) >= 4 and body[0] & 1:
                 transparent = True
     except (ValueError, IndexError):
         pass
@@ -274,8 +277,14 @@ def gif_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             rgb = np.dstack([rgb, alpha])
         if (left, top, fw, fh) == (0, 0, sw, sh):
             return sw, sh, ch, np.ascontiguousarray(rgb)
-        # partial frame: compose onto a background-filled canvas
-        bg = ct[bg_index] if bg_index < len(ct) else np.zeros(3, np.uint8)
+        # partial frame: compose onto a background-filled canvas; the
+        # spec defines the background color index relative to the GLOBAL
+        # color table, not the frame's local one
+        bg = (
+            gct[bg_index]
+            if gct is not None and bg_index < len(gct)
+            else np.zeros(3, np.uint8)
+        )
         canvas = np.empty((sh, sw, ch), dtype=np.uint8)
         canvas[:, :, :3] = bg
         if ch == 4:

@@ -53,6 +53,14 @@ def decode_image(
     ``fake=True`` derives deterministic dimensions from the first bytes
     — keeping schema, batching, and partition shape real without any
     decodable media.
+
+    Channel counts are HEADER-derived, O(1) per blob.  For lossless
+    WebP that means the VP8L alpha-HINT bit: a foreign encoder may set
+    the hint on a fully-opaque image, in which case this metadata
+    reports 4 channels while ``image_features``/``vp8l_decode`` (which
+    see the actual alpha plane) report 3 for the same blob.  Joins that
+    must agree with pixel-level outputs should take ``channels`` from
+    ``image_features``, not from here.
     """
     out_schema = IMAGE_META_SCHEMA
 

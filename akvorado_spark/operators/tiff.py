@@ -2,8 +2,9 @@
 
 Decoder for the public TIFF 6.0 specification as a data pipeline
 meets it: both byte orders (II little / MM big), IFD tag walk with
-inline-vs-offset value fields, 8-bit grayscale (both BlackIsZero and
-WhiteIsZero photometrics) and RGB/RGBA in chunky planar layout,
+inline-vs-offset value fields, 8- and 16-bit grayscale (both
+BlackIsZero and WhiteIsZero photometrics) and RGB/RGBA in chunky
+planar layout,
 multi-strip assembly via StripOffsets/StripByteCounts/RowsPerStrip,
 and the three LOSSLESS byte-exact compressions real corpora carry:
 none (1), LZW (5 — the TIFF variant: MSB-first bit packing, 256/257
@@ -29,6 +30,13 @@ import struct
 import numpy as np
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+# tags the decoder actually consumes; only these get strict value
+# range-checks — an irrelevant tag (XResolution, Software, ...) whose
+# value offset points past EOF must not reject an otherwise decodable
+# file (ADVICE r11)
+_CONSUMED_TAGS = frozenset(
+    {256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317}
+)
 
 
 def is_tiff(data: bytes) -> bool:
@@ -55,7 +63,9 @@ def _read_ifd(data: bytes, end: str) -> dict[int, list[int]]:
         total = size * cnt
         val_off = e + 8 if total <= 4 else struct.unpack_from(end + "I", data, e + 8)[0]
         if val_off + total > len(data):
-            raise ValueError(f"truncated TIFF tag {tag} value")
+            if tag in _CONSUMED_TAGS:
+                raise ValueError(f"truncated TIFF tag {tag} value")
+            continue  # irrelevant tag with a bad offset: ignore it
         if typ == 3:
             tags[tag] = list(
                 struct.unpack_from(end + f"{cnt}H", data, val_off)
@@ -256,9 +266,10 @@ def tiff_meta(data: bytes) -> tuple[int, int, int]:
 
 
 def tiff_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Baseline uncompressed TIFF bytes → (width, height, channels,
-    HxWxC uint8).  WhiteIsZero grayscale is inverted to the usual
-    0=black convention so features read consistently across formats."""
+    """TIFF bytes → (width, height, channels, HxWxC uint8 or uint16).
+    WhiteIsZero grayscale is inverted to the usual 0=black convention
+    so features read consistently across formats; 16-bit samples come
+    back as native uint16 (read in the file's byte order)."""
     end, tags, w, h, samples, photometric = _layout(data)
     compression = tags.get(259, [1])[0]
     if compression not in (1, 5, 32773):
@@ -270,8 +281,9 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     bits = tags.get(258, [8] * samples)
-    if any(b != 8 for b in bits):
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} not supported")
+    depth = bits[0]
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar (non-chunky) TIFF not supported")
     if photometric not in (0, 1, 2):
@@ -286,7 +298,7 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     # strip-boundary sanity: declared strip count must cover the rows
     if len(offsets) < -(-h // rows_per_strip):
         raise ValueError("TIFF strip count does not cover the image rows")
-    row_bytes = w * samples
+    row_bytes = w * samples * (depth // 8)
     out = bytearray()
     need = h * row_bytes
     for s_i, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -305,11 +317,21 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             break
     if len(out) < need:
         raise ValueError("TIFF strips shorter than the image")
-    px = np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(h, w, samples)
+    # 16-bit samples are stored in the FILE byte order (spec §4 "the
+    # byte order ... applies to all data in the file"), so read them
+    # with the header's endianness and hand back native uint16
+    dtype = np.dtype(end + ("u2" if depth == 16 else "u1"))
+    px = np.frombuffer(bytes(out[:need]), dtype=dtype).reshape(h, w, samples)
+    native = np.uint16 if depth == 16 else np.uint8
+    full = (1 << depth) - 1
     if predictor == 2:  # horizontal differencing: undo with a row cumsum
-        px = (px.astype(np.uint32).cumsum(axis=1) % 256).astype(np.uint8)
+        # predictor 2 differences SAMPLE VALUES (spec §14), so on
+        # 16-bit data the cumsum wraps mod 65536, not per-byte
+        px = (px.astype(np.uint64).cumsum(axis=1) & full).astype(native)
+    else:
+        px = px.astype(native, copy=False)
     if photometric == 0:  # WhiteIsZero → invert to BlackIsZero
-        px = 255 - px
+        px = (full - px).astype(native)
     if photometric == 2 and samples < 3:
         raise ValueError("RGB photometric with fewer than 3 samples")
     return w, h, samples, np.ascontiguousarray(px)
@@ -323,16 +345,20 @@ def tiff_encode(
     compression: str = "none",
     predictor: int = 1,
 ) -> bytes:
-    """HxW / HxWx{1,3,4} uint8 → TIFF bytes.
+    """HxW / HxWx{1,3,4} uint8 (or uint16 → 16-bit samples) → TIFF.
 
     Fixture encoder: either byte order, any strip height (default one
     strip), optional WhiteIsZero grayscale (stored inverted so the
     decoder's un-inversion reproduces the input exactly),
     ``compression`` in none/lzw/packbits, and ``predictor=2`` for
-    horizontal differencing (spec-legal with any compression)."""
+    horizontal differencing (spec-legal with any compression).  Bit
+    depth follows the input dtype; 16-bit samples are written in the
+    chosen byte order and differenced as sample values (spec §14)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, samples = px.shape
+    depth = 16 if px.dtype == np.uint16 else 8
+    full = (1 << depth) - 1
     if samples not in (1, 3, 4):
         raise ValueError("tiff_encode takes 1, 3 or 4 samples per pixel")
     comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}.get(compression)
@@ -342,21 +368,24 @@ def tiff_encode(
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     end = ">" if big_endian else "<"
     rows_per_strip = rows_per_strip or h
-    body = px if not white_is_zero else 255 - px
+    body = px if not white_is_zero else (full - px).astype(px.dtype)
     if white_is_zero and samples != 1:
         raise ValueError("WhiteIsZero applies to grayscale only")
     if predictor == 2:  # forward horizontal differencing per row/sample
-        body = body.astype(np.int32)
+        native = np.uint16 if depth == 16 else np.uint8
+        body = body.astype(np.int64)
         body = np.concatenate(
-            [body[:, :1], (body[:, 1:] - body[:, :-1]) % 256], axis=1
-        ).astype(np.uint8)
+            [body[:, :1], (body[:, 1:] - body[:, :-1]) & full], axis=1
+        ).astype(native)
     pack = {
         1: lambda b: b,
         5: _tiff_lzw_encode,
         32773: _packbits_encode,
     }[comp_tag]
+    # serialize strips in the FILE byte order (matters for 16-bit)
+    wire = body.astype(np.dtype(end + ("u2" if depth == 16 else "u1")))
     strips = [
-        pack(body[y : y + rows_per_strip].tobytes())
+        pack(wire[y : y + rows_per_strip].tobytes())
         for y in range(0, h, rows_per_strip)
     ]
     photometric = 0 if white_is_zero else (1 if samples == 1 else 2)
@@ -364,7 +393,7 @@ def tiff_encode(
     entries: list[tuple[int, int, list[int]]] = []  # (tag, type, values)
     entries.append((256, 4, [w]))
     entries.append((257, 4, [h]))
-    entries.append((258, 3, [8] * samples))
+    entries.append((258, 3, [depth] * samples))
     entries.append((259, 3, [comp_tag]))
     entries.append((262, 3, [photometric]))
     entries.append((277, 3, [samples]))

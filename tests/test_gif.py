@@ -177,3 +177,39 @@ def test_animated_gif_decodes_first_frame_only():
     assert (w, h, ch) == (2, 2, 3)
     assert (got == [255, 0, 0]).all()  # frame 1 (red), frame 2 untouched
     assert gif_meta(blob) == (2, 2, 3)
+
+
+def test_truncated_gce_meta_agrees_with_decode():
+    """A GCE body shorter than 4 bytes carries no usable transparent
+    index: gif_meta and gif_decode must BOTH report 3 channels (ADVICE
+    r11 — meta used a >=1 guard and disagreed with decode)."""
+    palette = bytes((255, 0, 0, 0, 0, 255))  # 0=red, 1=blue
+    lzw = _lzw_encode([0, 0, 0, 0], 2)
+    blob = (
+        b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) + palette
+        # GCE with a 1-byte body whose transparency flag IS set
+        + bytes([0x21, 0xF9, 1, 0x01, 0])
+        + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0, 2])
+        + bytes([len(lzw)]) + lzw + bytes([0, 0x3B])
+    )
+    assert gif_meta(blob)[2] == 3
+    assert gif_decode(blob)[2] == 3
+
+
+def test_partial_frame_background_uses_global_table():
+    """The background color index is defined against the GLOBAL color
+    table even when the frame carries a local one (ADVICE r11): GCT
+    0=red 1=green with bg=1, frame LCT 0=blue 1=white — background
+    pixels must be green (gct[1]), never white (lct[1])."""
+    gct = bytes((255, 0, 0, 0, 255, 0))  # 0=red, 1=green
+    lct = bytes((0, 0, 255, 255, 255, 255))  # 0=blue, 1=white
+    lzw = _lzw_encode([0], 2)
+    blob = (
+        b"GIF87a" + struct.pack("<HH", 2, 2) + bytes([0x80, 1, 0]) + gct
+        + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 1, 1)
+        + bytes([0x80]) + lct + bytes([2])
+        + bytes([len(lzw)]) + lzw + bytes([0, 0x3B])
+    )
+    w, h, ch, got = gif_decode(blob)
+    assert got[0, 0].tolist() == [0, 0, 255]  # frame pixel from the LCT
+    assert got[1, 1].tolist() == [0, 255, 0]  # background from the GCT

@@ -1334,3 +1334,25 @@ def test_pack_documents_bin_arithmetic_exact_past_2_53(spark):
         # double route would diverge from past 2^53
         assert out[doc_id] == (cum // 2, cum % 2), (doc_id, cum)
         cum += n
+
+
+def test_capped_lsh_emits_no_self_pairs_on_duplicate_ids(spark):
+    """Duplicate id rows feeding the capped expansion would emit
+    id_a == id_b edges via the clique/star window path (the old
+    collect_set path never could) — they must be filtered (ADVICE
+    r11), and real cross-id pairs must survive."""
+    from akvorado_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "the very same text in every row of this corpus") for i in (1, 1, 1, 2, 3)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=8)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", bands=4, n_hashes=8, max_bucket=2
+        ).collect()
+    }
+    assert all(a != b for a, b in got)
+    assert got == {(1, 2), (1, 3)}

@@ -163,3 +163,78 @@ def test_image_features_and_decode_image_handle_tiff(spark):
     row = image_features(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (4, 3, 3)
     assert row["mean"] == [7.0, 70.0, 200.0]
+
+
+def test_16bit_roundtrips_all_codecs_and_orders():
+    """16-bit samples: stored in the file byte order, differenced as
+    sample values (spec §14), inverted against 65535 for WhiteIsZero —
+    all integer-exact round-trips returning native uint16."""
+    rng = np.random.default_rng(21)
+    g16 = rng.integers(0, 1 << 16, (6, 9), dtype=np.uint16)
+    for big in (False, True):
+        for comp in ("none", "lzw", "packbits"):
+            for pred in (1, 2):
+                blob = tiff_encode(g16, big_endian=big, rows_per_strip=2,
+                                   compression=comp, predictor=pred)
+                assert tiff_meta(blob) == (9, 6, 1)
+                w, h, ch, got = tiff_decode(blob)
+                assert got.dtype == np.uint16
+                assert np.array_equal(got[:, :, 0], g16), (big, comp, pred)
+    # WhiteIsZero inverts against the 16-bit ceiling
+    blob = tiff_encode(g16, white_is_zero=True, compression="lzw", predictor=2)
+    assert np.array_equal(tiff_decode(blob)[3][:, :, 0], g16)
+    # 16-bit RGB (chunky) too
+    rgb16 = rng.integers(0, 1 << 16, (4, 5, 3), dtype=np.uint16)
+    w, h, ch, got = tiff_decode(tiff_encode(rgb16, big_endian=True, predictor=2))
+    assert (w, h, ch) == (5, 4, 3) and np.array_equal(got, rgb16)
+
+
+def test_16bit_predictor_wraps_mod_65536_not_per_byte():
+    """A 0 → 65535 step differences to 65535 (= -1 mod 2^16); a per-byte
+    cumsum would corrupt the high byte on the way back."""
+    g = np.array([[0, 65535, 0, 1]], dtype=np.uint16)
+    for big in (False, True):
+        got = tiff_decode(tiff_encode(g, big_endian=big, predictor=2))[3]
+        assert got[0, :, 0].tolist() == [0, 65535, 0, 1]
+
+
+def test_mixed_bit_depths_rejected():
+    """BitsPerSample [8,8,16] is not a layout this decoder claims."""
+    blob = bytearray(tiff_encode(_rand((3, 3, 3), 5)))
+    # tag 258 count=3 SHORTs (6 bytes) lives in the overflow area; its
+    # IFD value field holds the offset
+    (n,) = struct.unpack_from("<H", blob, 8)
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack_from("<H", blob, e)[0] == 258:
+            off = struct.unpack_from("<I", blob, e + 8)[0]
+            struct.pack_into("<H", blob, off + 4, 16)  # third sample → 16
+    with pytest.raises(NotImplementedError):
+        tiff_decode(bytes(blob))
+
+
+def test_irrelevant_tag_with_bad_offset_is_tolerated():
+    """An unconsumed tag (ExtraSamples=338 here) whose value offset
+    points past EOF must not reject a decodable file (ADVICE r11);
+    the same corruption on a consumed tag still fails loudly."""
+    px = _rand((3, 4, 4), 6)
+    blob = bytearray(tiff_encode(px))
+    (n,) = struct.unpack_from("<H", blob, 8)
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack_from("<H", blob, e)[0] == 338:
+            # count 4 SHORTs → 8 bytes → value field becomes an offset;
+            # point it far past EOF
+            struct.pack_into("<I", blob, e + 4, 4)
+            struct.pack_into("<I", blob, e + 8, 0xFFFFFF0)
+    w, h, ch, got = tiff_decode(bytes(blob))
+    assert np.array_equal(got, px)
+    # consumed tag (279 StripByteCounts) with the same corruption raises
+    blob2 = bytearray(tiff_encode(px, rows_per_strip=1))
+    (n,) = struct.unpack_from("<H", blob2, 8)
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack_from("<H", blob2, e)[0] == 279:
+            struct.pack_into("<I", blob2, e + 8, 0xFFFFFF0)
+    with pytest.raises(ValueError):
+        tiff_decode(bytes(blob2))
