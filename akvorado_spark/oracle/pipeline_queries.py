@@ -1757,7 +1757,16 @@ def _multimodal_meta(spark, sf_dir):
                 pred = 2 if d % 5 == 0 else 1
                 yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
                 if d % 3 == 0:
-                    px = ((d * 13 + 3 * yy + 7 * xx) % 256).astype(np.uint8)
+                    # r12: every other grayscale doc rotates through the
+                    # 16-bit path (uint16 samples, file byte order,
+                    # WhiteIsZero inverted against 65535) — still
+                    # lossless, so the same DuckDB formula replays it
+                    if d % 6 == 0:
+                        px = ((d * 13 + 259 * yy + 521 * xx) % 65536).astype(
+                            np.uint16
+                        )
+                    else:
+                        px = ((d * 13 + 3 * yy + 7 * xx) % 256).astype(np.uint8)
                     blob = tiff_encode(
                         px, big_endian=bool(d % 2),
                         rows_per_strip=d % 4 + 1, white_is_zero=True,
@@ -1902,7 +1911,11 @@ SELECT 'tiff' AS variant, d.doc_id,
        CAST(d.doc_id % 5 + 2 AS INT) AS height,
        CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
        'TIFF' AS format,
-       CAST(SUM(CASE WHEN d.doc_id % 3 = 0
+       CAST(SUM(CASE WHEN d.doc_id % 6 = 0
+                     THEN CASE WHEN c.i = 0
+                               THEN (d.doc_id * 13 + 259 * y.i + 521 * x.i) % 65536
+                               ELSE 0 END
+                     WHEN d.doc_id % 3 = 0
                      THEN CASE WHEN c.i = 0
                                THEN (d.doc_id * 13 + 3 * y.i + 7 * x.i) % 256
                                ELSE 0 END

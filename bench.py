@@ -300,12 +300,18 @@ def main() -> None:
             # r10).  The output line carries the basename; bench_diff
             # resolves it relative to the artifact's directory.
             stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+            # stamped per-run copies live under benchplans/ so round
+            # diffs at the repo root stay readable (VERDICT r11 #6);
+            # the output carries the relative path and bench_diff also
+            # tries benchplans/<basename> for old artifacts
+            plans_dir = os.path.join(os.path.dirname(plan_path), "benchplans")
+            os.makedirs(plans_dir, exist_ok=True)
             unique = os.path.join(
-                os.path.dirname(plan_path), f"BENCH_PLAN_{stamp}_{os.getpid()}.json"
+                plans_dir, f"BENCH_PLAN_{stamp}_{os.getpid()}.json"
             )
             write_plan_sidecar(fingerprints, unique, loadavg)
-            plan_file = os.path.basename(unique)
-            prune_stamped_sidecars(os.path.dirname(plan_path))
+            plan_file = os.path.join("benchplans", os.path.basename(unique))
+            prune_stamped_sidecars(plans_dir)
             print(f"# plan fingerprints: {plan_path} + {plan_file}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — sidecar must not sink bench
             print(f"# plan sidecar: {type(exc).__name__}", file=sys.stderr)

@@ -176,3 +176,112 @@ def test_prune_stamped_sidecars_keeps_newest(tmp_path):
     assert len(stamped) == 20
     assert stamped[0] == "BENCH_PLAN_20260805T000000_1.json"  # oldest 5 gone
     assert "BENCH_PLAN.json" in left and "BENCH_r11.plan.json" in left
+
+
+def test_bench_diff_unwraps_driver_artifacts(tmp_path, capsys, monkeypatch):
+    """The driver wraps bench output as {"n","rc",...,"parsed":{...}};
+    bench_diff must consume that directly (VERDICT r11 #1), including
+    the plan_file key riding inside "parsed"."""
+    stamped = tmp_path / "benchplans" / "BENCH_PLAN_20990101T000000_9.json"
+    stamped.parent.mkdir()
+    bench.write_plan_sidecar({"q": {"stages": 5, "shuffle_bytes": 50}}, str(stamped), 0.0)
+    wrapped = {
+        "n": 1, "rc": 0, "cpus": 32, "sf": "0.1",
+        "tail": "noise...",
+        "parsed": {
+            "metric": "total_query_wall_time", "value": 2.0,
+            "queries": {"q": 2.0}, "loadavg_1m": 1.0,
+            "plan_file": os.path.join("benchplans", stamped.name),
+        },
+    }
+    old_f, new_f = tmp_path / "BENCH_r10.json", tmp_path / "BENCH_r11.json"
+    old_f.write_text(json.dumps(wrapped))
+    new_f.write_text(json.dumps({**wrapped, "parsed": {**wrapped["parsed"], "queries": {"q": 4.0}}}))
+    assert bench_diff.main([str(old_f), str(new_f)]) == 0
+    got = capsys.readouterr().out
+    # same stamped sidecar on both sides is fine (not the mutable file)
+    assert "steady: 0" in got and "HOST NOISE    q: wall 2.00x" in got
+
+
+def test_bench_diff_unwraps_from_tail_when_parsed_missing():
+    line = json.dumps({"metric": "t", "value": 1.0, "queries": {"a": 1.0}})
+    payload = {"n": 1, "rc": 0, "tail": "WARN xyz\n" + line + "\n"}
+    assert bench_diff.unwrap(payload)["queries"] == {"a": 1.0}
+    # raw bench output passes through untouched
+    raw = {"queries": {"b": 2.0}, "value": 2.0}
+    assert bench_diff.unwrap(raw) is raw
+
+
+def test_bench_diff_thr_flag_and_legacy_positional(tmp_path, capsys):
+    """--thr is a flag; a bare float in the old 3rd positional slot is
+    still honored (it used to shadow the sidecar paths, VERDICT r11)."""
+    for name, wall in (("old.json", 1.0), ("new.json", 1.4)):
+        (tmp_path / name).write_text(json.dumps({
+            "queries": {"q": wall}, "value": wall,
+            "plan": {"q": {"stages": 3, "shuffle_bytes": 10}},
+        }))
+    args = [str(tmp_path / "old.json"), str(tmp_path / "new.json")]
+    assert bench_diff.main(args + ["--thr", "1.3"]) == 0
+    assert "HOST NOISE" in capsys.readouterr().out
+    assert bench_diff.main(args + ["1.3"]) == 0  # legacy positional
+    assert "HOST NOISE" in capsys.readouterr().out
+    assert bench_diff.main(args) == 0  # default 1.5 → steady
+    assert "steady: 1" in capsys.readouterr().out
+
+
+def test_bench_diff_git_fallback_recovers_round_sidecar(tmp_path, capsys):
+    """A pre-r11 driver artifact (no plan_file, no stem sidecar) must
+    resolve its fingerprints from the commit that recorded it — never
+    from the CURRENT mutable BENCH_PLAN.json, which describes whatever
+    ran last (the r10-vs-r11 judge workflow, VERDICT r11 #1)."""
+    import subprocess
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*a):
+        subprocess.run(["git", "-C", str(repo), *a], check=True,
+                       capture_output=True,
+                       env={**os.environ, "GIT_AUTHOR_NAME": "t",
+                            "GIT_AUTHOR_EMAIL": "t@t", "GIT_COMMITTER_NAME": "t",
+                            "GIT_COMMITTER_EMAIL": "t@t"})
+
+    git("init", "-q")
+    # round-10 commit: artifact + that round's frozen mutable sidecar
+    (repo / "BENCH_r10.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 1.0}, "value": 1.0}}
+    ))
+    bench.write_plan_sidecar({"q": {"stages": 3, "shuffle_bytes": 100}},
+                             str(repo / "BENCH_PLAN.json"), 0.0)
+    git("add", "-A")
+    git("commit", "-qm", "round 10")
+    # later state: mutable sidecar now holds DIFFERENT (newer) plans
+    bench.write_plan_sidecar({"q": {"stages": 30, "shuffle_bytes": 9999}},
+                             str(repo / "BENCH_PLAN.json"), 0.0)
+    plan, src = bench_diff.load_plan(
+        str(repo / "BENCH_r10.json"),
+        json.loads((repo / "BENCH_r10.json").read_text()), None,
+    )
+    assert plan == {"q": {"stages": 3, "shuffle_bytes": 100}}
+    assert src.startswith("git:")
+
+
+def test_bench_diff_consumes_real_driver_artifacts():
+    """End-to-end on the repo's own r10/r11 artifacts: no unwrapping,
+    no positional gymnastics, and the r11 adjudication comes back —
+    exactly 2 plan-changed queries, 0 no-fingerprint."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old, new = os.path.join(root, "BENCH_r10.json"), os.path.join(root, "BENCH_r11.json")
+    if not (os.path.isfile(old) and os.path.isfile(new)):
+        pytest.skip("round artifacts not present")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert bench_diff.main([old, new]) == 0
+    got = buf.getvalue()
+    assert got.count("PLAN CHANGED") == 2
+    assert "no-fingerprint: 0" in got
+    assert "PLAN CHANGED  dedup_minhash_lsh" in got
+    assert "PLAN CHANGED  multimodal_decode_meta" in got

@@ -124,6 +124,8 @@ def test_unsupported_and_corrupt_rejected():
 @given(pos=st.integers(4, 80), bit=st.integers(0, 7), seed=st.integers(0, 99))
 def test_bitflip_corruption_never_hangs_or_crashes_unsafely(pos, bit, seed):
     px = _rand((5, 6, 3), seed)
+    if seed % 3 == 0:  # rotate the 16-bit path through the fuzz too
+        px = (px.astype(np.uint16) * 257).astype(np.uint16)
     blob = bytearray(tiff_encode(px, big_endian=bool(seed % 2),
                                  rows_per_strip=1 + seed % 5))
     if pos >= len(blob):
