@@ -124,6 +124,37 @@ def pack_documents(
     return out.drop("__pack_bucket") if not key_cols else out
 
 
+def certification_sample(df: DataFrame, n_abs: int, id_col: str) -> DataFrame:
+    """Deterministic ABSOLUTE-size cap for quadratic certification
+    twins (the documented-but-uncoded 100 TB posture, VERDICT r11 #2).
+
+    The exact all-pairs / full-corpus certification gates are O(n²) by
+    construction — their value is *catching a sketch-pipeline bug*, and
+    a fixed-size sample at real scale gives the same statistical power
+    at constant cost, while running the quadratic twin over the whole
+    corpus just burns hours (the r11 100× LSH cert run: 262 s and
+    15.3 GB of window spill for zero extra confidence).
+
+    Keeps the ``n_abs`` rows with the SMALLEST engine-portable content
+    hash (md5 of the id's string form, ties by id) — deterministic
+    across runs, engines, and partitionings, so a DuckDB oracle can
+    replay the exact subset with ``ORDER BY md5(CAST(id AS VARCHAR)),
+    id LIMIT n``.  A corpus with ≤ ``n_abs`` rows comes back WHOLE (the
+    cap is the identity), which is what keeps small-SF driver gates
+    full-corpus with unchanged oracles.
+
+    Plan shape: global smallest-n by hash compiles to
+    ``TakeOrderedAndProject`` — every map task keeps its local n_abs
+    minimum rows and one n_abs-sized merge follows; no full sort, no
+    corpus-sized shuffle (plan-asserted in tests/test_plans.py).
+    """
+    if n_abs <= 0:
+        raise ValueError(f"certification_sample needs n_abs >= 1, got {n_abs}")
+    return df.orderBy(
+        portable_order_hash(F.col(id_col)).asc(), F.col(id_col).asc()
+    ).limit(n_abs)
+
+
 def split_dataset(
     df: DataFrame,
     fractions: dict[str, float],

@@ -782,6 +782,14 @@ def _ann_ivf(spark, sf_dir, vecs=None):
 # embedding near-dup pairs: LSH-bucketed in Spark; DuckDB verifies the
 # *result* (pairs above threshold found by exact all-pairs in the same
 # sampled subset — recall must be exact because buckets only prune).
+# Fixed-size certification caps: sf0.1 corpora sit well under them
+# (400 vecs / ~667 docs), so driver gates stay full-corpus; at 100×
+# (40k vecs / ~67k docs) the quadratic twins run on a constant-size
+# deterministic sample instead of the whole corpus.
+_EMBED_CERT_CAP = 2_000
+_MH_CERT_CAP = 2_000
+
+
 def _embed_neardup(spark, sf_dir):
     from akvorado_spark.operators.similarity import dot, norm
 
@@ -797,7 +805,15 @@ def _embed_neardup(spark, sf_dir):
     # per pair (same fold expression → bit-identical doubles, 1/3 the
     # float work across O(n²) pairs)
     v = vecs.select("vec_id", "embedding", norm(F.col("embedding")).alias("__n"))
-    a, b = v.alias("a"), v.alias("b")
+    # The all-pairs member is a CERTIFICATION gate, quadratic by
+    # construction — at scale it runs on a fixed-size deterministic
+    # sample (constant cost at any corpus size); at driver SFs the
+    # corpus is under the cap so the sample IS the full corpus and the
+    # DuckDB oracle is unchanged (VERDICT r11 #2).
+    from akvorado_spark.operators.sampling import certification_sample
+
+    cert = certification_sample(v, _EMBED_CERT_CAP, "vec_id")
+    a, b = cert.alias("a"), cert.alias("b")
     pairs = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -981,7 +997,7 @@ register("embed_neardup_pairs", _embed_neardup, _NEARDUP_ORACLE)
 
 
 def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spread=True,
-                      max_bucket=1024, bands=8, thr=0.5):
+                      max_bucket=1024, bands=8, thr=0.5, cert_cap=None):
     from akvorado_spark.operators.dedup import (
         corpus_grams,
         lsh_candidate_pairs,
@@ -994,6 +1010,16 @@ def _minhash_pipeline(spark, sf_dir, hash_fn=None, sample="doc_id % 5 = 0", spre
     # exchange the whole shingle stage runs in ONE task (cold-session
     # measurement at sf0.1: 11.5s unspread vs 8.0s spread)
     docs = load_table(spark, "documents", sf_dir, spread=spread).filter(sample)
+    if cert_cap is not None:
+        # full-corpus certification twin: the uncapped-bucket replay is
+        # quadratic in degenerate clusters, so above the cap it runs on
+        # a fixed-size deterministic base sample (the perturbed twins
+        # derive from the sampled base, so the seeded near-dups survive
+        # sampling); at driver SFs the corpus is under the cap and the
+        # sample is the identity — oracle unchanged (VERDICT r11 #2)
+        from akvorado_spark.operators.sampling import certification_sample
+
+        docs = certification_sample(docs, cert_cap, "doc_id")
     # The corpus has no natural near-dups: seed deterministic ones
     # (id + 10^7, text with a short suffix → Jaccard just under 1).
     perturbed = docs.select(
@@ -1090,6 +1116,7 @@ def _minhash_certified(spark, sf_dir):
     return _minhash_pipeline(
         spark, sf_dir, hash_fn=portable_seeded_hash, sample=_MH_CERT_SAMPLE, spread=True,
         max_bucket=None,  # exact: the DuckDB oracle mirrors the uncapped join
+        cert_cap=_MH_CERT_CAP,
     )
 
 

@@ -1356,3 +1356,43 @@ def test_capped_lsh_emits_no_self_pairs_on_duplicate_ids(spark):
     }
     assert all(a != b for a, b in got)
     assert got == {(1, 2), (1, 3)}
+
+
+def test_certification_sample_identity_under_cap(spark):
+    from akvorado_spark.operators.sampling import certification_sample
+
+    df = spark.range(0, 37).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"] for r in certification_sample(df, 100, "doc_id").collect()}
+    assert got == set(range(37))  # cap above the corpus ⇒ identity set
+
+
+def test_certification_sample_deterministic_and_duckdb_replayable(spark):
+    """The capped subset is a pure function of the ids: stable across
+    partitionings and reproducible by a DuckDB ORDER BY md5 LIMIT n —
+    the property that lets an oracle replay a capped cert twin."""
+    import duckdb
+
+    from akvorado_spark.operators.sampling import certification_sample
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = sorted(
+        r["doc_id"] for r in certification_sample(df, 40, "doc_id").collect()
+    )
+    again = sorted(
+        r["doc_id"]
+        for r in certification_sample(df.repartition(7), 40, "doc_id").collect()
+    )
+    assert got == again and len(got) == 40
+    duck = [
+        r[0]
+        for r in duckdb.connect().execute(
+            "SELECT i FROM generate_series(0, 499) t(i) "
+            "ORDER BY md5(CAST(i AS VARCHAR)), i LIMIT 40"
+        ).fetchall()
+    ]
+    assert got == sorted(duck)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        certification_sample(df, 0, "doc_id")

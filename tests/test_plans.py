@@ -407,3 +407,16 @@ def test_vocab_suite_joins_are_broadcast_with_shuffle_fallback(spark):
     p4 = plan(tfidf_topk_terms(docs, "text", "doc_id", k=3,
                                broadcast_stats=False))
     assert "CartesianProduct" not in p4
+
+
+def test_certification_sample_is_take_ordered_not_full_sort(spark):
+    """The fixed-size cert cap compiles to TakeOrderedAndProject —
+    per-task local top-n + one n-sized merge — never a corpus-wide
+    Sort + Exchange (which would make the 'bounded cert' cost a full
+    shuffle of the corpus it exists to avoid)."""
+    from akvorado_spark.operators.sampling import certification_sample
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    p = plan(certification_sample(df, 100, "doc_id"))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
