@@ -104,10 +104,9 @@ def decode_image(
                 for _, r in pdf.iterrows():
                     blob = bytes(r[media_col])
                     if is_png(blob):
-                        # IHDR-only: dims + channels need no inflate,
-                        # and 16-bit/interlaced files still get
-                        # metadata even though pixel decode would
-                        # refuse them
+                        # IHDR-only: dims + channels need no inflate
+                        # (pixel decode handles 16-bit and Adam7 too,
+                        # but metadata never touches the IDAT)
                         w, h, ch = png_meta(blob)
                         rows.append((r[id_col], w, h, ch, "PNG"))
                         continue

@@ -4,9 +4,11 @@ operators.
 The container has no Pillow/libvips, which kept ``decode_image``'s real
 branch environment-blocked (VERDICT r5 "What's missing" #3).  PNG needs
 nothing beyond ``zlib`` + ``struct``: this module implements the subset
-a training-data pipeline actually meets — 8-bit gray / gray+alpha /
-RGB / RGBA / palette, all five scanline filters, non-interlaced — and
-an encoder used to build golden fixtures in tests.
+a training-data pipeline actually meets — 8- and 16-bit gray /
+gray+alpha / RGB / RGBA, 8-bit palette, all five scanline filters,
+sequential AND Adam7-interlaced storage — and an encoder used to build
+golden fixtures in tests.  Sub-byte bit depths (1/2/4) stay declared
+unsupported.
 
 Decode cost is one zlib inflate + a per-row unfilter over numpy rows;
 it runs inside Arrow-batched ``mapInPandas`` workers, never on the
@@ -40,14 +42,69 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """PNG bytes → (width, height, channels, HxWxC uint8 array).
+# Adam7 interlace passes: (x0, y0, dx, dy) per the PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Palette images are expanded to RGB.  Raises ``ValueError`` on
-    malformed input and ``NotImplementedError`` for bit depths other
-    than 8 or interlaced images (rare in training corpora; the caller
-    falls back to PIL when present).
-    """
+
+def _unfilter(raw: bytes, pos: int, n_rows: int, stride: int, bpp: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``pos`` (each preceded by its filter byte) → ((n_rows, stride)
+    uint8 array, new pos).  ``bpp`` is the byte distance to the left
+    neighbor (channels × bytes-per-sample) — PNG filters operate on
+    BYTES, so 16-bit samples just widen the offset (spec §9)."""
+    if pos + n_rows * (stride + 1) > len(raw):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(n_rows):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub — per-byte-lane prefix sum, vectorized
+            row = (
+                row.reshape(stride // bpp, bpp).astype(np.uint32).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = row
+        prev = out[y]
+    return out, pos
+
+
+def _to_samples(rows: np.ndarray, w: int, ch: int, bps: int) -> np.ndarray:
+    """(n, w*ch*bps) byte rows → (n, w, ch) samples (uint8 or uint16;
+    16-bit PNG samples are big-endian, spec §7.1)."""
+    n = rows.shape[0]
+    if bps == 1:
+        return rows.reshape(n, w, ch)
+    wide = rows.reshape(n, w, ch, 2).astype(np.uint16)
+    return (wide[..., 0] << 8) | wide[..., 1]
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PNG bytes → (width, height, channels, HxWxC uint8 or uint16).
+
+    Palette images are expanded to RGB; Adam7-interlaced streams are
+    deinterlaced (each pass is an independently filtered sub-image,
+    spec §8.2); 16-bit samples come back as native uint16.  Raises
+    ``ValueError`` on malformed input and ``NotImplementedError`` for
+    bit depths below 8 (the sub-byte packings belong to Pillow)."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     off = 8
@@ -74,48 +131,37 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             break
     if width is None:
         raise ValueError("PNG without IHDR")
-    if bit_depth != 8:
+    if bit_depth not in (8, 16):
         raise NotImplementedError(f"bit depth {bit_depth} not supported")
-    if interlace:
-        raise NotImplementedError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown color type {color_type}")
+    if color_type == 3 and bit_depth != 8:
+        raise ValueError("palette PNG requires bit depth <= 8")
     ch = _CHANNELS[color_type]
+    bps = bit_depth // 8
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
-
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
-        pos += stride + 1
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub — per-channel prefix sum, vectorized
-            row = (
-                row.reshape(width, ch).astype(np.uint32).cumsum(axis=0) % 256
-            ).astype(np.uint8).reshape(stride)
-        elif ftype == 2:  # Up
-            row = (row.astype(np.int32) + prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = int(row[i - ch]) if i >= ch else 0
-                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = int(row[i - ch]) if i >= ch else 0
-                ul = int(prev[i - ch]) if i >= ch else 0
-                row[i] = (int(row[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter {ftype}")
-        out[y] = row
-        prev = out[y]
-
-    px = out.reshape(height, width, ch)
+    dtype = np.uint16 if bps == 2 else np.uint8
+    if not interlace:
+        stride = width * ch * bps
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        rows, _pos = _unfilter(raw, 0, height, stride, ch * bps)
+        px = _to_samples(rows, width, ch, bps)
+    else:
+        px = np.zeros((height, width, ch), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no bytes (spec §8.2)
+            stride = pw * ch * bps
+            rows, pos = _unfilter(raw, pos, ph, stride, ch * bps)
+            px[y0::dy, x0::dx] = _to_samples(rows, pw, ch, bps)
+        if pos != len(raw):
+            raise ValueError("PNG scanline payload size mismatch")
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
@@ -147,21 +193,30 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
     return width, height, _CHANNELS[color_type]
 
 
-def png_encode(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """HxWxC (or HxW) uint8 array → PNG bytes (one IDAT).
+def png_encode(
+    pixels: np.ndarray,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """HxWxC (or HxW) uint8 — or uint16 for a 16-bit PNG — → PNG bytes
+    (one IDAT).
 
     Fixture support for golden tests and deterministic fake media;
     gray (1ch), gray+alpha (2), RGB (3) and RGBA (4) supported.
     ``filters`` selects the filter per scanline (default all 0) — used
     by the oracle gate to force the decoder through every unfilter
-    path, not just the trivial one.
-    """
-    px = np.asarray(pixels, dtype=np.uint8)
+    path, not just the trivial one; with ``interlace`` the image is
+    written in Adam7 pass order (each pass filtered independently, the
+    filter list cycling over emitted scanlines)."""
+    px = np.asarray(pixels)
+    depth = 16 if px.dtype == np.uint16 else 8
+    px = px.astype(np.uint16 if depth == 16 else np.uint8, copy=False)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    stride = w * ch
+    bps = depth // 8
+    bpp = ch * bps
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -169,36 +224,62 @@ def png_encode(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    lines = bytearray()
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        row = px[y].reshape(stride).astype(np.int32)
-        f = filters[y % len(filters)] if filters else 0
-        lines.append(f)
-        if f == 0:
-            out = row
-        elif f == 1:
-            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
-            out = row - left
-        elif f == 2:
-            out = row - prev
-        elif f == 3:
-            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
-            out = row - (left + prev) // 2
-        elif f == 4:
-            left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
-            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
-            pred = np.array(
-                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)],
-                dtype=np.int32,
-            )
-            out = row - pred
-        else:
-            raise ValueError(f"unknown PNG filter {f}")
-        lines += (out & 0xFF).astype(np.uint8).tobytes()
-        prev = row
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        """(n, pw, ch) samples → (n, pw*ch*bps) big-endian byte rows."""
+        n = sub.shape[0]
+        if bps == 1:
+            return sub.reshape(n, -1).astype(np.int32)
+        return (
+            np.ascontiguousarray(sub.astype(">u2"))
+            .view(np.uint8)
+            .reshape(n, -1)
+            .astype(np.int32)
+        )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    lines = bytearray()
+    emitted = 0
+
+    def emit(sub: np.ndarray) -> None:
+        nonlocal emitted
+        rows = byte_rows(sub)
+        stride = rows.shape[1]
+        prev = np.zeros(stride, dtype=np.int32)
+        for row in rows:
+            f = filters[emitted % len(filters)] if filters else 0
+            emitted += 1
+            lines.append(f)
+            if f == 0:
+                out = row
+            elif f == 1:
+                left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+                out = row - left
+            elif f == 2:
+                out = row - prev
+            elif f == 3:
+                left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+                out = row - (left + prev) // 2
+            elif f == 4:
+                left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+                ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+                pred = np.array(
+                    [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)],
+                    dtype=np.int32,
+                )
+                out = row - pred
+            else:
+                raise ValueError(f"unknown PNG filter {f}")
+            lines.extend((out & 0xFF).astype(np.uint8).tobytes())
+            prev = row
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                emit(sub)
+    else:
+        emit(px)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)

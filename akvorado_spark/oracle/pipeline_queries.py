@@ -1537,8 +1537,22 @@ def _multimodal_meta(spark, sf_dir):
                 yy, xx, cc = np.meshgrid(
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
-                px = ((d * 7 + 13 * yy + 17 * xx + 19 * cc) % 256).astype(np.uint8)
-                blob = png_encode(px, filters=[(d + y) % 5 for y in range(h)])
+                # r12 rotations: every 7th doc stores 16-bit samples
+                # (different modulus, same DuckDB replay shape); every
+                # 4th doc writes Adam7-interlaced (storage order only —
+                # pixel values and thus pix_sum are unchanged, so the
+                # oracle needs no interlace branch)
+                if d % 7 == 3:
+                    px = ((d * 7 + 131 * yy + 257 * xx + 313 * cc) % 65536).astype(
+                        np.uint16
+                    )
+                else:
+                    px = ((d * 7 + 13 * yy + 17 * xx + 19 * cc) % 256).astype(np.uint8)
+                blob = png_encode(
+                    px,
+                    filters=[(d + y) % 5 for y in range(h)],
+                    interlace=(d % 4 == 1),
+                )
                 ww, hh, ch, got = png_decode(blob)
                 rows.append((
                     "png", d, ww, hh, ch, "PNG",
@@ -1853,7 +1867,10 @@ SELECT 'png' AS variant, d.doc_id,
        CAST(d.doc_id % 3 + 2 AS INT) AS height,
        CAST(3 AS INT) AS channels,
        'PNG' AS format,
-       CAST(SUM((d.doc_id * 7 + 13 * y.i + 17 * x.i + 19 * c.i) % 256) AS BIGINT) AS pix_sum
+       CAST(SUM(CASE WHEN d.doc_id % 7 = 3
+                     THEN (d.doc_id * 7 + 131 * y.i + 257 * x.i + 313 * c.i) % 65536
+                     ELSE (d.doc_id * 7 + 13 * y.i + 17 * x.i + 19 * c.i) % 256
+                END) AS BIGINT) AS pix_sum
 FROM documents d,
      generate_series(0, 4) y(i), generate_series(0, 6) x(i),
      generate_series(0, 2) c(i)

@@ -56,8 +56,16 @@ def test_png_ours_to_pillow_all_filters():
 
     px = _rand((7, 9, 3), 1)
     for filters in (None, [0, 1, 2, 3, 4, 0, 2]):
-        got = _pil_decode(png_encode(px, filters=filters), "RGB")
-        assert np.array_equal(got, px), filters
+        for interlace in (False, True):
+            got = _pil_decode(
+                png_encode(px, filters=filters, interlace=interlace), "RGB"
+            )
+            assert np.array_equal(got, px), (filters, interlace)
+    # 16-bit grayscale (Pillow reads big-endian PNG samples as I;16/I)
+    g16 = np.random.default_rng(21).integers(0, 1 << 16, (5, 8), dtype=np.uint16)
+    img = PIL_Image.open(io.BytesIO(png_encode(g16, filters=[1, 2])))
+    img.load()
+    assert np.array_equal(np.asarray(img, dtype=np.uint16), g16)
 
 
 def test_png_pillow_to_ours():

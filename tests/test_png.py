@@ -146,11 +146,21 @@ def test_malformed_rejected():
     good = png_encode(px)
     with pytest.raises((ValueError, zlib.error)):
         png_decode(good[:-20])  # truncated inside the IDAT chunk
-    # 16-bit depth: declared unsupported, not mis-decoded
+    # 16-bit is decoded (r12) but an empty IDAT for it is malformed
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     deep = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         png_decode(deep)
+    # sub-byte depths stay declared-unsupported, not mis-decoded
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    shallow = PNG_MAGIC + chunk(b"IHDR", ihdr4) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        png_decode(shallow)
+    # palette + 16-bit is spec-illegal
+    ihdr_p16 = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    p16 = PNG_MAGIC + chunk(b"IHDR", ihdr_p16) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        png_decode(p16)
 
 
 def test_resize_nearest_golden():
@@ -645,3 +655,51 @@ def test_flac_streaminfo_metadata(spark):
     row = decode_audio(df).collect()[0]
     assert (row["channels"], row["sample_rate"], row["bits"],
             row["n_frames"], row["fmt"]) == (2, 44100, 16, 123456, "flac")
+
+
+def test_adam7_interlace_roundtrips_and_differs_on_wire():
+    """Adam7 (r12): every pass is an independently filtered sub-image;
+    the wire bytes differ from the sequential encoding but the decoded
+    pixels are identical — across sizes that exercise empty and
+    single-pixel passes."""
+    rng = np.random.default_rng(31)
+    for shape in ((1, 1), (2, 3), (8, 8), (5, 17), (13, 9)):
+        for ch in (1, 3, 4):
+            px = rng.integers(0, 256, (*shape, ch), dtype=np.uint8)
+            inp = px[:, :, 0] if ch == 1 else px
+            seq = png_encode(inp, filters=[0, 1, 2, 3, 4])
+            lace = png_encode(inp, filters=[0, 1, 2, 3, 4], interlace=True)
+            if shape != (1, 1):
+                assert seq != lace
+            for blob in (seq, lace):
+                w, h, gch, got = png_decode(blob)
+                assert (w, h, gch) == (shape[1], shape[0], ch)
+                assert np.array_equal(got.reshape(px.shape), px)
+
+
+def test_16bit_roundtrips_native_uint16():
+    """16-bit samples (r12): big-endian on the wire, filters operate on
+    bytes with the widened left-neighbor offset, uint16 back out."""
+    rng = np.random.default_rng(32)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 1 << 16, (6, 9, ch), dtype=np.uint16)
+        inp = px[:, :, 0] if ch == 1 else px
+        for interlace in (False, True):
+            blob = png_encode(inp, filters=[4, 3, 2, 1, 0], interlace=interlace)
+            w, h, gch, got = png_decode(blob)
+            assert got.dtype == np.uint16
+            assert (w, h, gch) == (9, 6, ch)
+            assert np.array_equal(got.reshape(px.shape), px), (ch, interlace)
+    # byte-level filter offset regression: a 0→65535 horizontal step
+    # under the Sub filter must survive (per-byte lanes, bpp offset)
+    g = np.array([[0, 65535, 0, 257]], dtype=np.uint16)
+    got = png_decode(png_encode(g, filters=[1]))[3]
+    assert got[0, :, 0].tolist() == [0, 65535, 0, 257]
+
+
+def test_png_meta_still_o1_for_16bit_and_interlaced():
+    from akvorado_spark.operators.png import png_meta
+
+    px = np.zeros((4, 5), dtype=np.uint16)
+    blob = png_encode(px, interlace=True)
+    assert png_meta(blob) == (5, 4, 1)
