@@ -40,7 +40,8 @@ def test_final_line_parses_and_fits_tail_at_full_registry():
     timings = {n: 9999.999 for n in names}
     out = bench.build_output(
         timings, {}, 0.1, 2, 99.99, None,
-        loadavg_start=88.88, plan_file="BENCH_PLAN_20990101T000000_12345.json",
+        loadavg_start=88.88,
+        plan_file="benchplans/BENCH_PLAN_20990101T000000_12345.json",
     )
     assert out["loadavg_start_1m"] == 88.88
     line = json.dumps(out)
