@@ -180,10 +180,11 @@ def image_features(
     resize_to: tuple[int, int] | None = None,
     target_rows_per_batch: int = 256,
 ) -> DataFrame:
-    """PNG/baseline-JPEG media → per-channel mean/std feature rows (the
-    feature-extract stage of a multimodal pipeline), optionally after a
-    deterministic nearest-neighbor resize.  Pure stdlib+numpy; runs in
-    Arrow-batched workers, binaries never reach the driver."""
+    """PNG / baseline-JPEG / GIF / BMP / TIFF / lossless-WebP media →
+    per-channel mean/std feature rows (the feature-extract stage of a
+    multimodal pipeline), optionally after a deterministic
+    nearest-neighbor resize.  Pure stdlib+numpy; runs in Arrow-batched
+    workers, binaries never reach the driver."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
