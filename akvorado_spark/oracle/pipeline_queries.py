@@ -812,7 +812,11 @@ def _embed_neardup(spark, sf_dir):
     # DuckDB oracle is unchanged (VERDICT r11 #2).
     from akvorado_spark.operators.sampling import certification_sample
 
-    cert = certification_sample(v, _EMBED_CERT_CAP, "vec_id")
+    # localCheckpoint: both self-join sides reuse ONE TakeOrdered pass
+    # (cap-sized, so the checkpoint is at most 2,000 rows anywhere)
+    cert = certification_sample(v, _EMBED_CERT_CAP, "vec_id").localCheckpoint(
+        eager=False
+    )
     a, b = cert.alias("a"), cert.alias("b")
     pairs = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

@@ -193,11 +193,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         po, pn = {}, {}
     qo, qn = old.get("queries", {}), new.get("queries", {})
+    def label(plan: dict, src: str | None) -> str:
+        if src is not None:
+            return src
+        return "inline" if plan else "none-found"
+
     print(
         f"# old: value={old.get('value')} loadavg={old.get('loadavg_1m')} "
-        f"plans={src_o or 'inline'} | "
+        f"plans={label(po, src_o)} | "
         f"new: value={new.get('value')} loadavg={new.get('loadavg_1m')} "
-        f"plans={src_n or 'inline'} (wall ratio threshold {thr}x)"
+        f"plans={label(pn, src_n)} (wall ratio threshold {thr}x)"
     )
     def same_plan(a: dict, b: dict) -> bool:
         # shuffle bytes are the sharp signal (<0.1% drift on an
