@@ -703,3 +703,25 @@ def test_png_meta_still_o1_for_16bit_and_interlaced():
     px = np.zeros((4, 5), dtype=np.uint16)
     blob = png_encode(px, interlace=True)
     assert png_meta(blob) == (5, 4, 1)
+
+
+def test_png_bitflip_corruption_never_hangs_or_crashes_unsafely():
+    """Parity with the TIFF/GIF fuzz: any single bit flip either still
+    decodes to a correctly-shaped array or raises the typed errors —
+    never an IndexError/infinite loop — across depth and interlace
+    rotations (zlib.error covers flips inside the deflate stream)."""
+    rng = np.random.default_rng(41)
+    for seed in range(40):
+        depth16 = seed % 3 == 0
+        hi, dt = (1 << 16, np.uint16) if depth16 else (256, np.uint8)
+        px = rng.integers(0, hi, (5, 6, 3)).astype(dt)
+        blob = bytearray(
+            png_encode(px, filters=[seed % 5], interlace=bool(seed % 2))
+        )
+        pos = int(rng.integers(8, len(blob)))
+        blob[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            w, h, ch, got = png_decode(bytes(blob))
+            assert got.shape == (h, w, ch)
+        except (ValueError, NotImplementedError, zlib.error):
+            pass
