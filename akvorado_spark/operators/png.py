@@ -3,12 +3,13 @@ operators.
 
 The container has no Pillow/libvips, which kept ``decode_image``'s real
 branch environment-blocked (VERDICT r5 "What's missing" #3).  PNG needs
-nothing beyond ``zlib`` + ``struct``: this module implements the subset
-a training-data pipeline actually meets — 8- and 16-bit gray /
-gray+alpha / RGB / RGBA, 8-bit palette, all five scanline filters,
-sequential AND Adam7-interlaced storage — and an encoder used to build
-golden fixtures in tests.  Sub-byte bit depths (1/2/4) stay declared
-unsupported.
+nothing beyond ``zlib`` + ``struct``: this module decodes the FULL
+legal PNG surface — 1/2/4/8/16-bit gray, 8/16-bit gray+alpha / RGB /
+RGBA, 1/2/4/8-bit palette, all five scanline filters, sequential AND
+Adam7-interlaced storage — and an encoder used to build golden
+fixtures in tests.  Sub-byte gray scales to 0..255 with the exactly
+integral factors (255/85/17) so features read consistently across
+formats.
 
 Decode cost is one zlib inflate + a per-row unfilter over numpy rows;
 it runs inside Arrow-batched ``mapInPandas`` workers, never on the
@@ -97,14 +98,40 @@ def _to_samples(rows: np.ndarray, w: int, ch: int, bps: int) -> np.ndarray:
     return (wide[..., 0] << 8) | wide[..., 1]
 
 
+def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(n, ceil(w*depth/8)) byte rows → (n, w) sample values for the
+    1/2/4-bit packings (MSB-first within each byte, rows padded to a
+    byte boundary with meaningless low bits — spec §7.2)."""
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    grouped = bits.reshape(rows.shape[0], w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)
+
+
+def _decode_subimage(raw: bytes, pos: int, pw: int, ph: int, ch: int, depth: int):
+    """One (sub-)image's scanlines → ((ph, pw, ch) samples, new pos).
+    Works for the whole image or a single Adam7 pass — the filter
+    state resets per sub-image either way."""
+    if depth >= 8:
+        bps = depth // 8
+        rows, pos = _unfilter(raw, pos, ph, pw * ch * bps, ch * bps)
+        return _to_samples(rows, pw, ch, bps), pos
+    # sub-byte packings exist only for 1-channel gray/palette; the
+    # filter's left-neighbor offset is one whole byte (spec §9)
+    stride = (pw * depth + 7) // 8
+    rows, pos = _unfilter(raw, pos, ph, stride, 1)
+    return _unpack_subbyte(rows, pw, depth)[:, :, None], pos
+
+
 def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """PNG bytes → (width, height, channels, HxWxC uint8 or uint16).
 
     Palette images are expanded to RGB; Adam7-interlaced streams are
     deinterlaced (each pass is an independently filtered sub-image,
-    spec §8.2); 16-bit samples come back as native uint16.  Raises
-    ``ValueError`` on malformed input and ``NotImplementedError`` for
-    bit depths below 8 (the sub-byte packings belong to Pillow)."""
+    spec §8.2); 16-bit samples come back as native uint16; 1/2/4-bit
+    gray scales to 0..255 (palette indices unpack as-is).  Raises
+    ``ValueError`` on malformed input or spec-illegal depth/color-type
+    combinations — every LEGAL combination decodes."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     off = 8
@@ -131,24 +158,25 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             break
     if width is None:
         raise ValueError("PNG without IHDR")
-    if bit_depth not in (8, 16):
-        raise NotImplementedError(f"bit depth {bit_depth} not supported")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal PNG bit depth {bit_depth}")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown color type {color_type}")
-    if color_type == 3 and bit_depth != 8:
+    # legality matrix (spec §11.2.2): sub-byte only for gray/palette;
+    # palette never 16-bit
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(f"color type {color_type} requires 8/16-bit samples")
+    if color_type == 3 and bit_depth == 16:
         raise ValueError("palette PNG requires bit depth <= 8")
     ch = _CHANNELS[color_type]
-    bps = bit_depth // 8
     raw = zlib.decompress(bytes(idat))
-    dtype = np.uint16 if bps == 2 else np.uint8
+    dtype = np.uint16 if bit_depth == 16 else np.uint8
     if not interlace:
-        stride = width * ch * bps
-        if len(raw) != height * (stride + 1):
+        px, pos = _decode_subimage(raw, 0, width, height, ch, bit_depth)
+        if pos != len(raw):
             raise ValueError("PNG scanline payload size mismatch")
-        rows, _pos = _unfilter(raw, 0, height, stride, ch * bps)
-        px = _to_samples(rows, width, ch, bps)
     else:
         px = np.zeros((height, width, ch), dtype=dtype)
         pos = 0
@@ -157,11 +185,15 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no bytes (spec §8.2)
-            stride = pw * ch * bps
-            rows, pos = _unfilter(raw, pos, ph, stride, ch * bps)
-            px[y0::dy, x0::dx] = _to_samples(rows, pw, ch, bps)
+            sub, pos = _decode_subimage(raw, pos, pw, ph, ch, bit_depth)
+            px[y0::dy, x0::dx] = sub
         if pos != len(raw):
             raise ValueError("PNG scanline payload size mismatch")
+    if color_type == 0 and bit_depth < 8:
+        # scale gray to the usual 0..255 range — exactly integral for
+        # every legal depth (255/1, 255/3, 255/15) so features read
+        # consistently across formats and DuckDB replays stay integer
+        px = (px * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
@@ -197,6 +229,7 @@ def png_encode(
     pixels: np.ndarray,
     filters: list[int] | None = None,
     interlace: bool = False,
+    bit_depth: int | None = None,
 ) -> bytes:
     """HxWxC (or HxW) uint8 — or uint16 for a 16-bit PNG — → PNG bytes
     (one IDAT).
@@ -207,16 +240,20 @@ def png_encode(
     by the oracle gate to force the decoder through every unfilter
     path, not just the trivial one; with ``interlace`` the image is
     written in Adam7 pass order (each pass filtered independently, the
-    filter list cycling over emitted scanlines)."""
+    filter list cycling over emitted scanlines).  ``bit_depth`` in
+    (1, 2, 4) packs a grayscale input (values < 2**depth) sub-byte —
+    note the DECODER scales those back to 0..255."""
     px = np.asarray(pixels)
-    depth = 16 if px.dtype == np.uint16 else 8
+    depth = bit_depth or (16 if px.dtype == np.uint16 else 8)
     px = px.astype(np.uint16 if depth == 16 else np.uint8, copy=False)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
+    if depth < 8 and (ch != 1 or int(px.max(initial=0)) >= (1 << depth)):
+        raise ValueError("sub-byte png_encode takes grayscale values < 2**depth")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bps = depth // 8
-    bpp = ch * bps
+    bps = max(depth // 8, 1)
+    bpp = ch * bps if depth >= 8 else 1
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -225,8 +262,15 @@ def png_encode(
         )
 
     def byte_rows(sub: np.ndarray) -> np.ndarray:
-        """(n, pw, ch) samples → (n, pw*ch*bps) big-endian byte rows."""
+        """(n, pw, ch) samples → (n, row_bytes) byte rows (big-endian
+        for 16-bit, MSB-first bit packing for sub-byte)."""
         n = sub.shape[0]
+        if depth < 8:
+            flat = sub.reshape(n, -1).astype(np.uint8)
+            bits = (
+                (flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(n, -1).astype(np.uint8)
+            return np.packbits(bits, axis=1).astype(np.int32)
         if bps == 1:
             return sub.reshape(n, -1).astype(np.int32)
         return (

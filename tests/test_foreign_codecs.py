@@ -66,6 +66,18 @@ def test_png_ours_to_pillow_all_filters():
     img = PIL_Image.open(io.BytesIO(png_encode(g16, filters=[1, 2])))
     img.load()
     assert np.array_equal(np.asarray(img, dtype=np.uint16), g16)
+    # sub-byte grayscale: Pillow's L;1/L;2/L;4 rawmodes scale to the
+    # same 0..255 points as our decoder (255, 85, 17 per step)
+    from akvorado_spark.operators.png import png_decode
+
+    for depth in (1, 2, 4):
+        g = np.random.default_rng(22 + depth).integers(
+            0, 1 << depth, (6, 11), dtype=np.uint8
+        )
+        blob = png_encode(g, filters=[0, 2], bit_depth=depth)
+        ours = png_decode(blob)[3][:, :, 0]
+        theirs = _pil_decode(blob, "L")
+        assert np.array_equal(ours, theirs), depth
 
 
 def test_png_pillow_to_ours():

@@ -151,10 +151,10 @@ def test_malformed_rejected():
     deep = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         png_decode(deep)
-    # sub-byte depths stay declared-unsupported, not mis-decoded
+    # sub-byte depths decode (r12) but an empty IDAT is malformed
     ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     shallow = PNG_MAGIC + chunk(b"IHDR", ihdr4) + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         png_decode(shallow)
     # palette + 16-bit is spec-illegal
     ihdr_p16 = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
@@ -725,3 +725,48 @@ def test_png_bitflip_corruption_never_hangs_or_crashes_unsafely():
             assert got.shape == (h, w, ch)
         except (ValueError, NotImplementedError, zlib.error):
             pass
+
+
+def test_subbyte_gray_roundtrips_scaled():
+    """1/2/4-bit grayscale (r12): MSB-first packing, byte-boundary row
+    padding, filters at the one-byte offset; the decoder scales values
+    to 0..255 with the exactly-integral factors 255/85/17."""
+    rng = np.random.default_rng(51)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for interlace in (False, True):
+            for shape in ((1, 1), (3, 2), (8, 8), (5, 17), (7, 1)):
+                px = rng.integers(0, 1 << depth, shape).astype(np.uint8)
+                blob = png_encode(px, filters=[0, 1, 2, 3, 4],
+                                  interlace=interlace, bit_depth=depth)
+                w, h, ch, got = png_decode(blob)
+                assert (w, h, ch) == (shape[1], shape[0], 1)
+                assert np.array_equal(got[:, :, 0], px * scale), (depth, interlace, shape)
+
+
+def test_subbyte_palette_hand_built():
+    """2-bit palette row: indices 0,1,2,3,1 pack to 0b00011011
+    0b01000000 (padding bits meaningless) and expand through the
+    PLTE."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    lines = bytes([0, 0b00011011, 0b01000000])
+    ihdr = struct.pack(">IIBBBBB", 5, 1, 2, 3, 0, 0, 0)
+    blob = (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+    w, h, ch, got = png_decode(blob)
+    assert (w, h, ch) == (5, 1, 3)
+    assert got[0].tolist() == [
+        [255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9], [0, 255, 0]
+    ]
+
+
+def test_illegal_depth_color_combos_rejected():
+    for depth, ct in ((4, 2), (2, 6), (1, 4), (16, 3), (3, 0), (32, 0)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
+        blob = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                + chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            png_decode(blob)
+    with pytest.raises(ValueError):
+        png_encode(np.array([[5]], dtype=np.uint8), bit_depth=2)  # 5 >= 4
