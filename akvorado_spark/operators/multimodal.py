@@ -338,15 +338,26 @@ def decode_audio(
                         "codec this container lacks"
                     )
                 channels, rate, bits, n_frames, tag = wav_meta(blob)
-                if tag == 1 and bits in (8, 16):
+                if tag == 1 and bits in (8, 16, 24, 32):
                     _, _, chans = wav_decode(blob)
                     sums = [sum(c) for c in chans]
-                    sqs = [sum(x * x for x in c) for c in chans]
+                    # Σs² stays int64-safe for ~8e9 frames at 16 bits,
+                    # but only ~131k at 24 and ~2 at full-scale 32 —
+                    # wider depths report Σs only (consumers needing
+                    # RMS at those depths read samples via wav_decode)
+                    sqs = (
+                        [sum(x * x for x in c) for c in chans]
+                        if bits <= 16 else []
+                    )
                 else:
+                    # float PCM (tag 3) decodes via wav_decode, but its
+                    # sums are not integer-replayable — feature columns
+                    # stay empty here and consumers read samples direct
                     sums, sqs = [], []
                 rows.append(
                     (r[id_col], channels, rate, bits, n_frames,
-                     f"wav/pcm{bits}" if tag == 1 else f"wav/tag{tag}",
+                     f"wav/pcm{bits}" if tag == 1
+                     else (f"wav/float{bits}" if tag == 3 else f"wav/tag{tag}"),
                      sums, sqs)
                 )
             yield pd.DataFrame(

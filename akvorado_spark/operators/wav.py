@@ -41,6 +41,7 @@ def wav_meta(data: bytes) -> tuple[int, int, int, int, int]:
             if size < 16 or pos + 16 > len(data):
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", data, pos)
+            fmt_off, fmt_size = pos, size
         elif cid == b"data" and data_len is None:
             data_len = size
             if pos + size > len(data):
@@ -49,6 +50,14 @@ def wav_meta(data: bytes) -> tuple[int, int, int, int, int]:
     if fmt is None or data_len is None:
         raise ValueError("missing fmt or data chunk")
     tag, channels, rate, _byte_rate, block_align, bits = fmt
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (the container >16-bit and multi-
+        # channel encoders actually write): the REAL format tag is the
+        # first two bytes of the SubFormat GUID at offset 24 of the
+        # fmt body (16 base + cbSize/validbits/channel-mask)
+        if fmt_size < 40 or fmt_off + 26 > len(data):
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (tag,) = struct.unpack_from("<H", data, fmt_off + 24)
     if channels == 0 or block_align == 0:
         raise ValueError("zero channels or block align")
     if tag == 1 and block_align != channels * ((bits + 7) // 8):
@@ -62,16 +71,20 @@ def wav_meta(data: bytes) -> tuple[int, int, int, int, int]:
     return channels, rate, bits, data_len // block_align, tag
 
 
-def wav_decode(data: bytes) -> tuple[int, int, list[list[int]]]:
-    """(sample_rate, n_frames, per-channel int sample lists) for PCM
-    WAV (format tag 1) at 8 or 16 bits.  16-bit samples are signed
-    little-endian; 8-bit are unsigned per the spec and re-centered to
-    signed.  Other encodings raise ValueError."""
+def wav_decode(data: bytes) -> tuple[int, int, list[list[int | float]]]:
+    """(sample_rate, n_frames, per-channel sample lists) for PCM WAV —
+    integer PCM (format tag 1, incl. resolved WAVE_FORMAT_EXTENSIBLE)
+    at 8/16/24/32 bits, IEEE-float PCM (tag 3) at 32/64.  16/24/32-bit
+    integers are signed little-endian; 8-bit are unsigned per the spec
+    and re-centered to signed; floats come back as Python floats.
+    Other encodings raise ValueError."""
     channels, rate, bits, n_frames, tag = wav_meta(data)
-    if tag != 1:
+    if tag not in (1, 3):
         raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
-    if bits not in (8, 16):
+    if tag == 1 and bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported PCM bit depth {bits}")
+    if tag == 3 and bits not in (32, 64):
+        raise ValueError(f"unsupported float-PCM bit depth {bits}")
     pos = 12
     raw = b""
     while pos + 8 <= len(data):
@@ -85,29 +98,68 @@ def wav_decode(data: bytes) -> tuple[int, int, list[list[int]]]:
     # raggedly; keep whole frames only, matching wav_meta's n_frames
     block = channels * (bits // 8)
     raw = raw[: n_frames * block]
-    if bits == 16:
+    if tag == 3:
+        fmt_ch = "f" if bits == 32 else "d"
+        flat = struct.unpack_from(f"<{len(raw) // (bits // 8)}{fmt_ch}", raw)
+    elif bits == 16:
         flat = struct.unpack_from(f"<{len(raw) // 2}h", raw)
+    elif bits == 32:
+        flat = struct.unpack_from(f"<{len(raw) // 4}i", raw)
+    elif bits == 24:
+        flat = [
+            int.from_bytes(raw[i : i + 3], "little", signed=True)
+            for i in range(0, len(raw), 3)
+        ]
     else:
         flat = [b - 128 for b in raw]
     out = [list(flat[c::channels]) for c in range(channels)]
     return rate, n_frames, out
 
 
-def wav_encode_pcm16(
-    rate: int, channels: list[list[int]]
+# the fixed KSDATAFORMAT GUID suffix shared by every extensible subtype
+_EXT_GUID_SUFFIX = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def wav_encode(
+    rate: int,
+    channels: list[list[int | float]],
+    bits: int = 16,
+    float_format: bool = False,
+    extensible: bool = False,
 ) -> bytes:
-    """Minimal PCM16 WAV writer for fixtures/tests (interleaves the
-    channel lists; lengths must match)."""
+    """WAV writer for fixtures/tests: integer PCM at 8/16/24/32 bits or
+    IEEE-float at 32/64 (``float_format``), optionally wrapped in a
+    WAVE_FORMAT_EXTENSIBLE fmt chunk (what real encoders emit for
+    >16-bit and multichannel).  Interleaves the channel lists; lengths
+    must match."""
     n_ch = len(channels)
     if n_ch == 0 or len({len(c) for c in channels}) != 1:
         raise ValueError("need >= 1 equal-length channels")
     n = len(channels[0])
-    inter = [0] * (n * n_ch)
+    inter: list = [0] * (n * n_ch)
     for c, ch in enumerate(channels):
         inter[c::n_ch] = ch
-    raw = struct.pack(f"<{len(inter)}h", *inter)
-    block = n_ch * 2
-    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, 16)
+    if float_format:
+        if bits not in (32, 64):
+            raise ValueError("float WAV is 32 or 64 bits")
+        raw = struct.pack(f"<{len(inter)}{'f' if bits == 32 else 'd'}", *inter)
+        tag = 3
+    elif bits == 24:
+        raw = b"".join(int(s).to_bytes(3, "little", signed=True) for s in inter)
+        tag = 1
+    elif bits in (8, 16, 32):
+        fmt_ch = {8: "B", 16: "h", 32: "i"}[bits]
+        vals = [s + 128 for s in inter] if bits == 8 else inter
+        raw = struct.pack(f"<{len(inter)}{fmt_ch}", *vals)
+        tag = 1
+    else:
+        raise ValueError(f"unsupported fixture bit depth {bits}")
+    block = n_ch * (bits // 8)
+    base = (0xFFFE if extensible else tag, n_ch, rate, rate * block, block, bits)
+    fmt = struct.pack("<HHIIHH", *base)
+    if extensible:
+        fmt += struct.pack("<HHI", 22, bits, 0)  # cbSize, valid bits, mask
+        fmt += struct.pack("<H", tag) + _EXT_GUID_SUFFIX
     return (
         b"RIFF"
         + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
@@ -119,6 +171,11 @@ def wav_encode_pcm16(
         + struct.pack("<I", len(raw))
         + raw
     )
+
+
+def wav_encode_pcm16(rate: int, channels: list[list[int]]) -> bytes:
+    """Minimal PCM16 WAV writer (the original fixture entrypoint)."""
+    return wav_encode(rate, channels, bits=16)
 
 
 # ---------------------------------------------------------------------------

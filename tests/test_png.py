@@ -770,3 +770,43 @@ def test_illegal_depth_color_combos_rejected():
             png_decode(blob)
     with pytest.raises(ValueError):
         png_encode(np.array([[5]], dtype=np.uint8), bit_depth=2)  # 5 >= 4
+
+
+def test_wav_wide_depths_float_and_extensible(spark):
+    """r12: 24/32-bit integer PCM, float32/64 PCM, and the
+    WAVE_FORMAT_EXTENSIBLE wrapper (what real encoders emit for
+    >16-bit) all decode; decode_audio reports the right fmt string,
+    integer sums for integer PCM, and Σs² only where int64-safe."""
+    from akvorado_spark.operators.multimodal import decode_audio
+    from akvorado_spark.operators.wav import wav_decode, wav_encode
+
+    b24 = wav_encode(48000, [[-(1 << 23), 1000, 7]], bits=24, extensible=True)
+    bf32 = wav_encode(16000, [[0.5, -0.25]], bits=32, float_format=True)
+    b32 = wav_encode(8000, [[-(1 << 31), (1 << 31) - 1]], bits=32)
+    df = spark.createDataFrame(
+        [(1, bytearray(b24)), (2, bytearray(bf32)), (3, bytearray(b32))],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert rows[1]["fmt"] == "wav/pcm24" and rows[1]["bits"] == 24
+    assert rows[1]["ch_sum"] == [-(1 << 23) + 1007] and rows[1]["ch_sqsum"] == []
+    assert rows[2]["fmt"] == "wav/float32" and rows[2]["ch_sum"] == []
+    assert wav_decode(bf32)[2] == [[0.5, -0.25]]
+    assert rows[3]["fmt"] == "wav/pcm32"
+    assert rows[3]["ch_sum"] == [-1]  # -(2^31) + 2^31 - 1
+
+
+def test_wav_unsupported_depths_still_loud():
+    import pytest as _pytest
+
+    from akvorado_spark.operators.wav import wav_decode, wav_encode
+
+    with _pytest.raises(ValueError):
+        wav_encode(8000, [[1]], bits=12)
+    blob = bytearray(wav_encode(8000, [[1, 2]], bits=16))
+    # flip the fmt tag to 2 (ADPCM): decode must refuse, not mis-read
+    import struct as _struct
+
+    _struct.pack_into("<H", blob, 20, 2)
+    with _pytest.raises(ValueError):
+        wav_decode(bytes(blob))
