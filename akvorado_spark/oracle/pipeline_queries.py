@@ -1579,7 +1579,7 @@ def _multimodal_meta(spark, sf_dir):
     def run_wav(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from akvorado_spark.operators.wav import wav_decode, wav_encode_pcm16
+        from akvorado_spark.operators.wav import wav_decode, wav_encode
 
         for pdf in batches:
             rows = []
@@ -1587,14 +1587,22 @@ def _multimodal_meta(spark, sf_dir):
                 d = int(d)
                 nc, n = d % 2 + 1, d % 6 + 2
                 rate = 8000 + (d % 3) * 4000
+                # r12 depth rotation: every 4th doc pair stores 24-bit
+                # (x257) or 32-bit-extensible (x65537) samples — the
+                # scale keeps values inside each depth's range and the
+                # Σ(s²+s) replay exactly integral at every depth
+                depth = 16 if d % 4 < 2 else (24 if d % 4 == 2 else 32)
+                scale = {16: 1, 24: 257, 32: 65537}[depth]
                 chans = [
-                    [((d * 31 + c * 7 + i * 13) % 2001) - 1000 for i in range(n)]
+                    [(((d * 31 + c * 7 + i * 13) % 2001) - 1000) * scale
+                     for i in range(n)]
                     for c in range(nc)
                 ]
-                blob = wav_encode_pcm16(rate, chans)
+                blob = wav_encode(rate, chans, bits=depth,
+                                  extensible=(depth == 32))
                 rr, nn, got = wav_decode(blob)
                 sig = sum(x * x + x for ch in got for x in ch)
-                rows.append(("wav", d, rr, nn, len(got), "wav/pcm16", sig))
+                rows.append(("wav", d, rr, nn, len(got), f"wav/pcm{depth}", sig))
             yield pd.DataFrame(
                 rows,
                 columns=["variant", "doc_id", "width", "height",
@@ -1886,11 +1894,16 @@ SELECT 'wav' AS variant, d.doc_id,
        CAST(8000 + (d.doc_id % 3) * 4000 AS INT) AS width,
        CAST(d.doc_id % 6 + 2 AS INT) AS height,
        CAST(d.doc_id % 2 + 1 AS INT) AS channels,
-       'wav/pcm16' AS format,
+       CASE WHEN d.doc_id % 4 = 2 THEN 'wav/pcm24'
+            WHEN d.doc_id % 4 = 3 THEN 'wav/pcm32'
+            ELSE 'wav/pcm16' END AS format,
        CAST(SUM(s * s + s) AS BIGINT) AS pix_sum
 FROM (
   SELECT d.doc_id,
-         ((d.doc_id * 31 + c.i * 7 + i.i * 13) % 2001) - 1000 AS s
+         (((d.doc_id * 31 + c.i * 7 + i.i * 13) % 2001) - 1000)
+         * CASE WHEN d.doc_id % 4 = 2 THEN 257
+                WHEN d.doc_id % 4 = 3 THEN 65537
+                ELSE 1 END AS s
   FROM documents d, generate_series(0, 1) c(i), generate_series(0, 7) i(i)
   WHERE {_MM_SAMPLE}
     AND c.i < d.doc_id % 2 + 1 AND i.i < d.doc_id % 6 + 2
