@@ -410,14 +410,22 @@ def is_bmp(data: bytes) -> bool:
 
 
 def bmp_meta(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the BITMAPINFOHEADER (Windows BMP:
-    little-endian i32 w/h at offsets 18/22, u16 bit-depth at 28; height
-    may be negative for top-down rows).  Channels match what
-    :func:`bmp_decode` returns: palette depths (≤8) expand to RGB = 3,
-    16/24-bit are 3, 32-bit reports 4 (the header's claim — the decoder
-    drops an all-zero 'reserved' alpha plane down to 3)."""
+    """(width, height, channels) from the BMP info header — either the
+    Windows BITMAPINFOHEADER (little-endian i32 w/h at offsets 18/22,
+    u16 bit-depth at 28; height may be negative for top-down rows) or
+    the 12-byte OS/2 BITMAPCOREHEADER (u16 w/h at 18/20, depth at 24).
+    Channels match what :func:`bmp_decode` returns: palette depths (≤8)
+    expand to RGB = 3, 16/24-bit are 3, 32-bit reports 4 (the header's
+    claim — the decoder drops an all-zero 'reserved' alpha plane down
+    to 3)."""
     import struct
 
+    if len(data) < 26:
+        raise ValueError("truncated BMP header")
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size == 12:  # OS/2 core header: u16 dims, never top-down
+        w, h = struct.unpack_from("<HH", data, 18)
+        return w, h, 3
     if len(data) < 30:
         raise ValueError("truncated BMP header")
     w, h = struct.unpack_from("<ii", data, 18)
@@ -426,31 +434,41 @@ def bmp_meta(data: bytes) -> tuple[int, int, int]:
 
 
 def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Windows BMP bytes → (width, height, channels, HxWxC uint8).
+    """BMP bytes → (width, height, channels, HxWxC uint8).
 
     Supports the uncompressed (BI_RGB) layouts a data pipeline
-    actually meets: 8-bit palette (expanded to RGB), 24-bit BGR and
-    32-bit BGRA — rows 4-byte padded, bottom-up unless the height is
-    negative (top-down).  A 32-bit image whose 4th byte is zero
-    everywhere is the spec's 'reserved' convention, not alpha, and
-    comes back as opaque RGB.  RLE / bitfields / 1-4-16-bit depths
-    raise NotImplementedError (rare in training corpora; callers fall
-    back to PIL when present)."""
+    actually meets: 1/4/8-bit palette (MSB-first packing, expanded to
+    RGB), 24-bit BGR and 32-bit BGRA — rows 4-byte padded, bottom-up
+    unless the height is negative (top-down) — under BOTH the Windows
+    BITMAPINFOHEADER and the 12-byte OS/2 BITMAPCOREHEADER (3-byte
+    palette entries, u16 dims, always bottom-up).  A 32-bit image
+    whose 4th byte is zero everywhere is the spec's 'reserved'
+    convention, not alpha, and comes back as opaque RGB.  RLE /
+    bitfields / 16-bit raise NotImplementedError (rare in training
+    corpora; callers fall back to PIL when present)."""
     if not is_bmp(data):
         raise ValueError("not a BMP (bad signature)")
-    if len(data) < 54:
+    if len(data) < 26:
         raise ValueError("truncated BMP header")
     pix_off = struct.unpack_from("<I", data, 10)[0]
     hdr_size = struct.unpack_from("<I", data, 14)[0]
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
-    w, h_signed = struct.unpack_from("<ii", data, 18)
-    bits = struct.unpack_from("<H", data, 28)[0]
-    compression = struct.unpack_from("<I", data, 30)[0]
-    clr_used = struct.unpack_from("<I", data, 46)[0]
+    if hdr_size == 12:  # OS/2 BITMAPCOREHEADER
+        w, h_signed = struct.unpack_from("<HH", data, 18)
+        bits = struct.unpack_from("<H", data, 24)[0]
+        compression, clr_used, pal_entry = 0, 0, 3
+    elif hdr_size >= 40:
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        w, h_signed = struct.unpack_from("<ii", data, 18)
+        bits = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+        clr_used = struct.unpack_from("<I", data, 46)[0]
+        pal_entry = 4
+    else:
+        raise NotImplementedError(f"BMP header size {hdr_size} not supported")
     if compression != 0:
         raise NotImplementedError(f"BMP compression {compression} not supported")
-    if bits not in (8, 24, 32):
+    if bits not in (1, 4, 8, 24, 32):
         raise NotImplementedError(f"{bits}-bit BMP not supported")
     top_down = h_signed < 0
     h = abs(h_signed)
@@ -464,16 +482,23 @@ def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     ).reshape(h, stride)
     if not top_down:
         rows = rows[::-1]
-    if bits == 8:
-        n_pal = clr_used or 256
+    if bits <= 8:
+        n_pal = clr_used or (1 << bits)
         pal_off = 14 + hdr_size
-        if pal_off + 4 * n_pal > pix_off or pal_off + 4 * n_pal > len(data):
+        if pal_off + pal_entry * n_pal > pix_off or pal_off + pal_entry * n_pal > len(data):
             raise ValueError("BMP palette does not fit before the pixels")
         quads = np.frombuffer(
-            data, dtype=np.uint8, count=4 * n_pal, offset=pal_off
-        ).reshape(n_pal, 4)
-        pal = quads[:, [2, 1, 0]]  # BGRX → RGB
-        idx = rows[:, :w].astype(np.int64)
+            data, dtype=np.uint8, count=pal_entry * n_pal, offset=pal_off
+        ).reshape(n_pal, pal_entry)
+        pal = quads[:, [2, 1, 0]]  # BGR(X) → RGB
+        if bits == 8:
+            idx = rows[:, :w].astype(np.int64)
+        else:
+            # 1/4-bit indices pack MSB-first within each byte
+            bits_arr = np.unpackbits(np.ascontiguousarray(rows), axis=1)[:, : w * bits]
+            grouped = bits_arr.reshape(h, w, bits)
+            weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+            idx = (grouped * weights).sum(axis=2)
         if int(idx.max(initial=0)) >= n_pal:
             raise ValueError("BMP palette index out of range")
         return w, h, 3, np.ascontiguousarray(pal[idx])
@@ -487,12 +512,21 @@ def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, 4, np.ascontiguousarray(rgba)
 
 
-def bmp_encode(px: np.ndarray, bits: int = 24, top_down: bool = False) -> bytes:
-    """HxWx{1,3,4} (or HxW) uint8 → BMP bytes (BI_RGB, 8/24/32-bit).
+def bmp_encode(
+    px: np.ndarray, bits: int = 24, top_down: bool = False,
+    core_header: bool = False,
+) -> bytes:
+    """HxWx{1,3,4} (or HxW) uint8 → BMP bytes (BI_RGB,
+    1/4/8/24/32-bit).
 
-    Fixture encoder for the decoder's three layouts: 8-bit builds a
-    palette from the distinct colors (≤256 required), 24-bit writes
-    padded BGR rows, 32-bit BGRA (alpha 255 for 3-channel input)."""
+    Fixture encoder for the decoder's layouts: palette depths build a
+    palette from the distinct colors (≤2**bits required; 1/4-bit pack
+    MSB-first), 24-bit writes padded BGR rows, 32-bit BGRA (alpha 255
+    for 3-channel input).  ``core_header`` writes the 12-byte OS/2
+    BITMAPCOREHEADER (3-byte palette entries, bottom-up only, depths
+    1/4/8/24)."""
+    if core_header and (top_down or bits == 32):
+        raise ValueError("BITMAPCOREHEADER is bottom-up, depths 1/4/8/24")
     if px.ndim == 2:
         px = px[:, :, None]
     if px.shape[2] == 1:
@@ -500,20 +534,35 @@ def bmp_encode(px: np.ndarray, bits: int = 24, top_down: bool = False) -> bytes:
     h, w = px.shape[:2]
     body = bytearray()
     palette = b""
-    if bits == 8:
+    pal_entry = 3 if core_header else 4
+    if bits in (1, 4, 8):
         flat = px[:, :, :3].reshape(-1, 3)
         colors = sorted({tuple(int(v) for v in c) for c in flat})
-        if len(colors) > 256:
-            raise ValueError("too many colors for an 8-bit BMP palette")
+        if len(colors) > (1 << bits):
+            raise ValueError(f"too many colors for a {bits}-bit BMP palette")
         lut = {c: i for i, c in enumerate(colors)}
-        palette = b"".join(bytes([c[2], c[1], c[0], 0]) for c in colors)
+        palette = b"".join(
+            bytes([c[2], c[1], c[0]] + ([] if core_header else [0]))
+            for c in colors
+        )
+        if core_header:
+            # the core header has no clr_used field: readers assume a
+            # FULL 2^bits palette, so pad it out
+            palette += bytes(pal_entry) * ((1 << bits) - len(colors))
         idx = np.array(
             [lut[tuple(int(v) for v in c)] for c in flat], dtype=np.uint8
         ).reshape(h, w)
-        stride = ((w + 3) // 4) * 4
+        stride = ((w * bits + 31) // 32) * 4
         ys = range(h) if top_down else range(h - 1, -1, -1)
         for y in ys:
-            body += idx[y].tobytes() + bytes(stride - w)
+            if bits == 8:
+                packed = idx[y].tobytes()
+            else:
+                row_bits = (
+                    (idx[y][:, None] >> np.arange(bits - 1, -1, -1)) & 1
+                ).reshape(-1).astype(np.uint8)
+                packed = np.packbits(row_bits).tobytes()
+            body += packed + bytes(stride - len(packed))
         n_colors = len(colors)
     elif bits in (24, 32):
         nch = bits // 8
@@ -527,13 +576,17 @@ def bmp_encode(px: np.ndarray, bits: int = 24, top_down: bool = False) -> bytes:
         n_colors = 0
     else:
         raise ValueError(f"unsupported bmp_encode depth {bits}")
-    pix_off = 14 + 40 + len(palette)
+    hdr = 12 if core_header else 40
+    pix_off = 14 + hdr + len(palette)
     header = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
-    info = struct.pack(
-        "<IiiHHIIiiII",
-        40, w, -h if top_down else h, 1, bits, 0, len(body), 2835, 2835,
-        n_colors, 0,
-    )
+    if core_header:
+        info = struct.pack("<IHHHH", 12, w, h, 1, bits)
+    else:
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40, w, -h if top_down else h, 1, bits, 0, len(body), 2835, 2835,
+            n_colors, 0,
+        )
     return header + info + palette + bytes(body)
 
 

@@ -1761,7 +1761,13 @@ def _multimodal_meta(spark, sf_dir):
                 d = int(d)
                 w, h = d % 6 + 2, d % 4 + 2
                 yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-                if d % 4 == 0:
+                if d % 8 == 0:
+                    # r12: 4-bit packed palette under the OS/2 core
+                    # header — ≤16 distinct grays, values v*17 so the
+                    # DuckDB replay stays a plain integer formula
+                    px = (((d + 3 * yy + 5 * xx) % 16) * 17).astype(np.uint8)
+                    blob = bmp_encode(px, 4, core_header=True)
+                elif d % 4 == 0:
                     px = ((d + 3 * yy + 5 * xx) % 256).astype(np.uint8)
                     blob = bmp_encode(px, 8, top_down=(d % 3 == 0))
                 else:
@@ -1954,7 +1960,9 @@ SELECT 'bmp' AS variant, d.doc_id,
        CAST(d.doc_id % 4 + 2 AS INT) AS height,
        CAST(CASE WHEN d.doc_id % 4 = 1 THEN 4 ELSE 3 END AS INT) AS channels,
        'BMP' AS format,
-       CAST(SUM(CASE WHEN d.doc_id % 4 = 0
+       CAST(SUM(CASE WHEN d.doc_id % 8 = 0
+                     THEN ((d.doc_id + 3 * y.i + 5 * x.i) % 16) * 17
+                     WHEN d.doc_id % 4 = 0
                      THEN (d.doc_id + 3 * y.i + 5 * x.i) % 256
                      ELSE (d.doc_id * 9 + 7 * y.i + 5 * x.i + 6 * c.i) % 256 END)
             + CASE WHEN d.doc_id % 4 = 1

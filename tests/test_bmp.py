@@ -185,3 +185,38 @@ def test_demo_bmp_stream_roundtrip():
     assert r6["next_hop"] == bytes(
         __import__("ipaddress").ip_address("fe80::1").packed
     )
+
+
+def test_subbyte_and_core_header_bmp_roundtrips():
+    """r12: 1/4-bit MSB-first packed palette rows and the 12-byte OS/2
+    BITMAPCOREHEADER (3-byte palette entries padded to 2**bits,
+    bottom-up only) round-trip byte-exactly under both headers."""
+    import numpy as np
+
+    from akvorado_spark.operators.png import bmp_decode, bmp_encode, bmp_meta
+
+    rng = np.random.default_rng(61)
+
+    def pal_img(ncol, h, w):
+        cols = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        return cols[rng.integers(0, ncol, (h, w))]
+
+    for bits, ncol in ((1, 2), (4, 16)):
+        for core in (False, True):
+            for shape in ((1, 1), (5, 9), (7, 13)):
+                px = pal_img(ncol, *shape)
+                blob = bmp_encode(px, bits, core_header=core)
+                w, h, ch, got = bmp_decode(blob)
+                assert (w, h, ch) == (shape[1], shape[0], 3)
+                assert np.array_equal(got, px), (bits, core, shape)
+                assert bmp_meta(blob) == (shape[1], shape[0], 3)
+    # 24-bit core header too
+    px = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(px, 24, core_header=True))[3], px)
+    # core header refuses layouts it cannot express
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bmp_encode(px, 24, top_down=True, core_header=True)
+    with _pytest.raises(ValueError):
+        bmp_encode(px, 32, core_header=True)

@@ -137,6 +137,17 @@ def test_bmp_both_directions():
     w, h, ch, got = bmp_decode(_pil_encode(px, "BMP"))
     assert (w, h, ch) == (7, 6, 3)
     assert np.array_equal(got, px)
+    # sub-byte palette + OS/2 core header variants decode in Pillow too
+    rng = np.random.default_rng(25)
+    cols = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pal = cols[rng.integers(0, 16, (5, 9))]
+    for bits in (1, 4, 8):
+        sub = cols[rng.integers(0, 1 << min(bits, 4), (5, 9))]
+        for core in (False, True):
+            got = _pil_decode(bmp_encode(sub, bits, core_header=core), "RGB")
+            assert np.array_equal(got, sub), (bits, core)
+    got = _pil_decode(bmp_encode(pal, 24, core_header=True), "RGB")
+    assert np.array_equal(got, pal)
 
 
 # ---------------------------------------------------------------------------
