@@ -1,16 +1,19 @@
-"""Pure-stdlib baseline JPEG (ITU-T T.81) codec: full pixel decode.
+"""Pure-stdlib JPEG (ITU-T T.81) codec: full pixel decode, baseline
+AND progressive.
 
 The last stubbed multimodal pixel path, made REAL the way
 ``operators/png.py`` and ``operators/wav.py`` were: no codec library
-exists in this container, but baseline sequential DCT JPEG is a public
-spec — marker parse, canonical Huffman, dequantize, 8×8 IDCT, chroma
-upsample, YCbCr→RGB — all expressible with struct + numpy.
+exists in this container, but DCT JPEG is a public spec — marker
+parse, canonical Huffman, dequantize, 8×8 IDCT, chroma upsample,
+YCbCr→RGB — all expressible with struct + numpy.
 
-Scope (and what raises): baseline DCT (SOF0), 8-bit precision, 1 or 3
-components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 via
-replication upsample), restart markers honored.  Progressive (SOF2),
-arithmetic coding, 12-bit, and hierarchical modes raise ValueError —
-they are different entropy pipelines, not missing glue.
+Scope (and what raises): baseline DCT (SOF0) and progressive DCT
+(SOF2, Annex G.2: spectral selection + successive approximation, all
+four scan kinds incl. EOB runs and refinement correction bits — r12),
+8-bit precision, 1 or 3 components, any sampling factors (4:4:4 /
+4:2:2 / 4:2:0 via replication upsample), restart markers honored in
+both modes.  Arithmetic coding, 12-bit, and hierarchical modes raise
+ValueError — different entropy pipelines, not missing glue.
 
 The Spark-side plumbing is the same as PNG: per-image python kernels
 inside Arrow-batched ``mapInPandas`` (operators/multimodal.py), so
@@ -229,6 +232,8 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    prog_coefs = None  # cid -> (blocks_y, blocks_x, 64) zigzag-order coefs
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -280,23 +285,25 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 vals = list(body[i + 17 : i + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(body) < 6:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if len(body) < 6 + 3 * ncomp:
-                raise ValueError("truncated SOF0 segment")
+                raise ValueError("truncated SOF segment")
             if prec != 8:
-                raise ValueError(f"unsupported precision {prec} (baseline is 8)")
+                raise ValueError(f"unsupported precision {prec} (8-bit only)")
             comps = []
             for c in range(ncomp):
                 cid, sv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, sv >> 4, sv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG mode SOF{marker - 0xC0} (baseline SOF0 only)"
+                f"unsupported JPEG mode SOF{marker - 0xC0} "
+                "(baseline SOF0 and progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -305,18 +312,29 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if not body or len(body) < 1 + 2 * body[0]:
+            if not body or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            return _decode_scan(
-                data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if prog_coefs is None:
+                prog_coefs = _alloc_prog_coefs(frame)
+            pos = _decode_prog_scan(
+                data, pos + seg_len, frame, scan, (ss, se, ahal >> 4, ahal & 0xF),
+                huff_dc, huff_ac, restart_interval, prog_coefs,
             )
+            continue
         pos += seg_len
+    if progressive and prog_coefs is not None:
+        return _finish_progressive(frame, prog_coefs, qt)
     raise ValueError("JPEG without SOS/entropy data")
 
 
@@ -391,7 +409,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
-    # upsample (replication) + crop + level shift
+    return _assemble_pixels(planes, comps, hmax, vmax, h, w)
+
+
+def _assemble_pixels(planes, comps, hmax, vmax, h, w):
+    """Shared tail of both decode paths: replication upsample + crop +
+    level shift + (for 3 components) BT.601 YCbCr→RGB."""
     out_planes = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -409,6 +432,261 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decoding — T.81 Annex G.2.  Coefficients
+# accumulate across scans in zigzag order per component; spectral
+# selection splits them by band, successive approximation by bit
+# plane (first scans carry the high bits, refinement scans append one
+# bit at a time).
+# ---------------------------------------------------------------------------
+
+
+def _prog_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
+            raise ValueError(
+                f"unsupported sampling factors {hs}x{vs} vs max "
+                f"{hmax}x{vmax} (non-integer upsample ratio)"
+            )
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    dims = {}
+    for cid, hs, vs, _tq in comps:
+        # true per-component block counts (non-interleaved scan grid);
+        # storage is MCU-padded so interleaved scans index freely
+        cw = (w * hs + hmax - 1) // hmax
+        ch_ = (h * vs + vmax - 1) // vmax
+        dims[cid] = ((ch_ + 7) // 8, (cw + 7) // 8)
+    return hmax, vmax, mcux, mcuy, dims
+
+
+def _alloc_prog_coefs(frame):
+    _h, _w, comps = frame
+    _hmax, _vmax, mcux, mcuy, _dims = _prog_geometry(frame)
+    return {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+        for cid, hs, vs, _tq in comps
+    }
+
+
+def _refine_nonzero(rd, blk, k, se, p1):
+    """Append correction bits to already-nonzero coefficients from
+    zigzag index k until the first zero-history position (returned; or
+    se+1) — the run-length advance of the refinement decoder."""
+    while k <= se:
+        c = int(blk[k])
+        if c != 0:
+            if rd.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        else:
+            break
+    return k
+
+
+def _refine_tail(rd, blk, k, se, p1):
+    """EOB-run tail: correction bits for EVERY nonzero-history
+    coefficient from k through se (zeros pass untouched)."""
+    while k <= se:
+        c = int(blk[k])
+        if c != 0:
+            if rd.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else -p1)
+        k += 1
+
+
+def _decode_prog_scan(data, pos, frame, scan, band, huff_dc, huff_ac,
+                      restart_interval, coefs):
+    """Decode ONE progressive scan's entropy data into ``coefs``;
+    returns the stream position of the next marker."""
+    h, w, comps = frame
+    ss, se, ah, al = band
+    hmax, vmax, mcux, mcuy, dims = _prog_geometry(frame)
+    bycid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    for cs, _td, _ta in scan:
+        if cs not in bycid:
+            raise ValueError(f"scan references unknown component {cs}")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError(f"bad spectral band {ss}..{se}")
+    rd = _BitReader(data, pos)
+    state = {
+        "pred": {cs: 0 for cs, *_ in scan},
+        "eobrun": 0,
+    }
+    p1 = 1 << al
+
+    def dc_first(blk, td, cs):
+        t = rd.decode_huff(huff_dc[td])
+        if t > 11:
+            raise ValueError("DC category out of range")
+        diff = _extend(rd.read_bits(t), t)
+        state["pred"][cs] += diff
+        blk[0] = state["pred"][cs] << al
+
+    def dc_refine(blk):
+        if rd.read_bit():
+            blk[0] = int(blk[0]) | p1
+
+    def ac_first(blk, ta):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rd.decode_huff(huff_ac[ta])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += rd.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band end")
+            blk[k] = _extend(rd.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk, ta):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = rd.decode_huff(huff_ac[ta])
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += rd.read_bits(r)
+                        break  # rest of the block joins the EOB run
+                    # r == 15, s == 0: ZRL — skip 16 zero-history coefs
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if rd.read_bit() else -p1
+                # advance over r zero-history positions, refining
+                # nonzero-history coefficients along the way
+                while k <= se:
+                    k = _refine_nonzero(rd, blk, k, se, p1)
+                    if k > se:
+                        break
+                    if r == 0:
+                        break
+                    r -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError("refinement run past band end")
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            _refine_tail(rd, blk, k, se, p1)
+            state["eobrun"] -= 1
+
+    def decode_block(blk, td, ta, cs):
+        if ss == 0:
+            if ah == 0:
+                dc_first(blk, td, cs)
+            else:
+                dc_refine(blk)
+        else:
+            if ah == 0:
+                ac_first(blk, ta)
+            else:
+                ac_refine(blk, ta)
+
+    # table presence checks up front (first scans need real tables;
+    # DC/AC refinement reads raw bits only)
+    for cs, td, ta in scan:
+        if ss == 0 and ah == 0 and td not in huff_dc:
+            raise ValueError(f"undefined DC table {td}")
+        if ss > 0 and ta not in huff_ac:
+            raise ValueError(f"undefined AC table {ta}")
+
+    # restart handling is shared: reset predictors and the EOB run
+    rst_n = 0
+    unit = 0
+
+    def maybe_restart():
+        nonlocal rst_n
+        if restart_interval and unit and unit % restart_interval == 0:
+            rd.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
+            state["pred"] = {cs: 0 for cs, *_ in scan}
+            state["eobrun"] = 0
+
+    if len(scan) > 1:
+        # interleaved (DC-only in progressive): MCU order over every
+        # scan component, hs×vs blocks each
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                unit += 1
+                for cs, td, ta in scan:
+                    hs, vs, _tq = bycid[cs]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = coefs[cs][my * vs + by, mx * hs + bx]
+                            decode_block(blk, td, ta, cs)
+    else:
+        # non-interleaved: one block per MCU over the component's own
+        # (un-padded) block grid
+        cs, td, ta = scan[0]
+        bh, bw_ = dims[cs]
+        for by in range(bh):
+            for bx in range(bw_):
+                maybe_restart()
+                unit += 1
+                decode_block(coefs[cs][by, bx], td, ta, cs)
+
+    # skip pad bits / RSTs to the next marker
+    p = rd.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _finish_progressive(frame, coefs, qt):
+    """All scans consumed: dequantize, IDCT, assemble pixels."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, _dims = _prog_geometry(frame)
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"undefined quantization table {tq}")
+        q = qt[tq]
+        blocks = coefs[cid]
+        by, bx = blocks.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        for yy in range(by):
+            for xx in range(bx):
+                co = np.zeros((8, 8), dtype=np.float64)
+                blk = blocks[yy, xx]
+                for i in range(64):
+                    co[ZIGZAG[i] // 8, ZIGZAG[i] % 8] = blk[i]
+                co *= q
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = _idct2(co)
+        planes[cid] = plane
+    return _assemble_pixels(planes, comps, hmax, vmax, h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -584,5 +862,290 @@ def jpeg_encode_baseline(
                         preds[c] = _enc_block(bw, zq, preds[c], dc_tab, ac_tab)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive fixture encoder (T.81 Annex G.1.2 mirror)
+# ---------------------------------------------------------------------------
+
+# AC table for progressive fixtures: the standard symbol set plus the
+# 14 EOB-run symbols (r<<4, r=1..14) the sequential standard never
+# needs.  The standard table's canonical code space is COMPLETE at 16
+# bits (appending values there wraps and collides), so the fixture
+# table assigns every symbol a flat 9-bit code instead — trivially
+# prefix-free, still leaves the code space incomplete (190 < 512), and
+# the decoder reads whatever DHT declares anyway.
+_PROG_AC_VALS = list(_STD_AC_LUM_VALS) + [r << 4 for r in range(1, 15)]
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
+
+
+def _quantized_component_blocks(pixels, quant, subsample):
+    """Shared fixture front half: color transform, optional 4:2:0
+    chroma averaging, blockwise FDCT + quantization → per-component
+    (mcuy*vs, mcux*hs, 64) zigzag int arrays plus geometry."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("grayscale or RGB only")
+    if subsample and nc != 3:
+        raise ValueError("subsample applies to color images")
+    q = np.full((8, 8), int(quant), dtype=np.int32) if np.isscalar(quant) else np.asarray(quant, dtype=np.int32)
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quant entries must be in [1, 255]")
+    if nc == 3:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        chans = [y, cb, cr]
+        if subsample:
+            def half(p):
+                pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                return (
+                    pe[0::2, 0::2] + pe[1::2, 0::2]
+                    + pe[0::2, 1::2] + pe[1::2, 1::2]
+                ) / 4.0
+
+            chans = [y, half(cb), half(cr)]
+    else:
+        chans = [px[:, :, 0].astype(np.float64)]
+    samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * nc
+    hmax = max(hs for hs, _ in samps)
+    vmax = max(vs for _, vs in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    blocks = []
+    for c, plane in enumerate(chans):
+        hs, vs = samps[c]
+        ph, pw = plane.shape
+        arr = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for yy in range(mcuy * vs):
+            for xx in range(mcux * hs):
+                yi = np.clip(np.arange(yy * 8, yy * 8 + 8), 0, ph - 1)
+                xi = np.clip(np.arange(xx * 8, xx * 8 + 8), 0, pw - 1)
+                co = _fdct2(plane[np.ix_(yi, xi)] - 128.0)
+                for k in range(64):
+                    r_, cc = ZIGZAG[k] // 8, ZIGZAG[k] % 8
+                    arr[yy, xx, k] = int(np.round(co[r_, cc] / q[r_, cc]))
+        blocks.append(arr)
+    return h, w, nc, q, samps, hmax, vmax, mcux, mcuy, blocks
+
+
+class _ProgWriter(_BitWriter):
+    """Bit writer with the progressive encoder's deferred state: a
+    pending EOB run plus the correction bits owned by it (BE), and the
+    EOB-run Huffman emitter."""
+
+    def __init__(self, ac_tab):
+        super().__init__()
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def emit_sym(self, tab, sym):
+        code, ln = tab.encode[sym]
+        self.write(code, ln)
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_sym(self.ac_tab, nbits << 4)
+            if nbits:
+                self.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.be_bits:
+            self.write(b, 1)
+        self.be_bits = []
+
+
+def _enc_dc_first(bw, blk, pred, al, dc_tab):
+    v = int(blk[0]) >> al  # arithmetic shift = the DC point transform
+    diff = v - pred
+    t = _category(diff)
+    code, ln = dc_tab.encode[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return v
+
+
+def _enc_ac_first(bw, blk, ss, se, al, ac_tab):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        bw.emit_eobrun()
+        while r > 15:
+            bw.emit_sym(ac_tab, 0xF0)
+            r -= 16
+        s = mag.bit_length()
+        bw.emit_sym(ac_tab, (r << 4) | s)
+        sv = mag if v >= 0 else -mag
+        bw.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        bw.eobrun += 1
+        if bw.eobrun == 0x7FFF:
+            bw.emit_eobrun()
+
+
+def _enc_ac_refine(bw, blk, ss, se, al, ac_tab):
+    absv = [(abs(int(blk[k])) >> al) for k in range(ss, se + 1)]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs only while another newly-nonzero coef still follows;
+        # otherwise trailing zeros fold into the EOB run
+        while r > 15 and i <= eob:
+            bw.emit_eobrun()
+            bw.emit_sym(ac_tab, 0xF0)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: buffer its correction bit
+            br.append(t & 1)
+            continue
+        # newly nonzero at this precision
+        bw.emit_eobrun()
+        bw.emit_sym(ac_tab, (r << 4) | 1)
+        bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        bw.eobrun += 1
+        bw.be_bits.extend(br)
+        if bw.eobrun == 0x7FFF or len(bw.be_bits) > 900:
+            bw.emit_eobrun()
+
+
+def jpeg_encode_progressive(
+    pixels: np.ndarray, quant: np.ndarray | int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    dc_split: int = 1,
+    ac_split: int = 2,
+    band_edge: int = 5,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 → PROGRESSIVE (SOF2) JPEG.
+
+    Fixture encoder mirroring T.81 Annex G.1.2: an interleaved DC first
+    scan (point transform ``dc_split``) + DC refinements down to bit 0,
+    then per component AC first scans over two spectral bands
+    (1..``band_edge``, ``band_edge+1``..63) at Al=``ac_split`` and
+    refinement passes down to 0 — so every decoder scan kind (DC/AC ×
+    first/refine), EOB-run accumulation, ZRL-inside-refinement and
+    buffered correction bits are all exercised.  Same exactness lever
+    as the baseline encoder: quant=1 block-uniform inputs decode
+    bit-identically to the baseline path."""
+    (h, w, nc, q, samps, hmax, vmax, mcux, mcuy,
+     blocks) = _quantized_component_blocks(pixels, quant, subsample)
+    dc_tab = _HuffTable(_STD_DC_LUM_BITS, _STD_DC_LUM_VALS)
+    ac_tab = _HuffTable(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    zz = bytes(int(q[ZIGZAG[k] // 8, ZIGZAG[k] % 8]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + zz
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        hs, vs = samps[c]
+        sof += struct.pack(">BBB", c + 1, (hs << 4) | vs, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_STD_DC_LUM_BITS) + bytes(_STD_DC_LUM_VALS)
+    dht += bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos_header(comps_in_scan, ss, se, ah, al):
+        sos = bytes([len(comps_in_scan)])
+        for c in comps_in_scan:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def run_scan(comps_in_scan, ss, se, ah, al):
+        nonlocal out
+        out += sos_header(comps_in_scan, ss, se, ah, al)
+        bw = _ProgWriter(ac_tab)
+        preds = {c: 0 for c in comps_in_scan}
+        rst_n = 0
+        unit = 0
+
+        def maybe_restart():
+            nonlocal rst_n
+            if restart_interval and unit and unit % restart_interval == 0:
+                bw.emit_eobrun()
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                for c in preds:
+                    preds[c] = 0
+
+        def do_block(c, blk):
+            if ss == 0:
+                if ah == 0:
+                    preds[c] = _enc_dc_first(bw, blk, preds[c], al, dc_tab)
+                else:
+                    bw.write((int(blk[0]) >> al) & 1, 1)
+            else:
+                if ah == 0:
+                    _enc_ac_first(bw, blk, ss, se, al, ac_tab)
+                else:
+                    _enc_ac_refine(bw, blk, ss, se, al, ac_tab)
+
+        if len(comps_in_scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    unit += 1
+                    for c in comps_in_scan:
+                        hs, vs = samps[c]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                do_block(c, blocks[c][my * vs + by, mx * hs + bx])
+        else:
+            c = comps_in_scan[0]
+            hs, vs = samps[c]
+            cw = (w * hs + hmax - 1) // hmax
+            ch_ = (h * vs + vmax - 1) // vmax
+            for by in range((ch_ + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    maybe_restart()
+                    unit += 1
+                    do_block(c, blocks[c][by, bx])
+        bw.emit_eobrun()
+        bw.flush()
+        out += bw.out
+
+    all_comps = list(range(nc))
+    # DC: first at Al=dc_split, then refinements down to bit 0
+    run_scan(all_comps, 0, 0, 0, dc_split)
+    for al in range(dc_split - 1, -1, -1):
+        run_scan(all_comps, 0, 0, al + 1, al)
+    # AC per component: two spectral bands, first at Al=ac_split
+    for c in all_comps:
+        run_scan([c], 1, band_edge, 0, ac_split)
+        run_scan([c], band_edge + 1, 63, 0, ac_split)
+    for al in range(ac_split - 1, -1, -1):
+        for c in all_comps:
+            run_scan([c], 1, band_edge, al + 1, al)
+            run_scan([c], band_edge + 1, 63, al + 1, al)
     out += b"\xff\xd9"
     return bytes(out)

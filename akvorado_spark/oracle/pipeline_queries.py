@@ -1628,6 +1628,7 @@ def _multimodal_meta(spark, sf_dir):
         from akvorado_spark.operators.jpeg import (
             jpeg_decode,
             jpeg_encode_baseline,
+            jpeg_encode_progressive,
         )
 
         for pdf in batches:
@@ -1641,9 +1642,17 @@ def _multimodal_meta(spark, sf_dir):
                         px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                             d * 11 + 23 * by + 29 * bx
                         ) % 256
-                blob = jpeg_encode_baseline(
-                    px, quant=1, restart_interval=d % 3
-                )
+                # r12: every other doc stores PROGRESSIVE (SOF2) —
+                # same pixels, same quant=1 DC-only exactness, so the
+                # DuckDB formula is storage-mode-independent
+                if d % 2 == 0:
+                    blob = jpeg_encode_progressive(
+                        px, quant=1, restart_interval=d % 3
+                    )
+                else:
+                    blob = jpeg_encode_baseline(
+                        px, quant=1, restart_interval=d % 3
+                    )
                 ww, hh, ch, got = jpeg_decode(blob)
                 rows.append((
                     "jpeg", d, ww, hh, ch, "JPEG",

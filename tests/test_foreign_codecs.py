@@ -215,6 +215,29 @@ def test_jpeg_ours_to_pillow_dc_only_exact():
     assert int(np.abs(got.astype(int) - cpx.astype(int)).max()) <= 2
 
 
+def test_jpeg_progressive_both_directions():
+    """SOF2: libjpeg emits the full Annex-G surface (its own scan
+    scripts, successive approximation, EOB runs) — the strongest
+    foreign stream for our progressive decoder; our fixture encoder
+    must in turn satisfy libjpeg."""
+    from akvorado_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(30)
+    blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    got = _pil_decode(jpeg_encode_progressive(px, quant=1), "L")
+    assert np.array_equal(got, px)  # DC-only is exact both sides
+    cpx = _rand((24, 32, 3), 31)
+    blob = _pil_encode(cpx, "JPEG", quality=92, subsampling=0, progressive=True)
+    ref = _pil_decode(blob, "RGB").astype(int)
+    w, h, ch, ours = jpeg_decode(blob)
+    assert (w, h, ch) == (32, 24, 3)
+    assert int(np.abs(ours.astype(int) - ref).max()) <= 2
+
+
 def test_jpeg_pillow_to_ours_within_idct_tolerance():
     """A libjpeg-encoded baseline file must decode through our codec to
     (near-)the same pixels libjpeg itself decodes — IDCT implementations

@@ -104,10 +104,15 @@ def test_lossy_quantization_is_sane():
 def test_unsupported_modes_raise():
     px = _block_uniform(1)
     blob = bytearray(jpeg_encode_baseline(px, quant=1))
-    # flip SOF0 -> SOF2 (progressive): a different entropy pipeline
+    # flip SOF0 -> SOF3 (lossless): a different entropy pipeline
     sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF3"):
+        jpeg_decode(bytes(blob))
+    # SOF2 decodes now (r12) — but a baseline-style full-band DC scan
+    # is ILLEGAL progressive syntax and must fail loudly, not mis-read
     blob[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="Se = 0"):
         jpeg_decode(bytes(blob))
     with pytest.raises(ValueError, match="signature"):
         jpeg_decode(b"\x89PNG not a jpeg")
@@ -330,3 +335,100 @@ def test_legal_final_byte_padding_still_decodes():
         px = _block_uniform(d)
         w, h, ch, got = jpeg_decode(jpeg_encode_baseline(px, quant=1))
         assert (w, h, ch) == (px.shape[1], px.shape[0], 1)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — r12
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_decode():
+    """The decisive invariant: for the SAME pixels and quant table the
+    progressive path must reconstruct the SAME quantized coefficients
+    as the sequential one, so both decodes are bit-identical — across
+    gray/color, 4:2:0, restart intervals and quants."""
+    from akvorado_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(71)
+    for trial in range(12):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        color = trial % 2 == 0
+        sub = color and trial % 4 == 0
+        quant = int(rng.integers(1, 9))
+        ri = int(rng.integers(0, 3))
+        px = rng.integers(0, 256, (h, w, 3) if color else (h, w), dtype=np.uint8)
+        base = jpeg_decode(jpeg_encode_baseline(px, quant=quant, subsample=sub))
+        prog = jpeg_decode(jpeg_encode_progressive(
+            px, quant=quant, subsample=sub, restart_interval=ri))
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3]), (h, w, color, sub, quant, ri)
+
+
+def test_progressive_scan_script_variants():
+    """Spectral-band splits and successive-approximation depths are
+    encoder choices the decoder must be indifferent to."""
+    from akvorado_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(72)
+    px = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    want = jpeg_decode(jpeg_encode_baseline(px, quant=2))[3]
+    for dc_split, ac_split, band_edge in (
+        (1, 1, 5), (2, 3, 1), (1, 2, 62), (2, 1, 20),
+    ):
+        got = jpeg_decode(jpeg_encode_progressive(
+            px, quant=2, dc_split=dc_split, ac_split=ac_split,
+            band_edge=band_edge))[3]
+        assert np.array_equal(got, want), (dc_split, ac_split, band_edge)
+
+
+def test_progressive_dc_only_exactness():
+    """Block-uniform pixels at quant=1 decode bit-exactly through the
+    progressive path too — the oracle-gate lever (the jpeg member
+    rotates SOF2 docs on exactly this invariant)."""
+    from akvorado_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(73)
+    blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    px = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    for ri in (0, 1, 2):
+        w, h, ch, got = jpeg_decode(
+            jpeg_encode_progressive(px, quant=1, restart_interval=ri))
+        assert np.array_equal(got[:, :, 0], px), ri
+
+
+def test_progressive_eob_runs_and_refinement_corrections():
+    """Multi-block EOB runs (the fixture AC table carries the r<<4
+    symbols), buffered correction bits riding them, and in-refinement
+    ZRLs — exercised via sparse high-magnitude coefficients across
+    many blocks, checked against the baseline decode."""
+    from akvorado_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(74)
+    # mostly-flat image with isolated hot pixels → sparse ACs, long
+    # EOB runs spanning blocks, corrections at multiple bit planes
+    px = np.full((40, 48), 128, dtype=np.uint8)
+    for _ in range(30):
+        px[rng.integers(0, 40), rng.integers(0, 48)] = rng.integers(0, 256)
+    for ac_split in (1, 2, 3):
+        base = jpeg_decode(jpeg_encode_baseline(px, quant=3))[3]
+        prog = jpeg_decode(jpeg_encode_progressive(px, quant=3, ac_split=ac_split))[3]
+        assert np.array_equal(base, prog), ac_split
+
+
+def test_progressive_truncation_and_bitflips_fail_typed():
+    from akvorado_spark.operators.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(75)
+    px = rng.integers(0, 256, (17, 13), dtype=np.uint8)
+    blob = jpeg_encode_progressive(px, quant=2)
+    with pytest.raises(ValueError):
+        jpeg_decode(blob[: len(blob) // 2])
+    for _ in range(40):
+        b = bytearray(blob)
+        pos = int(rng.integers(2, len(b)))
+        b[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            w, h, ch, got = jpeg_decode(bytes(b))
+            assert got.shape == (h, w, ch)
+        except ValueError:
+            pass
