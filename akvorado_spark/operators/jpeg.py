@@ -665,8 +665,15 @@ def _decode_prog_scan(data, pos, frame, scan, band, huff_dc, huff_ac,
     return p
 
 
+_ZIG_R = np.array([z // 8 for z in ZIGZAG])
+_ZIG_C = np.array([z % 8 for z in ZIGZAG])
+
+
 def _finish_progressive(frame, coefs, qt):
-    """All scans consumed: dequantize, IDCT, assemble pixels."""
+    """All scans consumed: dequantize, IDCT, assemble pixels.  The
+    IDCT runs VECTORIZED across every block of a component (einsum
+    over the (by, bx, 8, 8) tensor) — per-block Python loops would be
+    the hot path on large progressive images."""
     h, w, comps = frame
     hmax, vmax, mcux, mcuy, _dims = _prog_geometry(frame)
     planes = {}
@@ -676,16 +683,11 @@ def _finish_progressive(frame, coefs, qt):
         q = qt[tq]
         blocks = coefs[cid]
         by, bx = blocks.shape[:2]
-        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
-        for yy in range(by):
-            for xx in range(bx):
-                co = np.zeros((8, 8), dtype=np.float64)
-                blk = blocks[yy, xx]
-                for i in range(64):
-                    co[ZIGZAG[i] // 8, ZIGZAG[i] % 8] = blk[i]
-                co *= q
-                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = _idct2(co)
-        planes[cid] = plane
+        co = np.zeros((by, bx, 8, 8), dtype=np.float64)
+        co[:, :, _ZIG_R, _ZIG_C] = blocks
+        co *= q
+        px8 = np.einsum("ab,ijbc,cd->ijad", _IDCT_M.T, co, _IDCT_M)
+        planes[cid] = px8.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
     return _assemble_pixels(planes, comps, hmax, vmax, h, w)
 
 
