@@ -139,6 +139,7 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     color_type = bit_depth = interlace = 0
     idat = bytearray()
     plte: bytes | None = None
+    trns: bytes | None = None
     while off + 8 <= len(data):
         length, ctype = struct.unpack_from(">I4s", data, off)
         off += 8
@@ -152,6 +153,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             )
         elif ctype == b"PLTE":
             plte = bytes(body)
+        elif ctype == b"tRNS":
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -189,11 +192,33 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             px[y0::dy, x0::dx] = sub
         if pos != len(raw):
             raise ValueError("PNG scanline payload size mismatch")
+    # tRNS (spec §11.3.2): gray/RGB carry a transparent sample value at
+    # the SOURCE depth (compare before any scaling); palette carries
+    # per-entry alpha.  Color types 4/6 never have tRNS.
+    gray_mask = None
+    if trns is not None and color_type == 0:
+        if len(trns) < 2:
+            raise ValueError("truncated tRNS chunk")
+        (v,) = struct.unpack(">H", trns[:2])
+        gray_mask = px[:, :, 0] == v
     if color_type == 0 and bit_depth < 8:
         # scale gray to the usual 0..255 range — exactly integral for
         # every legal depth (255/1, 255/3, 255/15) so features read
         # consistently across formats and DuckDB replays stay integer
         px = (px * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+    opaque = 65535 if bit_depth == 16 else 255
+    if gray_mask is not None:
+        alpha = np.where(gray_mask, 0, opaque).astype(px.dtype)
+        px = np.dstack([px[:, :, 0], alpha])
+        ch = 2
+    if trns is not None and color_type == 2:
+        if len(trns) < 6:
+            raise ValueError("truncated tRNS chunk")
+        r, g, b = struct.unpack(">HHH", trns[:6])
+        mask = (px[:, :, 0] == r) & (px[:, :, 1] == g) & (px[:, :, 2] == b)
+        alpha = np.where(mask, 0, opaque).astype(px.dtype)
+        px = np.dstack([px, alpha])
+        ch = 4
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
@@ -203,26 +228,53 @@ def png_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if len(pal) == 0 or int(idx.max(initial=0)) >= len(pal):
             # malformed input must raise the typed error, not IndexError
             raise ValueError("palette index out of PLTE range")
-        px = pal[idx]
-        ch = 3
+        if trns is not None:
+            # per-entry alpha, missing entries opaque (spec §11.3.2)
+            alut = np.full(len(pal), 255, dtype=np.uint8)
+            n = min(len(trns), len(pal))
+            alut[:n] = np.frombuffer(trns[:n], dtype=np.uint8)
+            px = np.dstack([pal[idx], alut[idx]])
+            ch = 4
+        else:
+            px = pal[idx]
+            ch = 3
     return width, height, ch, px
 
 
 def png_meta(data: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from the IHDR alone — O(1) vs a full
-    inflate+unfilter.  Channels are fully determined by the color
-    type (palette expands to RGB = 3), so this is exactly what
-    :func:`png_decode` would report, without touching the IDAT."""
+    """(width, height, channels) from the headers alone — O(chunks) vs
+    a full inflate+unfilter (payloads are skipped, never read).
+    Channels agree with :func:`png_decode`, including the tRNS rules:
+    gray+tRNS → 2, RGB/palette+tRNS → 4, palette alone → 3."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     if len(data) < 8 + 8 + 13 or data[12:16] != b"IHDR":
         raise ValueError("PNG without leading IHDR")
     width, height, _depth, color_type = struct.unpack_from(">IIBB", data, 16)
-    if color_type == 3:
-        return width, height, 3
     if color_type not in _CHANNELS:
         raise ValueError(f"unknown color type {color_type}")
-    return width, height, _CHANNELS[color_type]
+    has_trns = False
+    if color_type in (0, 2, 3):
+        # walk chunk INTROS (length + type, skip payloads) up to IDAT;
+        # malformed tails just mean "no tRNS seen" — metadata must
+        # tolerate what decode would reject
+        off = 8
+        while off + 8 <= len(data):
+            length, ctype = struct.unpack_from(">I4s", data, off)
+            if ctype in (b"IDAT", b"IEND"):
+                break
+            if ctype == b"tRNS":
+                has_trns = True
+                break
+            if length > len(data) - off:
+                break
+            off += 8 + length + 4
+    if color_type == 3:
+        return width, height, 4 if has_trns else 3
+    ch = _CHANNELS[color_type]
+    if has_trns:
+        ch = 2 if color_type == 0 else 4
+    return width, height, ch
 
 
 def png_encode(
@@ -230,6 +282,7 @@ def png_encode(
     filters: list[int] | None = None,
     interlace: bool = False,
     bit_depth: int | None = None,
+    transparent: int | tuple[int, int, int] | None = None,
 ) -> bytes:
     """HxWxC (or HxW) uint8 — or uint16 for a 16-bit PNG — → PNG bytes
     (one IDAT).
@@ -324,9 +377,18 @@ def png_encode(
         emit(px)
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
+    out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if transparent is not None:
+        # tRNS (spec §11.3.2): a transparent sample value at the
+        # source depth — gray (1ch) or RGB (3ch) inputs only
+        if ch == 1:
+            out += chunk(b"tRNS", struct.pack(">H", int(transparent)))
+        elif ch == 3:
+            out += chunk(b"tRNS", struct.pack(">HHH", *(int(v) for v in transparent)))
+        else:
+            raise ValueError("transparent applies to gray or RGB input")
     return (
-        PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(bytes(lines)))
         + chunk(b"IEND", b"")
     )
@@ -433,6 +495,64 @@ def bmp_meta(data: bytes) -> tuple[int, int, int]:
     return w, abs(h), 4 if bits == 32 else 3
 
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, bits: int) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 pixel data → (h, w) index array (already
+    flipped to top-down).  Encoded runs, the three escapes (end of
+    line, end of bitmap, delta) and absolute mode with its 2-byte
+    alignment are all per the public BMP compression spec; pixels a
+    delta skips stay index 0."""
+    idx = np.zeros((h, w), dtype=np.uint8)  # file order: bottom-up
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("truncated BMP RLE stream")
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE run out of bounds")
+            if bits == 8:
+                idx[y, x : x + cnt] = val
+            else:  # RLE4: the two nibbles alternate, high first
+                pair = np.array([val >> 4, val & 0xF], dtype=np.uint8)
+                idx[y, x : x + cnt] = np.tile(pair, (cnt + 1) // 2)[:cnt]
+            x += cnt
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return idx[::-1]
+        elif val == 2:  # delta: unsigned (right, UP in raster = +y here)
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta out of bounds")
+        else:  # absolute mode: val literal pixels, word-aligned
+            cnt = val
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE absolute run out of bounds")
+            if bits == 8:
+                need = cnt
+                if i + need > n:
+                    raise ValueError("truncated BMP RLE absolute run")
+                idx[y, x : x + cnt] = np.frombuffer(
+                    data, dtype=np.uint8, count=cnt, offset=i
+                )
+            else:
+                need = (cnt + 1) // 2
+                if i + need > n:
+                    raise ValueError("truncated BMP RLE absolute run")
+                packed = np.frombuffer(data, dtype=np.uint8, count=need, offset=i)
+                nibs = np.stack([packed >> 4, packed & 0xF], axis=1).reshape(-1)
+                idx[y, x : x + cnt] = nibs[:cnt]
+            i += need + (need & 1)  # pad to a 16-bit boundary
+            x += cnt
+
+
 def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """BMP bytes → (width, height, channels, HxWxC uint8).
 
@@ -466,7 +586,7 @@ def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
         pal_entry = 4
     else:
         raise NotImplementedError(f"BMP header size {hdr_size} not supported")
-    if compression != 0:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(f"BMP compression {compression} not supported")
     if bits not in (1, 4, 8, 24, 32):
         raise NotImplementedError(f"{bits}-bit BMP not supported")
@@ -474,14 +594,22 @@ def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     h = abs(h_signed)
     if w <= 0 or h == 0:
         raise ValueError("bad BMP dimensions")
-    stride = ((w * bits + 31) // 32) * 4
-    if pix_off + stride * h > len(data):
-        raise ValueError("truncated BMP pixel data")
-    rows = np.frombuffer(
-        data, dtype=np.uint8, count=stride * h, offset=pix_off
-    ).reshape(h, stride)
-    if not top_down:
-        rows = rows[::-1]
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4
+        if (compression == 1) != (bits == 8) or top_down:
+            # RLE8 requires 8-bit, RLE4 4-bit; RLE is bottom-up only
+            raise ValueError("BMP RLE compression/depth/orientation mismatch")
+        rle_idx = _bmp_rle_decode(data[pix_off:], w, h, bits)
+        rows = rle_idx  # already top-down (h, w) indices
+        stride = w
+    else:
+        stride = ((w * bits + 31) // 32) * 4
+        if pix_off + stride * h > len(data):
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=pix_off
+        ).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
     if bits <= 8:
         n_pal = clr_used or (1 << bits)
         pal_off = 14 + hdr_size
@@ -491,7 +619,9 @@ def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             data, dtype=np.uint8, count=pal_entry * n_pal, offset=pal_off
         ).reshape(n_pal, pal_entry)
         pal = quads[:, [2, 1, 0]]  # BGR(X) → RGB
-        if bits == 8:
+        if compression in (1, 2):
+            idx = rows.astype(np.int64)  # RLE already yields indices
+        elif bits == 8:
             idx = rows[:, :w].astype(np.int64)
         else:
             # 1/4-bit indices pack MSB-first within each byte
@@ -512,9 +642,57 @@ def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, 4, np.ascontiguousarray(rgba)
 
 
+def _bmp_rle_encode_row(row, bits: int) -> bytearray:
+    """One row of palette indices → RLE8/RLE4 bytes: encoded runs,
+    absolute mode (with its 2-byte alignment) for literal stretches,
+    end-of-line escape."""
+    out = bytearray()
+    x, n = 0, len(row)
+    while x < n:
+        run = 1
+        while x + run < n and row[x + run] == row[x] and run < 255:
+            run += 1
+        if run >= 3:
+            v = int(row[x])
+            out += bytes([run, v if bits == 8 else (v << 4) | v])
+            x += run
+            continue
+        # literal stretch: extend until the next >=3 run (or 254 cap)
+        start = x
+        x += run
+        while x < n and x - start < 254:
+            r2 = 1
+            while x + r2 < n and row[x + r2] == row[x] and r2 < 255:
+                r2 += 1
+            if r2 >= 3:
+                break
+            x += r2
+        vals = [int(v) for v in row[start:x]]
+        if len(vals) >= 3:  # absolute mode needs count >= 3
+            out += bytes([0, len(vals)])
+            if bits == 8:
+                out += bytes(vals)
+                if len(vals) & 1:
+                    out += b"\x00"
+            else:
+                nib = bytearray()
+                for j in range(0, len(vals), 2):
+                    hi = vals[j]
+                    lo = vals[j + 1] if j + 1 < len(vals) else 0
+                    nib.append((hi << 4) | lo)
+                if len(nib) & 1:
+                    nib.append(0)
+                out += nib
+        else:  # 1-2 leftovers: unit runs
+            for v in vals:
+                out += bytes([1, v if bits == 8 else v << 4])
+    out += bytes([0, 0])  # end of line
+    return out
+
+
 def bmp_encode(
     px: np.ndarray, bits: int = 24, top_down: bool = False,
-    core_header: bool = False,
+    core_header: bool = False, rle: bool = False,
 ) -> bytes:
     """HxWx{1,3,4} (or HxW) uint8 → BMP bytes (BI_RGB,
     1/4/8/24/32-bit).
@@ -527,6 +705,8 @@ def bmp_encode(
     1/4/8/24)."""
     if core_header and (top_down or bits == 32):
         raise ValueError("BITMAPCOREHEADER is bottom-up, depths 1/4/8/24")
+    if rle and (bits not in (4, 8) or top_down or core_header):
+        raise ValueError("RLE BMP is 4/8-bit, bottom-up, info-header only")
     if px.ndim == 2:
         px = px[:, :, None]
     if px.shape[2] == 1:
@@ -552,17 +732,23 @@ def bmp_encode(
         idx = np.array(
             [lut[tuple(int(v) for v in c)] for c in flat], dtype=np.uint8
         ).reshape(h, w)
-        stride = ((w * bits + 31) // 32) * 4
-        ys = range(h) if top_down else range(h - 1, -1, -1)
-        for y in ys:
-            if bits == 8:
-                packed = idx[y].tobytes()
-            else:
-                row_bits = (
-                    (idx[y][:, None] >> np.arange(bits - 1, -1, -1)) & 1
-                ).reshape(-1).astype(np.uint8)
-                packed = np.packbits(row_bits).tobytes()
-            body += packed + bytes(stride - len(packed))
+        if rle:
+            # file order is bottom-up; last row's EOL becomes EOB
+            for y in range(h - 1, -1, -1):
+                body += _bmp_rle_encode_row(idx[y], bits)
+            body[-1] = 1  # 0,0 (end of line) -> 0,1 (end of bitmap)
+        else:
+            stride = ((w * bits + 31) // 32) * 4
+            ys = range(h) if top_down else range(h - 1, -1, -1)
+            for y in ys:
+                if bits == 8:
+                    packed = idx[y].tobytes()
+                else:
+                    row_bits = (
+                        (idx[y][:, None] >> np.arange(bits - 1, -1, -1)) & 1
+                    ).reshape(-1).astype(np.uint8)
+                    packed = np.packbits(row_bits).tobytes()
+                body += packed + bytes(stride - len(packed))
         n_colors = len(colors)
     elif bits in (24, 32):
         nch = bits // 8
@@ -582,9 +768,10 @@ def bmp_encode(
     if core_header:
         info = struct.pack("<IHHHH", 12, w, h, 1, bits)
     else:
+        comp = (1 if bits == 8 else 2) if rle else 0
         info = struct.pack(
             "<IiiHHIIiiII",
-            40, w, -h if top_down else h, 1, bits, 0, len(body), 2835, 2835,
+            40, w, -h if top_down else h, 1, bits, comp, len(body), 2835, 2835,
             n_colors, 0,
         )
     return header + info + palette + bytes(body)

@@ -220,3 +220,53 @@ def test_subbyte_and_core_header_bmp_roundtrips():
         bmp_encode(px, 24, top_down=True, core_header=True)
     with _pytest.raises(ValueError):
         bmp_encode(px, 32, core_header=True)
+
+
+def test_rle_bmp_roundtrips_and_escapes():
+    """BI_RLE8/RLE4 (r12): encoded runs, absolute mode with 2-byte
+    alignment, end-of-line/bitmap escapes and the delta skip (skipped
+    pixels stay palette[0]) — roundtrips via the fixture encoder plus
+    a hand-built stream with an early end-of-bitmap."""
+    import struct
+
+    import numpy as np
+
+    from akvorado_spark.operators.png import bmp_decode, bmp_encode
+
+    rng = np.random.default_rng(81)
+    for bits, ncol in ((4, 16), (8, 200)):
+        for runs in (False, True):
+            for shape in ((1, 1), (5, 9), (7, 13), (2, 300)):
+                cols = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+                if runs:
+                    idx = np.repeat(
+                        rng.integers(0, ncol, (shape[0], shape[1] // 3 + 1)),
+                        3, axis=1)[:, : shape[1]]
+                else:
+                    idx = rng.integers(0, ncol, shape)
+                px = cols[idx]
+                blob = bmp_encode(px, bits, rle=True)
+                w, h, ch, got = bmp_decode(blob)
+                assert (w, h, ch) == (shape[1], shape[0], 3)
+                assert np.array_equal(got, px), (bits, runs, shape)
+    # hand-built: run, EOL, short run, early EOB — the rest defaults
+    stream = bytes([4, 1, 0, 0, 2, 2, 0, 1])
+    pal = bytes([10, 10, 10, 0, 20, 20, 20, 0, 30, 30, 30, 0])
+    pix_off = 14 + 40 + len(pal)
+    blob = (b"BM" + struct.pack("<IHHI", pix_off + len(stream), 0, 0, pix_off)
+            + struct.pack("<IiiHHIIiiII", 40, 4, 3, 1, 8, 1, len(stream), 0, 0, 3, 0)
+            + pal + stream)
+    w, h, ch, got = bmp_decode(blob)
+    assert got[2].tolist() == [[20, 20, 20]] * 4  # bottom row: run of idx 1
+    assert got[1].tolist()[:2] == [[30, 30, 30]] * 2  # middle: short run
+    assert got[0].tolist() == [[10, 10, 10]] * 4  # untouched -> palette[0]
+    # truncated stream fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bmp_decode(blob[:-3])
+    # RLE with a depth mismatch is rejected
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 28, 4)  # bits -> 4 while compression=RLE8
+    with _pytest.raises(ValueError):
+        bmp_decode(bytes(bad))

@@ -80,6 +80,21 @@ def test_png_ours_to_pillow_all_filters():
         assert np.array_equal(ours, theirs), depth
 
 
+def test_png_trns_agrees_with_pillow_rgba():
+    from akvorado_spark.operators.png import png_decode, png_encode
+
+    g = np.array([[10, 20], [10, 30]], dtype=np.uint8)
+    blob = png_encode(g, transparent=10)
+    ref = _pil_decode(blob, "RGBA")
+    ours = png_decode(blob)[3]
+    assert np.array_equal(ours[:, :, 0], ref[:, :, 0])
+    assert np.array_equal(ours[:, :, 1], ref[:, :, 3])
+    c = np.array([[[1, 2, 3], [9, 9, 9]]], dtype=np.uint8)
+    blob = png_encode(c, transparent=(9, 9, 9))
+    ref = _pil_decode(blob, "RGBA")
+    assert np.array_equal(png_decode(blob)[3], ref)
+
+
 def test_png_pillow_to_ours():
     from akvorado_spark.operators.png import png_decode
 
@@ -148,6 +163,11 @@ def test_bmp_both_directions():
             assert np.array_equal(got, sub), (bits, core)
     got = _pil_decode(bmp_encode(pal, 24, core_header=True), "RGB")
     assert np.array_equal(got, pal)
+    # RLE8/RLE4 streams decode in Pillow too
+    for bits in (4, 8):
+        sub = cols[rng.integers(0, 1 << min(bits, 4), (6, 11))]
+        got = _pil_decode(bmp_encode(sub, bits, rle=True), "RGB")
+        assert np.array_equal(got, sub), bits
 
 
 # ---------------------------------------------------------------------------

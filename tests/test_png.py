@@ -606,9 +606,14 @@ def test_bmp_malformed_and_unsupported_rejected():
     with pytest.raises(ValueError):
         bmp_decode(good[:-8])  # truncated pixel rows
     rle = bytearray(good)
-    rle[30] = 1  # BI_RLE8
-    with pytest.raises(NotImplementedError):
+    rle[30] = 1  # BI_RLE8 on a 24-bit image: RLE decodes now (r12),
+    # but the compression/depth pairing is spec-illegal
+    with pytest.raises(ValueError):
         bmp_decode(bytes(rle))
+    bitfields = bytearray(good)
+    bitfields[30] = 3  # BI_BITFIELDS stays declared-unsupported
+    with pytest.raises(NotImplementedError):
+        bmp_decode(bytes(bitfields))
     deep = bytearray(good)
     deep[28] = 16  # 16-bit
     with pytest.raises(NotImplementedError):
@@ -810,3 +815,54 @@ def test_wav_unsupported_depths_still_loud():
     _struct.pack_into("<H", blob, 20, 2)
     with _pytest.raises(ValueError):
         wav_decode(bytes(blob))
+
+
+def test_trns_transparency_all_color_types():
+    """tRNS (r12): gray carries a transparent sample at the SOURCE
+    depth (compared before sub-byte scaling) -> GA output; RGB carries
+    an RGB sample -> RGBA; palette carries per-entry alpha with
+    missing entries opaque -> RGBA; png_meta channel counts agree
+    without touching the IDAT."""
+    from akvorado_spark.operators.png import png_meta
+
+    g = np.array([[10, 20], [10, 30]], dtype=np.uint8)
+    blob = png_encode(g, transparent=10)
+    w, h, ch, got = png_decode(blob)
+    assert (w, h, ch) == (2, 2, 2)
+    assert got[:, :, 1].tolist() == [[0, 255], [0, 255]]
+    assert png_meta(blob) == (2, 2, 2)
+
+    g16 = np.array([[1000, 65535]], dtype=np.uint16)
+    got = png_decode(png_encode(g16, transparent=65535))[3]
+    assert got.dtype == np.uint16 and got[0, :, 1].tolist() == [65535, 0]
+
+    g2 = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    got = png_decode(png_encode(g2, bit_depth=2, transparent=3))[3]
+    assert got[0, :, 0].tolist() == [0, 85, 170, 255]
+    assert got[0, :, 1].tolist() == [255, 255, 255, 0]
+
+    c = np.array([[[1, 2, 3], [9, 9, 9]]], dtype=np.uint8)
+    blob = png_encode(c, transparent=(9, 9, 9))
+    w, h, ch, got = png_decode(blob)
+    assert ch == 4 and got[0, 0, 3] == 255 and got[0, 1, 3] == 0
+    assert png_meta(blob) == (2, 1, 4)
+
+    # palette tRNS, hand-built: per-entry alpha, short chunk = opaque
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    lines = bytes([0, 0, 1, 2, 1])
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0)
+    blob = (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+            + chunk(b"tRNS", bytes([128, 0]))
+            + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+    w, h, ch, got = png_decode(blob)
+    assert (w, h, ch) == (4, 1, 4)
+    assert got[0].tolist() == [
+        [255, 0, 0, 128], [0, 255, 0, 0], [0, 0, 255, 255], [0, 255, 0, 0]
+    ]
+    assert png_meta(blob) == (4, 1, 4)
+    # truncated tRNS on gray/RGB fails loudly
+    bad = (PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+           + chunk(b"tRNS", b"\x01")
+           + chunk(b"IDAT", zlib.compress(bytes([0, 7]))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        png_decode(bad)
