@@ -165,3 +165,59 @@ def test_tiff_lzw_spec_vector():
     from akvorado_spark.operators.tiff import _tiff_lzw_decode
 
     assert _tiff_lzw_decode(bytes([0x80, 0x10, 0x48, 0x50, 0x10]), 2) == b"AB"
+
+
+def test_jpeg_progressive_spec_vector_two_blocks_four_scans():
+    """PROGRESSIVE (SOF2) stream assembled by hand from T.81 Annex G:
+    16x8 single-component, all-ones quant, quantized DCs 8 and 16, no
+    ACs — carried across FOUR scans:
+
+      1. DC first  (Ah=0, Al=1): point-transformed values 4 and 8;
+         diffs are both +4 → Annex-K DC cat 3 code '100' + bits '100'.
+      2. AC first  (band 1..63, Al=1) under a hand-built 2-symbol AC
+         table (BITS=[1,1], VALS=[0x10, 0x00] → '0' = EOB-run r=1,
+         '10' = EOB): '0' + one extra bit '0' → run of 2^1+0 = 2
+         blocks, i.e. both blocks end at once (G.1.2.2).
+      3. DC refine (Ah=1, Al=0): one raw bit per block — 8&1=0 and
+         16&1=0 → '00'.
+      4. AC refine (band 1..63, Ah=1): EOB-run of 2 again, zero
+         correction bits (no nonzero-history ACs).
+
+    Every scan's entropy bits are written here by hand and 1-padded to
+    the byte edge.  DC-only blocks IDCT to coeff/8 + 128 exactly, so
+    the decoded image is block0 all 129, block1 all 130 — pinning the
+    SOF2 scan loop, both DC scan kinds, the EOB-run arithmetic and the
+    per-scan byte alignment with no module encoder involved."""
+    from akvorado_spark.operators.jpeg import (
+        _STD_DC_LUM_BITS,
+        _STD_DC_LUM_VALS,
+        jpeg_decode,
+    )
+
+    ac_bits = [1, 1] + [0] * 14  # '0' -> 0x10 (EOBn r=1), '10' -> 0x00
+    ac_vals = [0x10, 0x00]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_STD_DC_LUM_BITS) + bytes(_STD_DC_LUM_VALS)
+    dht += bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def scan(td_ta, ss, se, ah, al, bits):
+        sos = bytes([1, 1, td_ta, ss, se, (ah << 4) | al])
+        seg = b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bits += "1" * (-len(bits) % 8)
+        return seg + int(bits, 2).to_bytes(len(bits) // 8, "big")
+
+    out += scan(0x00, 0, 0, 0, 1, "100100" + "100100")  # DC first
+    out += scan(0x01, 1, 63, 0, 1, "0" + "0")            # AC first: EOB run 2
+    out += scan(0x00, 0, 0, 1, 0, "0" + "0")             # DC refine bits
+    out += scan(0x01, 1, 63, 1, 0, "0" + "0")            # AC refine: EOB run 2
+    out += b"\xff\xd9"
+
+    w, h, ch, px = jpeg_decode(bytes(out))
+    assert (w, h, ch) == (16, 8, 1)
+    assert np.all(px[:, :8, 0] == 129), px[:, :8, 0]
+    assert np.all(px[:, 8:, 0] == 130), px[:, 8:, 0]
