@@ -1552,10 +1552,18 @@ def _multimodal_meta(spark, sf_dir):
                     )
                 else:
                     px = ((d * 7 + 13 * yy + 17 * xx + 19 * cc) % 256).astype(np.uint8)
+                # r12: d%4==3 8-bit docs carry a tRNS chunk naming the
+                # (0,0) pixel's RGB triple.  13y+17x < 256 over these
+                # dims, so EXACTLY one pixel matches → channels 4 and
+                # pix_sum gains 255*(w*h - 1) — both replayable
+                transparent = None
+                if d % 4 == 3 and d % 7 != 3:
+                    transparent = tuple(int(v) for v in px[0, 0])
                 blob = png_encode(
                     px,
                     filters=[(d + y) % 5 for y in range(h)],
                     interlace=(d % 4 == 1),
+                    transparent=transparent,
                 )
                 ww, hh, ch, got = png_decode(blob)
                 rows.append((
@@ -1778,7 +1786,12 @@ def _multimodal_meta(spark, sf_dir):
                     blob = bmp_encode(px, 4, core_header=True)
                 elif d % 4 == 0:
                     px = ((d + 3 * yy + 5 * xx) % 256).astype(np.uint8)
-                    blob = bmp_encode(px, 8, top_down=(d % 3 == 0))
+                    # r12: d%24==4 docs store BI_RLE8 — storage-only
+                    # (identical pixels), so the oracle needs no branch
+                    if d % 24 == 4:
+                        blob = bmp_encode(px, 8, rle=True)
+                    else:
+                        blob = bmp_encode(px, 8, top_down=(d % 3 == 0))
                 else:
                     yy3, xx3, cc = np.meshgrid(
                         np.arange(h), np.arange(w), np.arange(3), indexing="ij"
@@ -1892,12 +1905,16 @@ UNION ALL
 SELECT 'png' AS variant, d.doc_id,
        CAST(d.doc_id % 5 + 2 AS INT) AS width,
        CAST(d.doc_id % 3 + 2 AS INT) AS height,
-       CAST(3 AS INT) AS channels,
+       CAST(CASE WHEN d.doc_id % 4 = 3 AND d.doc_id % 7 != 3
+                 THEN 4 ELSE 3 END AS INT) AS channels,
        'PNG' AS format,
        CAST(SUM(CASE WHEN d.doc_id % 7 = 3
                      THEN (d.doc_id * 7 + 131 * y.i + 257 * x.i + 313 * c.i) % 65536
                      ELSE (d.doc_id * 7 + 13 * y.i + 17 * x.i + 19 * c.i) % 256
-                END) AS BIGINT) AS pix_sum
+                END)
+            + CASE WHEN d.doc_id % 4 = 3 AND d.doc_id % 7 != 3
+                   THEN 255 * ((d.doc_id % 5 + 2) * (d.doc_id % 3 + 2) - 1)
+                   ELSE 0 END AS BIGINT) AS pix_sum
 FROM documents d,
      generate_series(0, 4) y(i), generate_series(0, 6) x(i),
      generate_series(0, 2) c(i)
