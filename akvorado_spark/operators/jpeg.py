@@ -214,6 +214,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def is_baseline_jpeg(data: bytes) -> bool:
+    """SOI-signature sniff (historical name — the decoder behind it now
+    handles baseline AND progressive streams)."""
     return len(data) >= 2 and data[:2] == b"\xff\xd8"
 
 

@@ -147,6 +147,10 @@ def certification_sample(df: DataFrame, n_abs: int, id_col: str) -> DataFrame:
     ``TakeOrderedAndProject`` — every map task keeps its local n_abs
     minimum rows and one n_abs-sized merge follows; no full sort, no
     corpus-sized shuffle (plan-asserted in tests/test_plans.py).
+
+    The (hash, id) order is a total order only when ``id_col`` is
+    unique; with duplicate ids the rows tied at the cap boundary are
+    chosen arbitrarily — cert corpora key on unique ids.
     """
     if n_abs <= 0:
         raise ValueError(f"certification_sample needs n_abs >= 1, got {n_abs}")
