@@ -314,3 +314,12 @@ def test_vp8l_pillow_to_ours():
         w, h, ch, got = vp8l_decode(blob)
         assert (w, h) == (shape[1], shape[0])
         assert np.array_equal(got[:, :, :3], px)
+
+
+# ---------------------------------------------------------------------------
+# cross-CODEC differential (no Pillow needed — moved here because it
+# plays the same role: an independent check two implementations can't
+# both pass with a shared bug).  It must not be skip-gated, so it gets
+# its own module-level escape from the importorskip above when Pillow
+# is absent: see tests/test_cross_codec.py.
+# ---------------------------------------------------------------------------
