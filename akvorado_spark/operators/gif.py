@@ -148,6 +148,14 @@ def _lzw_encode(indices: list[int], min_code: int) -> bytes:
         seq = (s,)
     if seq:
         pk.put(table[seq], width)
+        # mirror the decoder's entry-add after the final data symbol:
+        # it widens when its table hits 2^width, so EOI must be written
+        # at that width (same end-of-stream boundary fix as the TIFF
+        # LZW encoder, r12)
+        if next_code < _MAX_CODE:
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
     pk.put(eoi, width)
     pk.flush()
     return bytes(pk.bytes)

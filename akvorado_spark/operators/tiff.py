@@ -35,7 +35,8 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 # value offset points past EOF must not reject an otherwise decodable
 # file (ADVICE r11)
 _CONSUMED_TAGS = frozenset(
-    {256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317}
+    {256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317,
+     322, 323, 324, 325}  # tiled layout (spec §15)
 )
 
 
@@ -182,6 +183,16 @@ def _tiff_lzw_encode(raw: bytes) -> bytes:
         seq = bytes([b])
     if seq:
         pk.put(table[seq] if len(seq) > 1 else seq[0], width)
+        # the DECODER adds one more entry after consuming this final
+        # symbol and widens if that entry lands on the early-change
+        # boundary — mirror the virtual add so EOI is written at the
+        # width the decoder will read it with (caught by the r12 tiled
+        # sweep: a stream whose last data symbol sits exactly on the
+        # 2^w boundary desynced EOI by one bit-width)
+        if next_code - 258 < _LZW_MAX_ENTRIES:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
     pk.put(_LZW_EOI, width)
     pk.flush()
     return bytes(pk.bytes)
@@ -290,6 +301,55 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise NotImplementedError(f"TIFF photometric {photometric} not supported")
     if w <= 0 or h <= 0 or samples not in (1, 3, 4):
         raise ValueError("bad TIFF dimensions/sample count")
+    native = np.uint16 if depth == 16 else np.uint8
+    full = (1 << depth) - 1
+    dtype = np.dtype(end + ("u2" if depth == 16 else "u1"))
+    tile_w = tags.get(322, [0])[0]
+    tile_l = tags.get(323, [0])[0]
+    if tile_w and tile_l:
+        # tiled layout (spec §15): the image is a grid of tw×tl tiles,
+        # each compressed independently; edge tiles are padded to the
+        # full tile size (padding content is arbitrary and cropped)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        across = -(-w // tile_w)
+        down = -(-h // tile_l)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiled TIFF without coherent tile offsets/counts")
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tile count does not cover the image")
+        row_bytes = tile_w * samples * (depth // 8)
+        tile_need = tile_l * row_bytes
+        canvas = np.zeros((down * tile_l, across * tile_w, samples), dtype=native)
+        for t in range(across * down):
+            off, cnt = offsets[t], counts[t]
+            if off + cnt > len(data):
+                raise ValueError("truncated TIFF tile")
+            raw = data[off : off + cnt]
+            if compression == 5:
+                buf = _tiff_lzw_decode(raw, tile_need)
+            elif compression == 32773:
+                buf = _packbits_decode(raw, tile_need)
+            else:
+                buf = raw[:tile_need]
+            if len(buf) < tile_need:
+                raise ValueError("TIFF tile shorter than its grid cell")
+            arr = np.frombuffer(buf[:tile_need], dtype=dtype).reshape(
+                tile_l, tile_w, samples
+            )
+            if predictor == 2:  # horizontal differencing restarts per tile row
+                arr = (arr.astype(np.uint64).cumsum(axis=1) & full).astype(native)
+            else:
+                arr = arr.astype(native, copy=False)
+            ty, tx = divmod(t, across)
+            canvas[ty * tile_l : (ty + 1) * tile_l,
+                   tx * tile_w : (tx + 1) * tile_w] = arr
+        px = canvas[:h, :w]
+        if photometric == 0:
+            px = (full - px).astype(native)
+        if photometric == 2 and samples < 3:
+            raise ValueError("RGB photometric with fewer than 3 samples")
+        return w, h, samples, np.ascontiguousarray(px)
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -320,10 +380,7 @@ def tiff_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     # 16-bit samples are stored in the FILE byte order (spec §4 "the
     # byte order ... applies to all data in the file"), so read them
     # with the header's endianness and hand back native uint16
-    dtype = np.dtype(end + ("u2" if depth == 16 else "u1"))
     px = np.frombuffer(bytes(out[:need]), dtype=dtype).reshape(h, w, samples)
-    native = np.uint16 if depth == 16 else np.uint8
-    full = (1 << depth) - 1
     if predictor == 2:  # horizontal differencing: undo with a row cumsum
         # predictor 2 differences SAMPLE VALUES (spec §14), so on
         # 16-bit data the cumsum wraps mod 65536, not per-byte
@@ -344,6 +401,7 @@ def tiff_encode(
     white_is_zero: bool = False,
     compression: str = "none",
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """HxW / HxWx{1,3,4} uint8 (or uint16 → 16-bit samples) → TIFF.
 
@@ -353,7 +411,9 @@ def tiff_encode(
     ``compression`` in none/lzw/packbits, and ``predictor=2`` for
     horizontal differencing (spec-legal with any compression).  Bit
     depth follows the input dtype; 16-bit samples are written in the
-    chosen byte order and differenced as sample values (spec §14)."""
+    chosen byte order and differenced as sample values (spec §14).
+    ``tile=(tw, tl)`` writes the TILED layout (spec §15): zero-padded
+    edge tiles, each tile compressed/differenced independently."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, samples = px.shape
@@ -371,23 +431,43 @@ def tiff_encode(
     body = px if not white_is_zero else (full - px).astype(px.dtype)
     if white_is_zero and samples != 1:
         raise ValueError("WhiteIsZero applies to grayscale only")
-    if predictor == 2:  # forward horizontal differencing per row/sample
-        native = np.uint16 if depth == 16 else np.uint8
-        body = body.astype(np.int64)
-        body = np.concatenate(
-            [body[:, :1], (body[:, 1:] - body[:, :-1]) & full], axis=1
+    native = np.uint16 if depth == 16 else np.uint8
+
+    def differenced(arr):
+        a = arr.astype(np.int64)
+        return np.concatenate(
+            [a[:, :1], (a[:, 1:] - a[:, :-1]) & full], axis=1
         ).astype(native)
+
     pack = {
         1: lambda b: b,
         5: _tiff_lzw_encode,
         32773: _packbits_encode,
     }[comp_tag]
-    # serialize strips in the FILE byte order (matters for 16-bit)
-    wire = body.astype(np.dtype(end + ("u2" if depth == 16 else "u1")))
-    strips = [
-        pack(wire[y : y + rows_per_strip].tobytes())
-        for y in range(0, h, rows_per_strip)
-    ]
+    wire_dtype = np.dtype(end + ("u2" if depth == 16 else "u1"))
+    if tile is not None:
+        tw, tl = tile
+        if tw <= 0 or tl <= 0:
+            raise ValueError("tile dims must be positive")
+        across, down = -(-w // tw), -(-h // tl)
+        padded = np.zeros((down * tl, across * tw, samples), dtype=body.dtype)
+        padded[:h, :w] = body
+        strips = []
+        for ty in range(down):
+            for tx in range(across):
+                t = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                if predictor == 2:  # differencing restarts per tile
+                    t = differenced(t)
+                strips.append(pack(t.astype(wire_dtype).tobytes()))
+    else:
+        if predictor == 2:  # forward horizontal differencing per row
+            body = differenced(body)
+        # serialize strips in the FILE byte order (matters for 16-bit)
+        wire = body.astype(wire_dtype)
+        strips = [
+            pack(wire[y : y + rows_per_strip].tobytes())
+            for y in range(0, h, rows_per_strip)
+        ]
     photometric = 0 if white_is_zero else (1 if samples == 1 else 2)
 
     entries: list[tuple[int, int, list[int]]] = []  # (tag, type, values)
@@ -397,9 +477,15 @@ def tiff_encode(
     entries.append((259, 3, [comp_tag]))
     entries.append((262, 3, [photometric]))
     entries.append((277, 3, [samples]))
-    entries.append((278, 4, [rows_per_strip]))
-    entries.append((279, 4, [len(s) for s in strips]))
-    entries.append((273, 4, [0] * len(strips)))  # offsets patched below
+    if tile is not None:
+        entries.append((322, 4, [tile[0]]))
+        entries.append((323, 4, [tile[1]]))
+        entries.append((325, 4, [len(s) for s in strips]))
+        entries.append((324, 4, [0] * len(strips)))  # offsets patched below
+    else:
+        entries.append((278, 4, [rows_per_strip]))
+        entries.append((279, 4, [len(s) for s in strips]))
+        entries.append((273, 4, [0] * len(strips)))  # offsets patched below
     if samples == 4:
         entries.append((338, 3, [1]))  # ExtraSamples: associated alpha
     if predictor == 2:
@@ -438,7 +524,7 @@ def tiff_encode(
         strip_offsets.append(pos)
         pos += len(s)
     entries = [
-        (tag, typ, strip_offsets if tag == 273 else vals)
+        (tag, typ, strip_offsets if tag == (324 if tile is not None else 273) else vals)
         for tag, typ, vals in entries
     ]
 

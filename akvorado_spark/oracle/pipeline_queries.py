@@ -1836,6 +1836,10 @@ def _multimodal_meta(spark, sf_dir):
                 w, h = d % 7 + 2, d % 5 + 2
                 comp = ("none", "lzw", "packbits")[d % 3]
                 pred = 2 if d % 5 == 0 else 1
+                # r12: every 5th doc (d%5==2) stores the TILED layout —
+                # storage-only (16x16 zero-padded tiles crop back to
+                # the same pixels), so the oracle needs no branch
+                tile = (16, 16) if d % 5 == 2 else None
                 yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
                 if d % 3 == 0:
                     # r12: every other grayscale doc rotates through the
@@ -1851,7 +1855,7 @@ def _multimodal_meta(spark, sf_dir):
                     blob = tiff_encode(
                         px, big_endian=bool(d % 2),
                         rows_per_strip=d % 4 + 1, white_is_zero=True,
-                        compression=comp, predictor=pred,
+                        compression=comp, predictor=pred, tile=tile,
                     )
                 else:
                     yy3, xx3, cc = np.meshgrid(
@@ -1860,7 +1864,7 @@ def _multimodal_meta(spark, sf_dir):
                     px = ((d * 11 + 5 * yy3 + 3 * xx3 + 9 * cc) % 256).astype(np.uint8)
                     blob = tiff_encode(
                         px, big_endian=bool(d % 2), rows_per_strip=d % 4 + 1,
-                        compression=comp, predictor=pred,
+                        compression=comp, predictor=pred, tile=tile,
                     )
                 ww, hh, ch, got = tiff_decode(blob)
                 rows.append((

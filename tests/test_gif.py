@@ -213,3 +213,15 @@ def test_partial_frame_background_uses_global_table():
     w, h, ch, got = gif_decode(blob)
     assert got[0, 0].tolist() == [0, 0, 255]  # frame pixel from the LCT
     assert got[1, 1].tolist() == [0, 255, 0]  # background from the GCT
+
+
+def test_lzw_end_of_stream_width_boundary():
+    """Same end-of-stream fix as the TIFF LZW encoder (r12): the GIF
+    decoder grows its table after the final data symbol and may widen
+    before reading EOI — sweep lengths across code-width boundaries at
+    several minimum code sizes."""
+    for mc, mod in ((8, 256), (4, 16), (2, 4)):
+        for L in list(range(1, 80)) + list(range(240, 270)) + list(range(500, 560)):
+            idx = [(i * 5 + (i * i) // 7) % mod for i in range(L)]
+            got = _lzw_decode(_lzw_encode(idx, mc), mc, len(idx))
+            assert got == idx, (mc, L)

@@ -240,3 +240,48 @@ def test_irrelevant_tag_with_bad_offset_is_tolerated():
             struct.pack_into("<I", blob2, e + 8, 0xFFFFFF0)
     with pytest.raises(ValueError):
         tiff_decode(bytes(blob2))
+
+
+def test_tiled_layout_roundtrips():
+    """Tiled TIFF (spec §15, r12): zero-padded edge tiles, per-tile
+    compression and per-tile predictor restart, both byte orders and
+    depths — integer-exact round-trips with the strip path."""
+    rng = np.random.default_rng(55)
+    for depth, dt in ((8, np.uint8), (16, np.uint16)):
+        for samples in (1, 3):
+            for comp in ("none", "lzw", "packbits"):
+                for shape, tile in (((9, 13), (16, 16)), ((20, 33), (16, 16)),
+                                    ((7, 40), (32, 16))):
+                    px = rng.integers(0, 1 << depth, (*shape, samples)).astype(dt)
+                    inp = px[:, :, 0] if samples == 1 else px
+                    blob = tiff_encode(inp, compression=comp, predictor=2,
+                                       big_endian=(depth == 16), tile=tile)
+                    w, h, ch, got = tiff_decode(blob)
+                    assert (w, h, ch) == (shape[1], shape[0], samples)
+                    assert np.array_equal(got.reshape(px.shape), px), (depth, samples, comp, shape)
+    # tiled output must equal the strip encoding of the same pixels
+    px = _rand((11, 19, 3), 56)
+    a = tiff_decode(tiff_encode(px, rows_per_strip=4))[3]
+    b = tiff_decode(tiff_encode(px, tile=(16, 16)))[3]
+    assert np.array_equal(a, b)
+    # truncated tile data fails loudly
+    blob = bytearray(tiff_encode(px, tile=(16, 16)))
+    with pytest.raises(ValueError):
+        tiff_decode(bytes(blob[:-20]))
+
+
+def test_lzw_end_of_stream_width_boundary():
+    """Regression (r12): a stream whose FINAL data symbol lands exactly
+    on the early-change boundary desynced EOI by one bit-width — the
+    decoder adds a table entry after the last symbol and widens, so
+    the encoder must account for that virtual add before writing EOI.
+    Sweeping payload lengths across the 9→10 and 10→11 boundaries
+    covers the crossing deterministically."""
+    from akvorado_spark.operators.tiff import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    for L in list(range(240, 268)) + list(range(740, 790)):
+        raw = bytes((i * 7 + (i * i) // 5) % 256 for i in range(L))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(raw), L) == raw, L
