@@ -1600,17 +1600,28 @@ def _multimodal_meta(spark, sf_dir):
                 # scale keeps values inside each depth's range and the
                 # Σ(s²+s) replay exactly integral at every depth
                 depth = 16 if d % 4 < 2 else (24 if d % 4 == 2 else 32)
+                # r12: d%8==1 docs store IEEE-float32 — the samples are
+                # small integers, exactly representable, so Σ(s²+s)
+                # stays integral and the same DuckDB formula replays it
+                as_float = d % 8 == 1
                 scale = {16: 1, 24: 257, 32: 65537}[depth]
                 chans = [
-                    [(((d * 31 + c * 7 + i * 13) % 2001) - 1000) * scale
+                    [(((d * 31 + c * 7 + i * 13) % 2001) - 1000)
+                     * (1 if as_float else scale)
                      for i in range(n)]
                     for c in range(nc)
                 ]
-                blob = wav_encode(rate, chans, bits=depth,
-                                  extensible=(depth == 32))
+                if as_float:
+                    blob = wav_encode(rate, [[float(s) for s in ch] for ch in chans],
+                                      bits=32, float_format=True)
+                    fmt = "wav/float32"
+                else:
+                    blob = wav_encode(rate, chans, bits=depth,
+                                      extensible=(depth == 32))
+                    fmt = f"wav/pcm{depth}"
                 rr, nn, got = wav_decode(blob)
-                sig = sum(x * x + x for ch in got for x in ch)
-                rows.append(("wav", d, rr, nn, len(got), f"wav/pcm{depth}", sig))
+                sig = int(round(sum(x * x + x for ch in got for x in ch)))
+                rows.append(("wav", d, rr, nn, len(got), fmt, sig))
             yield pd.DataFrame(
                 rows,
                 columns=["variant", "doc_id", "width", "height",
@@ -1930,7 +1941,8 @@ SELECT 'wav' AS variant, d.doc_id,
        CAST(8000 + (d.doc_id % 3) * 4000 AS INT) AS width,
        CAST(d.doc_id % 6 + 2 AS INT) AS height,
        CAST(d.doc_id % 2 + 1 AS INT) AS channels,
-       CASE WHEN d.doc_id % 4 = 2 THEN 'wav/pcm24'
+       CASE WHEN d.doc_id % 8 = 1 THEN 'wav/float32'
+            WHEN d.doc_id % 4 = 2 THEN 'wav/pcm24'
             WHEN d.doc_id % 4 = 3 THEN 'wav/pcm32'
             ELSE 'wav/pcm16' END AS format,
        CAST(SUM(s * s + s) AS BIGINT) AS pix_sum
