@@ -837,7 +837,8 @@ def _embed_neardup(spark, sf_dir):
         F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
     )
     # SemDeDup variant (operators/similarity.py:semdedup): cluster on
-    # 4 deterministic seed centroids, greedy-prefix drop at cos >= 0.4
+    # suggest_cells(N) deterministic seed centroids (corpus-scaled so
+    # per-cell pair work stays flat), greedy-prefix drop at cos >= 0.4
     from akvorado_spark.operators.similarity import seed_centroids, semdedup
 
     # cluster count scales with the corpus (suggest_cells) so pair work
@@ -895,14 +896,19 @@ def _embed_neardup(spark, sf_dir):
     )
 
 
-_NEARDUP_ORACLE = """
+_NEARDUP_ORACLE = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 5 = 0),
+-- replay of certification_sample: the all-pairs member runs on the
+-- {_EMBED_CERT_CAP}-row md5-ordered sample on BOTH engines, so the gate
+-- holds at every SF (identity whenever the corpus is under the cap)
+certv AS (SELECT vec_id, e FROM v
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_EMBED_CERT_CAP}),
 bucketed AS (
   SELECT 'bucketed_pairs' AS variant, COUNT(*) AS n, CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.e, b.e)
                  / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 6) AS sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    FROM certv a JOIN certv b ON a.vec_id < b.vec_id
   ) WHERE sim >= 0.8
 ),
 cents AS (SELECT c_id, cv FROM (
@@ -1124,12 +1130,18 @@ def _minhash_certified(spark, sf_dir):
     )
 
 
-def _minhash_oracle(n: int = 32, bands: int = 8, thr: float = 0.5, sample: str = "doc_id % 5 = 0") -> str:
+def _minhash_oracle(n: int = 32, bands: int = 8, thr: float = 0.5, sample: str = "doc_id % 5 = 0",
+                    cap: int | None = None) -> str:
     """DuckDB mirror of the ENTIRE sketch pipeline — grams → one base
     hash + n affine-mix minima → band buckets → in-bucket candidate
     pairs → exact Jaccard — replaying the portable md5-prefix base hash
     and the exact ``mix_constants`` integer maps, so candidate
-    generation itself (not just the verification) is value-checked."""
+    generation itself (not just the verification) is value-checked.
+
+    ``cap`` mirrors the Spark side's ``certification_sample`` (md5-order
+    LIMIT on the base docs, BEFORE the perturbed twins are derived), so
+    the gate stays valid at any SF — at driver SFs the corpus is under
+    the cap and the LIMIT is the identity."""
     from akvorado_spark.operators.dedup import MIX_MOD, _MIX_MASK28, mix_constants
 
     rpb = n // bands
@@ -1150,8 +1162,13 @@ def _minhash_oracle(n: int = 32, bands: int = 8, thr: float = 0.5, sample: str =
         + ")), 1, 14))::BIGINT AS bucket FROM sig"
         for b in range(bands)
     )
+    capped = (
+        f" ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {cap}"
+        if cap is not None
+        else ""
+    )
     return f"""
-WITH docs0 AS (SELECT doc_id, text FROM documents WHERE {sample}),
+WITH docs0 AS (SELECT doc_id, text FROM documents WHERE {sample}{capped}),
 pert AS (SELECT doc_id + 10000000 AS doc_id, text || ' trailing marker suffix' AS text
          FROM docs0 WHERE (doc_id + 10000000) % 3 = 0),
 corpus AS (SELECT * FROM docs0 UNION ALL SELECT * FROM pert),
@@ -1201,7 +1218,11 @@ ORDER BY id_a, id_b
 """
 
 
-register("dedup_minhash_certified", _minhash_certified, _minhash_oracle(sample=_MH_CERT_SAMPLE))
+register(
+    "dedup_minhash_certified",
+    _minhash_certified,
+    _minhash_oracle(sample=_MH_CERT_SAMPLE, cap=_MH_CERT_CAP),
+)
 
 
 def _simhash_collisions(spark, sf_dir):
