@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -55,6 +56,56 @@ def _stage_snapshot(spark) -> dict | None:
             out[(st.stageId(), st.attemptId())] = st.shuffleWriteBytes()
         return out
     except Exception:  # noqa: BLE001 — reflection drift must not sink bench
+        return None
+
+
+# node head: tree art (": +- " etc.) then an optional whole-stage-
+# codegen marker "*(3) " then the operator name
+_TREE_HEAD = re.compile(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?([A-Za-z][\w$.]*)")
+# structural keywords worth keeping from the node's argument text:
+# partitioning kinds, join types, build sides — NOT ids, stats, paths
+_STRUCT_KEYS = re.compile(
+    r"\b(hashpartitioning|rangepartitioning|SinglePartition|"
+    r"RoundRobinPartitioning|BuildLeft|BuildRight|Inner|LeftOuter|"
+    r"RightOuter|FullOuter|LeftSemi|LeftAnti|Cross|ExistenceJoin)\b"
+)
+
+
+def canonical_plan_structure(plan_str: str) -> str:
+    """Canonicalize a physical-plan toString into its STRUCTURE only:
+    per node, tree depth + operator name + structural keywords (join
+    type, build side, partitioning kind).  Expression ids, statistics,
+    file paths, partition counts, and AQE stage numbering are all
+    stripped — so the result is stable across runs of the SAME code
+    while any real operator-tree change (new exchange, join strategy
+    flip, added stage) changes it.  This is the signal bench_diff needs
+    to tell a genuine plan change from AQE stage-count jitter, which
+    the {stages, shuffle_bytes} fingerprint alone cannot (VERDICT r12
+    #1: flt_dsl_suite false-flagged on a 96→90 stage wobble)."""
+    lines = []
+    for raw in plan_str.splitlines():
+        m = _TREE_HEAD.match(raw)
+        if not m:
+            continue
+        keys = _STRUCT_KEYS.findall(raw)
+        lines.append(
+            f"{m.start(1)}|{m.group(1)}" + ("|" + ",".join(keys) if keys else "")
+        )
+    return "\n".join(lines)
+
+
+def plan_structure_hash(df) -> str | None:
+    """12-hex md5 of the canonical plan structure, computed BEFORE the
+    query executes (the AQE initial plan — deterministic given code +
+    input stats, unlike the runtime-reoptimized final plan).  Best
+    effort: any py4j failure degrades to None (no structure hash for
+    that query), never into the bench loop."""
+    import hashlib
+
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return hashlib.md5(canonical_plan_structure(s).encode()).hexdigest()[:12]
+    except Exception:  # noqa: BLE001 — diagnostics must not sink bench
         return None
 
 
@@ -152,8 +203,6 @@ def prune_stamped_sidecars(directory: str, keep: int = 20) -> None:
     sorts chronologically), delete the rest.  Driver rounds reference
     only their own run's sidecar, so anything beyond a generous window
     is dead weight in the tree."""
-    import re
-
     pat = re.compile(r"^BENCH_PLAN_\d{8}T\d{6}_\d+\.json$")
     names = sorted(n for n in os.listdir(directory or ".") if pat.match(n))
     for stale in names[:-keep] if keep else names:
@@ -205,7 +254,11 @@ def main() -> None:
                 # (returns None), never to "warmup skipped"
                 before = _stage_snapshot(spark)
                 try:
-                    fn(spark, warm_dir).count()
+                    df = fn(spark, warm_dir)
+                    # structure hash BEFORE execution: the AQE initial
+                    # plan, free of runtime stage renumbering
+                    phash = plan_structure_hash(df)
+                    df.count()
                 except Exception as exc:  # noqa: BLE001
                     print(f"# warmup {name}: {type(exc).__name__}", file=sys.stderr)
                     continue
@@ -219,6 +272,8 @@ def main() -> None:
                     "stages": len(new),
                     "shuffle_bytes": int(sum(after[k] for k in new)),
                 }
+                if phash:
+                    fingerprints[name]["plan_hash"] = phash
         # LAST: materialize the session-scoped fact view and rollup
         # store at the BENCH SF — that derivation is ingest-time work
         # in the reference (a stored table), not query latency.  This

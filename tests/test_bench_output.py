@@ -286,3 +286,132 @@ def test_bench_diff_consumes_real_driver_artifacts():
     assert "no-fingerprint: 0" in got
     assert "PLAN CHANGED  dedup_minhash_lsh" in got
     assert "PLAN CHANGED  multimodal_decode_meta" in got
+
+
+def test_canonical_plan_structure_strips_ids_keeps_structure():
+    """Same operator tree with different exprIds / codegen ids / stats
+    canonicalizes identically; a structural change (join strategy,
+    added exchange) does not."""
+    a = """AdaptiveSparkPlan isFinalPlan=false
++- HashAggregate(keys=[k#12L], functions=[sum(v#34L)])
+   +- Exchange hashpartitioning(k#12L, 32), ENSURE_REQUIREMENTS, [plan_id=61]
+      +- *(2) BroadcastHashJoin [k#12L], [id#7L], Inner, BuildRight, false
+         :- *(1) Range (0, 1000, step=1, splits=4)
+         +- BroadcastExchange HashedRelationBroadcastMode
+            +- *(1) Range (0, 50, step=1, splits=4)"""
+    b = a.replace("#12L", "#99L").replace("*(2)", "*(7)").replace(
+        "plan_id=61", "plan_id=8"
+    ).replace("splits=4", "splits=16")
+    assert bench.canonical_plan_structure(a) == bench.canonical_plan_structure(b)
+    c = a.replace("BroadcastHashJoin", "SortMergeJoin").replace(
+        "BuildRight", "BuildLeft"
+    )
+    assert bench.canonical_plan_structure(a) != bench.canonical_plan_structure(c)
+    # depth (tree shape) matters, not just the operator multiset
+    assert "0|AdaptiveSparkPlan" in bench.canonical_plan_structure(a)
+    assert "Inner,BuildRight" in bench.canonical_plan_structure(a)
+
+
+def _run_diff(tmp_path, old_plan, new_plan, walls=(1.0, 1.0)):
+    import io
+    from contextlib import redirect_stdout
+
+    for name, plan, wall in (
+        ("BENCH_a.json", old_plan, walls[0]),
+        ("BENCH_b.json", new_plan, walls[1]),
+    ):
+        (tmp_path / name).write_text(
+            json.dumps({"queries": {"q": wall}, "value": wall})
+        )
+        bench.write_plan_sidecar(plan, str(tmp_path / (name[:-5] + ".plan.json")), 0.0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert bench_diff.main([str(tmp_path / "BENCH_a.json"),
+                                str(tmp_path / "BENCH_b.json")]) == 0
+    return buf.getvalue()
+
+
+def test_bench_diff_plan_hash_is_authoritative(tmp_path):
+    """With round-13+ hashes on both sides the hash decides: equal hash
+    + big stage/shuffle movement → STAGE JITTER; different hash with
+    identical stages/shuffle → PLAN CHANGED."""
+    base = {"stages": 90, "shuffle_bytes": 3000, "plan_hash": "aaa111bbb222"}
+    moved = {"stages": 96, "shuffle_bytes": 3500, "plan_hash": "aaa111bbb222"}
+    got = _run_diff(tmp_path, {"q": base}, {"q": moved})
+    assert "STAGE JITTER  q" in got and "plan-changed: 0" in got
+    rehashed = dict(base, plan_hash="ccc333ddd444")
+    got = _run_diff(tmp_path, {"q": base}, {"q": rehashed})
+    assert "PLAN CHANGED  q" in got and "hash aaa111bbb222→ccc333ddd444" in got
+
+
+def test_bench_diff_legacy_shuffle_decides(tmp_path):
+    """Pre-r13 sidecars (no plan_hash): a stage-count move with steady
+    shuffle bytes is AQE jitter, not a plan change; a shuffle-bytes
+    move is a plan change even with stages inside tolerance."""
+    got = _run_diff(
+        tmp_path,
+        {"q": {"stages": 96, "shuffle_bytes": 3245}},
+        {"q": {"stages": 90, "shuffle_bytes": 3186}},  # the r12 flt_dsl case
+    )
+    assert "STAGE JITTER  q" in got and "plan-changed: 0" in got
+    got = _run_diff(
+        tmp_path,
+        {"q": {"stages": 76, "shuffle_bytes": 344523}},
+        {"q": {"stages": 74, "shuffle_bytes": 372367}},  # r12 embed_neardup
+    )
+    assert "PLAN CHANGED  q" in got and "stage-jitter: 0" in got
+
+
+def test_bench_diff_real_artifacts_r11_r12():
+    """The r12 adjudication that motivated the structure signal: the
+    two cert-cap queries are real plan changes, flt_dsl_suite is AQE
+    stage jitter (VERDICT r12 #1 'done' criterion)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old, new = os.path.join(root, "BENCH_r11.json"), os.path.join(root, "BENCH_r12.json")
+    if not (os.path.isfile(old) and os.path.isfile(new)):
+        pytest.skip("round artifacts not present")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert bench_diff.main([old, new]) == 0
+    got = buf.getvalue()
+    assert got.count("PLAN CHANGED") == 2
+    assert "PLAN CHANGED  dedup_minhash_certified" in got
+    assert "PLAN CHANGED  embed_neardup_pairs" in got
+    assert "STAGE JITTER  flt_dsl_suite" in got
+    assert "no-fingerprint: 0" in got
+
+
+def test_git_fallback_skips_dirty_artifact(tmp_path, capsys):
+    """A regenerated-but-uncommitted artifact must NOT be attributed
+    the committed sidecar's fingerprints (ADVICE r12): fall through to
+    no-fingerprint with a warning."""
+    import subprocess
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*a):
+        subprocess.run(["git", "-C", str(repo), *a], check=True,
+                       capture_output=True,
+                       env={**os.environ, "GIT_AUTHOR_NAME": "t",
+                            "GIT_AUTHOR_EMAIL": "t@t", "GIT_COMMITTER_NAME": "t",
+                            "GIT_COMMITTER_EMAIL": "t@t"})
+
+    git("init", "-q")
+    (repo / "BENCH_r10.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 1.0}, "value": 1.0}}
+    ))
+    bench.write_plan_sidecar({"q": {"stages": 3, "shuffle_bytes": 100}},
+                             str(repo / "BENCH_PLAN.json"), 0.0)
+    git("add", "-A")
+    git("commit", "-qm", "round 10")
+    # regenerate the artifact WITHOUT committing: different numbers
+    (repo / "BENCH_r10.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 9.0}, "value": 9.0}}
+    ))
+    plan, src = bench_diff._git_plan_fallback(str(repo / "BENCH_r10.json"))
+    assert (plan, src) == ({}, None)
+    assert "dirty" in capsys.readouterr().out

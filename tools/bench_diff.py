@@ -13,23 +13,30 @@ the tool previously failed on exactly the two files it exists to
 compare).
 
 For every query present in both files it compares the deterministic
-plan fingerprint ({stages, shuffle_bytes} measured at the warmup SF)
-and the wall time, then buckets:
+plan fingerprint ({stages, shuffle_bytes, plan_hash} measured at the
+warmup SF) and the wall time, then buckets:
 
-- PLAN CHANGED    fingerprint differs → the wall delta is (at least
-                  partly) a real plan change; look at the code.
+- PLAN CHANGED    the plan genuinely differs → the wall delta is (at
+                  least partly) a real plan change; look at the code.
+                  With ``plan_hash`` (round 13+: a canonicalized
+                  operator-tree hash — see bench.canonical_plan_
+                  structure) present on both sides this is authoritative;
+                  for older sidecars the SHUFFLE BYTES decide (sharp
+                  signal: <0.1% drift on an unchanged tree).
+- STAGE JITTER    structure steady (hash equal, or shuffle bytes within
+                  tolerance) but the stage COUNT wobbled past ±5 — AQE
+                  stage-reuse nondeterminism, not a code change
+                  (VERDICT r12: flt_dsl_suite 96→90 with no code delta).
 - HOST NOISE      fingerprint identical but wall moved ≥ the ratio
                   threshold → don't chase it; re-measure on a quiet
                   host (loadavg is printed for both runs).
 - steady          fingerprint identical, wall within threshold.
 
-"Identical" is tolerance-aware: measured same-session drift on an
-unchanged tree is ±2 stages (AQE stage reuse is nondeterministic) and
-<0.1% shuffle bytes (compression/row order); observed cross-session
-AQE wobble reaches ±4 stages, so the implemented tolerance is
-±5 stages AND (2% + 64 bytes) — fingerprints inside BOTH bounds count
-as the same plan.  Fingerprints are only present from round 9 on;
-queries without one in either file are listed separately.
+Tolerances: ±5 stages (observed cross-session AQE wobble reaches ±4;
+the count only corroborates) and 2% + 64 shuffle bytes (compression /
+row-order drift).  Fingerprints are only present from round 9 on,
+plan_hash from round 13 on; queries without a fingerprint in either
+file are listed separately.
 
 Fingerprint resolution order per input: explicit sidecar arg >
 inline ``"plan"`` key (rounds ≤9) > the artifact's own immutable
@@ -86,6 +93,21 @@ def _git_plan_fallback(bench_path: str) -> tuple[dict, str | None]:
     here = os.path.dirname(os.path.abspath(bench_path)) or "."
     rel = os.path.basename(bench_path)
     try:
+        dirty = subprocess.run(
+            ["git", "-C", here, "status", "--porcelain", "--", rel],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if dirty:
+            # the artifact was regenerated after its last commit: the
+            # frozen BENCH_PLAN.json describes the COMMITTED run, not
+            # the numbers on disk — attributing it would silently
+            # mislabel plan changes as steady (ADVICE r12)
+            print(
+                f"# WARNING: {rel} is dirty relative to its last commit; "
+                f"skipping the git sidecar fallback (fingerprints would "
+                f"describe the committed run, not this one)."
+            )
+            return {}, None
         commit = subprocess.run(
             ["git", "-C", here, "log", "-n", "1", "--format=%H", "--", rel],
             capture_output=True, text=True, timeout=30,
@@ -204,30 +226,60 @@ def main(argv: list[str] | None = None) -> int:
         f"new: value={new.get('value')} loadavg={new.get('loadavg_1m')} "
         f"plans={label(pn, src_n)} (wall ratio threshold {thr}x)"
     )
-    def same_plan(a: dict, b: dict) -> bool:
-        # shuffle bytes are the sharp signal (<0.1% drift on an
-        # unchanged tree); stage counts wobble with AQE stage reuse
-        # (±4 observed), so they only corroborate
-        if abs(a["stages"] - b["stages"]) > 5:
-            return False
+    def same_shuffle(a: dict, b: dict) -> bool:
+        # shuffle bytes are the sharp signal: <0.1% drift on an
+        # unchanged tree, so 2% + 64 bytes absorbs compression and
+        # row-order wobble while any real exchange change blows past it
         hi = max(a["shuffle_bytes"], b["shuffle_bytes"])
         return abs(a["shuffle_bytes"] - b["shuffle_bytes"]) <= 0.02 * hi + 64
 
-    changed, noise, steady, unknown = [], [], [], []
+    def same_stages(a: dict, b: dict) -> bool:
+        # stage counts wobble with AQE stage reuse (±4 observed cross-
+        # session), so they only corroborate — never decide alone
+        return abs(a["stages"] - b["stages"]) <= 5
+
+    changed, jitter, noise, steady, unknown = [], [], [], [], []
     for q in sorted(set(qo) & set(qn)):
         r = qn[q] / qo[q] if qo[q] else float("inf")
         if q not in po or q not in pn:
             unknown.append((q, r))
-        elif not same_plan(po[q], pn[q]):
-            changed.append((q, r, po[q], pn[q]))
+            continue
+        a, b = po[q], pn[q]
+        ha, hb = a.get("plan_hash"), b.get("plan_hash")
+        if ha and hb:
+            # round-13+ sidecars: the canonical operator-tree hash is
+            # authoritative — stage counts and even shuffle bytes only
+            # annotate
+            structural = ha != hb
+        else:
+            # legacy sidecars: shuffle bytes decide; a stage-count move
+            # with steady shuffle is AQE jitter, not a plan change
+            structural = not same_shuffle(a, b)
+        if structural:
+            changed.append((q, r, a, b))
+        elif not (same_stages(a, b) and same_shuffle(a, b)):
+            jitter.append((q, r, a, b))
         elif r >= thr or r <= 1 / thr:
             noise.append((q, r))
         else:
             steady.append((q, r))
     for q, r, a, b in changed:
+        sig = (
+            f"hash {a['plan_hash']}→{b['plan_hash']} | "
+            if a.get("plan_hash") and b.get("plan_hash")
+            else ""
+        )
         print(
-            f"PLAN CHANGED  {q}: wall {r:.2f}x | stages {a['stages']}→{b['stages']}"
+            f"PLAN CHANGED  {q}: wall {r:.2f}x | {sig}stages "
+            f"{a['stages']}→{b['stages']}"
             f" shuffle {a['shuffle_bytes']}→{b['shuffle_bytes']}"
+        )
+    for q, r, a, b in jitter:
+        print(
+            f"STAGE JITTER  {q}: wall {r:.2f}x | stages "
+            f"{a['stages']}→{b['stages']} with structure steady "
+            f"(shuffle {a['shuffle_bytes']}→{b['shuffle_bytes']}) — AQE "
+            f"stage-reuse wobble, not a code change"
         )
     for q, r in noise:
         print(f"HOST NOISE    {q}: wall {r:.2f}x, plan identical")
@@ -235,6 +287,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"no-fingerprint {q}: wall {r:.2f}x")
     print(
         f"# steady: {len(steady)} | plan-changed: {len(changed)} | "
+        f"stage-jitter: {len(jitter)} | "
         f"noise-suspect: {len(noise)} | no-fingerprint: {len(unknown)}"
     )
     return 0
