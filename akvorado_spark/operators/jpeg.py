@@ -879,7 +879,7 @@ def jpeg_encode_baseline(
 # needs.  The standard table's canonical code space is COMPLETE at 16
 # bits (appending values there wraps and collides), so the fixture
 # table assigns every symbol a flat 9-bit code instead — trivially
-# prefix-free, still leaves the code space incomplete (190 < 512), and
+# prefix-free, still leaves the code space incomplete (176 < 512), and
 # the decoder reads whatever DHT declares anyway.
 _PROG_AC_VALS = list(_STD_AC_LUM_VALS) + [r << 4 for r in range(1, 15)]
 _PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7

@@ -258,13 +258,20 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
         # walk chunk INTROS (length + type, skip payloads) up to IDAT;
         # malformed tails just mean "no tRNS seen" — metadata must
         # tolerate what decode would reject
+        # minimum tRNS body length png_decode will accept per color
+        # type (spec §11.3.2: one >H gray sample / three >H RGB
+        # samples; palette alpha may be any length incl. empty) — a
+        # shorter chunk makes decode raise, so meta must not claim the
+        # extra channel for it (same meta-vs-decode agreement class as
+        # the gif_meta GCE guard, VERDICT r12 #2)
+        need = {0: 2, 2: 6, 3: 0}[color_type]
         off = 8
         while off + 8 <= len(data):
             length, ctype = struct.unpack_from(">I4s", data, off)
             if ctype in (b"IDAT", b"IEND"):
                 break
             if ctype == b"tRNS":
-                has_trns = True
+                has_trns = length >= need
                 break
             if length > len(data) - off:
                 break

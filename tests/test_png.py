@@ -866,3 +866,88 @@ def test_trns_transparency_all_color_types():
            + chunk(b"IDAT", zlib.compress(bytes([0, 7]))) + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         png_decode(bad)
+
+
+def test_meta_decode_agreement_under_trns_truncation():
+    """Sweep tRNS body truncation across every color type that can
+    carry one: for each length, png_meta and png_decode must AGREE —
+    either decode succeeds and channels match, or decode raises
+    ValueError and meta reports the no-tRNS channel count (it must not
+    claim a transparency channel decode refuses to produce; the same
+    meta-vs-decode class as the gif_meta GCE guard)."""
+    from akvorado_spark.operators.png import png_meta
+
+    def build(color_type, bit_depth, scan, trns_body, plte=None):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, 0)
+        out = PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        out += chunk(b"tRNS", trns_body)
+        return out + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+    gray8 = bytes([0, 7, 9]) * 2               # filter0 + 2 px, 2 rows
+    gray16 = bytes([0, 0, 7, 0, 9]) * 2
+    rgb8 = bytes([0, 1, 2, 3, 4, 5, 6]) * 2
+    rgb16 = bytes([0] + list(range(12))) * 2
+    pal = bytes(range(12))                      # 4 RGB entries
+    pal8 = bytes([0, 1, 2]) * 2
+    cases = [
+        # (color_type, depth, scan, full tRNS, plte, base_ch, trns_ch)
+        (0, 8, gray8, struct.pack(">H", 7), None, 1, 2),
+        (0, 16, gray16, struct.pack(">H", 7), None, 1, 2),
+        (2, 8, rgb8, struct.pack(">HHH", 1, 2, 3), None, 3, 4),
+        (2, 16, rgb16, struct.pack(">HHH", 1, 2, 3), None, 3, 4),
+        (3, 8, pal8, bytes([10, 20]), pal, 3, 4),
+    ]
+    agreements = 0
+    for ct, depth, scan, full, plte, base_ch, trns_ch in cases:
+        for cut in range(len(full) + 1):
+            blob = build(ct, depth, scan, full[:cut], plte)
+            try:
+                _, _, dch, _ = png_decode(blob)
+            except ValueError:
+                dch = None
+            w, h, mch = png_meta(blob)
+            assert (w, h) == (2, 2)
+            if dch is not None:
+                assert mch == dch, (ct, depth, cut)
+            else:
+                # decode refused the truncated chunk: meta must fall
+                # back to the opaque channel count, never claim alpha
+                assert mch == base_ch, (ct, depth, cut)
+            agreements += 1
+        # the untruncated case must really exercise the alpha channel
+        assert png_meta(build(ct, depth, scan, full, plte))[2] == trns_ch
+    assert agreements >= 20
+
+
+def test_meta_decode_agreement_gif_and_tiff():
+    """The sibling formats' meta walks already guard truncated
+    transparency/tag structures — pin the agreement alongside PNG's."""
+    from akvorado_spark.operators.gif import gif_decode, gif_encode, gif_meta
+    from akvorado_spark.operators.tiff import tiff_decode, tiff_encode, tiff_meta
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    for kwargs in ({}, {"transparent_color": (0, 1, 2)}):
+        blob = gif_encode(px, **kwargs)
+        w, h, dch, _ = gif_decode(blob)
+        assert gif_meta(blob) == (w, h, dch)
+    # GCE sweep: every truncated GCE body length must keep them agreed
+    for body_len in range(5):
+        gce = bytes([0x21, 0xF9, body_len]) + bytes([0x01] * body_len) + b"\x00"
+        base = gif_encode(px)
+        # splice the GCE right before the image descriptor (0x2C)
+        at = base.index(b"\x2c")
+        blob = base[:at] + gce + base[at:]
+        try:
+            dch = gif_decode(blob)[2]
+        except ValueError:
+            continue
+        assert gif_meta(blob)[2] == dch, body_len
+    for kwargs in ({}, {"compression": "lzw"}, {"tiled": True}):
+        try:
+            tblob = tiff_encode(px, **kwargs)
+        except TypeError:  # option not supported by this signature
+            continue
+        w, h, dch, _ = tiff_decode(tblob)
+        assert tiff_meta(tblob) == (w, h, dch)
