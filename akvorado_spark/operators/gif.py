@@ -5,9 +5,10 @@ also W3C's informational copy): logical screen descriptor, global and
 local color tables, interlacing, Graphic Control Extension
 transparency, and the GIF flavor of LZW (variable 3–12 bit codes,
 LSB-first packing, clear/EOI, deferred-clear full-table behavior).
-Only the FIRST image frame is decoded — for a training-data pipeline
-the first frame is the document image; animation handling is a
-renderer concern, not a data-engine one.
+:func:`gif_decode` returns the FIRST frame (the document image for a
+training corpus); :func:`gif_decode_frames` composes FULL animations
+per the GIF89a §23 disposal methods (keep / restore-to-background /
+restore-previous) for frame-sampling pipelines.
 
 The fixture encoder emits real LZW (not the uncompressed-GIF trick) so
 round-trips exercise table growth, width changes and table-full resets
@@ -218,13 +219,9 @@ def gif_meta(data: bytes) -> tuple[int, int, int]:
     return w, h, 4 if transparent else 3
 
 
-def gif_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """GIF bytes → (width, height, channels, HxWxC uint8) — the first
-    frame composed onto the logical screen (background-filled when the
-    frame rect is smaller).  channels is 4 (RGBA) when the frame's GCE
-    declares a transparent index, else 3."""
-    if not is_gif(data):
-        raise ValueError("not a GIF (bad signature)")
+def _screen_and_gct(data: bytes) -> tuple[int, int, np.ndarray | None, int, int]:
+    """Parse the logical screen descriptor → (sw, sh, global color
+    table or None, background index, offset past the GCT)."""
     sw, sh = struct.unpack_from("<HH", data, 6)
     packed, bg_index = data[10], data[11]
     off = 13
@@ -232,21 +229,46 @@ def gif_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if packed & 0x80:
         gct = _read_color_table(data, off, 2 << (packed & 7))
         off += 3 * len(gct)
-    transparent_idx = None
+    return sw, sh, gct, bg_index, off
+
+
+def _iter_frames(data: bytes):
+    """Yield every frame of a GIF as
+    ``(left, top, fw, fh, idx[fh,fw] int64, ct, transparent_idx,
+    disposal)`` — the shared parse behind :func:`gif_decode` (first
+    frame) and :func:`gif_decode_frames` (animation composition).
+
+    GCE state applies to the NEXT image and resets after it (GIF89a
+    §23: a GCE modifies the single following rendering block); a GCE
+    without the transparency flag leaves a previously-declared index in
+    place (matching the long-standing single-frame behavior) and the
+    disposal field is bits 2–4 of the packed byte."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, gct, _bg, off = _screen_and_gct(data)
+    transparent_idx: int | None = None
+    disposal = 0
+    seen = 0
     while True:
         if off >= len(data):
+            if seen:
+                return  # missing trailer after a complete frame: tolerated
             raise ValueError("GIF ended before an image descriptor")
         block = data[off]
         off += 1
         if block == 0x3B:
+            if seen:
+                return
             raise ValueError("GIF trailer before any image descriptor")
         if block == 0x21:
             if off >= len(data):
                 raise ValueError("truncated GIF extension")
             label = data[off]
             body, off = _read_subblocks(data, off + 1)
-            if label == 0xF9 and len(body) >= 4 and body[0] & 1:
-                transparent_idx = body[3]
+            if label == 0xF9 and len(body) >= 4:
+                disposal = (body[0] >> 2) & 7
+                if body[0] & 1:
+                    transparent_idx = body[3]
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
@@ -275,34 +297,187 @@ def gif_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
             order = _interlace_order(fh)
             deint = np.empty((fh, fw), dtype=np.int64)
             deint[order] = frame.reshape(fh, fw)
-            frame = deint.reshape(-1)
-        ch = 4 if transparent_idx is not None else 3
-        rgb = ct[frame].reshape(fh, fw, 3)
-        if ch == 4:
-            alpha = np.where(
-                frame.reshape(fh, fw) == transparent_idx, 0, 255
-            ).astype(np.uint8)
-            rgb = np.dstack([rgb, alpha])
-        if (left, top, fw, fh) == (0, 0, sw, sh):
-            return sw, sh, ch, np.ascontiguousarray(rgb)
-        # partial frame: compose onto a background-filled canvas; the
-        # spec defines the background color index relative to the GLOBAL
-        # color table, not the frame's local one
-        bg = (
-            gct[bg_index]
-            if gct is not None and bg_index < len(gct)
-            else np.zeros(3, np.uint8)
-        )
-        canvas = np.empty((sh, sw, ch), dtype=np.uint8)
-        canvas[:, :, :3] = bg
-        if ch == 4:
-            canvas[:, :, 3] = 255
-        canvas[top : top + fh, left : left + fw] = rgb
-        return sw, sh, ch, canvas
+            frame = deint
+        else:
+            frame = frame.reshape(fh, fw)
+        yield left, top, fw, fh, frame, ct, transparent_idx, disposal
+        seen += 1
+        transparent_idx = None
+        disposal = 0
+
+
+def _background_rgb(gct: np.ndarray | None, bg_index: int) -> np.ndarray:
+    # the spec defines the background color index relative to the
+    # GLOBAL color table, not any frame's local one
+    if gct is not None and bg_index < len(gct):
+        return gct[bg_index]
+    return np.zeros(3, np.uint8)
+
+
+def gif_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """GIF bytes → (width, height, channels, HxWxC uint8) — the first
+    frame composed onto the logical screen (background-filled when the
+    frame rect is smaller).  channels is 4 (RGBA) when the frame's GCE
+    declares a transparent index, else 3.  Animations: see
+    :func:`gif_decode_frames` for the multi-frame composition."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, gct, bg_index, _ = _screen_and_gct(data)
+    left, top, fw, fh, frame, ct, transparent_idx, _disp = next(
+        _iter_frames(data)
+    )
+    ch = 4 if transparent_idx is not None else 3
+    rgb = ct[frame.reshape(-1)].reshape(fh, fw, 3)
+    if ch == 4:
+        alpha = np.where(frame == transparent_idx, 0, 255).astype(np.uint8)
+        rgb = np.dstack([rgb, alpha])
+    if (left, top, fw, fh) == (0, 0, sw, sh):
+        return sw, sh, ch, np.ascontiguousarray(rgb)
+    # partial frame: compose onto a background-filled canvas
+    bg = _background_rgb(gct, bg_index)
+    canvas = np.empty((sh, sw, ch), dtype=np.uint8)
+    canvas[:, :, :3] = bg
+    if ch == 4:
+        canvas[:, :, 3] = 255
+    canvas[top : top + fh, left : left + fw] = rgb
+    return sw, sh, ch, canvas
+
+
+def gif_frame_count(data: bytes) -> int:
+    """Number of image frames — an O(blocks) intro walk (LZW payloads
+    are length-skipped, never decoded)."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    _sw, _sh, _gct, _bg, off = _screen_and_gct(data)
+    n = 0
+    while off < len(data):
+        block = data[off]
+        off += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if off >= len(data):
+                break
+            _body, off = _read_subblocks(data, off + 1)
+            continue
+        if block != 0x2C:
+            break
+        if off + 9 > len(data):
+            break
+        fpacked = data[off + 8]
+        off += 9
+        if fpacked & 0x80:
+            off += 3 * (2 << (fpacked & 7))
+        if off >= len(data):
+            break
+        _lzw, off = _read_subblocks(data, off + 1)
+        n += 1
+    return n
+
+
+def gif_decode_frames(
+    data: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[np.ndarray]]:
+    """Animated GIF → (width, height, [HxWx3 uint8 canvas per frame]).
+
+    Composes every frame onto the logical screen honoring the three
+    GIF89a disposal methods (§23): 0/1 leave the canvas as drawn,
+    2 restores the frame RECT to the background color, 3 restores the
+    canvas to its pre-frame state.  Transparent pixels in a frame do
+    not overwrite the canvas (the animation compositing meaning of
+    transparency — distinct from :func:`gif_decode`'s single-frame
+    alpha channel).  The canvas starts filled with the background
+    color from the GLOBAL color table (black when absent), the
+    deterministic classic-spec reading, so every composed frame is an
+    integer-exact function of the input and an oracle can replay the
+    per-frame pixel sums.  ``max_frames`` bounds work on hostile
+    inputs (a 100 TB corpus row must not decode an unbounded
+    animation)."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, gct, bg_index, _ = _screen_and_gct(data)
+    bg = _background_rgb(gct, bg_index)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg
+    out: list[np.ndarray] = []
+    for left, top, fw, fh, frame, ct, tr, disposal in _iter_frames(data):
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        rgb = ct[frame.reshape(-1)].reshape(fh, fw, 3)
+        if tr is None:
+            region[:] = rgb
+        else:
+            drawn = frame != tr
+            region[drawn] = rgb[drawn]
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = bg
+        elif disposal == 3:
+            canvas = prev
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return sw, sh, out
 
 
 # ---------------------------------------------------------------------------
-# fixture encoder
+# fixture encoders
+
+
+def gif_encode_frames(
+    screen: tuple[int, int],
+    palette: np.ndarray,
+    frames: list[dict],
+    bg_index: int = 0,
+    loop: bool = True,
+) -> bytes:
+    """Animated-GIF fixture encoder: explicit global palette + one
+    entry per frame ``{"left", "top", "idx" (fh×fw int array),
+    "disposal" (0–3), "transparent" (palette index or None),
+    "delay_cs" (optional)}``.  Emits a GIF89a with a GCE per frame
+    (and the NETSCAPE looping application extension when ``loop``) so
+    round-trips exercise the per-frame GCE reset, all three disposal
+    methods, and the compositing meaning of transparency in
+    :func:`gif_decode_frames`."""
+    sw, sh = int(screen[0]), int(screen[1])
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (n<=256, 3) uint8")
+    pal_bits = max(1, (len(palette) - 1).bit_length())
+    pal_n = 1 << pal_bits
+    min_code = max(2, pal_bits)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (pal_bits - 1), bg_index, 0])
+    out += palette.tobytes() + bytes(3 * (pal_n - len(palette)))
+    if loop:
+        # NETSCAPE2.0 looping block — an application extension the
+        # frame iterator must skip like any other 0x21 block
+        out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+        out += bytes([3, 1, 0, 0, 0])
+    for fr in frames:
+        idx = np.asarray(fr["idx"], dtype=np.int64)
+        fh, fw = idx.shape
+        left, top = int(fr.get("left", 0)), int(fr.get("top", 0))
+        if left + fw > sw or top + fh > sh:
+            raise ValueError("frame rect outside the logical screen")
+        if int(idx.max(initial=0)) >= len(palette) or int(idx.min(initial=0)) < 0:
+            raise ValueError("frame index outside the palette")
+        tr = fr.get("transparent")
+        disposal = int(fr.get("disposal", 0)) & 7
+        packed = (disposal << 2) | (1 if tr is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed])
+        out += struct.pack("<H", int(fr.get("delay_cs", 0)))
+        out += bytes([tr if tr is not None else 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, fw, fh)
+        out += bytes([0])  # no local table, not interlaced
+        out += bytes([min_code])
+        lzw = _lzw_encode([int(v) for v in idx.reshape(-1)], min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
 
 
 def gif_encode(

@@ -257,7 +257,10 @@ def image_features(
 def frame_sample_plan(df: DataFrame, every_n_frames: int, id_col: str = "doc_id") -> DataFrame:
     """Video frame sampling *plan*: expands (id, n_frames) to one row
     per sampled frame index — the distribution/partitioning half of a
-    frame extractor; the decode itself is stubbed as above."""
+    frame extractor.  For animated GIFs the decode half is REAL:
+    :func:`animation_features` composes the same sampled indices with
+    the stdlib codec; for video containers the decode stays stubbed
+    (no codecs in this environment)."""
     # zero-frame (corrupt/empty) videos plan NO samples — greatest(-1,0)
     # would otherwise schedule frame 0 of a frameless video
     return df.filter(F.col("n_frames") > 0).select(
@@ -266,6 +269,67 @@ def frame_sample_plan(df: DataFrame, every_n_frames: int, id_col: str = "doc_id"
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n_frames))
         ).alias("frame_idx"),
     )
+
+
+ANIMATION_FEATURES_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, width int, height int, "
+    "px_sum long"
+)
+
+
+def animation_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    every_n_frames: int = 1,
+    max_frames: int = 64,
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """Animated GIF → one row per SAMPLED composed frame: (id,
+    frame_idx, n_frames, width, height, integer pixel sum).
+
+    Frames are composed per the GIF89a disposal methods
+    (:func:`~akvorado_spark.operators.gif.gif_decode_frames`) and then
+    sampled at indices 0, n, 2n… — exactly the indices
+    :func:`frame_sample_plan` schedules, so the two halves of the
+    frame-extraction pipeline agree by construction.  Still GIFs yield
+    their single frame.  ``max_frames`` bounds hostile inputs: at
+    corpus scale one row must never decode an unbounded animation.
+    Lossless codec + integer sums ⇒ every output value is exactly
+    replayable by an oracle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from akvorado_spark.operators.gif import gif_decode_frames, is_gif
+
+        def slices():
+            for whole in batches:
+                for off in range(0, len(whole), target_rows_per_batch):
+                    yield whole.iloc[off : off + target_rows_per_batch]
+
+        for pdf in slices():
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r[media_col])
+                if not is_gif(blob):
+                    raise ValueError(
+                        "animation_features: only GIF animations decode "
+                        "natively; video containers need external codecs"
+                    )
+                w, h, frames = gif_decode_frames(blob, max_frames=max_frames)
+                n = len(frames)
+                for fi in range(0, n, every_n_frames):
+                    rows.append((
+                        r[id_col], fi, n, w, h,
+                        int(frames[fi].astype(np.int64).sum()),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "width",
+                         "height", "px_sum"],
+            )
+
+    return df.mapInPandas(run, schema=ANIMATION_FEATURES_SCHEMA)
 
 
 AUDIO_META_SCHEMA = (

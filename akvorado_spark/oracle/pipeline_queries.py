@@ -1795,6 +1795,69 @@ def _multimodal_meta(spark, sf_dir):
         "channels int, format string, pix_sum long"
     )
 
+    # ANIMATED GIF variant (r13): a three-frame fixture per doc walks
+    # every disposal method — F0 full-screen (keep), F1 a partial rect
+    # with checkerboard transparency disposing to background (even
+    # docs) or to the previous canvas (odd docs), F2 a top-row strip.
+    # gif_decode_frames composes per GIF89a §23 and the gated value is
+    # the integer pixel sum over ALL composed frames, which DuckDB
+    # replays with pure CASE arithmetic (GIF is lossless, the palette
+    # map g(i) = 7i%256 + 13i%256 + 3i%256 is a formula).
+    def run_gif_anim(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from akvorado_spark.operators.gif import (
+            gif_decode_frames,
+            gif_encode_frames,
+        )
+
+        i = np.arange(256)
+        pal = np.stack([(7 * i) % 256, (13 * i) % 256, (3 * i) % 256],
+                       axis=1).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 5 + 3, d % 3 + 3
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                # drawn values stay % 254: index 255 is the transparent
+                # slot and must never appear as an opaque pixel
+                v0 = (d * 3 + 5 * yy + 11 * xx) % 254
+                ly, lx = np.meshgrid(
+                    np.arange(h - 2), np.arange(w - 2), indexing="ij"
+                )
+                f1 = (d * 5 + 7 * ly + 13 * lx) % 254
+                f1 = np.where((ly + lx) % 2 == 0, 255, f1)
+                v2 = ((d * 7 + 11 * np.arange(w)) % 254).reshape(1, w)
+                blob = gif_encode_frames(
+                    (w, h), pal,
+                    [
+                        dict(idx=v0, disposal=1),
+                        dict(idx=f1, left=1, top=1, transparent=255,
+                             disposal=2 if d % 2 == 0 else 3),
+                        dict(idx=v2, disposal=0),
+                    ],
+                    bg_index=(d * 3) % 256,
+                )
+                ww, hh, frames = gif_decode_frames(blob)
+                if len(frames) != 3:
+                    raise ValueError(
+                        f"animated fixture decoded {len(frames)} frames"
+                    )
+                s = sum(int(f.astype(np.int64).sum()) for f in frames)
+                rows.append(("gif_anim", d, ww, hh, 3, "GIF", s))
+            yield pd.DataFrame(
+                rows,
+                columns=["variant", "doc_id", "width", "height",
+                         "channels", "format", "pix_sum"],
+            )
+
+    gif_anim = docs.select("doc_id").mapInPandas(
+        run_gif_anim, "variant string, doc_id long, width int, height int, "
+        "channels int, format string, pix_sum long"
+    )
+
     # REAL BMP variant (r11): depth rotation 8-bit-palette / 32-bit /
     # 24-bit with both row orders — every bmp_decode layout gated; the
     # 32-bit branch carries alpha=255 so its pixel sum adds 255·w·h.
@@ -1919,6 +1982,7 @@ def _multimodal_meta(spark, sf_dir):
         .unionByName(jpg)
         .unionByName(webp)
         .unionByName(gif)
+        .unionByName(gif_anim)
         .unionByName(bmp)
         .unionByName(tif)
         .orderBy("variant", "doc_id")
@@ -2017,6 +2081,40 @@ FROM (
     AND y.i < d.doc_id % 3 + 3 AND x.i < d.doc_id % 5 + 3
 ) g
 GROUP BY g.doc_id
+UNION ALL
+-- animated-GIF replay: per pixel, the three composed frames' palette
+-- indices (v0; F1 overlays a checkerboard rect; F2 overlays row 0 and
+-- the canvas under it reflects F1's disposal: background for even
+-- docs, the pre-F1 canvas for odd), then the g(i)=7i%256+13i%256+3i%256
+-- palette map summed over all three
+SELECT 'gif_anim' AS variant, a.doc_id,
+       CAST(a.doc_id % 5 + 3 AS INT) AS width,
+       CAST(a.doc_id % 3 + 3 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       'GIF' AS format,
+       CAST(SUM( (7*p0)%256 + (13*p0)%256 + (3*p0)%256
+               + (7*p1)%256 + (13*p1)%256 + (3*p1)%256
+               + (7*p2)%256 + (13*p2)%256 + (3*p2)%256 ) AS BIGINT) AS pix_sum
+FROM (
+  SELECT doc_id, v0 AS p0,
+         CASE WHEN in_rect AND ((y - 1) + (x - 1)) % 2 = 1
+              THEN (doc_id * 5 + 7 * (y - 1) + 13 * (x - 1)) % 254
+              ELSE v0 END AS p1,
+         CASE WHEN y = 0 THEN (doc_id * 7 + 11 * x) % 254
+              WHEN doc_id % 2 = 1 THEN v0
+              WHEN in_rect THEN (doc_id * 3) % 256
+              ELSE v0 END AS p2
+  FROM (
+    SELECT d.doc_id, y.i AS y, x.i AS x,
+           (d.doc_id * 3 + 5 * y.i + 11 * x.i) % 254 AS v0,
+           y.i BETWEEN 1 AND d.doc_id % 3 + 1
+             AND x.i BETWEEN 1 AND d.doc_id % 5 + 1 AS in_rect
+    FROM documents d, generate_series(0, 5) y(i), generate_series(0, 7) x(i)
+    WHERE {_MM_SAMPLE}
+      AND y.i < d.doc_id % 3 + 3 AND x.i < d.doc_id % 5 + 3
+  )
+) a
+GROUP BY a.doc_id
 UNION ALL
 SELECT 'bmp' AS variant, d.doc_id,
        CAST(d.doc_id % 6 + 2 AS INT) AS width,

@@ -225,3 +225,139 @@ def test_lzw_end_of_stream_width_boundary():
             idx = [(i * 5 + (i * i) // 7) % mod for i in range(L)]
             got = _lzw_decode(_lzw_encode(idx, mc), mc, len(idx))
             assert got == idx, (mc, L)
+
+
+# ---------------------------------------------------------------------------
+# animation: multi-frame composition with disposal methods (r13)
+
+
+def _anim_palette() -> np.ndarray:
+    i = np.arange(256)
+    return np.stack([i, (2 * i) % 256, (3 * i) % 256], axis=1).astype(np.uint8)
+
+
+def _three_frame_blob(disposal1: int) -> tuple[bytes, list[np.ndarray], int, int]:
+    """Fixture: full F0 (keep) → partial transparent-checker F1 with
+    the given disposal → top-row F2; returns the blob and an
+    INDEPENDENT numpy composition (no codec involvement)."""
+    from akvorado_spark.operators.gif import gif_encode_frames
+
+    pal = _anim_palette()
+    sw, sh, bg = 6, 5, 9
+    f0 = np.arange(sh * sw).reshape(sh, sw) % 254
+    f1 = (np.arange(3 * 4).reshape(3, 4) * 7) % 254
+    checker = np.indices(f1.shape).sum(axis=0) % 2 == 0
+    f1t = np.where(checker, 255, f1)
+    f2 = ((np.arange(sw) * 11) % 254).reshape(1, sw)
+    blob = gif_encode_frames(
+        (sw, sh), pal,
+        [dict(idx=f0, disposal=1),
+         dict(idx=f1t, left=1, top=1, disposal=disposal1, transparent=255),
+         dict(idx=f2, disposal=0)],
+        bg_index=bg,
+    )
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:] = pal[bg]
+    exp = []
+    canvas[:] = pal[f0]
+    exp.append(canvas.copy())
+    saved = canvas.copy()
+    reg = canvas[1:4, 1:5]
+    reg[~checker] = pal[f1][~checker]
+    exp.append(canvas.copy())
+    if disposal1 == 2:
+        canvas[1:4, 1:5] = pal[bg]
+    elif disposal1 == 3:
+        canvas = saved
+    canvas[0:1, :] = pal[f2]
+    exp.append(canvas.copy())
+    return blob, exp, sw, sh
+
+
+@pytest.mark.parametrize("disposal", [0, 1, 2, 3])
+def test_animation_composes_every_disposal_method(disposal):
+    from akvorado_spark.operators.gif import gif_decode_frames, gif_frame_count
+
+    blob, exp, sw, sh = _three_frame_blob(disposal)
+    assert gif_frame_count(blob) == 3
+    w, h, frames = gif_decode_frames(blob)
+    assert (w, h, len(frames)) == (sw, sh, 3)
+    for i, (got, want) in enumerate(zip(frames, exp)):
+        assert np.array_equal(got, want), (disposal, i)
+
+
+def test_animation_first_frame_matches_gif_decode():
+    """Single-frame parity: gif_decode_frames()[0] equals gif_decode
+    for opaque stills (the alpha-channel semantics differ by design
+    for transparent stills — compositing vs per-pixel alpha)."""
+    from akvorado_spark.operators.gif import gif_decode_frames
+
+    px = _palette_image(9, 4, 5, seed=5)
+    blob = gif_encode(px)
+    w, h, ch, first = gif_decode(blob)
+    aw, ah, frames = gif_decode_frames(blob)
+    assert (aw, ah, len(frames)) == (w, h, 1)
+    assert np.array_equal(frames[0], first)
+
+
+def test_animation_max_frames_bounds_work():
+    from akvorado_spark.operators.gif import gif_decode_frames
+
+    blob, _, _, _ = _three_frame_blob(1)
+    assert len(gif_decode_frames(blob, max_frames=2)[2]) == 2
+    assert len(gif_decode_frames(blob, max_frames=1)[2]) == 1
+
+
+def test_animation_gce_resets_between_frames():
+    """A GCE applies to the single following image (GIF89a §23): frame
+    2 of an animation whose F1 declared transparency must treat index
+    255 as an ordinary opaque pixel."""
+    from akvorado_spark.operators.gif import gif_decode_frames, gif_encode_frames
+
+    pal = _anim_palette()
+    f0 = np.zeros((2, 2), dtype=np.int64)
+    f1 = np.full((2, 2), 255, dtype=np.int64)  # fully transparent
+    f2 = np.full((2, 2), 255, dtype=np.int64)  # same indices, NO GCE flag
+    blob = gif_encode_frames(
+        (2, 2), pal,
+        [dict(idx=f0, disposal=1),
+         dict(idx=f1, disposal=1, transparent=255),
+         dict(idx=f2, disposal=0)],
+    )
+    _, _, frames = gif_decode_frames(blob)
+    assert np.array_equal(frames[1], frames[0])      # nothing drawn
+    assert np.array_equal(frames[2], np.broadcast_to(pal[255], (2, 2, 3)))
+
+
+def test_animation_features_agrees_with_frame_sample_plan(spark):
+    """The decode half (animation_features) emits exactly the
+    (id, frame_idx) pairs the planning half (frame_sample_plan)
+    schedules, and the sums match a driver-side numpy composition."""
+    from akvorado_spark.operators.multimodal import (
+        animation_features,
+        frame_sample_plan,
+    )
+
+    blob2, exp2, _, _ = _three_frame_blob(2)
+    blob3, exp3, _, _ = _three_frame_blob(3)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob2)), (2, bytearray(blob3))],
+        "doc_id long, media binary",
+    )
+    out = animation_features(df, every_n_frames=2).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    planned = frame_sample_plan(
+        spark.createDataFrame([(1, 3), (2, 3)], "doc_id long, n_frames int"),
+        every_n_frames=2,
+    ).collect()
+    assert {(r["doc_id"], r["frame_idx"]) for r in planned} == set(got)
+    for doc, exp in ((1, exp2), (2, exp3)):
+        for fi in (0, 2):
+            r = got[(doc, fi)]
+            assert r["n_frames"] == 3 and (r["width"], r["height"]) == (6, 5)
+            assert r["px_sum"] == int(exp[fi].astype(np.int64).sum())
+    with pytest.raises(Exception, match="only GIF"):
+        animation_features(
+            spark.createDataFrame([(9, bytearray(b"nope"))],
+                                  "doc_id long, media binary")
+        ).collect()
