@@ -570,9 +570,10 @@ def bmp_decode(data: bytes) -> tuple[int, int, int, np.ndarray]:
     BITMAPINFOHEADER and the 12-byte OS/2 BITMAPCOREHEADER (3-byte
     palette entries, u16 dims, always bottom-up).  A 32-bit image
     whose 4th byte is zero everywhere is the spec's 'reserved'
-    convention, not alpha, and comes back as opaque RGB.  RLE /
-    bitfields / 16-bit raise NotImplementedError (rare in training
-    corpora; callers fall back to PIL when present)."""
+    convention, not alpha, and comes back as opaque RGB.  BI_RLE8 /
+    BI_RLE4 decompress natively (runs, absolute mode, EOL/EOB/delta
+    escapes — r12); bitfields / 16-bit raise NotImplementedError (rare
+    in training corpora; callers fall back to PIL when present)."""
     if not is_bmp(data):
         raise ValueError("not a BMP (bad signature)")
     if len(data) < 26:

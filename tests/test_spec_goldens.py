@@ -221,3 +221,90 @@ def test_jpeg_progressive_spec_vector_two_blocks_four_scans():
     assert (w, h, ch) == (16, 8, 1)
     assert np.all(px[:, :8, 0] == 129), px[:, :8, 0]
     assert np.all(px[:, 8:, 0] == 130), px[:, 8:, 0]
+
+
+def test_bmp_rle8_spec_vector_msdn_worked_example():
+    """The documented BI_RLE8 worked example (the public BMP
+    compression reference that ships with the BITMAPINFOHEADER docs),
+    assembled BYTE BY BYTE in the test: encoded runs, absolute mode
+    with its 16-bit padding byte, a (+5,+1) delta whose skipped pixels
+    read index 0, end-of-line, and end-of-bitmap.  No module encoder
+    involved — this pins the r12 RLE decoder to the written format."""
+    from akvorado_spark.operators.png import bmp_decode
+
+    rle = bytes([
+        0x03, 0x04,                          # run: 04 04 04
+        0x05, 0x06,                          # run: 06 x5
+        0x00, 0x03, 0x45, 0x56, 0x67, 0x00,  # absolute 45 56 67 + pad
+        0x02, 0x78,                          # run: 78 78
+        0x00, 0x02, 0x05, 0x01,              # delta: right 5, up 1
+        0x02, 0x78,                          # run: 78 78
+        0x00, 0x00,                          # end of line
+        0x09, 0x1E,                          # run: 1E x9
+        0x00, 0x01,                          # end of bitmap
+    ])
+    w, h = 20, 3
+    pal = bytes()
+    for i in range(256):  # file order BGRX
+        pal += bytes([(3 * i) % 256, (2 * i) % 256, i % 256, 0])
+    pix_off = 14 + 40 + len(pal)
+    blob = (
+        b"BM" + struct.pack("<IHHI", pix_off + len(rle), 0, 0, pix_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,  # BI_RLE8
+                      len(rle), 0, 0, 256, 0)
+        + pal + rle
+    )
+    dw, dh, ch, got = bmp_decode(blob)
+    assert (dw, dh, ch) == (w, h, 3)
+    # file rows are bottom-up; expand the walkthrough by hand
+    row0 = [4] * 3 + [6] * 5 + [0x45, 0x56, 0x67, 0x78, 0x78] + [0] * 7
+    row1 = [0] * 18 + [0x78, 0x78]
+    row2 = [0x1E] * 9 + [0] * 11
+    exp_idx = np.array([row2, row1, row0], dtype=np.int64)  # top-down
+    pal_rgb = np.array(
+        [[i % 256, (2 * i) % 256, (3 * i) % 256] for i in range(256)],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, pal_rgb[exp_idx])
+
+
+def test_tiff_tiled_spec_vector_single_padded_tile():
+    """A tiled TIFF assembled by hand per spec §15: TileWidth and
+    TileLength are 16 (the spec's required multiple), so a 6x4 image
+    is ONE 16x16 tile whose right/bottom padding must be cropped.  The
+    padding bytes are deliberately non-zero (0xEE) — a decoder that
+    reads tile rows at the image width instead of the tile width, or
+    forgets to crop, cannot return the expected pixels.  Little-endian
+    header, uncompressed, 8-bit BlackIsZero gray; no module encoder
+    involved."""
+    from akvorado_spark.operators.tiff import tiff_decode
+
+    w, h, tw, tl = 6, 4, 16, 16
+    img = np.array(
+        [[(13 * y + 7 * x + 5) % 256 for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    tile = np.full((tl, tw), 0xEE, dtype=np.uint8)
+    tile[:h, :w] = img
+    # layout: 8-byte header | IFD | tile data
+    n_tags = 10
+    ifd_off = 8
+    tile_off = ifd_off + 2 + n_tags * 12 + 4
+    def tag(code, typ, count, value):
+        return struct.pack("<HHII", code, typ, count, value)
+    ifd = struct.pack("<H", n_tags)
+    ifd += tag(256, 3, 1, w)        # ImageWidth  (SHORT)
+    ifd += tag(257, 3, 1, h)        # ImageLength
+    ifd += tag(258, 3, 1, 8)        # BitsPerSample
+    ifd += tag(259, 3, 1, 1)        # Compression = none
+    ifd += tag(262, 3, 1, 1)        # Photometric = BlackIsZero
+    ifd += tag(277, 3, 1, 1)        # SamplesPerPixel
+    ifd += tag(322, 3, 1, tw)       # TileWidth
+    ifd += tag(323, 3, 1, tl)       # TileLength
+    ifd += tag(324, 4, 1, tile_off) # TileOffsets
+    ifd += tag(325, 4, 1, tw * tl)  # TileByteCounts
+    ifd += struct.pack("<I", 0)     # next IFD
+    blob = b"II" + struct.pack("<HI", 42, ifd_off) + ifd + tile.tobytes()
+    dw, dh, ch, got = tiff_decode(blob)
+    assert (dw, dh, ch) == (w, h, 1)
+    assert np.array_equal(got[:, :, 0], img)
