@@ -138,6 +138,64 @@ def test_gif_pillow_to_ours():
     assert np.array_equal(got[:, :, :3], ref)
 
 
+
+
+def test_gif_animation_ours_to_pillow():
+    """Our animated fixtures through Pillow's frame seek: per-frame
+    composition (disposal methods, compositing transparency) must agree
+    with gif_decode_frames.  Pillow composes on seek since 5.x."""
+    from akvorado_spark.operators.gif import gif_decode_frames, gif_encode_frames
+
+    i = np.arange(256)
+    pal = np.stack([i, (2 * i) % 256, (3 * i) % 256], axis=1).astype(np.uint8)
+    f0 = (np.arange(30).reshape(5, 6) % 254)
+    f1 = np.where(np.indices((3, 4)).sum(axis=0) % 2 == 0, 255,
+                  (np.arange(12).reshape(3, 4) * 7) % 254)
+    f2 = ((np.arange(6) * 11) % 254).reshape(1, 6)
+    for disposal in (1, 2, 3):
+        blob = gif_encode_frames(
+            (6, 5), pal,
+            [dict(idx=f0, disposal=1),
+             dict(idx=f1, left=1, top=1, disposal=disposal, transparent=255),
+             dict(idx=f2, disposal=0)],
+            bg_index=9,
+        )
+        _, _, ours = gif_decode_frames(blob)
+        img = PIL_Image.open(io.BytesIO(blob))
+        assert img.n_frames == 3
+        for fi in range(3):
+            img.seek(fi)
+            theirs = np.asarray(img.convert("RGB"))
+            # frame 0 is always identical; later frames may differ ONLY
+            # where a disposal-2 gap shows the background: Pillow renders
+            # such pixels transparent/black, the classic-spec reading
+            # fills the background color.  Compare on the drawn region.
+            drawn = np.asarray(img.convert("RGBA"))[:, :, 3] == 255
+            assert np.array_equal(ours[fi][drawn], theirs[drawn]), (disposal, fi)
+
+
+def test_gif_animation_pillow_to_ours():
+    """A Pillow-authored animation through gif_decode_frames: frame
+    pixels must match Pillow's own composed decode on fully-opaque
+    frames (no disposal-gap ambiguity)."""
+    from akvorado_spark.operators.gif import gif_decode_frames, gif_frame_count
+
+    rng = np.random.default_rng(11)
+    colors = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [PIL_Image.fromarray(colors[rng.integers(0, 8, (6, 7))])
+              for _ in range(3)]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True,
+                   append_images=frames[1:], disposal=1, loop=0)
+    blob = buf.getvalue()
+    assert gif_frame_count(blob) == 3
+    _, _, ours = gif_decode_frames(blob)
+    img = PIL_Image.open(io.BytesIO(blob))
+    for fi in range(3):
+        img.seek(fi)
+        assert np.array_equal(ours[fi], np.asarray(img.convert("RGB"))), fi
+
+
 # ---------------------------------------------------------------------------
 # BMP
 
