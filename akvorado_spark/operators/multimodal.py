@@ -2,13 +2,17 @@
 typed metadata, processed with Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing)
-is real and tested.  Image decode is REAL for PNG, baseline JPEG and
-lossless WebP (VP8L) via the pure-stdlib codecs in ``operators/png.py``
-/ ``jpeg.py`` / ``vp8l.py`` (no Pillow in this container); other
-formats fall back to PIL when present, else raise — and
-``decode_image(..., fake=True)`` substitutes a deterministic synthetic
-decode so the pipeline shape stays executable anywhere.  Audio/video
-decode remain stubbed (no codecs in the container).
+is real and tested.  Image decode is REAL for PNG, baseline AND
+progressive JPEG, GIF (stills and, via :func:`animation_features`,
+full disposal-composed animations), BMP, baseline TIFF and lossless
+WebP (VP8L) via the pure-stdlib codecs in ``operators/png.py`` /
+``jpeg.py`` / ``gif.py`` / ``tiff.py`` / ``vp8l.py`` (no Pillow in
+this container); other formats fall back to PIL when present, else
+raise — and ``decode_image(..., fake=True)`` substitutes a
+deterministic synthetic decode so the pipeline shape stays executable
+anywhere.  PCM WAV audio decodes natively (``operators/wav.py``);
+compressed audio gets header metadata and video decode remains
+stubbed (no codecs in the container).
 
 At 100 TB: media bytes dominate row size, so these operators
 repartition by byte budget (``target_rows_per_batch``) before the
@@ -48,11 +52,11 @@ def decode_image(
 ) -> DataFrame:
     """media binary → (id, width, height, channels, format).
 
-    Real decode: PNG via the pure-stdlib codec (``operators/png.py``);
-    other formats via PIL when importable, else ``NotImplementedError``.
-    ``fake=True`` derives deterministic dimensions from the first bytes
-    — keeping schema, batching, and partition shape real without any
-    decodable media.
+    Native header metadata for PNG, JPEG, GIF, BMP, TIFF and WebP via
+    the pure-stdlib parsers; unknown containers go through PIL when
+    importable, else ``NotImplementedError``.  ``fake=True`` derives
+    deterministic dimensions from the first bytes — keeping schema,
+    batching, and partition shape real without any decodable media.
 
     Channel counts are HEADER-derived, O(1) per blob.  For lossless
     WebP that means the VP8L alpha-HINT bit: a foreign encoder may set
@@ -157,8 +161,9 @@ def decode_image(
                     except ImportError as e:
                         raise NotImplementedError(
                             "unknown image container needs Pillow/libvips; "
-                            "not in this container — PNG, baseline JPEG, "
-                            "GIF, BMP and lossless WebP decode natively "
+                            "not in this container — PNG, JPEG (baseline + "
+                            "progressive), GIF, BMP and lossless WebP decode "
+                            "natively "
                             "(operators/png.py, jpeg.py, gif.py, vp8l.py), "
                             "or pass fake=True for the deterministic stub"
                         ) from e
@@ -234,8 +239,8 @@ def image_features(
                     else:
                         raise ValueError(
                             "image_features: unsupported image container "
-                            "(PNG, baseline JPEG, GIF, BMP and lossless "
-                            "WebP decode natively)"
+                            "(PNG, JPEG incl. progressive, GIF, BMP, TIFF and "
+                            "lossless WebP decode natively)"
                         )
                 if resize_to is not None:
                     px = resize_nearest(px, *resize_to)

@@ -177,6 +177,13 @@ def test_animated_gif_decodes_first_frame_only():
     assert (w, h, ch) == (2, 2, 3)
     assert (got == [255, 0, 0]).all()  # frame 1 (red), frame 2 untouched
     assert gif_meta(blob) == (2, 2, 3)
+    # the animation API sees BOTH frames of the same blob (r13)
+    from akvorado_spark.operators.gif import gif_decode_frames, gif_frame_count
+
+    assert gif_frame_count(blob) == 2
+    _, _, frames = gif_decode_frames(blob)
+    assert len(frames) == 2
+    assert (frames[0] == [255, 0, 0]).all() and (frames[1] == [0, 0, 255]).all()
 
 
 def test_truncated_gce_meta_agrees_with_decode():
