@@ -356,6 +356,84 @@ def tfidf_topk_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for one query (Robertson–Walker BM25
+    with the always-positive ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf
+    — the Lucene variant), the standard lexical-retrieval scorer for a
+    RAG corpus.
+
+    Output: (id, matched_terms BIGINT, bm25_micro BIGINT) for every
+    document containing ≥1 query term.  Numeric discipline follows the
+    perplexity precedent: each (doc, term) contribution is rounded to
+    MICRO-units (``round(x·1e6)`` BIGINT) *before* the per-document
+    sum, so the gated score is an order-independent integer with no
+    float-summation-order hazard across engines or partitionings.
+
+    Plan shape at 100 TB: tokens are filtered to the query terms
+    INSIDE the array (``F.filter`` + ``array_contains``) before the
+    explode, so the exploded stream carries only query-term hits — the
+    (doc, term) aggregate shuffles hit volume, never token volume.
+    Corpus scalars (N, total tokens) ride a broadcast 1-row frame
+    (scalar-subquery pattern) and per-term document frequencies a
+    broadcast |query|-row frame; the only corpus-sized shuffle is the
+    final per-document sum over hits.
+    """
+    ws = words(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("__id"), ws.alias("__ws"), F.size(ws).alias("__dl")
+    )
+    # corpus scalars: document count + total token count (avgdl = tot/N)
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__tot_toks"),
+    )
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        toks.select(
+            "__id",
+            "__dl",
+            F.explode(
+                F.filter(F.col("__ws"), lambda w: F.array_contains(qarr, w))
+            ).alias("term"),
+        )
+        .groupBy("__id", "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    joined = tf.join(F.broadcast(docfreq), "term").join(F.broadcast(totals))
+    # the idf/tf-saturation expression — parenthesized EXACTLY as the
+    # DuckDB oracle writes it, so both engines evaluate the same IEEE
+    # double before the micro rounding
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * (F.col("__dl") * F.col("__n_docs") / F.col("__tot_toks"))
+    )
+    contrib = F.round(
+        ((idf * (F.lit(k1 + 1.0) * F.col("tf"))) / denom) * F.lit(1e6), 0
+    ).cast("long")
+    return (
+        joined.select("__id", contrib.alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.sum("__c").alias("bm25_micro"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (training-data redaction)
 # ---------------------------------------------------------------------------

@@ -156,6 +156,65 @@ FROM ranked WHERE term_rank <= {_TFIDF_K}
 """
 
 
+# the BM25 demo query: common corpus terms with distinct document
+# frequencies so the idf spread is real; r13 member
+_BM25_TERMS = ("hash", "join", "scan", "merge", "column")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_member(spark, sf_dir):
+    from akvorado_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, "documents", sf_dir, spread=True).select(
+        "doc_id", "text"
+    )
+    return bm25_scores(
+        docs, "text", "doc_id", list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_oracle() -> str:
+    """DuckDB replay of the whole BM25 pipeline with the SAME
+    parenthesization as ``operators/text.bm25_scores`` — per-(doc,term)
+    contributions micro-rounded BEFORE the per-document sum (the
+    perplexity precedent), so the gate compares integers."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, one_minus_b, b, k1p1 = (
+        repr(_BM25_K1), repr(1.0 - _BM25_B), repr(_BM25_B), repr(_BM25_K1 + 1.0)
+    )
+    return f"""
+WITH lens AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+  FROM documents
+),
+dl AS (SELECT doc_id, len(ws) AS dl FROM lens),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_toks FROM dl),
+tf AS (
+  SELECT l.doc_id, t.word AS term, COUNT(*) AS tf
+  FROM lens l, UNNEST(l.ws) AS t(word)
+  WHERE t.word IN ({terms})
+  GROUP BY 1, 2
+),
+docfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(((LN(1.0 + (totals.n_docs - docfreq.doc_freq + 0.5)
+                              / (docfreq.doc_freq + 0.5))
+                      * ({k1p1} * tf.tf))
+                     / (tf.tf + {k1} * ({one_minus_b}
+                        + {b} * (dl.dl * totals.n_docs / totals.tot_toks))))
+                    * 1e6) AS BIGINT) AS c
+  FROM tf
+  JOIN docfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN totals
+)
+SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS BIGINT) AS bm25_micro
+FROM contrib GROUP BY doc_id
+"""
+
+
 def _vocab_suite(spark, sf_dir):
     zl = F.lit(0).cast("long")
     bpe = _bpe_member(spark, sf_dir).select(
@@ -174,7 +233,15 @@ def _vocab_suite(spark, sf_dir):
         F.col("tf").cast("long").alias("v1"),
         F.col("w_micro").cast("long").alias("v2"),
     )
-    return bpe.unionByName(tfidf).orderBy("member", "k1", "k2")
+    bm25 = _bm25_member(spark, sf_dir).select(
+        F.lit("bm25").alias("member"),
+        F.col("doc_id").cast("long").alias("k1"),
+        zl.alias("k2"),
+        F.lit("").alias("s"),
+        F.col("matched_terms").cast("long").alias("v1"),
+        F.col("bm25_micro").cast("long").alias("v2"),
+    )
+    return bpe.unionByName(tfidf).unionByName(bm25).orderBy("member", "k1", "k2")
 
 
 def _vocab_suite_oracle() -> str:
@@ -185,6 +252,9 @@ FROM ({_bpe_oracle()})
 UNION ALL
 SELECT 'tfidf', doc_id, term_rank, term, tf, w_micro
 FROM ({_TFIDF_ORACLE})
+UNION ALL
+SELECT 'bm25', doc_id, CAST(0 AS BIGINT), '', matched_terms, bm25_micro
+FROM ({_bm25_oracle()})
 ORDER BY member, k1, k2
 """
 

@@ -368,3 +368,29 @@ def test_animation_features_agrees_with_frame_sample_plan(spark):
             spark.createDataFrame([(9, bytearray(b"nope"))],
                                   "doc_id long, media binary")
         ).collect()
+
+
+@settings(max_examples=40, deadline=None)
+@given(pos=st.integers(13, 300), bit=st.integers(0, 7), seed=st.integers(0, 99))
+def test_animation_bitflip_never_hangs_or_crashes_unsafely(pos, bit, seed):
+    """The animation composer under single-bit corruption: every frame
+    either composes with the screen shape or the decode raises
+    ValueError — never an IndexError/numpy crash/unbounded loop (the
+    hostile-corpus contract the still-image fuzzes already pin)."""
+    from akvorado_spark.operators.gif import gif_decode_frames, gif_frame_count
+
+    blob, _, sw, sh = _three_frame_blob(seed % 4)
+    blob = bytearray(blob)
+    if pos >= len(blob):
+        pos = len(blob) - 1
+    blob[pos] ^= 1 << bit
+    try:
+        w, h, frames = gif_decode_frames(bytes(blob), max_frames=8)
+        for f in frames:
+            assert f.shape == (h, w, 3)
+    except (ValueError, NotImplementedError):
+        pass
+    try:
+        assert 0 <= gif_frame_count(bytes(blob)) <= 3
+    except ValueError:
+        pass

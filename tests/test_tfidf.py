@@ -100,3 +100,50 @@ def test_tfidf_precomputed_stats_path(spark, docs):
     a = tfidf_topk_terms(docs, "text", "doc_id", k=2, stats=stats)
     b = tfidf_topk_terms(docs, "text", "doc_id", k=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bm25_hand_computed_small_corpus(spark):
+    """Three documents, two query terms, all BM25 inputs small enough
+    to replicate by hand in numpy — pins idf form, tf saturation, the
+    length normalization, and the micro-rounded order-independent sum."""
+    import math
+
+    from akvorado_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "hash join hash hash"),          # dl=4, tf(hash)=3, tf(join)=1
+        (2, "scan scan filter"),             # dl=3, no query terms
+        (3, "join of the century"),          # dl=4, tf(join)=1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_scores(
+        df, "text", "doc_id", ["hash", "join"]).collect()}
+    assert set(got) == {1, 3}
+
+    n_docs, tot = 3, 11
+    def contrib(tf, dfreq, dl, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        denom = tf + k1 * ((1.0 - b) + b * (dl * n_docs / tot))
+        return round(((idf * ((k1 + 1.0) * tf)) / denom) * 1e6)
+
+    assert got[1]["matched_terms"] == 2
+    assert got[1]["bm25_micro"] == contrib(3, 1, 4) + contrib(1, 2, 4)
+    assert got[3]["matched_terms"] == 1
+    assert got[3]["bm25_micro"] == contrib(1, 2, 4)
+    # rarer term (df=1) must out-weigh the common one at equal tf/dl
+    assert contrib(1, 1, 4) > contrib(1, 2, 4)
+
+
+def test_bm25_plan_keeps_token_stream_narrow(spark):
+    """The explode runs on the query-filtered array: the plan contains
+    no per-token shuffle — only the hit aggregate, the tiny docfreq
+    aggregate, broadcast joins, and the final per-doc sum."""
+    from akvorado_spark.operators.text import bm25_scores
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('hash join word', id) AS text"
+    )
+    plan = bm25_scores(df, "text", "doc_id", ["hash", "join"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
