@@ -369,8 +369,12 @@ def bm25_scores(
     — the Lucene variant), the standard lexical-retrieval scorer for a
     RAG corpus.
 
-    Output: (id, matched_terms BIGINT, bm25_micro BIGINT) for every
-    document containing ≥1 query term.  Numeric discipline follows the
+    Output: (id, matched_terms BIGINT, qtf BIGINT, bm25_micro BIGINT)
+    for every document containing ≥1 query term — ``qtf`` (total
+    query-term occurrences) rides along for free from the same hits
+    aggregate, so a fusion consumer (:func:`rrf_fuse`) can rank on the
+    uncalibrated lexical count without a second corpus scan.  Numeric
+    discipline follows the
     perplexity precedent: each (doc, term) contribution is rounded to
     MICRO-units (``round(x·1e6)`` BIGINT) *before* the per-document
     sum, so the gated score is an order-independent integer with no
@@ -424,11 +428,64 @@ def bm25_scores(
         ((idf * (F.lit(k1 + 1.0) * F.col("tf"))) / denom) * F.lit(1e6), 0
     ).cast("long")
     return (
-        joined.select("__id", contrib.alias("__c"))
+        joined.select("__id", "tf", contrib.alias("__c"))
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("matched_terms"),
+            F.sum("tf").alias("qtf"),
             F.sum("__c").alias("bm25_micro"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    top: int = 100,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack, Clarke & Buettcher 2009) of
+    multiple rankings — the standard hybrid-retrieval combiner (e.g.
+    lexical BM25 + dense ANN) because it needs no score calibration:
+    each list contributes ``1/(k + rank)`` per document.
+
+    ``rankings`` is a list of (frame, score_col) pairs; each frame is
+    truncated to its ``top`` rows by (score DESC, id ASC) — determinism
+    under ties — BEFORE ranks are assigned.  The truncation compiles to
+    ``TakeOrderedAndProject`` (per-partition top-n + one n-sized
+    merge), so no ranking ever global-sorts its corpus; the subsequent
+    rank window runs on a bounded ``top``-row frame, which is why the
+    single-partition window is NOT a scale hazard here (RRF is defined
+    on top lists — fusing full corpora is meaningless and this shape
+    forbids it by construction).
+
+    Output: (id, n_sources, rrf_micro) where rrf_micro is the sum of
+    ``round(1e6 / (k + rank))`` contributions — integers, so the fused
+    ordering is engine/partitioning-independent (same discipline as
+    ``bm25_scores``)."""
+    from pyspark.sql import Window
+
+    parts = []
+    for df, score_col in rankings:
+        capped = df.orderBy(F.desc(score_col), F.asc(id_col)).limit(top)
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            capped.withColumn("__r", F.row_number().over(w)).select(
+                F.col(id_col).alias("__id"),
+                F.round(F.lit(1e6) / (F.lit(k) + F.col("__r")), 0)
+                .cast("long")
+                .alias("__c"),
+            )
+        )
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    return (
+        fused.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("__c").alias("rrf_micro"),
         )
         .withColumnRenamed("__id", id_col)
     )

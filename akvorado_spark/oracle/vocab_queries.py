@@ -198,7 +198,7 @@ tf AS (
 ),
 docfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
 contrib AS (
-  SELECT tf.doc_id,
+  SELECT tf.doc_id, tf.tf,
          CAST(ROUND(((LN(1.0 + (totals.n_docs - docfreq.doc_freq + 0.5)
                               / (docfreq.doc_freq + 0.5))
                       * ({k1p1} * tf.tf))
@@ -210,7 +210,55 @@ contrib AS (
   JOIN dl USING (doc_id)
   CROSS JOIN totals
 )
-SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS BIGINT) AS bm25_micro
+SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(tf) AS BIGINT) AS qtf,
+       CAST(SUM(c) AS BIGINT) AS bm25_micro
+FROM contrib GROUP BY doc_id
+"""
+
+
+_RRF_TOP, _RRF_K = 50, 60
+
+
+def _rrf_member(spark, sf_dir, bm25=None):
+    """Hybrid fusion demo: the BM25 ranking fused with the raw
+    query-term-frequency ranking over the same query — the classic RRF
+    pairing (a calibrated scorer + an uncalibrated one) with no score
+    normalization needed.  Pass the suite's already-materialized bm25
+    frame to avoid re-deriving it."""
+    from akvorado_spark.operators.text import bm25_scores, rrf_fuse, words
+
+    docs = load_table(spark, "documents", sf_dir, spread=True).select(
+        "doc_id", "text"
+    )
+    if bm25 is None:
+        bm25 = bm25_scores(docs, "text", "doc_id", list(_BM25_TERMS),
+                           k1=_BM25_K1, b=_BM25_B)
+    # the uncalibrated ranking (raw query-term count) rides the SAME
+    # frame: bm25_scores emits qtf from its own hits aggregate, so the
+    # fusion costs zero extra corpus scans
+    return rrf_fuse(
+        [(bm25, "bm25_micro"), (bm25.select("doc_id", "qtf"), "qtf")],
+        id_col="doc_id", top=_RRF_TOP, k=_RRF_K,
+    )
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH bm AS ({_bm25_oracle()}),
+ra AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS r
+  FROM bm ORDER BY bm25_micro DESC, doc_id LIMIT {_RRF_TOP}
+),
+rb AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY qtf DESC, doc_id) AS r
+  FROM bm ORDER BY qtf DESC, doc_id LIMIT {_RRF_TOP}
+),
+contrib AS (
+  SELECT doc_id, CAST(ROUND(1e6 / ({_RRF_K} + r)) AS BIGINT) AS c FROM ra
+  UNION ALL
+  SELECT doc_id, CAST(ROUND(1e6 / ({_RRF_K} + r)) AS BIGINT) AS c FROM rb
+)
+SELECT doc_id, COUNT(*) AS n_sources, CAST(SUM(c) AS BIGINT) AS rrf_micro
 FROM contrib GROUP BY doc_id
 """
 
@@ -233,7 +281,11 @@ def _vocab_suite(spark, sf_dir):
         F.col("tf").cast("long").alias("v1"),
         F.col("w_micro").cast("long").alias("v2"),
     )
-    bm25 = _bm25_member(spark, sf_dir).select(
+    # materialize the (tiny) bm25 frame once: both the bm25 member and
+    # the rrf fusion consume it, and re-deriving would re-scan the
+    # corpus (same shared-source pattern as the multi-axis suites)
+    bm25_frame = _bm25_member(spark, sf_dir).localCheckpoint(eager=False)
+    bm25 = bm25_frame.select(
         F.lit("bm25").alias("member"),
         F.col("doc_id").cast("long").alias("k1"),
         zl.alias("k2"),
@@ -241,7 +293,18 @@ def _vocab_suite(spark, sf_dir):
         F.col("matched_terms").cast("long").alias("v1"),
         F.col("bm25_micro").cast("long").alias("v2"),
     )
-    return bpe.unionByName(tfidf).unionByName(bm25).orderBy("member", "k1", "k2")
+    rrf = _rrf_member(spark, sf_dir, bm25=bm25_frame).select(
+        F.lit("rrf").alias("member"),
+        F.col("doc_id").cast("long").alias("k1"),
+        zl.alias("k2"),
+        F.lit("").alias("s"),
+        F.col("n_sources").cast("long").alias("v1"),
+        F.col("rrf_micro").cast("long").alias("v2"),
+    )
+    return (
+        bpe.unionByName(tfidf).unionByName(bm25).unionByName(rrf)
+        .orderBy("member", "k1", "k2")
+    )
 
 
 def _vocab_suite_oracle() -> str:
@@ -255,6 +318,9 @@ FROM ({_TFIDF_ORACLE})
 UNION ALL
 SELECT 'bm25', doc_id, CAST(0 AS BIGINT), '', matched_terms, bm25_micro
 FROM ({_bm25_oracle()})
+UNION ALL
+SELECT 'rrf', doc_id, CAST(0 AS BIGINT), '', n_sources, rrf_micro
+FROM ({_rrf_oracle()})
 ORDER BY member, k1, k2
 """
 

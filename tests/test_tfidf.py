@@ -147,3 +147,35 @@ def test_bm25_plan_keeps_token_stream_narrow(spark):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two tiny rankings with a tie: contributions are round(1e6/(k+r))
+    with rank ties broken by id, and a doc present in both lists sums
+    both contributions."""
+    a = spark.createDataFrame(
+        [(1, 900), (2, 500), (3, 500)], "doc_id long, s long"
+    )
+    bfr = spark.createDataFrame([(3, 70), (9, 60)], "doc_id long, s long")
+    from akvorado_spark.operators.text import rrf_fuse
+
+    got = {r["doc_id"]: r for r in rrf_fuse(
+        [(a, "s"), (bfr, "s")], top=2, k=60).collect()}
+    # list a truncated to top-2: ranks 1->doc1, 2->doc2 (tie 500/500
+    # broken by id: doc2 before doc3, doc3 dropped by the cap)
+    c = lambda r: round(1e6 / (60 + r))
+    assert got[1]["rrf_micro"] == c(1) and got[1]["n_sources"] == 1
+    assert got[2]["rrf_micro"] == c(2)
+    assert 3 in got and got[3]["rrf_micro"] == c(1) and got[3]["n_sources"] == 1
+    assert got[9]["rrf_micro"] == c(2)
+
+
+def test_rrf_fuse_caps_compile_to_take_ordered(spark):
+    """The per-ranking truncation must be TakeOrderedAndProject — no
+    ranking global-sorts its corpus before the cap."""
+    from akvorado_spark.operators.text import rrf_fuse
+
+    df = spark.range(10_000).selectExpr("id AS doc_id", "id % 97 AS s")
+    plan = rrf_fuse([(df, "s"), (df, "s")], top=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
