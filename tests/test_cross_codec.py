@@ -108,7 +108,7 @@ def _png_matrix(seed):
         want = px if px.ndim == 3 else px[:, :, None]
         assert (dw, dh, dch) == (w, h, want.shape[2]), blob_name
         assert np.array_equal(got, want), blob_name
-        assert png_meta(blob)[:2] == (w, h), blob_name
+        assert png_meta(blob) == (dw, dh, dch), blob_name
     # sub-byte gray: the decoder scales to 0..255 by the exact factor
     for depth in (1, 2, 4):
         vals = _seeded((h, w), seed * 7 + depth) % (1 << depth)
@@ -118,6 +118,8 @@ def _png_matrix(seed):
 
 
 def _tiff_matrix(seed):
+    from akvorado_spark.operators.tiff import tiff_meta
+
     h, w = 6 + seed % 2, 9 - seed % 3
     imgs = {
         "g8": _seeded((h, w), seed), "g16": _seeded((h, w), seed + 1, np.uint16),
@@ -137,12 +139,16 @@ def _tiff_matrix(seed):
                         tag = (name, be, comp, pred, tuple(layout))
                         assert (dw, dh, dch) == (w, h, want.shape[2]), tag
                         assert np.array_equal(got, want), tag
+                        # meta walk agrees with pixel decode everywhere
+                        assert tiff_meta(blob) == (dw, dh, dch), tag
         if name.startswith("g"):
             blob = tiff_encode(px, white_is_zero=True, compression="lzw")
             assert np.array_equal(tiff_decode(blob)[3], want), name
 
 
 def _bmp_matrix(seed):
+    from akvorado_spark.operators.png import bmp_meta
+
     h, w = 5 + seed % 3, 8 - seed % 2
     rng = np.random.default_rng(seed + 40)
     for bits, ncol in ((1, 2), (4, 16), (8, 200)):
@@ -157,15 +163,20 @@ def _bmp_matrix(seed):
             blob = bmp_encode(px, bits, **kw)
             dw, dh, dch, got = bmp_decode(blob)
             assert (dw, dh) == (w, h) and np.array_equal(got[:, :, :3], px), (bits, kw)
+            assert bmp_meta(blob) == (dw, dh, dch), (bits, kw)
     for bits in (24, 32):
         px = _seeded((h, w, 3), seed + bits)
         for td in (False, True):
             blob = bmp_encode(px, bits, top_down=td)
-            got = bmp_decode(blob)[3]
+            dw, dh, dch, got = bmp_decode(blob)
             assert np.array_equal(got[:, :, :3], px), (bits, td)
+            # fixture 32-bit writes alpha=255, so header claim == decode
+            assert bmp_meta(blob) == (dw, dh, dch), (bits, td)
 
 
 def _gif_matrix(seed):
+    from akvorado_spark.operators.gif import gif_meta
+
     h, w = 4 + seed % 3, 6 + seed % 4
     rng = np.random.default_rng(seed + 60)
     for ncol in (2, 4, 16, 256):
@@ -177,17 +188,24 @@ def _gif_matrix(seed):
             dw, dh, dch, got = gif_decode(blob)
             assert (dw, dh, dch) == (w, h, 3), (ncol, interlace)
             assert np.array_equal(got, px), (ncol, interlace)
+            assert gif_meta(blob) == (dw, dh, dch), (ncol, interlace)
 
 
 def _vp8l_matrix(seed):
     h, w = 4 + seed % 2, 5 + seed % 3
     px = _seeded((h, w, 3), seed + 80)
+    from akvorado_spark.operators.png import webp_meta
+
     for kw in (dict(), dict(subtract_green=True), dict(cache_bits=3),
                dict(lz77=True), dict(predictor_mode=2),
                dict(color_transform=(3, 2, 1))):
         blob = vp8l_encode_lossless(px, **kw)
         dw, dh, dch, got = vp8l_decode(blob)
         assert (dw, dh) == (w, h) and np.array_equal(got[:, :, :3], px), kw
+        # dims always agree; channels may legally diverge on the
+        # alpha-HINT bit (documented in decode_image), so only bound it
+        mw, mh, mch = webp_meta(blob)
+        assert (mw, mh) == (dw, dh) and mch in (3, 4), kw
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
