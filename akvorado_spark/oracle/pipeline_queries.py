@@ -1799,18 +1799,17 @@ def _multimodal_meta(spark, sf_dir):
     # every disposal method — F0 full-screen (keep), F1 a partial rect
     # with checkerboard transparency disposing to background (even
     # docs) or to the previous canvas (odd docs), F2 a top-row strip.
-    # gif_decode_frames composes per GIF89a §23 and the gated value is
-    # the integer pixel sum over ALL composed frames, which DuckDB
-    # replays with pure CASE arithmetic (GIF is lossless, the palette
-    # map g(i) = 7i%256 + 13i%256 + 3i%256 is a formula).
-    def run_gif_anim(batches: Iterator) -> Iterator:
+    # The gated path is the PRODUCTION operator chain: an encode stage
+    # materializes media blobs, `animation_features` (mapInPandas)
+    # composes per GIF89a §23 and emits per-frame integer pixel sums,
+    # and the member aggregates them per doc — a value DuckDB replays
+    # with pure CASE arithmetic (GIF is lossless, the palette map
+    # g(i) = 7i%256 + 13i%256 + 3i%256 is a formula).
+    def run_gif_anim_encode(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
-        from akvorado_spark.operators.gif import (
-            gif_decode_frames,
-            gif_encode_frames,
-        )
+        from akvorado_spark.operators.gif import gif_encode_frames
 
         i = np.arange(256)
         pal = np.stack([(7 * i) % 256, (13 * i) % 256, (3 * i) % 256],
@@ -1840,22 +1839,32 @@ def _multimodal_meta(spark, sf_dir):
                     ],
                     bg_index=(d * 3) % 256,
                 )
-                ww, hh, frames = gif_decode_frames(blob)
-                if len(frames) != 3:
-                    raise ValueError(
-                        f"animated fixture decoded {len(frames)} frames"
-                    )
-                s = sum(int(f.astype(np.int64).sum()) for f in frames)
-                rows.append(("gif_anim", d, ww, hh, 3, "GIF", s))
-            yield pd.DataFrame(
-                rows,
-                columns=["variant", "doc_id", "width", "height",
-                         "channels", "format", "pix_sum"],
-            )
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
 
-    gif_anim = docs.select("doc_id").mapInPandas(
-        run_gif_anim, "variant string, doc_id long, width int, height int, "
-        "channels int, format string, pix_sum long"
+    from akvorado_spark.operators.multimodal import animation_features
+
+    anim_media = docs.select("doc_id").mapInPandas(
+        run_gif_anim_encode, "doc_id long, media binary"
+    )
+    gif_anim = (
+        animation_features(anim_media)
+        .groupBy("doc_id", "width", "height")
+        .agg(
+            F.max("n_frames").alias("__nf"),
+            F.sum("px_sum").alias("pix_sum"),
+        )
+        .select(
+            F.lit("gif_anim").alias("variant"),
+            "doc_id",
+            "width",
+            "height",
+            # the member pins the frame COUNT through the channels
+            # column budget: 3 frames ⇒ 3 (the suite schema is fixed)
+            F.col("__nf").cast("int").alias("channels"),
+            F.lit("GIF").alias("format"),
+            F.col("pix_sum").cast("long").alias("pix_sum"),
+        )
     )
 
     # REAL BMP variant (r11): depth rotation 8-bit-palette / 32-bit /
