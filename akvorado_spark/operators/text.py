@@ -466,6 +466,10 @@ def rrf_fuse(
     ``bm25_scores``)."""
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if top <= 0 or k < 0:
+        raise ValueError(f"rrf_fuse needs top >= 1 and k >= 0, got {top}/{k}")
     parts = []
     for df, score_col in rankings:
         capped = df.orderBy(F.desc(score_col), F.asc(id_col)).limit(top)
