@@ -612,6 +612,27 @@ def suggest_cells(n_vectors: int, target_cluster: int = 256) -> int:
     return max(4, math.ceil(n_vectors / target_cluster))
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "__cell",
+    sim_col: str = "__csim",
+) -> DataFrame:
+    """Single-level coarse quantization: broadcast the k×dim centroid
+    set, score every (row, centroid) pair, arg-max per row.  Returns
+    vectors + ``out_col`` (winning c_id) + ``sim_col`` (rounded cosine
+    to it).  The two-level variant is :func:`assign_cells_two_level`."""
+    keys = list(vectors.columns)
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", F.round(cosine(F.col(vec_col), F.col("c_vec")), 6)
+    )
+    return scored.groupBy(*keys).agg(
+        F.expr("max_by(c_id, struct(__sim, -c_id))").alias(out_col),
+        F.max("__sim").alias(sim_col),
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -644,27 +665,29 @@ def semdedup(
     keyed join) — the 100×-scale path where k itself grows with the
     corpus and a k×dim broadcast / N×k crossJoin no longer holds.
     """
-    keys = list(vectors.columns)
     if two_level:
         supers, children = split_centroids(centroids, n_super=n_super)
         assigned = assign_cells_two_level(
             vectors, supers, children, vec_col=vec_col
         )
     else:
-        scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-            "__sim", F.round(cosine(F.col(vec_col), F.col("c_vec")), 6)
-        )
-        assigned = scored.groupBy(*keys).agg(
-            F.expr("max_by(c_id, struct(__sim, -c_id))").alias("__cell"),
-            F.max("__sim").alias("__csim"),
-        )
+        assigned = assign_cells(vectors, centroids, vec_col=vec_col)
     # norms are per-vector: fold them ONCE before the pair join — the
     # higher-order-function folds are interpreted (not codegen), so a
     # cosine() per pair costs THREE array folds on every intra-cluster
     # pair (measured on the 10x corpus: 117 s vs ~2 s after the fix);
     # the fold expression is identical, so the rounded doubles don't
-    # move and the oracle gate stays bit-exact
-    withn = assigned.withColumn("__n", norm(F.col(vec_col)))
+    # move and the oracle gate stays bit-exact.
+    # localCheckpoint: the assignment subtree (N×k cosine crossJoin +
+    # argmax, or the two-level probe) otherwise re-executes for each of
+    # its three consumers — both sides of the intra-cell pair join and
+    # the final kept/dropped join (the r13 before-plan shows the
+    # crossJoin 26× with zero ReusedExchange).  Materializing N rows
+    # once replaces three full assignment passes at any corpus size.
+    withn = assigned.withColumn("__n", norm(F.col(vec_col))).localCheckpoint(
+        eager=False
+    )
+    assigned = withn.drop("__n")
     b = withn.select(
         F.col(id_col).alias("__bid"),
         F.col(vec_col).alias("__bvec"),

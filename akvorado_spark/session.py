@@ -43,6 +43,19 @@ def get_spark(app_name: str = "akvorado_spark", cpus: int | None = None) -> Spar
             os.environ.get("SPARK_GRAFT_ADVISORY_PART", "4m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (per-partition build side fits memory):
+        # the engine's equi-joins are cell-/key-grouped frames whose
+        # sort adds nothing downstream (no later merge relies on the
+        # order), so skipping both sorts is a pure win.  AQE's runtime
+        # SMJ→SHJ rewrite is enabled alongside for plans whose sizes
+        # are only known post-shuffle.  Both are size-gated, so a
+        # genuinely huge build partition still falls back to SMJ.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -220,8 +220,14 @@ def test_connected_components_round_is_one_join_one_agg(spark):
 def test_semdedup_broadcasts_centroids(spark):
     """semdedup's centroid assignment must broadcast the centroid set
     (k x dim — tiny), and the intra-cluster pair join keys on the
-    cluster id: no cartesian product over the corpus."""
-    from akvorado_spark.operators.similarity import semdedup
+    cluster id: no cartesian product over the corpus.
+
+    r13: semdedup materializes the assignment once (localCheckpoint) so
+    the crossJoin subtree no longer appears in the *final* plan — the
+    assignment shape is asserted on :func:`assign_cells` directly, and
+    the full semdedup plan must read the checkpointed assignment
+    (Scan ExistingRDD) instead of re-deriving it per consumer."""
+    from akvorado_spark.operators.similarity import assign_cells, semdedup
 
     vecs = spark.createDataFrame(
         [(i, [float(i % 7), float(i % 5)]) for i in range(200)],
@@ -230,9 +236,14 @@ def test_semdedup_broadcasts_centroids(spark):
     cents = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "c_id int, c_vec array<double>"
     )
+    pa = plan(assign_cells(vecs, cents))
+    assert "BroadcastNestedLoopJoin" in pa  # centroid cross join, broadcast side
+    assert "CartesianProduct" not in pa
     p = plan(semdedup(vecs, cents, 0.8))
-    assert "BroadcastNestedLoopJoin" in p  # centroid cross join, broadcast side
     assert "CartesianProduct" not in p
+    # the three assignment consumers read the one materialized pass
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_span_removal_single_window_shuffle(spark):
