@@ -21,7 +21,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from akvorado_spark.functions.memo import LruMemo
+
 END = "</w>"  # end-of-word marker, merged like any other symbol
+
+# finished Column trees keyed by (kind, operand text[, merge pair]):
+# each higher-order-function construction costs ~50-350 ms of py4j
+# round trips (r13 measurement: 16 _merge_expr builds = 5.8 s of the
+# vocab_suite build), while the finished expression is immutable and
+# the deterministic trainer re-derives the same merges every
+# invocation, so the keys recur
+_EXPR_MEMO = LruMemo(maxsize=256)
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -41,43 +51,52 @@ def _char_symbols(word):
     The empty-word branch is explicit: Spark's ``sequence(1, 0)``
     DESCENDS to [1, 0] instead of returning [], which would fabricate
     two empty symbols for a zero-length word."""
-    chars = F.when(
-        F.length(word) > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.length(word)),
-            lambda i: word.substr(i, F.lit(1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(chars, F.array(F.lit(END)))
+    def build():
+        chars = F.when(
+            F.length(word) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: word.substr(i, F.lit(1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(chars, F.array(F.lit(END)))
+
+    return _EXPR_MEMO.get_or_build(("chars", str(word)), build)
 
 
 def _merge_expr(syms, a: str, b: str):
     """Greedy left-to-right merge of adjacent (a, b) into a+b — an
     aggregate fold; ``get`` (not element_at) keeps the empty-accumulator
     probe null-safe under ANSI."""
-    merged = F.lit(a + b)
-    return F.aggregate(
-        syms,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
-            (F.get(acc, F.size(acc) - 1) == a) & (s == F.lit(b)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
+    def build():
+        merged = F.lit(a + b)
+        return F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.get(acc, F.size(acc) - 1) == a) & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    return _EXPR_MEMO.get_or_build(("merge", str(syms), a, b), build)
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
-    m = F.greatest(F.size(F.col("syms")) - 1, F.lit(1))
-    pairs = F.when(
-        F.size(F.col("syms")) >= 2,
-        F.zip_with(
-            F.slice(F.col("syms"), 1, m),
-            F.slice(F.col("syms"), 2, m),
-            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    def build():
+        m = F.greatest(F.size(F.col("syms")) - 1, F.lit(1))
+        return F.when(
+            F.size(F.col("syms")) >= 2,
+            F.zip_with(
+                F.slice(F.col("syms"), 1, m),
+                F.slice(F.col("syms"), 2, m),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    pairs = _EXPR_MEMO.get_or_build(("pairs", "syms"), build)
     return (
         vocab.select(F.col("n"), F.explode(pairs).alias("p"))
         .groupBy("p.a", "p.b")

@@ -23,6 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from akvorado_spark.functions.memo import LruMemo
+
+# finished Column trees for the wide per-bit expression sets (simhash
+# votes/fingerprint): building 64 shift/when/sum nodes costs ~2-3 s of
+# py4j round trips per invocation (r13 measurement) while the result
+# is an immutable expression tree keyed only by (bits, column names)
+_EXPR_MEMO = LruMemo(maxsize=64)
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -236,19 +244,27 @@ def minhash_signatures(
         # Project the base hash BEFORE the aggregate so it is computed
         # once per shingle row regardless of codegen CSE behavior.
         grams = grams.withColumn("__b", base_fn(F.col("__g")))
-        mins = [
-            F.min(mix(F.col("__b"), i)).alias(f"__m{i}")
-            for i in range(n_hashes)
-        ]
+        # canonical families are module-level functions → a stable memo
+        # key; the n_hashes Column list is rebuilt every invocation
+        # otherwise (py4j round trips, r13)
+        mins = _EXPR_MEMO.get_or_build(
+            ("minhash_mins", hash_fn.__module__, hash_fn.__qualname__, n_hashes),
+            lambda: [
+                F.min(mix(F.col("__b"), i)).alias(f"__m{i}")
+                for i in range(n_hashes)
+            ],
+        )
     else:
         mins = [
             F.min(hash_fn(F.col("__g"), i)).alias(f"__m{i}")
             for i in range(n_hashes)
         ]
     sig = grams.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("signature")
+    signature = _EXPR_MEMO.get_or_build(
+        ("minhash_sig_array", n_hashes),
+        lambda: F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]),
     )
+    return sig.select(id_col, signature.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -457,19 +473,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64, hash_fn=N
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
         ).alias("__w"),
     ).withColumn("__h", wh(F.col("__w")))
-    votes = words.groupBy(id_col).agg(
-        *[
+    vote_cols = _EXPR_MEMO.get_or_build(
+        ("simhash_votes", bits),
+        lambda: [
             F.sum(
                 F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"__v{i}")
             for i in range(bits)
-        ]
+        ],
     )
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"__v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseOR(term)
+    votes = words.groupBy(id_col).agg(*vote_cols)
+
+    def build_fp():
+        fp = None
+        for i in range(bits):
+            bit = F.when(F.col(f"__v{i}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, i)
+            fp = term if fp is None else fp.bitwiseOR(term)
+        return fp
+
+    fp = _EXPR_MEMO.get_or_build(("simhash_fp", bits), build_fp)
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 

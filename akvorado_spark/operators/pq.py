@@ -145,6 +145,8 @@ def pq_train_codebooks(
 from akvorado_spark.functions.memo import LruMemo
 
 _CB_LIT_CACHE = LruMemo(maxsize=32)
+# finished integer-fold Columns keyed by operand expression text
+_INT_FOLD_MEMO = LruMemo(maxsize=256)
 
 
 def _codebook_literal(book: list[list[int]]):
@@ -165,18 +167,28 @@ def _codebook_literal(book: list[list[int]]):
 
 
 def _int_sqdist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # memoized on operand text: lambda-API fold construction costs
+    # ~50 ms of py4j round trips per call (see similarity.dot, r13)
+    key = ("int_sqdist", str(a), str(b))
+    return _INT_FOLD_MEMO.get_or_build(
+        key,
+        lambda: F.aggregate(
+            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
 def _int_dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    key = ("int_dot", str(a), str(b))
+    return _INT_FOLD_MEMO.get_or_build(
+        key,
+        lambda: F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
 
 

@@ -19,20 +19,43 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from akvorado_spark.functions.memo import LruMemo
+
+# finished fold Columns (dot/norm) keyed by operand expression text —
+# see the dot() docstring for the measured py4j construction cost
+_FOLD_MEMO = LruMemo(maxsize=256)
+
 
 def dot(a, b):
-    """Dot product of two array<float/double> columns (JVM-side fold)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Dot product of two array<float/double> columns (JVM-side fold).
+
+    Memoized on the operands' expression text: constructing the fold
+    through the Python lambda API costs ~50 ms of py4j round trips per
+    call (measured r13), repeated dozens of times per ML query build —
+    while the finished Column is an immutable expression tree that can
+    be reused verbatim wherever the same operands recur."""
+    key = ("dot", str(a), str(b))
+    return _FOLD_MEMO.get_or_build(
+        key,
+        lambda: F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
 def norm(a):
-    """L2 norm of an array column (JVM-side fold)."""
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    """L2 norm of an array column (JVM-side fold; memoized like
+    :func:`dot`)."""
+    key = ("norm", str(a))
+    return _FOLD_MEMO.get_or_build(
+        key,
+        lambda: F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        ),
     )
 
 
@@ -83,8 +106,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 # round trips), the planes are deterministic, and literal columns are
 # reusable expression trees.  Bounded LRU: a long-lived service that
 # keeps re-deriving plane sets must not accumulate them forever.
-from akvorado_spark.functions.memo import LruMemo
-
 _PLANE_LIT_CACHE = LruMemo(maxsize=32)
 
 
@@ -108,21 +129,32 @@ def suggest_planes(n_vectors: int, target_bucket: int = 64) -> int:
 
 def lsh_sketch(vec_col, planes: np.ndarray):
     """Sign-bit sketch (one long) of a vector column against fixed
-    hyperplanes — pure SQL fold per plane."""
-    bits = []
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
-    out = None
-    for i, b in enumerate(bits):
-        term = F.shiftleft(b, i)
-        out = term if out is None else out.bitwiseOR(term)
-    return out
+    hyperplanes — pure SQL fold per plane.
+
+    The returned Column is memoized on (column, planes): building it
+    costs n_planes × dim ``F.lit`` py4j round trips plus the fold
+    lambdas (~1.2 s per call at 12×64 planes — the dominant cost of
+    every LSH query's *build* phase, measured r13), while the finished
+    expression tree is immutable and reusable across invocations."""
+
+    def build():
+        bits = []
+        for plane in planes:
+            arr = F.array(*[F.lit(float(x)) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+        out = None
+        for i, b in enumerate(bits):
+            term = F.shiftleft(b, i)
+            out = term if out is None else out.bitwiseOR(term)
+        return out
+
+    key = ("sketch", str(vec_col), planes.shape, planes.tobytes())
+    return _PLANE_LIT_CACHE.get_or_build(key, build)
 
 
 def lsh_topk(
