@@ -43,6 +43,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from akvorado_spark.functions.memo import LruMemo
+
+# finished Column lists for the per-(byte-width, column-set) expansion
+# and resolution expressions: building them costs ~1.5 s of py4j round
+# trips per lpm_rib invocation (r13 profile) while every piece is a
+# pure function of (B, column names) — immutable and reusable
+_EXPR_MEMO = LruMemo(maxsize=128)
+
 
 def _expand_to_bytes(
     pfx: DataFrame, B: int, prefix_lo: str, prefix_len: str, keep: list[str]
@@ -51,23 +59,31 @@ def _expand_to_bytes(
     keys of width B (dimension-side; hex string ops are fine here).
     ``keep`` are column *names* carried through unchanged."""
     p = pfx.filter(F.ceil(F.col(prefix_len) / 8) == B).filter(F.col(prefix_len) > 0)
-    nexp = F.pow(F.lit(2), B * 8 - F.col(prefix_len)).cast("long")
-    base_hex = F.substring(F.lower(F.hex(F.col(prefix_lo))), 1, (B - 1) * 2)
-    last_byte = F.conv(F.substring(F.hex(F.col(prefix_lo)), (B - 1) * 2 + 1, 2), 16, 10).cast("int")
-    exp = p.select(
-        *keep,
-        F.col(prefix_len).alias("__plen"),
-        base_hex.alias("__bh"),
-        last_byte.alias("__lb"),
-        F.explode(F.sequence(F.lit(0), nexp - 1)).alias("__i"),
+
+    def build_exp_cols():
+        nexp = F.pow(F.lit(2), B * 8 - F.col(prefix_len)).cast("long")
+        base_hex = F.substring(F.lower(F.hex(F.col(prefix_lo))), 1, (B - 1) * 2)
+        last_byte = F.conv(
+            F.substring(F.hex(F.col(prefix_lo)), (B - 1) * 2 + 1, 2), 16, 10
+        ).cast("int")
+        return [
+            F.col(prefix_len).alias("__plen"),
+            base_hex.alias("__bh"),
+            last_byte.alias("__lb"),
+            F.explode(F.sequence(F.lit(0), nexp - 1)).alias("__i"),
+        ]
+
+    exp_cols = _EXPR_MEMO.get_or_build(
+        ("expand", B, prefix_lo, prefix_len), build_exp_cols
     )
-    return exp.select(
-        *keep,
-        "__plen",
-        F.unhex(
+    exp = p.select(*keep, *exp_cols)
+    key_col = _EXPR_MEMO.get_or_build(
+        ("expand_key",),
+        lambda: F.unhex(
             F.concat(F.col("__bh"), F.lpad(F.hex(F.col("__lb") + F.col("__i")), 2, "0"))
         ).alias("__key"),
     )
+    return exp.select(*keep, "__plen", key_col)
 
 
 def _resolve_blocks(exp: DataFrame, attrs: list[str], group_keys: list[str]) -> DataFrame:
@@ -96,10 +112,10 @@ def _resolve_blocks(exp: DataFrame, attrs: list[str], group_keys: list[str]) -> 
             F.xxhash64(F.to_json(F.struct(F.col(a).alias("v")))).alias("tb"),
         ),
     )
-    aggs = [
-        F.max_by(F.col(a), rank(a)).alias(a)
-        for a in attrs
-    ]
+    aggs = _EXPR_MEMO.get_or_build(
+        ("resolve_aggs", tuple(attrs), has_prio),
+        lambda: [F.max_by(F.col(a), rank(a)).alias(a) for a in attrs],
+    )
     return exp.groupBy(*group_keys).agg(*aggs)
 
 
@@ -235,16 +251,26 @@ def lpm_probe(
     for tag, (blocks, keyed, B) in enumerate(prepared.passes):
         if keyed and exporter_col is None:
             raise ValueError("prepared passes are exporter-keyed; pass exporter_col=")
-        sel = (
-            ([F.col("__key").alias(f"__k{tag}")] if B else [])
-            + ([F.col("__e").alias(f"__e{tag}")] if keyed else [])
-            + [F.col(a).alias(f"__{a}_{tag}") for a in attrs]
+        sel = _EXPR_MEMO.get_or_build(
+            ("probe_sel", tag, bool(B), keyed, tuple(attrs)),
+            lambda: (
+                ([F.col("__key").alias(f"__k{tag}")] if B else [])
+                + ([F.col("__e").alias(f"__e{tag}")] if keyed else [])
+                + [F.col(a).alias(f"__{a}_{tag}") for a in attrs]
+            ),
         )
         b = blocks.select(*sel)
         if B:
-            cond = F.expr(f"substring({ip_col}, 1, {B})") == F.col(f"__k{tag}")
-            if keyed:
-                cond = cond & (F.col(exporter_col) == F.col(f"__e{tag}"))
+            cond = _EXPR_MEMO.get_or_build(
+                ("probe_cond", tag, B, ip_col, keyed, exporter_col),
+                lambda: (
+                    (F.expr(f"substring({ip_col}, 1, {B})") == F.col(f"__k{tag}"))
+                    & (F.col(exporter_col) == F.col(f"__e{tag}"))
+                    if keyed
+                    else F.expr(f"substring({ip_col}, 1, {B})")
+                    == F.col(f"__k{tag}")
+                ),
+            )
             out = out.join(F.broadcast(b), cond, "left")
         elif keyed:
             out = out.join(
@@ -256,15 +282,23 @@ def lpm_probe(
         for a in attrs:
             matched[a].append(F.col(f"__{a}_{tag}"))
 
-    for a in attrs:
-        # empty prefix table (nothing configured yet): an LPM miss for
-        # every row — NULL attrs, not a zero-arg coalesce crash
-        out = out.withColumn(
-            out_prefix + a,
-            F.coalesce(*matched[a]) if matched[a] else F.lit(None),
-        )
+    npasses = len(prepared.passes)
+    out_cols = _EXPR_MEMO.get_or_build(
+        ("probe_out", tuple(attrs), npasses, out_prefix),
+        lambda: {
+            a: (
+                F.coalesce(*matched[a]).alias(out_prefix + a)
+                if matched[a]
+                else F.lit(None).alias(out_prefix + a)
+            )
+            for a in attrs
+        },
+    )
+    # empty prefix table (nothing configured yet): an LPM miss for
+    # every row — NULL attrs, not a zero-arg coalesce crash
+    out = out.withColumns({out_prefix + a: out_cols[a] for a in attrs})
     out = out.drop(
-        *[f"__{a}_{t}" for a in attrs for t in range(len(prepared.passes))]
+        *[f"__{a}_{t}" for a in attrs for t in range(npasses)]
     )
     return out
 
