@@ -106,7 +106,15 @@ def bigram_lm_scores(
     strings (see :func:`doc_bigrams`) — pass the same key_fn used to
     build an external ``lm``."""
     bg = doc_bigrams(df, text_col, id_col, key_fn=key_fn)
-    c12, c1, v = lm if lm is not None else train_bigram_lm(bg)
+    if lm is None:
+        # self-trained: the bigram stream feeds FOUR consumers (c12,
+        # c1, v count tables + the scoring re-stream) and each would
+        # otherwise re-derive the explode+hash pass over the corpus —
+        # materialize it once (r13; same fix as semdedup's assignment)
+        bg = bg.localCheckpoint(eager=False)
+        c12, c1, v = train_bigram_lm(bg)
+    else:
+        c12, c1, v = lm
     p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0)) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     )

@@ -159,12 +159,14 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         df = store.schema.view(df).filter(filt.column())
         # IP dimension truncation (P12, reference console/graph.go:44-88)
         if truncating:
-            for d in dims:
-                spec = store.schema.by_name.get(d)
-                if spec is not None and spec.truncatable_ip:
-                    df = df.withColumn(
-                        d, ip_truncate_family(F.col(d), req.truncate_v4, req.truncate_v6)
-                    )
+            truncs = {
+                d: ip_truncate_family(F.col(d), req.truncate_v4, req.truncate_v6)
+                for d in dims
+                if (spec := store.schema.by_name.get(d)) is not None
+                and spec.truncatable_ip
+            }
+            if truncs:
+                df = df.withColumns(truncs)
         # a reversed axis measures the opposite traffic direction, so
         # direction-asymmetric units swap (reference reverseUnits,
         # console/graph.go:30-40, applied at console/line.go:120-123)
@@ -210,9 +212,12 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
                 )
             line = compile_line(df, lreq, rows=rows)
         if not axis_dims:
-            for d in req.dimensions:
-                line = line.withColumn(d, F.lit(""))
-            line = line.select("bucket", *req.dimensions, "sum_w", "xps")
+            line = line.select(
+                "bucket",
+                *[F.lit("").alias(d) for d in req.dimensions],
+                "sum_w",
+                "xps",
+            )
         if shift is not None:
             shift_us = int(shift.total_seconds() * 1_000_000)
             line = line.withColumn("bucket", F.col("bucket") + F.lit(shift_us))
@@ -220,15 +225,17 @@ def graph_line(store: FlowStore, req: GraphRequest) -> DataFrame:
         # aggregation (P11): grouping stayed on cheap binary keys; only
         # the few surviving rows pay the render.  The 'Other' fold
         # literal arrives as the 5-byte b'Other' (no 16-byte collision).
-        for d in axis_dims:
-            spec = store.schema.by_name.get(d)
-            if spec is not None and spec.ip_addr:
-                line = line.withColumn(
-                    d,
-                    F.when(F.col(d) == F.lit(b"Other"), F.lit("Other")).otherwise(
-                        ip_display(F.col(d))
-                    ),
-                )
+        # One withColumns call: each chained withColumn costs a plan
+        # analysis round (r13 construction batching).
+        renders = {
+            d: F.when(F.col(d) == F.lit(b"Other"), F.lit("Other")).otherwise(
+                ip_display(F.col(d))
+            )
+            for d in axis_dims
+            if (spec := store.schema.by_name.get(d)) is not None and spec.ip_addr
+        }
+        if renders:
+            line = line.withColumns(renders)
         # normalize dimension column names across axes (reverse swaps
         # them); atomic select so a reversed pair can't collide mid-rename
         if axis_dims:
@@ -294,12 +301,14 @@ def graph_sankey(store: FlowStore, req: GraphRequest) -> DataFrame:
         # view() before the user filter: alias columns are filterable
         df = store.schema.view(df).filter(filt.column())
         if truncating:
-            for d in dims:
-                spec = store.schema.by_name.get(d)
-                if spec is not None and spec.truncatable_ip:
-                    df = df.withColumn(
-                        d, ip_truncate_family(F.col(d), req.truncate_v4, req.truncate_v6)
-                    )
+            truncs = {
+                d: ip_truncate_family(F.col(d), req.truncate_v4, req.truncate_v6)
+                for d in dims
+                if (spec := store.schema.by_name.get(d)) is not None
+                and spec.truncatable_ip
+            }
+            if truncs:
+                df = df.withColumns(truncs)
         return df
 
     def unit_req(units: str, dims: tuple[str, ...]) -> SankeyRequest:
@@ -319,16 +328,14 @@ def graph_sankey(store: FlowStore, req: GraphRequest) -> DataFrame:
         )
 
     def render(line: DataFrame, dims: tuple[str, ...]) -> DataFrame:
-        for d in dims:
-            spec = store.schema.by_name.get(d)
-            if spec is not None and spec.ip_addr:
-                line = line.withColumn(
-                    d,
-                    F.when(F.col(d) == F.lit(b"Other"), F.lit("Other")).otherwise(
-                        ip_display(F.col(d))
-                    ),
-                )
-        return line
+        renders = {
+            d: F.when(F.col(d) == F.lit(b"Other"), F.lit("Other")).otherwise(
+                ip_display(F.col(d))
+            )
+            for d in dims
+            if (spec := store.schema.by_name.get(d)) is not None and spec.ip_addr
+        }
+        return line.withColumns(renders) if renders else line
 
     fdf = prep(direct, req.dimensions)
     freq = unit_req(req.units, req.dimensions)

@@ -37,7 +37,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from akvorado_spark.functions.memo import LruMemo
+
 OTHER = "Other"
+
+# finished Column trees keyed by the request constants that determine
+# them (time column, step, weight SQL, dims, value type): every Column
+# operation is 1-3 py4j round trips and an axis build issues ~900 of
+# them (~0.5 s, r13 profile) while the expressions are pure functions
+# of names + literals, identical across invocations and axes
+_EXPR_MEMO = LruMemo(maxsize=256)
 
 
 @dataclass(frozen=True)
@@ -68,8 +77,49 @@ class LineRequest:
 
 
 def _agg_col(req: LineRequest) -> Column:
-    expr = F.expr(req.agg_sql) if req.agg_sql else F.sum("__w")
-    return expr.cast(req.value_type)
+    return _EXPR_MEMO.get_or_build(
+        ("agg", req.agg_sql, req.value_type),
+        lambda: (F.expr(req.agg_sql) if req.agg_sql else F.sum("__w")).cast(
+            req.value_type
+        ),
+    )
+
+
+def _bucket_col(time_col: str, step_us: int) -> Column:
+    """The aligned-bucket expression (memoized on its two inputs)."""
+    return _EXPR_MEMO.get_or_build(
+        ("bucket", time_col, step_us),
+        lambda: (
+            F.col("__start_us")
+            + F.floor(
+                (F.unix_micros(F.col(time_col).cast("timestamp")) - F.col("__start_us"))
+                / step_us
+            )
+            * step_us
+        ).cast("long"),
+    )
+
+
+def _bucket_spine(bounds: DataFrame, step_us: int) -> DataFrame:
+    """The WITH-FILL bucket spine off the 1-row bounds frame (O1);
+    expression pieces memoized on the step."""
+    icol, bcol = _EXPR_MEMO.get_or_build(
+        ("spine", step_us),
+        lambda: (
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor(
+                        (F.col("__max_us") - F.col("__start_us")) / step_us
+                    ).cast("long"),
+                )
+            ).alias("__i"),
+            (F.col("__start_us") + F.col("__i") * step_us)
+            .cast("long")
+            .alias("__bucket"),
+        ),
+    )
+    return bounds.select(icol, "__start_us").select(bcol)
 
 
 def _top_rows(base: DataFrame, req: LineRequest, bounds: DataFrame) -> DataFrame:
@@ -138,23 +188,16 @@ def top_rows_frame(df: DataFrame, req: LineRequest) -> DataFrame:
     dims = list(req.dimensions)
     step_us = req.interval_s * 1_000_000
     bounds = _bounds_frame(df, req)
-    base = df.join(F.broadcast(bounds)).withColumn(
-        "__bucket",
-        (
-            F.col("__start_us")
-            + F.floor(
-                (F.unix_micros(F.col(req.time_col).cast("timestamp")) - F.col("__start_us"))
-                / step_us
-            )
-            * step_us
-        ).cast("long"),
-    )
+    bucket_col = _bucket_col(req.time_col, step_us).alias("__bucket")
+    joined = df.join(F.broadcast(bounds))
     if req.agg_sql:
-        base = base.select("__bucket", *req.base_cols, *dims)
+        base = joined.select(bucket_col, *req.base_cols, *dims)
     else:
-        base = base.withColumn("__w", F.expr(req.weight_sql).cast("long")).select(
-            "__bucket", "__w", *dims
+        wcol = _EXPR_MEMO.get_or_build(
+            ("w", req.weight_sql),
+            lambda: F.expr(req.weight_sql).cast("long").alias("__w"),
         )
+        base = joined.select(bucket_col, wcol, *dims)
     return _top_rows(base, req, bounds)
 
 
@@ -177,23 +220,19 @@ def compile_line(
 
     bounds = _bounds_frame(df, req)
 
-    base = df.join(F.broadcast(bounds)).withColumn(  # 1-row scalar frame (J9 shape)
-        "__bucket",
-        (
-            F.col("__start_us")
-            + F.floor(
-                (F.unix_micros(F.col(req.time_col).cast("timestamp")) - F.col("__start_us"))
-                / step_us
-            )
-            * step_us
-        ).cast("long"),
-    )
+    # single select off the bounds join (one projection node instead of
+    # a withColumn chain — each chained op costs an analysis round and
+    # py4j round trips; ~870 calls per axis before r13)
+    bucket_col = _bucket_col(req.time_col, step_us).alias("__bucket")
+    joined = df.join(F.broadcast(bounds))  # 1-row scalar frame (J9 shape)
     if req.agg_sql:
-        base = base.select("__bucket", *req.base_cols, *dims)
+        base = joined.select(bucket_col, *req.base_cols, *dims)
     else:
-        base = base.withColumn("__w", F.expr(req.weight_sql).cast("long")).select(
-            "__bucket", "__w", *dims
+        wcol = _EXPR_MEMO.get_or_build(
+            ("w", req.weight_sql),
+            lambda: F.expr(req.weight_sql).cast("long").alias("__w"),
         )
+        base = joined.select(bucket_col, wcol, *dims)
 
     if not dims:
         # dimensionless request (total-traffic graph; also the
@@ -201,30 +240,22 @@ def compile_line(
         # console/line.go:81-86): no ranking, no fold, one series
         agg = base.groupBy("__bucket").agg(_agg_col(req).alias("sum_w"))
         if not req.fill:
-            out = agg.withColumnRenamed("__bucket", "bucket")
-            return out.withColumn(
-                "xps", F.col("sum_w") / F.lit(req.interval_s)
+            return agg.select(
+                F.col("__bucket").alias("bucket"),
+                "sum_w",
+                (F.col("sum_w") / F.lit(req.interval_s)).alias("xps"),
             ).orderBy("bucket")
-        buckets = bounds.select(
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.floor(
-                        (F.col("__max_us") - F.col("__start_us")) / step_us
-                    ).cast("long"),
-                )
-            ).alias("__i"),
-            "__start_us",
-        ).select(
-            (F.col("__start_us") + F.col("__i") * step_us).cast("long").alias("__bucket")
-        )
-        out = (
+        buckets = _bucket_spine(bounds, step_us)
+        filled = F.coalesce(F.col("sum_w"), F.lit(0)).cast(req.value_type)
+        return (
             buckets.join(agg, on="__bucket", how="left")
-            .withColumn("sum_w", F.coalesce(F.col("sum_w"), F.lit(0)).cast(req.value_type))
-            .withColumnRenamed("__bucket", "bucket")
-            .withColumn("xps", F.col("sum_w") / F.lit(req.interval_s))
+            .select(
+                F.col("__bucket").alias("bucket"),
+                filled.alias("sum_w"),
+                (filled / F.lit(req.interval_s)).alias("xps"),
+            )
+            .orderBy("bucket")
         )
-        return out.orderBy("bucket")
 
     shared_rows = rows is not None
     if rows is None:
@@ -241,15 +272,19 @@ def compile_line(
     # dimension dtypes come from the input frame — analyzing `df` is
     # cheaper than analyzing the derived `base` plan
     dtypes = dict(df.dtypes)
-    fold_cols = [
-        F.when(
-            F.col("__top").isNotNull(),
-            F.col(d) if dtypes[d] in ("string", "binary") else F.col(d).cast("string"),
-        )
-        .otherwise(F.lit(OTHER))
-        .alias(d)
-        for d in dims
-    ]
+    passthrough = tuple(dtypes[d] in ("string", "binary") for d in dims)
+    fold_cols = _EXPR_MEMO.get_or_build(
+        ("fold", tuple(dims), passthrough),
+        lambda: [
+            F.when(
+                F.col("__top").isNotNull(),
+                F.col(d) if p else F.col(d).cast("string"),
+            )
+            .otherwise(F.lit(OTHER))
+            .alias(d)
+            for d, p in zip(dims, passthrough)
+        ],
+    )
     value_cols = list(req.base_cols) if req.agg_sql else ["__w"]
     agg = (
         folded.select("__bucket", *value_cols, *fold_cols)
@@ -258,21 +293,15 @@ def compile_line(
     )
 
     if not req.fill:
-        out = agg.withColumnRenamed("__bucket", "bucket")
-        return out.withColumn("xps", F.col("sum_w") / F.lit(req.interval_s)).orderBy(
-            "bucket", *dims
-        )
+        return agg.select(
+            F.col("__bucket").alias("bucket"),
+            *dims,
+            "sum_w",
+            (F.col("sum_w") / F.lit(req.interval_s)).alias("xps"),
+        ).orderBy("bucket", *dims)
 
     # Bucket spine: sequence on the 1-row bounds frame (O1 / WITH FILL).
-    buckets = bounds.select(
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.floor((F.col("__max_us") - F.col("__start_us")) / step_us).cast("long"),
-            )
-        ).alias("__i"),
-        "__start_us",
-    ).select((F.col("__start_us") + F.col("__i") * step_us).cast("long").alias("__bucket"))
+    buckets = _bucket_spine(bounds, step_us)
 
     # Dimension spine: the distinct folded tuples of the aggregate
     # itself.  Every top tuple appears in agg (it was ranked from the
@@ -299,13 +328,17 @@ def compile_line(
         ).distinct()
 
     spine = buckets.crossJoin(F.broadcast(dim_spine))
-    out = (
+    filled = F.coalesce(F.col("sum_w"), F.lit(0)).cast(req.value_type)
+    return (
         spine.join(agg, on=["__bucket", *dims], how="left")
-        .withColumn("sum_w", F.coalesce(F.col("sum_w"), F.lit(0)).cast(req.value_type))
-        .withColumnRenamed("__bucket", "bucket")
-        .withColumn("xps", F.col("sum_w") / F.lit(req.interval_s))
+        .select(
+            F.col("__bucket").alias("bucket"),
+            *dims,
+            filled.alias("sum_w"),
+            (filled / F.lit(req.interval_s)).alias("xps"),
+        )
+        .orderBy("bucket", *dims)
     )
-    return out.orderBy("bucket", *dims)
 
 
 # ---------------------------------------------------------------------------
