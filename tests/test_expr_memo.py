@@ -1,0 +1,95 @@
+"""r13 expression-construction memos: the memoized Column trees must be
+(a) actual cache hits — same object back for the same key — and
+(b) semantically identical to fresh construction (same results when
+the cached tree is reused across different DataFrames).
+
+These memos cache *plan fragments* (immutable expression trees keyed
+on operand text / request constants), never data: every query still
+executes from its inputs.  A regression here would show up as either
+rebuilt-every-time (perf) or a wrong-column reuse (correctness), so
+both directions are pinned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_dot_norm_memo_hits_and_values(spark):
+    from akvorado_spark.operators.similarity import dot, norm
+
+    c1 = dot(F.col("x"), F.col("y"))
+    c2 = dot(F.col("x"), F.col("y"))
+    assert c1 is c2  # cache hit on identical operand text
+    assert dot(F.col("x"), F.col("z")) is not c1  # different key
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0], [1.0, 0.0])],
+        "x array<double>, y array<double>, z array<double>",
+    )
+    row = df.select(
+        c1.alias("d"), norm(F.col("x")).alias("n")
+    ).first()
+    assert row["d"] == pytest.approx(11.0)
+    assert row["n"] == pytest.approx(np.sqrt(5.0))
+    # the SAME cached Column applied to a different frame with the same
+    # column names resolves against THAT frame (unresolved-by-name)
+    df2 = spark.createDataFrame(
+        [([2.0, 0.0], [5.0, 7.0])], "x array<double>, y array<double>"
+    )
+    assert df2.select(c1.alias("d")).first()["d"] == pytest.approx(10.0)
+
+
+def test_lsh_sketch_memo_consistency(spark):
+    from akvorado_spark.operators.similarity import _hyperplanes, lsh_sketch
+
+    planes = _hyperplanes(4, 6, seed=7)
+    s1 = lsh_sketch(F.col("v"), planes)
+    s2 = lsh_sketch(F.col("v"), planes)
+    assert s1 is s2
+    # different planes → different key → different sketch expression
+    other = _hyperplanes(4, 6, seed=8)
+    assert lsh_sketch(F.col("v"), other) is not s1
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, -float(i), 0.5]) for i in range(8)],
+        "id long, v array<double>",
+    )
+    a = [r["s"] for r in df.select(s1.alias("s")).orderBy("id").collect()]
+    b = [r["s"] for r in df.select(s2.alias("s")).orderBy("id").collect()]
+    assert a == b
+
+
+def test_simhash_noncanonical_hash_fn_not_memoized(spark):
+    """A custom hash_fn must not collide with the canonical families'
+    memoized minhash aggregate list, and simhash's memoized vote set is
+    keyed only on bits (hash applied upstream), so results track the
+    hash function, not the cache."""
+    from akvorado_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    fp_xx = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    # identical docs agree, different docs (generically) differ
+    assert fp_xx[1] == fp_xx[2]
+
+    custom = lambda c: F.abs(F.xxhash64(c, F.lit(99)))  # noqa: E731
+    fp_c = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, "text", "doc_id", hash_fn=custom).collect()
+    }
+    assert fp_c[1] == fp_c[2]
+    assert fp_c != fp_xx  # the custom hash actually took effect
+
+
+def test_line_bucket_expr_memo(spark):
+    from akvorado_spark.query.line import _bucket_col
+
+    b1 = _bucket_col("ts", 600_000_000)
+    b2 = _bucket_col("ts", 600_000_000)
+    assert b1 is b2
+    assert _bucket_col("ts", 900_000_000) is not b1
+    assert _bucket_col("other_ts", 600_000_000) is not b1
