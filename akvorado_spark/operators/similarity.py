@@ -673,6 +673,7 @@ def semdedup(
     vec_col: str = "embedding",
     two_level: bool = False,
     n_super: int | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus, then inside each cluster
@@ -696,6 +697,13 @@ def semdedup(
     :func:`assign_cells_two_level` (√k supers broadcast, children via a
     keyed join) — the 100×-scale path where k itself grows with the
     corpus and a k×dim broadcast / N×k crossJoin no longer holds.
+
+    ``norm_col`` names a caller-precomputed ``norm(vec_col)`` column on
+    ``vectors`` (the fold is per-vector, so a caller running SEVERAL
+    semdedup variants over one materialized corpus can fold the norms
+    once and share them — each variant then copies a double instead of
+    re-folding the array).  The column must hold exactly
+    ``norm(F.col(vec_col))``; it is consumed (dropped from the output).
     """
     if two_level:
         supers, children = split_centroids(centroids, n_super=n_super)
@@ -716,9 +724,11 @@ def semdedup(
     # the final kept/dropped join (the r13 before-plan shows the
     # crossJoin 26× with zero ReusedExchange).  Materializing N rows
     # once replaces three full assignment passes at any corpus size.
-    withn = assigned.withColumn("__n", norm(F.col(vec_col))).localCheckpoint(
-        eager=False
-    )
+    if norm_col is None:
+        withn = assigned.withColumn("__n", norm(F.col(vec_col)))
+    else:
+        withn = assigned.withColumnRenamed(norm_col, "__n")
+    withn = withn.localCheckpoint(eager=False)
     assigned = withn.drop("__n")
     b = withn.select(
         F.col(id_col).alias("__bid"),

@@ -794,17 +794,22 @@ def _embed_neardup(spark, sf_dir):
     from akvorado_spark.operators.similarity import dot, norm
 
     # three fan-outs (pair scan, semdedup, semdedup2) share one
-    # materialized narrow source (same pattern as the multi-axis suites)
+    # materialized narrow source (same pattern as the multi-axis suites).
+    # The per-vector norm folds INTO the shared checkpoint: the pair
+    # member and both semdedup variants each need norm(embedding), and
+    # the fold is interpreted (no codegen) — materializing it once
+    # replaces three full corpus fold passes with one (the variants
+    # copy a double instead of re-folding the array; same expression →
+    # bit-identical values, oracle unchanged)
     vecs = (
         load_table(spark, "embeddings", sf_dir, spread=True)
         .filter("vec_id % 5 = 0")
-        .select("vec_id", "embedding")
+        .select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("__n")
+        )
         .localCheckpoint(eager=False)
     )
-    # norms are per-vector: compute once before the self-join instead of
-    # per pair (same fold expression → bit-identical doubles, 1/3 the
-    # float work across O(n²) pairs)
-    v = vecs.select("vec_id", "embedding", norm(F.col("embedding")).alias("__n"))
+    v = vecs
     # The all-pairs member is a CERTIFICATION gate, quadratic by
     # construction — at scale it runs on a fixed-size deterministic
     # sample (constant cost at any corpus size); at driver SFs the
@@ -851,7 +856,10 @@ def _embed_neardup(spark, sf_dir):
     cents = seed_centroids(vecs, k_cells)
 
     def sd_variants(prefix, **kw):
-        sd = semdedup(vecs.select("vec_id", "embedding"), cents, 0.4, **kw)
+        # norm_col="__n": reuse the checkpointed per-vector norms —
+        # the single- and two-level variants' assignments differ, the
+        # norms do not (Not-yet-optimized #2 of the r13 first pass)
+        sd = semdedup(vecs, cents, 0.4, norm_col="__n", **kw)
         return (
             sd.groupBy("kept")
             .agg(

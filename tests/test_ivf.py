@@ -204,6 +204,30 @@ def test_semdedup_greedy_prefix(spark):
     assert out2 == {1: True, 2: False, 3: True, 9: True}
 
 
+def test_semdedup_precomputed_norm_identical(spark):
+    """norm_col: a caller-precomputed norm column yields the SAME rows
+    and the SAME output schema as the self-computed path, for both the
+    single- and two-level assignments (the r13 shared-norm
+    optimization must be a pure plan change, never a result change)."""
+    from akvorado_spark.operators.similarity import norm, semdedup
+
+    vecs = load_table(spark, "embeddings", SF_DIR).limit(300).select(
+        "vec_id", "embedding"
+    )
+    cents = seed_centroids(vecs, 6)
+    withn = vecs.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("__n")
+    )
+    for kw in ({}, {"two_level": True}):
+        base = semdedup(vecs, cents, 0.4, **kw)
+        shared = semdedup(withn, cents, 0.4, norm_col="__n", **kw)
+        assert shared.columns == base.columns
+        key = lambda r: r["vec_id"]
+        assert sorted(shared.collect(), key=key) == sorted(
+            base.collect(), key=key
+        )
+
+
 def test_two_level_assign_no_vector_lost(spark):
     """Every vector gets a cell under the default √k supers — a
     childless super can never win a probe (split_centroids restricts
