@@ -1279,6 +1279,40 @@ def test_line_dedup_hash_and_string_paths_agree(spark):
     assert a == b
 
 
+def test_line_dedup_identity_key_skips_alias_column(spark):
+    """``key_fn=None`` partitions the line window/aggregate on ``__ln``
+    itself instead of aliasing it into a ``__k`` copy: the plan must
+    not carry a ``__k`` column (the alias serialized every line string
+    twice into the exchange), and results must equal an explicit
+    identity ``key_fn`` on both the window (min_docs=2) and the
+    aggregate-join (min_docs>2) branches."""
+    from akvorado_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for md in (2, 3):
+        a = (
+            line_dedup(docs, "text", "doc_id", min_docs=md, min_len=8)
+            .orderBy("doc_id")
+            .collect()
+        )
+        b = (
+            line_dedup(
+                docs, "text", "doc_id", min_docs=md, min_len=8,
+                key_fn=lambda c: c,
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert a == b
+        plan = (
+            line_dedup(docs, "text", "doc_id", min_docs=md, min_len=8)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "__k" not in plan
+
+
 def test_bigram_lm_hash_keyed_scores_equal_string_keyed(spark):
     """Keying the bigram pipeline on word hashes (xxhash64 production /
     md5-prefix gate) yields the EXACT same per-doc (n_bigrams,
