@@ -1026,20 +1026,12 @@ def line_dedup(
     """
     from pyspark.sql import Window
 
+    key = key_fn if key_fn is not None else (lambda c: c)
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("__i", "__ln"),
-    )
-    # identity key: partition on the line attribute itself — aliasing
-    # it into a __k column serializes every line string TWICE into the
-    # window exchange (the r13 plan showed `__ln AS __k` in the
-    # pre-shuffle projection; __ln must survive for the reassembly)
-    if key_fn is not None:
-        lines = lines.withColumn("__k", key_fn(F.col("__ln")))
-        kcol = "__k"
-    else:
-        kcol = "__ln"
-    wk = Window.partitionBy(kcol)
+    ).withColumn("__k", key(F.col("__ln")))
+    wk = Window.partitionBy("__k")
     if min_docs == 2:
         # one window pass: ≥2 distinct docs ⟺ min(id) ≠ max(id)
         nd_ok = F.min(id_col).over(wk) != F.max(id_col).over(wk)
@@ -1053,15 +1045,15 @@ def line_dedup(
         # per-key state would grow with however many documents share a
         # boilerplate line
         hot = (
-            lines.groupBy(kcol)
+            lines.groupBy("__k")
             .agg(
                 F.count_distinct(F.col(id_col)).alias("__nd"),
                 F.min(id_col).alias("__own"),
             )
             .filter(F.col("__nd") >= min_docs)
-            .select(kcol, "__own")
+            .select("__k", "__own")
         )
-        joined = lines.join(hot, kcol, "left")
+        joined = lines.join(hot, "__k", "left")
         drop = F.col("__own").isNotNull() & (F.length("__ln") >= min_len)
         if keep_owner:
             drop = drop & (F.col(id_col) != F.col("__own"))
