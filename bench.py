@@ -183,16 +183,30 @@ def build_output(
     return out
 
 
-def write_plan_sidecar(fingerprints: dict, path: str, loadavg: float) -> None:
+def write_plan_sidecar(
+    fingerprints: dict,
+    path: str,
+    loadavg: float,
+    query_load: dict | None = None,
+) -> None:
     """Persist per-query plan fingerprints ({stages, shuffle_bytes} at
     the warmup SF) to a sidecar file so tools/bench_diff.py can still
     adjudicate plan-changed vs host-noise without the fingerprints
-    riding (and overflowing) the driver's stdout tail."""
+    riding (and overflowing) the driver's stdout tail.
+
+    ``query_load`` (round 14+, additions-only) records the 1-minute
+    loadavg observed right after each query's timing repeats: r13's
+    adjudication had only run-level loadavg to work with while external
+    contention waves inflated individual queries 3-9x mid-run — the
+    per-query sample lets bench_diff tag exactly WHICH samples were
+    contaminated (VERDICT r13 item 2)."""
     payload = {
         "plan": fingerprints,
         "warm_sf": 0.001,
         "loadavg_1m": round(loadavg, 2),
     }
+    if query_load:
+        payload["query_load"] = query_load
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
 
@@ -338,6 +352,10 @@ def main() -> None:
     }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # per-query load telemetry (VERDICT r13 item 2): the 1-min loadavg
+    # sampled right after each query's repeats rides the plan sidecar
+    # so a contaminated sample explains itself mechanically
+    query_load: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
@@ -355,7 +373,11 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
-        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+        query_load[name] = round(os.getloadavg()[0], 2)
+        print(
+            f"# {name}: {best:.3f}s rows={n} load={query_load[name]}",
+            file=sys.stderr,
+        )
         # drop materializations (localCheckpoint RDD blocks) the query
         # left behind: in one shared JVM, 50 queries × repeats
         # otherwise accumulate executor-memory blocks and the LAST
@@ -386,7 +408,7 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PLAN.json"),
         )
         try:
-            write_plan_sidecar(fingerprints, plan_path, loadavg)
+            write_plan_sidecar(fingerprints, plan_path, loadavg, query_load)
             # ALSO an immutable per-run copy: BENCH_PLAN.json is
             # overwritten every run, so two rounds' artifacts would
             # otherwise resolve to the SAME fingerprints and bench_diff
@@ -403,7 +425,7 @@ def main() -> None:
             unique = os.path.join(
                 plans_dir, f"BENCH_PLAN_{stamp}_{os.getpid()}.json"
             )
-            write_plan_sidecar(fingerprints, unique, loadavg)
+            write_plan_sidecar(fingerprints, unique, loadavg, query_load)
             plan_file = os.path.join("benchplans", os.path.basename(unique))
             prune_stamped_sidecars(plans_dir)
             print(f"# plan fingerprints: {plan_path} + {plan_file}", file=sys.stderr)

@@ -102,12 +102,17 @@ def test_plan_sidecar_roundtrips_through_bench_diff(tmp_path):
 
     bench_file = tmp_path / "BENCH_r10.json"
     bench_file.write_text(json.dumps({"queries": {"q1": 1.0}}))
-    # stem sidecar resolution — returns (plan, resolved path)
-    plan, src = bench_diff.load_plan(str(bench_file), json.loads(bench_file.read_text()), None)
+    # stem sidecar resolution — returns (plan, resolved path, query_load)
+    plan, src, qload = bench_diff.load_plan(
+        str(bench_file), json.loads(bench_file.read_text()), None
+    )
     assert plan == fp and src == os.path.realpath(str(side))
+    assert qload == {}  # pre-r14 sidecar: no per-query load telemetry
     # inline plan (rounds ≤9) takes precedence over sidecars
     inline = {"queries": {"q1": 1.0}, "plan": {"q1": {"stages": 1, "shuffle_bytes": 0}}}
-    assert bench_diff.load_plan(str(bench_file), inline, None) == (inline["plan"], None)
+    assert bench_diff.load_plan(str(bench_file), inline, None) == (
+        inline["plan"], None, {},
+    )
     # explicit arg wins over everything
     other = tmp_path / "other.plan.json"
     bench.write_plan_sidecar({"q2": {"stages": 2, "shuffle_bytes": 9}}, str(other), 0.0)
@@ -119,24 +124,45 @@ def test_plan_sidecar_roundtrips_through_bench_diff(tmp_path):
     stamped = tmp_path / "BENCH_PLAN_20990101T000000_7.json"
     bench.write_plan_sidecar({"q3": {"stages": 4, "shuffle_bytes": 2}}, str(stamped), 0.0)
     with_pf = {"queries": {"q1": 1.0}, "plan_file": stamped.name}
-    plan, src = bench_diff.load_plan(str(bench_file), with_pf, None)
+    plan, src, _ = bench_diff.load_plan(str(bench_file), with_pf, None)
     assert plan == {"q3": {"stages": 4, "shuffle_bytes": 2}}
     assert src == os.path.realpath(str(stamped))
+
+
+def test_plan_sidecar_carries_per_query_load(tmp_path):
+    """Round-14 telemetry: write_plan_sidecar persists the per-query
+    1-min loadavg samples and load_plan surfaces them (VERDICT r13
+    item 2 — per-query load lets bench_diff tag contaminated samples
+    mechanically instead of leaning on run-level loadavg)."""
+    fp = {"q1": {"stages": 7, "shuffle_bytes": 1234}}
+    side = tmp_path / "BENCH_r14.plan.json"
+    bench.write_plan_sidecar(fp, str(side), 3.14, {"q1": 0.42})
+    payload = json.loads(side.read_text())
+    assert payload["query_load"] == {"q1": 0.42}
+    bench_file = tmp_path / "BENCH_r14.json"
+    bench_file.write_text(json.dumps({"queries": {"q1": 1.0}}))
+    plan, src, qload = bench_diff.load_plan(
+        str(bench_file), json.loads(bench_file.read_text()), None
+    )
+    assert plan == fp and qload == {"q1": 0.42}
+    # empty/omitted query_load keeps the pre-r14 payload shape
+    bench.write_plan_sidecar(fp, str(side), 3.14, {})
+    assert "query_load" not in json.loads(side.read_text())
 
 
 def test_bench_diff_directory_fallback(tmp_path):
     bench_file = tmp_path / "BENCH_r11.json"
     bench_file.write_text(json.dumps({"queries": {}}))
     bench.write_plan_sidecar({"qz": {"stages": 3, "shuffle_bytes": 7}}, str(tmp_path / "BENCH_PLAN.json"), 0.0)
-    plan, src = bench_diff.load_plan(str(bench_file), {"queries": {}}, None)
+    plan, src, _ = bench_diff.load_plan(str(bench_file), {"queries": {}}, None)
     assert plan == {"qz": {"stages": 3, "shuffle_bytes": 7}}
     assert os.path.basename(src) == "BENCH_PLAN.json"
-    # nothing anywhere → ({}, None)
+    # nothing anywhere → ({}, None, {})
     lone = tmp_path / "sub"
     lone.mkdir()
     f = lone / "BENCH_r12.json"
     f.write_text("{}")
-    assert bench_diff.load_plan(str(f), {}, None) == ({}, None)
+    assert bench_diff.load_plan(str(f), {}, None) == ({}, None, {})
 
 
 def test_bench_diff_warns_on_shared_mutable_sidecar(tmp_path, capsys, monkeypatch):
@@ -259,7 +285,7 @@ def test_bench_diff_git_fallback_recovers_round_sidecar(tmp_path, capsys):
     # later state: mutable sidecar now holds DIFFERENT (newer) plans
     bench.write_plan_sidecar({"q": {"stages": 30, "shuffle_bytes": 9999}},
                              str(repo / "BENCH_PLAN.json"), 0.0)
-    plan, src = bench_diff.load_plan(
+    plan, src, _ = bench_diff.load_plan(
         str(repo / "BENCH_r10.json"),
         json.loads((repo / "BENCH_r10.json").read_text()), None,
     )

@@ -127,18 +127,25 @@ def _git_plan_fallback(bench_path: str) -> tuple[dict, str | None]:
 
 def load_plan(
     bench_path: str, bench: dict, explicit: str | None
-) -> tuple[dict, str | None]:
-    """Resolve a bench file's plan fingerprints → (plan, source_path).
+) -> tuple[dict, str | None, dict]:
+    """Resolve a bench file's plan fingerprints → (plan, source_path,
+    query_load).
 
     source_path is None for inline plans (they cannot collide) and
     lets main() detect the case where BOTH runs fall back to the one
     MUTABLE BENCH_PLAN.json — which bench.py overwrites every run, so
     identical-path resolution means the fingerprints describe only the
-    newer run."""
+    newer run.  query_load (round 14+ sidecars) is the per-query 1-min
+    loadavg sampled right after each query's timing repeats — {} for
+    older sidecars."""
+
+    def payload(d: dict, src: str | None) -> tuple[dict, str | None, dict]:
+        return d.get("plan", {}), src, d.get("query_load", {})
+
     if explicit:
-        return json.load(open(explicit)).get("plan", {}), os.path.realpath(explicit)
+        return payload(json.load(open(explicit)), os.path.realpath(explicit))
     if "plan" in bench:
-        return bench["plan"], None
+        return payload(bench, None)
     here = os.path.dirname(bench_path) or "."
     stem, _ = os.path.splitext(bench_path)
     cands = []
@@ -151,13 +158,13 @@ def load_plan(
         ]
     cands.append(stem + ".plan.json")
 
-    def read(cands: list[str]) -> tuple[dict, str | None] | None:
+    def read(cands: list[str]) -> tuple[dict, str | None, dict] | None:
         for cand in cands:
             if os.path.isfile(cand):
                 try:
-                    return json.load(open(cand)).get("plan", {}), os.path.realpath(cand)
+                    return payload(json.load(open(cand)), os.path.realpath(cand))
                 except Exception:  # noqa: BLE001 — corrupt sidecar ⇒ none
-                    return {}, None
+                    return {}, None, {}
         return None
 
     got = read(cands)
@@ -169,12 +176,12 @@ def load_plan(
     # whatever ran last, not this artifact's run
     plan, src = _git_plan_fallback(bench_path)
     if src is not None:
-        return plan, src
+        return plan, src, {}
     got = read([
         os.path.join(here, "benchplans", "BENCH_PLAN.json"),
         os.path.join(here, "BENCH_PLAN.json"),
     ])
-    return got if got is not None else ({}, None)
+    return got if got is not None else ({}, None, {})
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -200,8 +207,8 @@ def main(argv: list[str] | None = None) -> int:
     old = unwrap(json.load(open(args.old)))
     new = unwrap(json.load(open(args.new)))
     thr = args.thr
-    po, src_o = load_plan(args.old, old, args.old_plan)
-    pn, src_n = load_plan(args.new, new, args.new_plan)
+    po, src_o, lo = load_plan(args.old, old, args.old_plan)
+    pn, src_n, ln = load_plan(args.new, new, args.new_plan)
     if src_o is not None and src_o == src_n and src_o.endswith("BENCH_PLAN.json"):
         # both runs fell back to the one MUTABLE sidecar, which holds
         # only the LAST run's fingerprints — comparing it to itself
@@ -238,6 +245,15 @@ def main(argv: list[str] | None = None) -> int:
         # session), so they only corroborate — never decide alone
         return abs(a["stages"] - b["stages"]) <= 5
 
+    def loadtag(q: str) -> str:
+        # per-query 1-min loadavg (round-14+ sidecars): printed next to
+        # every wall ratio so a contaminated sample explains itself
+        a, b = lo.get(q), ln.get(q)
+        if a is None and b is None:
+            return ""
+        fmt = lambda v: "?" if v is None else f"{v:g}"  # noqa: E731
+        return f" | load {fmt(a)}→{fmt(b)}"
+
     changed, jitter, noise, steady, unknown = [], [], [], [], []
     for q in sorted(set(qo) & set(qn)):
         r = qn[q] / qo[q] if qo[q] else float("inf")
@@ -273,18 +289,19 @@ def main(argv: list[str] | None = None) -> int:
             f"PLAN CHANGED  {q}: wall {r:.2f}x | {sig}stages "
             f"{a['stages']}→{b['stages']}"
             f" shuffle {a['shuffle_bytes']}→{b['shuffle_bytes']}"
+            f"{loadtag(q)}"
         )
     for q, r, a, b in jitter:
         print(
             f"STAGE JITTER  {q}: wall {r:.2f}x | stages "
             f"{a['stages']}→{b['stages']} with structure steady "
             f"(shuffle {a['shuffle_bytes']}→{b['shuffle_bytes']}) — AQE "
-            f"stage-reuse wobble, not a code change"
+            f"stage-reuse wobble, not a code change{loadtag(q)}"
         )
     for q, r in noise:
-        print(f"HOST NOISE    {q}: wall {r:.2f}x, plan identical")
+        print(f"HOST NOISE    {q}: wall {r:.2f}x, plan identical{loadtag(q)}")
     for q, r in unknown:
-        print(f"no-fingerprint {q}: wall {r:.2f}x")
+        print(f"no-fingerprint {q}: wall {r:.2f}x{loadtag(q)}")
     print(
         f"# steady: {len(steady)} | plan-changed: {len(changed)} | "
         f"stage-jitter: {len(jitter)} | "
