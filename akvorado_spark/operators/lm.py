@@ -67,17 +67,34 @@ def doc_bigrams(
     )
 
 
-def train_bigram_lm(bigrams: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def train_bigram_lm(
+    bigrams: DataFrame, materialize: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Count tables of an add-one-smoothed bigram LM from an exploded
     (w1, w2) frame: (bigram counts, context counts, 1-row vocab size).
 
     P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V) with V = |distinct w2|.
     Train on a TRUSTED corpus and score a crawl against it (the CCNet
     setup), or self-train for in-corpus outlier scoring.
+
+    ONE aggregation pass over the corpus-sized stream: c1 and V are
+    exact derivations of the vocabulary-bounded c12 table
+    (``c1(w1) = Σ_w2 c12(w1,w2)``; every w2 in the stream appears as a
+    c12 key, so ``V = |distinct w2 in c12|``), so training aggregates
+    the stream once instead of three times.  ``materialize`` (default)
+    localCheckpoints c12 — |bigram vocab| rows, NOT corpus-sized — so
+    c1/V and every scoring consumer read the finished table instead of
+    re-running the corpus aggregation (guide §2.4: the r13 alternative
+    of checkpointing the exploded token stream was corpus-sized and a
+    §5 spill risk; this is the "persist only the aggregated tables"
+    form, and the fastest of the four shapes in the r14 interleaved
+    A/B: 0.95 s vs 1.11 direct / 1.07 stream-ckpt at sf0.1).
     """
     c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = bigrams.agg(F.count_distinct("w2").alias("v"))
+    if materialize:
+        c12 = c12.localCheckpoint(eager=False)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.agg(F.count_distinct("w2").alias("v"))
     return c12, c1, v
 
 
@@ -107,11 +124,14 @@ def bigram_lm_scores(
     build an external ``lm``."""
     bg = doc_bigrams(df, text_col, id_col, key_fn=key_fn)
     if lm is None:
-        # self-trained: the bigram stream feeds FOUR consumers (c12,
-        # c1, v count tables + the scoring re-stream) and each would
-        # otherwise re-derive the explode+hash pass over the corpus —
-        # materialize it once (r13; same fix as semdedup's assignment)
-        bg = bg.localCheckpoint(eager=False)
+        # self-trained: train_bigram_lm materializes the vocabulary-
+        # bounded c12 table once and derives c1/v from it, so training
+        # costs ONE aggregation of the stream and scoring re-explodes
+        # it once — two corpus passes total, nothing corpus-sized
+        # materialized.  (r13 instead localCheckpoint'ed the exploded
+        # token-level stream — larger than the corpus, pushed into
+        # executor memory/disk; slower at sf0.1 in both driver samples
+        # and a guide-§5 spill risk at 100 TB.  Reverted in r14.)
         c12, c1, v = train_bigram_lm(bg)
     else:
         c12, c1, v = lm

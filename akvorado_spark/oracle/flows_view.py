@@ -55,7 +55,7 @@ FROM lineitem
 """
 
 
-_MATERIALIZED: dict[tuple[int, str, str], object] = {}
+_MATERIALIZED: dict[tuple[int, str, str], str] = {}
 
 
 def register_spark_view(spark, sf_dir: str, name: str = "flows_v") -> None:
@@ -63,22 +63,34 @@ def register_spark_view(spark, sf_dir: str, name: str = "flows_v") -> None:
 
     In the reference the ``flows`` table is *stored* (MergeTree); the
     address-derivation arithmetic runs once at ingest, not per query.
-    Persisting the derived frame reproduces that: the first query pays
-    the derivation, every later query reads the cached columnar batch —
-    the honest analog of querying a materialized fact table.
+    A session-scoped DISK-BACKED parquet table reproduces that (same
+    pattern as the rollup FlowStore): the first registration pays the
+    derivation and the write, every query reads the columnar table back
+    with real pushdown/pruning — the honest 100 TB analog of a stored
+    fact table, with no dependence on executor storage memory (an
+    in-memory ``persist`` was silently evictable, which bit the r12/r13
+    bench, and is not how a stored table behaves at scale).
+
+    The parquet is written fresh per (session, sf) under a tempdir —
+    nothing is keyed on the input path across processes, so every run
+    still computes from the source parquet.
     """
     key = (id(spark), sf_dir, name)
     if key in _MATERIALIZED:
         return
+    import shutil
+    import tempfile
+
     from akvorado_spark.sources.tables import load_table
 
     load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
-    df = spark.sql(FLOWS_VIEW_SQL).persist()
-    df.createOrReplaceTempView(name)
+    root = tempfile.mkdtemp(prefix="akvorado_flows_")
+    spark.sql(FLOWS_VIEW_SQL).write.mode("overwrite").parquet(root)
+    spark.read.parquet(root).createOrReplaceTempView(name)
     # drop stale materializations of other scale factors for this session
     for k in [k for k in _MATERIALIZED if k[0] == id(spark) and k[2] == name and k != key]:
-        _MATERIALIZED.pop(k).unpersist()
-    _MATERIALIZED[key] = df
+        shutil.rmtree(_MATERIALIZED.pop(k), ignore_errors=True)
+    _MATERIALIZED[key] = root
 
 
 def oracle_view_sql() -> str:

@@ -289,21 +289,19 @@ def main() -> None:
                 if phash:
                     fingerprints[name]["plan_hash"] = phash
         # drop the 50-query warmup's leftovers (cached frames,
-        # localCheckpoint blocks) BEFORE the tail materialization: the
-        # keep-set snapshot below must contain only the session-scoped
-        # fact state, and the first measured query must not execute
-        # against 50 queries' worth of retained blocks (r13:
-        # graph_line_suite, first in registry order, hit 10.2 s in a
-        # full run vs 2.8 s isolated)
+        # localCheckpoint blocks) BEFORE the measured loop: the first
+        # measured query must not execute against 50 queries' worth of
+        # retained blocks (r13: graph_line_suite, first in registry
+        # order, hit 10.2 s in a full run vs 2.8 s isolated).  Since
+        # r14 the flows_v fact view is a session-scoped DISK-BACKED
+        # parquet table (like the rollup store), so RDD/cache eviction
+        # cannot touch it and no keep-set special case is needed — the
+        # r13 keep-set workaround (and the r12 eviction bug it fixed)
+        # are gone with the executor-memory dependence itself.
         try:
             spark.catalog.clearCache()
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
-            from akvorado_spark.oracle import flows_view
-
-            # the eviction above removed the persist marker; reset the
-            # registry so the tail below re-persists at the bench SF
-            flows_view._MATERIALIZED.clear()
         except Exception:  # cleanup must never sink warmup
             pass
         # LAST: materialize the session-scoped fact view and rollup
@@ -320,23 +318,6 @@ def main() -> None:
     except Exception as exc:
         warmup_error = f"{type(exc).__name__}: {str(exc)[:200]}"
         print(f"# warmup error: {warmup_error}", file=sys.stderr)
-
-    # Snapshot the session-scoped state the warmup tail just
-    # materialized (the flows_v stored-table analog; ingest-time work
-    # per the r12-judged design, not query latency): per-query cleanup
-    # must drop each query's OWN leftovers (localCheckpoint blocks)
-    # without evicting this state.  r12's blanket clearCache() evicted
-    # flows_v after the FIRST measured query and the persist marker
-    # never re-registered, so queries 2..50 silently re-paid the
-    # ingest derivation every run (measured r13: flt_dsl_suite 2.2 s
-    # cached vs 4.4 s evicted).  The old numbers are kept in
-    # BENCH_r12.json / OPTIMIZATION_r13.md for comparison.
-    try:
-        keep_rdds = set(
-            spark.sparkContext._jsc.getPersistentRDDs().keys()
-        )
-    except Exception:  # diagnostics must not sink bench
-        keep_rdds = set()
 
     repeat = adaptive_repeat(
         loadavg_start, os.environ.get("SPARK_GRAFT_BENCH_REPEAT")
@@ -382,15 +363,13 @@ def main() -> None:
         # left behind: in one shared JVM, 50 queries × repeats
         # otherwise accumulate executor-memory blocks and the LAST
         # queries measure the GC pressure of everything before them,
-        # not their own cost.  The keep-set spares the session-scoped
-        # fact state (see the snapshot above) — queries never .cache()
-        # base tables themselves (plan-audited), so everything new
-        # here is per-query junk.
+        # not their own cost.  Queries never .cache() base tables
+        # themselves (plan-audited) and the session fact state is
+        # disk-backed since r14, so everything here is per-query junk.
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for rid in list(jmap.keys()):
-                if rid not in keep_rdds:
-                    jmap[rid].unpersist()
+                jmap[rid].unpersist()
         except Exception:  # cleanup must never sink the run
             pass
 

@@ -63,24 +63,18 @@ def main() -> None:
             fn(spark, warm_dir).count()
         except Exception:
             pass
-    # same warmup-junk purge + session-state keep-set as bench.py (r13)
+    # same warmup-junk purge as bench.py (the session fact state is
+    # disk-backed since r14, so no keep-set is needed)
     try:
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
-        from akvorado_spark.oracle import flows_view
-
-        flows_view._MATERIALIZED.clear()
     except Exception:
         pass
     entrymod.queries()["flt_dsl_suite"](spark, sf_dir).count()
     from akvorado_spark.oracle.rollup_queries import get_store
 
     get_store(spark, sf_dir)
-    try:
-        keep_rdds = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
-    except Exception:
-        keep_rdds = set()
 
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     rows = []
@@ -116,8 +110,7 @@ def main() -> None:
             try:
                 jmap = spark.sparkContext._jsc.getPersistentRDDs()
                 for rid in list(jmap.keys()):
-                    if rid not in keep_rdds:
-                        jmap[rid].unpersist()
+                    jmap[rid].unpersist()
             except Exception:
                 pass
         rows.append(
