@@ -16,18 +16,25 @@ from typing import Callable
 
 
 class LruMemo:
-    """get_or_build(key, build) with least-recently-used eviction."""
+    """get_or_build(key, build) with least-recently-used eviction.
+
+    ``cache_if`` (evaluated only on a miss, after ``build``) lets a
+    call site build-but-not-store: the column memos use it to keep
+    frame-bound operand trees out of the cache (see
+    :func:`cacheable_operands`)."""
 
     def __init__(self, maxsize: int = 32):
         self.maxsize = int(maxsize)
         self._d: OrderedDict = OrderedDict()
 
-    def get_or_build(self, key, build: Callable):
+    def get_or_build(self, key, build: Callable, cache_if: Callable | None = None):
         hit = self._d.get(key)
         if hit is not None:
             self._d.move_to_end(key)
             return hit
         val = build()
+        if cache_if is not None and not cache_if():
+            return val
         self._d[key] = val
         if len(self._d) > self.maxsize:
             self._d.popitem(last=False)
@@ -35,3 +42,29 @@ class LruMemo:
 
     def __len__(self) -> int:
         return len(self._d)
+
+
+def cacheable_operands(*cols) -> bool:
+    """True when every operand Column is built purely from UNRESOLVED
+    references (``F.col``/``F.expr``/literals) — the only trees safe to
+    memoize under a name-based key.
+
+    A frame-bound column (``df["x"]``) prints identically to
+    ``F.col("x")`` but embeds a resolved attribute pinned to its source
+    frame; caching a tree built from one would hand later callers an
+    expression that fails analysis (MISSING_ATTRIBUTES) on any other
+    frame.  Bound operands therefore build a fresh tree that is
+    returned but NEVER stored — correct for the caller, invisible to
+    everyone else.  The probe walks the column's node tree string
+    (``ExpressionColumnNode`` is the classic-mode wrapper for a
+    frame-resolved attribute); any introspection failure counts as
+    not-cacheable, which is always safe.  Checked only on the miss
+    path, so memo hits stay free of py4j round trips."""
+    for c in cols:
+        try:
+            s = c._jc.node().toString()
+        except Exception:  # unknown Column shape → never cache
+            return False
+        if "ExpressionColumnNode" in s:
+            return False
+    return True

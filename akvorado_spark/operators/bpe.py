@@ -166,6 +166,7 @@ def bpe_token_counts(
     id_col: str,
     merges: list[tuple[str, str]],
     broadcast_vocab: bool = True,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BPE token count under a learned merge list:
     segment the DISTINCT words once, join the (word → token count)
@@ -176,9 +177,27 @@ def bpe_token_counts(
     table fits executor memory; at web-scale vocabularies set False —
     the join key is ``word``, the token stream shuffles on it once,
     and AQE still picks broadcast at runtime when the measured segment
-    table allows."""
+    table allows.
+
+    ``tf`` optionally passes the shared per-document term-frequency
+    table (``(id_col, term, tf)`` — the :func:`~akvorado_spark.
+    operators.text.term_stats` contract): the vocabulary and the
+    per-document sum (``Σ tf·tokens(word)``, exactly the per-occurrence
+    sum) then derive from that aggregated table instead of re-exploding
+    the corpus."""
     from akvorado_spark.operators.text import words
 
+    if tf is not None:
+        seg = segment_words(
+            tf.select(F.col("term").alias("word")).distinct(), merges
+        ).select("word", F.size("tokens").alias("__nt"))
+        if broadcast_vocab:
+            seg = F.broadcast(seg)
+        return (
+            tf.join(seg, F.col("term") == F.col("word"))
+            .groupBy(id_col)
+            .agg(F.sum(F.col("tf") * F.col("__nt")).alias("n_bpe_tokens"))
+        )
     toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
     seg = segment_words(toks.select("word").distinct(), merges).select(
         "word", F.size("tokens").alias("__nt")

@@ -142,10 +142,13 @@ def pq_train_codebooks(
     return books
 
 
-from akvorado_spark.functions.memo import LruMemo
+from akvorado_spark.functions.memo import LruMemo, cacheable_operands
 
 _CB_LIT_CACHE = LruMemo(maxsize=32)
-# finished integer-fold Columns keyed by operand expression text
+# finished integer-fold Columns keyed by operand expression text.
+# CONTRACT (same as similarity._FOLD_MEMO): only trees built from
+# unresolved columns are stored; frame-bound operands build fresh,
+# uncached (cacheable_operands).
 _INT_FOLD_MEMO = LruMemo(maxsize=256)
 
 
@@ -177,6 +180,7 @@ def _int_sqdist(a, b):
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
+        cache_if=lambda: cacheable_operands(a, b),
     )
 
 
@@ -189,6 +193,7 @@ def _int_dot(a, b):
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
+        cache_if=lambda: cacheable_operands(a, b),
     )
 
 

@@ -19,10 +19,14 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from akvorado_spark.functions.memo import LruMemo
+from akvorado_spark.functions.memo import LruMemo, cacheable_operands
 
 # finished fold Columns (dot/norm) keyed by operand expression text —
-# see the dot() docstring for the measured py4j construction cost
+# see the dot() docstring for the measured py4j construction cost.
+# CONTRACT: keys are the operands' printed names, so only trees built
+# from UNRESOLVED columns (F.col/F.expr) are stored; a frame-bound
+# operand (df["x"] — prints identically) builds fresh and is never
+# cached (cacheable_operands), so it cannot poison later callers.
 _FOLD_MEMO = LruMemo(maxsize=256)
 
 
@@ -33,7 +37,9 @@ def dot(a, b):
     through the Python lambda API costs ~50 ms of py4j round trips per
     call (measured r13), repeated dozens of times per ML query build —
     while the finished Column is an immutable expression tree that can
-    be reused verbatim wherever the same operands recur."""
+    be reused verbatim wherever the same operands recur.  Pass
+    unresolved columns (``F.col``); frame-bound operands work but skip
+    the memo (see ``_FOLD_MEMO``)."""
     key = ("dot", str(a), str(b))
     return _FOLD_MEMO.get_or_build(
         key,
@@ -42,6 +48,7 @@ def dot(a, b):
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
+        cache_if=lambda: cacheable_operands(a, b),
     )
 
 
@@ -56,6 +63,7 @@ def norm(a):
                 a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
             )
         ),
+        cache_if=lambda: cacheable_operands(a),
     )
 
 

@@ -277,7 +277,9 @@ def analyze(df: DataFrame, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def term_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def term_stats(
+    df: DataFrame, text_col: str, id_col: str, tf: DataFrame | None = None
+) -> DataFrame:
     """Corpus vocabulary with document frequency and smoothed IDF.
 
     Output: (term, doc_freq, idf) where
@@ -290,13 +292,23 @@ def term_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     cardinality, not token volume, crosses the wire), and the corpus
     size N rides in as a broadcast 1-row frame, not a driver action —
     the whole thing stays lazy and composable.
+
+    ``tf`` optionally passes the shared per-document term-frequency
+    table — EXACTLY ``explode(words(text_col))`` grouped by
+    ``(id_col, term)`` with a ``tf`` count column — so a caller running
+    several vocabulary operators over one corpus tokenizes it once:
+    doc_freq is then the per-term row count of that table (one row per
+    (doc, term) pair = one containing document), identical values.
     """
     total = df.agg(F.count(F.lit(1)).alias("__N"))
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
-    )
-    docfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if tf is not None:
+        docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    else:
+        toks = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(words(F.col(text_col)))).alias("term"),
+        )
+        docfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     return docfreq.join(F.broadcast(total)).select(
         "term",
         "doc_freq",
@@ -363,6 +375,7 @@ def bm25_scores(
     query_terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 document scores for one query (Robertson–Walker BM25
     with the always-positive ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf
@@ -388,30 +401,48 @@ def bm25_scores(
     (scalar-subquery pattern) and per-term document frequencies a
     broadcast |query|-row frame; the only corpus-sized shuffle is the
     final per-document sum over hits.
+
+    ``tf`` optionally passes the shared per-document term-frequency
+    table (same contract as :func:`term_stats`): hit counts, document
+    lengths (``dl = Σ tf`` per doc) and corpus totals then derive from
+    that aggregated table instead of re-tokenizing the corpus — the
+    derived integers are identical, so the micro-rounded doubles are
+    bit-identical.
     """
-    ws = words(F.col(text_col))
-    toks = df.select(
-        F.col(id_col).alias("__id"), ws.alias("__ws"), F.size(ws).alias("__dl")
-    )
-    # corpus scalars: document count + total token count (avgdl = tot/N)
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        F.sum("__dl").alias("__tot_toks"),
-    )
-    qarr = F.array(*[F.lit(t) for t in query_terms])
-    tf = (
-        toks.select(
-            "__id",
-            "__dl",
-            F.explode(
-                F.filter(F.col("__ws"), lambda w: F.array_contains(qarr, w))
-            ).alias("term"),
+    if tf is not None:
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
+        totals = df.agg(F.count(F.lit(1)).alias("__n_docs")).crossJoin(
+            tf.agg(F.sum("tf").alias("__tot_toks"))
         )
-        .groupBy("__id", "__dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    joined = tf.join(F.broadcast(docfreq), "term").join(F.broadcast(totals))
+        hits = (
+            tf.filter(F.col("term").isin(list(query_terms)))
+            .join(dl, id_col)
+            .select(F.col(id_col).alias("__id"), "__dl", "term", "tf")
+        )
+    else:
+        ws = words(F.col(text_col))
+        toks = df.select(
+            F.col(id_col).alias("__id"), ws.alias("__ws"), F.size(ws).alias("__dl")
+        )
+        # corpus scalars: document count + total token count (avgdl = tot/N)
+        totals = toks.agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.sum("__dl").alias("__tot_toks"),
+        )
+        qarr = F.array(*[F.lit(t) for t in query_terms])
+        hits = (
+            toks.select(
+                "__id",
+                "__dl",
+                F.explode(
+                    F.filter(F.col("__ws"), lambda w: F.array_contains(qarr, w))
+                ).alias("term"),
+            )
+            .groupBy("__id", "__dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    docfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    joined = hits.join(F.broadcast(docfreq), "term").join(F.broadcast(totals))
     # the idf/tf-saturation expression — parenthesized EXACTLY as the
     # DuckDB oracle writes it, so both engines evaluate the same IEEE
     # double before the micro rounding

@@ -69,11 +69,26 @@ toks AS (
 """
 
 
-def _bpe_member(spark, sf_dir):
+def _shared_tf(docs):
+    """The ONE corpus tokenize pass of the suite: the per-document
+    term-frequency table ``(doc_id, term, tf)`` from which every member
+    derives (term_stats/tfidf/bm25/bpe all accept it) — guide §2.4:
+    four independent explode+aggregate passes over the corpus collapse
+    to one aggregation whose output is (doc × vocab)-bounded."""
+    from akvorado_spark.operators.text import words
+
+    return (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _bpe_member(spark, sf_dir, tf=None):
     from akvorado_spark.operators.bpe import bpe_token_counts
 
     docs = load_table(spark, "documents", sf_dir, spread=True)
-    return bpe_token_counts(docs, "text", "doc_id", list(BPE_MERGES))
+    return bpe_token_counts(docs, "text", "doc_id", list(BPE_MERGES), tf=tf)
 
 
 def _wrap(sym: str) -> str:
@@ -102,24 +117,21 @@ FROM toks JOIN cnt USING (word) GROUP BY doc_id
 """
 
 
-def _tfidf_member(spark, sf_dir):
+def _tfidf_member(spark, sf_dir, tf=None):
     """Top-k terms per document, ranked on the INTEGER micro weight
     ``tf * round(idf * 1e6)`` (ties → term ASC) so the cross-engine
     gate never orders by a raw double."""
     from pyspark.sql import Window
 
-    from akvorado_spark.operators.text import term_stats, words
+    from akvorado_spark.operators.text import term_stats
 
     docs = load_table(spark, "documents", sf_dir, spread=True).select(
         "doc_id", "text"
     )
-    stats = term_stats(docs, "text", "doc_id").select(
+    if tf is None:
+        tf = _shared_tf(docs)
+    stats = term_stats(docs, "text", "doc_id", tf=tf).select(
         "term", F.round(F.col("idf") * 1e6).cast("long").alias("idf_micro")
-    )
-    tf = (
-        docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     weighted = tf.join(F.broadcast(stats), "term").select(
         "doc_id",
@@ -162,14 +174,14 @@ _BM25_TERMS = ("hash", "join", "scan", "merge", "column")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_member(spark, sf_dir):
+def _bm25_member(spark, sf_dir, tf=None):
     from akvorado_spark.operators.text import bm25_scores
 
     docs = load_table(spark, "documents", sf_dir, spread=True).select(
         "doc_id", "text"
     )
     return bm25_scores(
-        docs, "text", "doc_id", list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+        docs, "text", "doc_id", list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B, tf=tf
     )
 
 
@@ -265,7 +277,17 @@ FROM contrib GROUP BY doc_id
 
 def _vocab_suite(spark, sf_dir):
     zl = F.lit(0).cast("long")
-    bpe = _bpe_member(spark, sf_dir).select(
+    # ONE tokenize+aggregate pass over the corpus feeds all four
+    # members (r14, guide §2.4): the (doc_id, term, tf) table is the
+    # suite's shared aggregated artifact — materialized once (its rows
+    # are (doc × vocab)-bounded, the same sanctioned class as the
+    # bigram LM's c12 count table), so bpe/tfidf/bm25 read the finished
+    # table instead of re-exploding the documents three more times.
+    docs = load_table(spark, "documents", sf_dir, spread=True).select(
+        "doc_id", "text"
+    )
+    tf = _shared_tf(docs).localCheckpoint(eager=False)
+    bpe = _bpe_member(spark, sf_dir, tf=tf).select(
         F.lit("bpe").alias("member"),
         F.col("doc_id").cast("long").alias("k1"),
         zl.alias("k2"),
@@ -273,7 +295,7 @@ def _vocab_suite(spark, sf_dir):
         F.col("n_bpe_tokens").cast("long").alias("v1"),
         zl.alias("v2"),
     )
-    tfidf = _tfidf_member(spark, sf_dir).select(
+    tfidf = _tfidf_member(spark, sf_dir, tf=tf).select(
         F.lit("tfidf").alias("member"),
         F.col("doc_id").cast("long").alias("k1"),
         F.col("term_rank").cast("long").alias("k2"),
@@ -284,7 +306,7 @@ def _vocab_suite(spark, sf_dir):
     # materialize the (tiny) bm25 frame once: both the bm25 member and
     # the rrf fusion consume it, and re-deriving would re-scan the
     # corpus (same shared-source pattern as the multi-axis suites)
-    bm25_frame = _bm25_member(spark, sf_dir).localCheckpoint(eager=False)
+    bm25_frame = _bm25_member(spark, sf_dir, tf=tf).localCheckpoint(eager=False)
     bm25 = bm25_frame.select(
         F.lit("bm25").alias("member"),
         F.col("doc_id").cast("long").alias("k1"),

@@ -93,3 +93,35 @@ def test_line_bucket_expr_memo(spark):
     assert b1 is b2
     assert _bucket_col("ts", 900_000_000) is not b1
     assert _bucket_col("other_ts", 600_000_000) is not b1
+
+
+def test_bound_column_operand_never_cached(spark):
+    """r14 guardrail (VERDICT r13 #5): a frame-bound operand (df["x"] —
+    prints identically to F.col("x")) must build a working tree WITHOUT
+    entering the memo, so it can neither poison later unresolved
+    callers nor be handed a foreign frame's resolved attribute."""
+    import numpy as np
+
+    from akvorado_spark.functions.memo import cacheable_operands
+    from akvorado_spark.operators.similarity import _FOLD_MEMO, norm
+
+    df1 = spark.createDataFrame([([3.0, 4.0],)], "bx array<double>")
+    df2 = spark.createDataFrame([([6.0, 8.0],)], "bx array<double>")
+
+    assert cacheable_operands(F.col("bx"))
+    assert not cacheable_operands(df1["bx"])
+    assert not cacheable_operands(F.col("a"), df1["bx"])  # any bound → no
+    assert not cacheable_operands(df1["bx"].cast("array<double>"))  # nested
+
+    # bound operand: correct result, memo untouched
+    before = len(_FOLD_MEMO)
+    nb = norm(df1["bx"])
+    assert len(_FOLD_MEMO) == before
+    assert df1.select(nb.alias("n")).first()["n"] == pytest.approx(5.0)
+
+    # an unresolved caller AFTER the bound one gets a clean by-name
+    # tree that resolves on ITS frame (this failed with
+    # MISSING_ATTRIBUTES when bound trees could enter the memo)
+    nu = norm(F.col("bx"))
+    assert df2.select(nu.alias("n")).first()["n"] == pytest.approx(10.0)
+    assert norm(F.col("bx")) is nu  # and it IS cached
