@@ -73,7 +73,10 @@ def _graph_suite_spark(spark, sf_dir):
     for name, req in LINE_REQS.items():
         if row["lo"] is not None:
             req = replace(req, start_us=int(row["lo"]), end_us=int(row["hi"]) + 1)
-        df = compile_line(src, req)
+        # ordered=False: the gate hash is order-insensitive and the
+        # five members union — skips one range-partitioning sort
+        # exchange per member (r14, guide §2.4)
+        df = compile_line(src, req, ordered=False)
         dim2 = F.col("user_seg") if "user_seg" in df.columns else F.lit("")
         parts.append(
             df.select(

@@ -88,11 +88,12 @@ def _spark_bidir_line(spark, sf_dir):
     # reference shares axis 1's rows CTE across axes (skipWithClause,
     # console/line.go:169-216) so the chart's series are identical
     rows1 = top_rows_frame(direct_df, _req("InIfName"))
-    ax1 = compile_line(direct_df, _req("InIfName"), rows=rows1)
+    ax1 = compile_line(direct_df, _req("InIfName"), rows=rows1, ordered=False)
     ax2 = compile_line(
         reverse_df,
         _req("OutIfName"),
         rows=rows1.withColumnRenamed("InIfName", "OutIfName"),
+        ordered=False,
     ).withColumnRenamed("OutIfName", "InIfName")
     one = ax1.select(F.lit(1).alias("axis"), "*").unionAll(
         ax2.select(F.lit(2).alias("axis"), "*")
@@ -113,11 +114,11 @@ def _spark_bidir_line(spark, sf_dir):
         )
 
     rows2 = top_rows_frame(_ports(direct_df), _req2(("SrcPortS", "DstPortS")))
-    ax3 = compile_line(_ports(direct_df), _req2(("SrcPortS", "DstPortS")), rows=rows2)
+    ax3 = compile_line(_ports(direct_df), _req2(("SrcPortS", "DstPortS")), rows=rows2, ordered=False)
     rows2r = rows2.select(
         F.col("SrcPortS").alias("DstPortS"), F.col("DstPortS").alias("SrcPortS")
     )
-    ax4 = compile_line(_ports(reverse_df), _req2(("DstPortS", "SrcPortS")), rows=rows2r)
+    ax4 = compile_line(_ports(reverse_df), _req2(("DstPortS", "SrcPortS")), rows=rows2r, ordered=False)
     pair = ax3.select(
         F.lit("ports").alias("variant"), F.lit(1).alias("axis"), "bucket",
         F.col("SrcPortS").alias("d1"), F.col("DstPortS").alias("d2"), "sum_w", "xps",
@@ -218,7 +219,9 @@ def _spark_prev_period(spark, sf_dir):
     df = spark.table("flows_v")
     ts = F.unix_micros(F.col("TimeReceived").cast("timestamp"))
     main_df = df.filter((ts >= _START) & (ts < _END))
-    ax1 = compile_line(main_df, _prev_req(_START, _END))
+    # ordered=False on every suite member: gate hash is order-
+    # insensitive; drops one sort exchange per member (r14)
+    ax1 = compile_line(main_df, _prev_req(_START, _END), ordered=False)
     # the comparison axis is DIMENSIONLESS: the reference strips
     # dimensions when shifting (console/line.go:81-86) — one total
     # series, the dimension column riding along empty for the union
@@ -226,6 +229,7 @@ def _spark_prev_period(spark, sf_dir):
         compile_line(
             df.filter((ts >= _START - _SHIFT) & (ts < _END - _SHIFT)),
             _prev_req_nodim(_START - _SHIFT, _END - _SHIFT),
+            ordered=False,
         )
         .withColumn("bucket", F.col("bucket") + F.lit(_SHIFT))
         .withColumn("InIfName", F.lit(""))

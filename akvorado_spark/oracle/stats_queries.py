@@ -13,7 +13,9 @@ _REQ = LINE_REQS["graph_line_avg"]
 
 
 def _spark_stats(spark, sf_dir):
-    line = compile_line(events_source(spark, sf_dir), _REQ)
+    # ordered=False: series_stats aggregates the line (its own windows
+    # re-sort per series), so the chart-contract sort is dead weight
+    line = compile_line(events_source(spark, sf_dir), _REQ, ordered=False)
     return series_stats(line, _REQ.dimensions, _REQ.interval_s)
 
 

@@ -55,7 +55,9 @@ def _units_suite_spark(spark, sf_dir):
         req = _line_req(u, i, lt)
         if row["lo"] is not None:
             req = replace(req, start_us=int(row["lo"]), end_us=int(row["hi"]) + 1)
-        df = compile_line(src, req)
+        # ordered=False: gate hash is order-insensitive; one fewer
+        # sort exchange per unioned member (r14)
+        df = compile_line(src, req, ordered=False)
         df = df.select(F.lit(name).alias("variant"), "bucket", "InIfName", "sum_w", "xps")
         out = df if out is None else out.unionByName(df)
     return out

@@ -202,7 +202,10 @@ def top_rows_frame(df: DataFrame, req: LineRequest) -> DataFrame:
 
 
 def compile_line(
-    df: DataFrame, req: LineRequest, rows: DataFrame | None = None
+    df: DataFrame,
+    req: LineRequest,
+    rows: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Compile a LineRequest into a DataFrame plan.
 
@@ -214,6 +217,11 @@ def compile_line(
     request's dimensions) — the shared-CTE multi-axis form (see
     :func:`top_rows_frame`); when omitted the top set is ranked from
     this request's own population.
+
+    ``ordered`` (default True, the public chart contract: rows sorted
+    by bucket then dimensions): union suites whose gate hash is
+    order-insensitive pass False to skip the per-member range-
+    partitioning sort exchange — same rows, no final Sort node.
     """
     dims = list(req.dimensions)
     step_us = req.interval_s * 1_000_000
@@ -240,22 +248,20 @@ def compile_line(
         # console/line.go:81-86): no ranking, no fold, one series
         agg = base.groupBy("__bucket").agg(_agg_col(req).alias("sum_w"))
         if not req.fill:
-            return agg.select(
+            out = agg.select(
                 F.col("__bucket").alias("bucket"),
                 "sum_w",
                 (F.col("sum_w") / F.lit(req.interval_s)).alias("xps"),
-            ).orderBy("bucket")
+            )
+            return out.orderBy("bucket") if ordered else out
         buckets = _bucket_spine(bounds, step_us)
         filled = F.coalesce(F.col("sum_w"), F.lit(0)).cast(req.value_type)
-        return (
-            buckets.join(agg, on="__bucket", how="left")
-            .select(
-                F.col("__bucket").alias("bucket"),
-                filled.alias("sum_w"),
-                (filled / F.lit(req.interval_s)).alias("xps"),
-            )
-            .orderBy("bucket")
+        out = buckets.join(agg, on="__bucket", how="left").select(
+            F.col("__bucket").alias("bucket"),
+            filled.alias("sum_w"),
+            (filled / F.lit(req.interval_s)).alias("xps"),
         )
+        return out.orderBy("bucket") if ordered else out
 
     shared_rows = rows is not None
     if rows is None:
@@ -293,12 +299,13 @@ def compile_line(
     )
 
     if not req.fill:
-        return agg.select(
+        out = agg.select(
             F.col("__bucket").alias("bucket"),
             *dims,
             "sum_w",
             (F.col("sum_w") / F.lit(req.interval_s)).alias("xps"),
-        ).orderBy("bucket", *dims)
+        )
+        return out.orderBy("bucket", *dims) if ordered else out
 
     # Bucket spine: sequence on the 1-row bounds frame (O1 / WITH FILL).
     buckets = _bucket_spine(bounds, step_us)
@@ -329,16 +336,13 @@ def compile_line(
 
     spine = buckets.crossJoin(F.broadcast(dim_spine))
     filled = F.coalesce(F.col("sum_w"), F.lit(0)).cast(req.value_type)
-    return (
-        spine.join(agg, on=["__bucket", *dims], how="left")
-        .select(
-            F.col("__bucket").alias("bucket"),
-            *dims,
-            filled.alias("sum_w"),
-            (filled / F.lit(req.interval_s)).alias("xps"),
-        )
-        .orderBy("bucket", *dims)
+    out = spine.join(agg, on=["__bucket", *dims], how="left").select(
+        F.col("__bucket").alias("bucket"),
+        *dims,
+        filled.alias("sum_w"),
+        (filled / F.lit(req.interval_s)).alias("xps"),
     )
+    return out.orderBy("bucket", *dims) if ordered else out
 
 
 # ---------------------------------------------------------------------------
