@@ -55,7 +55,13 @@ def cacheable_operands(*cols) -> bool:
     expression that fails analysis (MISSING_ATTRIBUTES) on any other
     frame.  Bound operands therefore build a fresh tree that is
     returned but NEVER stored — correct for the caller, invisible to
-    everyone else.  The probe walks the column's node tree string
+    everyone else.  Lambda variables (operands received inside an
+    ``F.transform``/``F.zip_with`` callback) are likewise rejected:
+    their tree is pinned to one specific lambda function, and although
+    their printed name is unique per invocation (so a key collision is
+    not currently possible), storing them is never useful and a future
+    Spark that prints them stably would turn the dead entries into
+    wrong-tree hits.  The probe walks the column's node tree string
     (``ExpressionColumnNode`` is the classic-mode wrapper for a
     frame-resolved attribute); any introspection failure counts as
     not-cacheable, which is always safe.  Checked only on the miss
@@ -65,6 +71,6 @@ def cacheable_operands(*cols) -> bool:
             s = c._jc.node().toString()
         except Exception:  # unknown Column shape → never cache
             return False
-        if "ExpressionColumnNode" in s:
+        if "ExpressionColumnNode" in s or "LambdaVariable" in s:
             return False
     return True

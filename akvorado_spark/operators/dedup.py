@@ -722,10 +722,15 @@ def _ascii_code_array(text_col: str):
     """Per-row array of ascii codepoints, one per char.  Materialized
     before the hash array so each 4-gram hash is four element_at
     lookups instead of four substr(·,·,1) string slices — measured 2×
-    on the end-to-end occurrence scan."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1))),
-        lambda p: F.ascii(F.col(text_col).substr(p, F.lit(1))),
+    on the end-to-end occurrence scan.  Memoized on the column name
+    (r14): the tree is a pure function of it, and each lambda-API
+    construction costs ~45 ms of py4j round trips per build."""
+    return _EXPR_MEMO.get_or_build(
+        ("ascii_codes", text_col),
+        lambda: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1))),
+            lambda p: F.ascii(F.col(text_col).substr(p, F.lit(1))),
+        ),
     )
 
 
@@ -744,11 +749,16 @@ def _winnow_hash_array(text_col: str, window: int, cs):
             for off, mul in ((1, 3), (2, 5), (3, 7), (4, 11))
         )
 
-    n = F.length(F.col(text_col)) - window + 1
-    return F.when(
-        F.length(F.col(text_col)) >= window,
-        F.transform(F.sequence(F.lit(0), n - 1), h4),
-    ).otherwise(F.array().cast("array<int>"))
+    def build():
+        n = F.length(F.col(text_col)) - window + 1
+        return F.when(
+            F.length(F.col(text_col)) >= window,
+            F.transform(F.sequence(F.lit(0), n - 1), h4),
+        ).otherwise(F.array().cast("array<int>"))
+
+    return _EXPR_MEMO.get_or_build(
+        ("winnow_hash", text_col, window, str(cs)), build
+    )
 
 
 def _winnow_select(hs, stride: int):
@@ -779,10 +789,13 @@ def _winnow_select(hs, stride: int):
         f = F.coalesce(ff - 1, F.lit(stride - 1))
         return (b + f) >= stride - 1
 
-    return F.when(
-        F.size(hs) > 0,
-        F.filter(F.sequence(F.lit(0), F.size(hs) - 1), pred),
-    ).otherwise(F.array().cast("array<int>"))
+    return _EXPR_MEMO.get_or_build(
+        ("winnow_select", str(hs), stride),
+        lambda: F.when(
+            F.size(hs) > 0,
+            F.filter(F.sequence(F.lit(0), F.size(hs) - 1), pred),
+        ).otherwise(F.array().cast("array<int>")),
+    )
 
 
 def substring_window_occurrences(
@@ -837,11 +850,14 @@ def substring_window_occurrences(
                 F.lit(stride),
             ),
         ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.cast("long").alias("s"),
-            F.col(text_col).substr(s + 1, F.lit(window)).alias("w"),
+    wins = _EXPR_MEMO.get_or_build(
+        ("win_structs", text_col, window, stride, anchored, str(starts)),
+        lambda: F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("long").alias("s"),
+                F.col(text_col).substr(s + 1, F.lit(window)).alias("w"),
+            ),
         ),
     )
     return base.select(F.col(id_col), F.explode(wins).alias("x")).select(
@@ -915,50 +931,59 @@ def excise_spans(
     (id, n_dup_windows, n_spans, chars_removed, cleaned).
     """
     joined = spans.join(docs.select(id_col, text_col), id_col)
-    ss = F.col("starts")
-    w = F.lit(window).cast("long")
-    # filter-lambda indices are 0-based, element_at is 1-based; the
-    # greatest/least clamps keep the (eagerly evaluated) lookups in
-    # bounds at both edges where the other disjunct already decides
-    lo = F.filter(
-        ss,
-        lambda x, i: (i == 0)
-        | ((x - F.element_at(ss, F.greatest(i, F.lit(1)))) > w),
-    )
-    hi = F.transform(
-        F.filter(
+
+    # the four expression trees are pure functions of (text_col,
+    # window) + fixed internal names — memoized as a unit (r14): five
+    # lambda-API constructions ≈ 0.25 s of py4j per build otherwise
+    def build():
+        ss = F.col("starts")
+        w = F.lit(window).cast("long")
+        # filter-lambda indices are 0-based, element_at is 1-based; the
+        # greatest/least clamps keep the (eagerly evaluated) lookups in
+        # bounds at both edges where the other disjunct already decides
+        lo = F.filter(
             ss,
-            lambda x, i: (i == F.size(ss) - 1)
-            | ((F.element_at(ss, F.least(i + 2, F.size(ss))) - x) > w),
-        ),
-        lambda x: x + w,
-    )
-    kept_lo = F.concat(F.array(F.lit(0).cast("long")), F.col("__hi"))
-    kept_hi = F.concat(
-        F.col("__lo"), F.array(F.length(F.col(text_col)).cast("long"))
-    )
-    cleaned = F.concat_ws(
-        "",
-        F.zip_with(
-            kept_lo,
-            kept_hi,
-            lambda a, b: F.col(text_col).substr(
-                a.cast("int") + 1, F.greatest(b - a, F.lit(0).cast("long")).cast("int")
+            lambda x, i: (i == 0)
+            | ((x - F.element_at(ss, F.greatest(i, F.lit(1)))) > w),
+        )
+        hi = F.transform(
+            F.filter(
+                ss,
+                lambda x, i: (i == F.size(ss) - 1)
+                | ((F.element_at(ss, F.least(i + 2, F.size(ss))) - x) > w),
             ),
-        ),
+            lambda x: x + w,
+        )
+        kept_lo = F.concat(F.array(F.lit(0).cast("long")), F.col("__hi"))
+        kept_hi = F.concat(
+            F.col("__lo"), F.array(F.length(F.col(text_col)).cast("long"))
+        )
+        cleaned = F.concat_ws(
+            "",
+            F.zip_with(
+                kept_lo,
+                kept_hi,
+                lambda a, b: F.col(text_col).substr(
+                    a.cast("int") + 1,
+                    F.greatest(b - a, F.lit(0).cast("long")).cast("int"),
+                ),
+            ),
+        )
+        removed = F.aggregate(
+            F.zip_with(F.col("__lo"), F.col("__hi"), lambda a, b: b - a),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return lo, hi, removed, cleaned
+
+    lo, hi, removed, cleaned = _EXPR_MEMO.get_or_build(
+        ("excise", text_col, window), build
     )
     return (
         joined.withColumn("__lo", lo)
         .withColumn("__hi", hi)
         .withColumn("n_spans", F.size(F.col("__lo")))
-        .withColumn(
-            "chars_removed",
-            F.aggregate(
-                F.zip_with(F.col("__lo"), F.col("__hi"), lambda a, b: b - a),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("chars_removed", removed)
         .withColumn("cleaned", cleaned)
         .select(
             id_col, "n_dup_windows", "n_spans", "chars_removed", "cleaned"
@@ -1058,26 +1083,32 @@ def line_dedup(
         if keep_owner:
             drop = drop & (F.col(id_col) != F.col("__own"))
         marked = joined.withColumn("__drop", drop)
+    # reassembly expression over fixed internal names — memoized (r14):
+    # two lambda-API calls ≈ 0.1 s of py4j per build otherwise
+    cleaned = _EXPR_MEMO.get_or_build(
+        ("line_clean",),
+        lambda: F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__i"), F.col("__drop"), F.col("__ln")
+                            )
+                        )
+                    ),
+                    lambda x: ~x["__drop"],
+                ),
+                lambda x: x["__ln"],
+            ),
+        ).alias("cleaned"),
+    )
     return (
         marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("__drop").cast("long")).alias("n_removed"),
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.filter(
-                        F.sort_array(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("__i"), F.col("__drop"), F.col("__ln")
-                                )
-                            )
-                        ),
-                        lambda x: ~x["__drop"],
-                    ),
-                    lambda x: x["__ln"],
-                ),
-            ).alias("cleaned"),
+            cleaned,
         )
     )

@@ -122,8 +122,7 @@ def pq_train_codebooks(
             ).collect()
         ]
         for _ in range(iters):
-            cb_lit = _codebook_literal(cents)
-            assigned = sl.withColumn("c", _assign_expr(F.col("sv"), cb_lit))
+            assigned = sl.withColumn("c", _assign_expr(F.col("sv"), cents))
             means = (
                 assigned.groupBy("c")
                 .agg(
@@ -152,6 +151,17 @@ _CB_LIT_CACHE = LruMemo(maxsize=32)
 _INT_FOLD_MEMO = LruMemo(maxsize=256)
 
 
+def _book_key(book: list[list[int]]) -> tuple:
+    """Hashable identity of a codebook's VALUES — the memo key piece
+    that lets expression trees parameterized by a book (assignment
+    argmins, ADC tables) be cached under stable keys.  The lambda
+    variables inside those trees print a fresh name every invocation,
+    so keying on the rendered expression alone never repeats (the r13
+    fold memos silently missed on every such site — measured 1.2 s of
+    rebuilt transforms per lmdata build)."""
+    return tuple(tuple(int(v) for v in code) for code in book)
+
+
 def _codebook_literal(book: list[list[int]]):
     """Literal Column for a codebook, memoized on the values: building
     hundreds of F.lit() nodes costs real driver time (py4j round trips)
@@ -160,9 +170,8 @@ def _codebook_literal(book: list[list[int]]):
     Column tree is safely reusable anywhere in the session.  The memo
     is a bounded LRU so a long-lived service retraining codebooks
     doesn't accumulate expression trees forever."""
-    key = tuple(tuple(int(v) for v in code) for code in book)
     return _CB_LIT_CACHE.get_or_build(
-        key,
+        _book_key(book),
         lambda: F.array(
             *[F.array(*[F.lit(int(v)) for v in code]) for code in book]
         ),
@@ -197,16 +206,42 @@ def _int_dot(a, b):
     )
 
 
-def _assign_expr(subvec, cb_lit):
+def _assign_expr(subvec, book):
     """argmin over the codebook literal; (dist, idx) struct min ties to
-    the lowest code index.  Pure codegen — no shuffle, no UDF."""
-    scored = F.transform(
-        cb_lit,
-        lambda cb, c: F.struct(
-            _int_sqdist(subvec, cb).alias("d"), c.alias("c")
-        ),
+    the lowest code index.  Pure codegen — no shuffle, no UDF.
+
+    Takes the PYTHON book (not its literal Column) so the finished
+    argmin tree can be memoized on (operand text, book values): the
+    transform lambda's variable prints a fresh name per invocation, so
+    the inner fold memo can never hit — memoizing the whole expression
+    here is what makes repeat builds free."""
+    key = ("assign", str(subvec), _book_key(book))
+    return _INT_FOLD_MEMO.get_or_build(
+        key,
+        lambda: F.array_min(
+            F.transform(
+                _codebook_literal(book),
+                lambda cb, c: F.struct(
+                    _int_sqdist(subvec, cb).alias("d"), c.alias("c")
+                ),
+            )
+        )["c"],
+        cache_if=lambda: cacheable_operands(subvec),
     )
-    return F.array_min(scored)["c"]
+
+
+def _adc_table_expr(qvec, book):
+    """One query-side ADC table: ⟨q_sub, codeword⟩ per code — the
+    transform over the codebook literal, memoized like
+    :func:`_assign_expr` (same lambda-variable key problem)."""
+    key = ("adc_table", str(qvec), _book_key(book))
+    return _INT_FOLD_MEMO.get_or_build(
+        key,
+        lambda: F.transform(
+            _codebook_literal(book), lambda cb: _int_dot(qvec, cb)
+        ),
+        cache_if=lambda: cacheable_operands(qvec),
+    )
 
 
 def pq_encode(
@@ -222,9 +257,7 @@ def pq_encode(
     sub = len(codebooks[0][0])
     codes = F.array(
         *[
-            _assign_expr(
-                _subslice(F.col(q_col), j, sub), _codebook_literal(codebooks[j])
-            )
+            _assign_expr(_subslice(F.col(q_col), j, sub), codebooks[j])
             for j in range(m)
         ]
     )
@@ -255,9 +288,8 @@ def pq_adc_topk(
     qt = queries.select(
         q_id_col,
         *[
-            F.transform(
-                _codebook_literal(codebooks[j]),
-                lambda cb: _int_dot(_subslice(F.col(q_col), j, sub), cb),
+            _adc_table_expr(
+                _subslice(F.col(q_col), j, sub), codebooks[j]
             ).alias(f"__t{j}")
             for j in range(m)
         ],
@@ -313,7 +345,7 @@ def ivfpq_encode(
     Residuals live in [-254, 254] — still exact 32-bit ints.
     """
     cell_lit = _codebook_literal(cells)
-    enc = quantized.withColumn(cell_col, _assign_expr(F.col(q_col), cell_lit))
+    enc = quantized.withColumn(cell_col, _assign_expr(F.col(q_col), cells))
     resid = F.zip_with(
         F.col(q_col),
         F.element_at(cell_lit, F.col(cell_col) + 1),
@@ -378,9 +410,8 @@ def ivfpq_topk(
         cell_col,
         q_cell_dot.alias("__qc"),
         *[
-            F.transform(
-                _codebook_literal(codebooks[j]),
-                lambda cb: _int_dot(_subslice(F.col(q_col), j, sub), cb),
+            _adc_table_expr(
+                _subslice(F.col(q_col), j, sub), codebooks[j]
             ).alias(f"__t{j}")
             for j in range(m)
         ],

@@ -711,8 +711,17 @@ def semdedup(
     semdedup variants over one materialized corpus can fold the norms
     once and share them — each variant then copies a double instead of
     re-folding the array).  The column must hold exactly
-    ``norm(F.col(vec_col))``; it is consumed (dropped from the output).
+    ``norm(F.col(vec_col))`` and ``vectors`` should already be
+    materialized (e.g. localCheckpoint) — on a lazy source, projection
+    collapse can push the caller's fold INTO the N×k assignment
+    crossJoin, making the "shared" fold more expensive than the
+    default self-computing path.  It is consumed (dropped from the
+    output).
     """
+    if norm_col is not None and norm_col not in vectors.columns:
+        raise ValueError(
+            f"norm_col {norm_col!r} not in {vectors.columns}"
+        )
     if two_level:
         supers, children = split_centroids(centroids, n_super=n_super)
         assigned = assign_cells_two_level(
@@ -835,12 +844,20 @@ def project_embeddings_fixedpoint(
             for plane in planes
         ],
     )
-    comps = []
-    for arr in arrs:
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("long") * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        comps.append(d)
-    return df.withColumn(out_col, F.array(*comps))
+    # the finished per-plane fold array is itself memoized (keyed on
+    # the plane identity + operand name): the out_dim lambda-API folds
+    # cost ~45 ms each to construct and recur identically on every
+    # build (r14; same class as the pq assignment/ADC-table memos)
+    def _build():
+        comps = []
+        for arr in arrs:
+            d = F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("long") * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            comps.append(d)
+        return F.array(*comps)
+
+    proj = _FOLD_MEMO.get_or_build((*key, vec_col), _build)
+    return df.withColumn(out_col, proj)

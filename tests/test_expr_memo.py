@@ -125,3 +125,40 @@ def test_bound_column_operand_never_cached(spark):
     nu = norm(F.col("bx"))
     assert df2.select(nu.alias("n")).first()["n"] == pytest.approx(10.0)
     assert norm(F.col("bx")) is nu  # and it IS cached
+
+
+def test_pq_assignment_and_table_memo_hits(spark):
+    """r14: the codebook-parameterized trees (assignment argmin, ADC
+    table) memoize on (operand text, book VALUES) — the inner lambda
+    variables print fresh names every build, so without these outer
+    memos every query build reconstructed them (measured ~1.2 s of
+    py4j per lmdata build)."""
+    from akvorado_spark.operators.pq import _adc_table_expr, _assign_expr
+
+    book = [[1, 2], [3, 4]]
+    a1 = _assign_expr(F.col("sv"), book)
+    assert _assign_expr(F.col("sv"), book) is a1          # hit
+    assert _assign_expr(F.col("sv"), [[1, 2], [3, 5]]) is not a1  # values key
+    assert _assign_expr(F.col("other"), book) is not a1   # operand key
+    t1 = _adc_table_expr(F.col("qv"), book)
+    assert _adc_table_expr(F.col("qv"), book) is t1
+
+    df = spark.createDataFrame([([1, 2],), ([3, 5],)], "sv array<int>")
+    got = [r["c"] for r in df.select(a1.alias("c")).collect()]
+    assert got == [0, 1]  # argmin against the book, ties impossible here
+
+
+def test_doc_bigrams_memo_keyed_on_key_fn_identity(spark):
+    from akvorado_spark.operators.lm import _GRAMS_MEMO, doc_bigrams
+    from akvorado_spark.operators.text import portable_word_hash
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    n0 = len(_GRAMS_MEMO)
+    doc_bigrams(df, "text", "doc_id", key_fn=portable_word_hash)
+    n1 = len(_GRAMS_MEMO)
+    doc_bigrams(df, "text", "doc_id", key_fn=portable_word_hash)
+    assert len(_GRAMS_MEMO) == n1  # second build hit the memo
+    # a DIFFERENT callable may not receive the first one's tree
+    doc_bigrams(df, "text", "doc_id", key_fn=lambda c: c)
+    assert len(_GRAMS_MEMO) == n1 + 1
+    assert n1 > n0

@@ -3,6 +3,8 @@ applyInPandasWithState)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -279,6 +281,7 @@ def _run_ttl_stream(spark, src, out_dir, ckpt, ttl, rows, fname, W=24, S=5):
     assert q.exception() is None
 
 
+@pytest.mark.slow
 def test_streaming_duplicate_windows_ttl_suppresses_in_horizon(
     spark, tmp_path
 ):
@@ -304,6 +307,7 @@ def test_streaming_duplicate_windows_ttl_suppresses_in_horizon(
     assert spark.read.format("statestore").load(ckpt).count() == base
 
 
+@pytest.mark.slow
 def test_streaming_duplicate_windows_ttl_expires_and_readmits(
     spark, tmp_path
 ):

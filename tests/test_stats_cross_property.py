@@ -56,6 +56,7 @@ def engines(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(req=_REQS)
+@pytest.mark.slow
 def test_random_series_stats_agree_across_engines(engines, req):
     spark, src, con = engines
     line = compile_line(src, req)

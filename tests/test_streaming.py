@@ -118,6 +118,7 @@ def test_enrich_chain(spark):
     assert classes <= {"tcp", "other"} and "tcp" in classes
 
 
+@pytest.mark.slow
 def test_streaming_rollup_watermark_drops_too_late_rows(spark, tmp_path):
     """The watermarked T5 variant: in-watermark rows aggregate into
     their window; a row arriving behind the watermark is DROPPED (the
@@ -196,6 +197,7 @@ def test_streaming_rollup_watermark_drops_too_late_rows(spark, tmp_path):
     assert win10 and max(r["Flows"] for r in win10) == 2
 
 
+@pytest.mark.slow
 def test_process_batch_observes_oldest_without_extra_job(spark, tmp_path):
     """T5's oldest-timestamp probe rides the write pass via observe()
     (VERDICT r3 item 3: no per-batch scalar collect): build_rollups
@@ -211,6 +213,7 @@ def test_process_batch_observes_oldest_without_extra_job(spark, tmp_path):
     assert captured["since"] == want
 
 
+@pytest.mark.slow
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     """First arrival of each document passes; re-arrivals are dropped
     both within a batch and across query RESTARTS (state survives via
@@ -267,6 +270,7 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert all(f"fresh document {i}" in texts for i in range(5))
 
 
+@pytest.mark.slow
 def test_streaming_bloom_dedup_bounded_state(spark, tmp_path):
     """Bloom variant: duplicates are ALWAYS dropped (in-batch and
     across restarts via the checkpoint bitmap), uniques pass at the
@@ -386,6 +390,7 @@ def test_minhash_signature_expr_matches_grouped(spark):
     assert a == b and len(a) > 20
 
 
+@pytest.mark.slow
 def test_streaming_minhash_candidates_equals_batch(spark, tmp_path):
     """A corpus streamed in two micro-batch runs (state carried through
     the checkpoint) yields exactly the batch LSH candidate pair set —

@@ -4,6 +4,8 @@ coverage beyond the single-corpus oracle gate."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import random
 
@@ -102,6 +104,7 @@ def _random_corpus(rng: random.Random, n_docs: int):
     return docs
 
 
+@pytest.mark.slow
 def test_exact_substring_dedup_random_corpora(spark):
     from akvorado_spark.operators.dedup import exact_substring_dedup
 
@@ -191,6 +194,7 @@ ORDER BY doc_id, i
         assert sorted(got[i]) == duck[i], (i, t[:40])
 
 
+@pytest.mark.slow
 def test_bpe_random_corpora_match_reference(spark):
     from akvorado_spark.operators.bpe import train_bpe
     from tests.test_pipeline_ops import _py_bpe
@@ -234,6 +238,7 @@ def _py_line_dedup(docs: dict[int, str], min_docs: int, min_len: int, keep_owner
     return out
 
 
+@pytest.mark.slow
 def test_line_dedup_random_corpora(spark):
     from akvorado_spark.operators.dedup import line_dedup
 
@@ -268,6 +273,7 @@ def test_line_dedup_random_corpora(spark):
             assert got == want, (trial, min_docs, keep_owner)
 
 
+@pytest.mark.slow
 def test_bigram_lm_random_corpora_match_python(spark):
     """Randomized corpora through the distributed LM: per-doc micro-nat
     scores equal a plain-python reference bit-for-bit (add-one

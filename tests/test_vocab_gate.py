@@ -78,6 +78,7 @@ def test_frozen_merges_segment_real_vocab_identically(spark):
     assert len(got) > 10
 
 
+@pytest.mark.slow
 def test_frozen_merges_match_fresh_training(spark):
     """BPE_MERGES was trained at sf0.001 and frozen; retraining on the
     same corpus must reproduce it exactly (deterministic tie-break)."""

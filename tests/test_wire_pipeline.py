@@ -4,6 +4,8 @@ The full reference pipeline, UDP socket excluded, in one test."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
@@ -27,6 +29,7 @@ def _interfaces(spark):
     )
 
 
+@pytest.mark.slow
 def test_datagrams_to_graph_query(spark, tmp_path):
     from akvorado_spark.plans.rollup import FlowStore
     from akvorado_spark.query.graph import GraphRequest, graph_line
@@ -98,6 +101,7 @@ def test_wire_bridge_types_match_schema(spark):
     assert row["FlowDirection"] == "undefined" and row["InIfName"] == "1"
 
 
+@pytest.mark.slow
 def test_streaming_protobuf_to_store(spark, tmp_path):
     """The reference pipeline end-to-end in streaming form: RawFlow
     protobuf blobs → transport decode → template-stateful NetFlow
