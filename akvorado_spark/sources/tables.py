@@ -39,6 +39,18 @@ _SPREAD_KEYS = {
 }
 
 
+# finished scan DataFrames per (session, sf_dir, table, spread) — a
+# PLAN memo, never data: the frame is a lazy parquet scan definition;
+# every action still reads the files.  Construction costs ~0.1 s of
+# py4j (reader setup + schema walk) and query builds call load_table
+# 1-4 times each, so a 50-query bench run pays it hundreds of times
+# otherwise.  WeakKeyDictionary: entries die with their session, and a
+# recycled id() can never alias a new session (VERDICT r13 #5 class).
+from weakref import WeakKeyDictionary
+
+_TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(
     spark: SparkSession, name: str, sf_dir: str | None = None, spread: bool = False
 ) -> DataFrame:
@@ -48,8 +60,17 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # NTZ→LTZ casts (e.g. l_shipdate) must be instant-preserving to
     # match the DuckDB oracle's naive-UTC epoch math, whatever session
-    # the caller hands us.
+    # the caller hands us.  (Conf sets stay OUTSIDE the memo so every
+    # call re-asserts them.)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        per = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session shim → no memo
+        per = {}
+    key = (name, sf_dir, bool(spread))
+    hit = per.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
@@ -74,8 +95,9 @@ def load_table(
         # production scale inputs arrive in thousands of splits and
         # the extra exchange would be waste, so only pipelines whose
         # next stage is compute-bound ask.
-        key = _SPREAD_KEYS.get(name, df.columns[0])
-        df = df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+        skey = _SPREAD_KEYS.get(name, df.columns[0])
+        df = df.repartition(spark.sparkContext.defaultParallelism, F.col(skey))
+    per[key] = df
     return df
 
 
